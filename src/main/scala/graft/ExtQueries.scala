@@ -196,11 +196,15 @@ object ExtQueries {
         FROM bits ORDER BY doc_id"""
   }
 
-  /** MinHash oracle: 8 signatures over word 3-shingles, 4 bands × 2. */
+  /** MinHash oracle: 8 affine-permutation signatures over word
+    * 3-shingles (one md5 base hash per shingle, k integer permutations
+    * `(a·h+b) mod P`), 4 bands × 2 — constants shared with
+    * [[Dedup.minhashSigTable]] so both engines compute identical sigs.
+    */
   private def minhashOracle: String = {
-    val sig = (j: Int) =>
-      s"list_min(list_transform(sh, s -> ${Hashing.hash64Sql("s", j)})) AS sig$j"
-    val sigs = (0 until 8).map(sig).mkString(", ")
+    val sigs = (0 until 8).map(j =>
+      s"MIN((h * ${Dedup.MinhashA(j)} + ${Dedup.MinhashB(j)}) % ${Dedup.MinhashP}) AS sig$j")
+      .mkString(", ")
     val band = (b: Int) =>
       s"(SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS band_hash FROM sigs)"
     val bandsUnion = (0 until 4).map(band).mkString(" UNION ALL ")
@@ -214,7 +218,10 @@ object ExtQueries {
                      string_split(lower(text), ' ')[i+2])
               ELSE [lower(text)] END AS sh
           FROM documents),
-        sigs AS (SELECT doc_id, $sigs FROM sh),
+        base AS (
+          SELECT doc_id, ${Hashing.hash64Sql("s", 0)} % 2147483648 AS h
+          FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+        sigs AS (SELECT doc_id, $sigs FROM base GROUP BY doc_id),
         bands AS ($bandsUnion)
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b

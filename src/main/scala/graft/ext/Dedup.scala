@@ -38,57 +38,104 @@ object Dedup {
 
   // ---- MinHash + LSH --------------------------------------------------
 
-  /** Word 3-shingles of a text column; texts shorter than 3 tokens use the
-    * whole text as a single shingle.
+  /** Word 3-shingles over a tokens array; texts shorter than 3 tokens use
+    * the whole (re-joined) text as a single shingle.
+    *
+    * IMPORTANT perf contract: `toks` must be a materialized attribute, not
+    * an inline `split(...)` expression — codegen's common-subexpression
+    * elimination does not reach inside higher-order-function lambdas, so
+    * an inline split would be re-evaluated for every `element_at` (O(n²)
+    * per row; measured 6× slowdown on the shingle explode).
     */
-  def shingles(text: Column): Column = {
-    val toks = split(lower(text), " ")
+  def shinglesOf(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2), i =>
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2))))
-      .otherwise(array(lower(text)))
-  }
+      .otherwise(array(concat_ws(" ", toks)))
 
-  /** k MinHash signature values: sig_j = min over shingles of
-    * hash64(shingle, seed=j). Pure column math (array transform + min) —
-    * no explode, no shuffle, one pass per row.
+  /** Convenience single-column form (fine for tests/small inputs; hot
+    * paths go through [[shingleRows]]).
     */
-  def minhashSigs(text: Column, k: Int): Seq[Column] = {
-    val sh = shingles(text)
-    (0 until k).map(j => array_min(transform(sh, s => Hashing.hash64(s, j))))
+  def shingles(text: Column): Column = shinglesOf(split(lower(text), " "))
+
+  /** (id, shingle) rows with the token array materialized in its own
+    * projection so the shingle lambda reads an attribute.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+      .select(col(idCol), explode(shinglesOf(col("toks"))).as("shingle"))
+
+  /** MinHash universe: signatures are affine permutations of ONE md5-
+    * derived base hash per shingle — `sig_j = min (a_j·h + b_j) mod P` —
+    * the classic k-permutation scheme. One md5 per shingle total (not
+    * k), and the k mins are plain integer aggregates with map-side
+    * partial aggregation: the shuffle carries exactly one row of k longs
+    * per document, regardless of document length.
+    */
+  val MinhashP: Long = 2147483647L   // Mersenne prime 2^31-1
+  private val Two31 = 2147483648L
+  val MinhashA = Seq(1000003L, 1000333L, 1001467L, 1002343L,
+    1003141L, 1004077L, 1005007L, 1006003L)
+  val MinhashB = Seq(12345L, 54321L, 98765L, 13579L,
+    24680L, 86420L, 97531L, 11111L)
+
+  /** One row per doc with columns sig0..sig{k-1} (k ≤ 8). */
+  def minhashSigTable(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    require(k <= MinhashA.size, s"at most ${MinhashA.size} permutations")
+    val base = shingleRows(df, idCol, textCol)
+      .select(col(idCol),
+        (Hashing.hash64(col("shingle"), 0) % Two31).as("h"))
+    val sigAggs = (0 until k).map(j =>
+      min((col("h") * MinhashA(j) + MinhashB(j)) % MinhashP).as(s"sig$j"))
+    base.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
   /** LSH banding: `bands` buckets per doc, each hashing `rowsPerBand`
     * consecutive signature values. Output long form:
-    * (id, band, band_hash) — ready for a bucket self-join.
+    * (id, band, band_hash) — ready for a bucket self-join. Signatures
+    * are materialized attributes after the aggregate, so band hashing
+    * never recomputes them.
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = minhashSigs(col(textCol), bands * rowsPerBand)
+    val sigs = minhashSigTable(df, idCol, textCol, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => sigs(b * rowsPerBand + r))
+      val slice = (0 until rowsPerBand)
+        .map(r => col(s"sig${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"),
-        md5(concat_ws("_", slice.map(_.cast("string")): _*).cast("binary"))
-          .as("band_hash"))
+        md5(concat_ws("_", slice: _*).cast("binary")).as("band_hash"))
     }
-    df.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"),
         col("bb.band_hash").as("band_hash"))
   }
 
+  /** All (a<b) pairs from an array column of ids. */
+  private def pairsOf(ids: Column): Column =
+    filter(
+      flatten(transform(ids, x => transform(ids, y =>
+        struct(x.as("id_a"), y.as("id_b"))))),
+      p => p.getField("id_a") < p.getField("id_b"))
+
   /** Candidate near-duplicate pairs: docs sharing any LSH band bucket.
-    * The self-join key (band, band_hash) is uniformly distributed; the
-    * pair set is Σ|bucket|² — the LSH guarantee, not |docs|².
+    *
+    * Shape: bands → group by (band, band_hash) collecting member lists →
+    * emit each bucket's (a<b) pairs → distinct. One pass over the
+    * signature subtree (a self-join would plan and execute it twice) and
+    * one shuffle on the high-entropy bucket key (uniform → no skew). The
+    * pair count is Σ|bucket|² — the LSH guarantee, not |docs|².
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val bb = minhashBands(df, idCol, textCol, bands, rowsPerBand)
-    val a = bb.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val b = bb.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    bb.groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   // ---- SimHash --------------------------------------------------------
@@ -120,26 +167,42 @@ object Dedup {
   // ---- n-gram Jaccard -------------------------------------------------
 
   /** Exact Jaccard similarity over distinct word n-grams for candidate
-    * pairs, via an inverted-index self-join (token → docs), never a cross
-    * product. `candidates` restricts the pair space — in production the
-    * candidate set comes from [[minhashCandidatePairs]]; here any
-    * predicate works.
+    * pairs, via an inverted index (gram → postings list), never a cross
+    * product: group by gram collecting (id, set-size) postings, emit each
+    * posting list's (a<b) co-occurrence pairs, count pairs → intersection
+    * size, then |A∪B| = na + nb − inter. The gram subtree is planned once
+    * (a self-join would execute it twice).
+    *
+    * `candidates` restricts the pair space — in production the candidate
+    * set comes from [[minhashCandidatePairs]]; here any predicate works.
+    * `maxDf` drops grams whose posting list exceeds it (ultra-common
+    * grams generate quadratic pairs while carrying no signal — the
+    * standard skew guard; 0 disables, used by the exact oracle).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   candidates: Column, minJaccard: Double): DataFrame = {
+                   candidates: Column, minJaccard: Double,
+                   maxDf: Int = 0): DataFrame = {
     val grams =
       if (n == 1) array_distinct(split(lower(col(textCol)), " "))
       else array_distinct(shingles(col(textCol)))
-    val docs = df.filter(candidates)
+    val postings = df.filter(candidates)
       .select(col(idCol).as("id"), grams.as("grams"),
         size(grams).as("n_grams"))
-    val inv = docs.select(col("id"), col("n_grams"),
-      explode(col("grams")).as("gram"))
-    val a = inv.select(col("gram"), col("id").as("id_a"),
-      col("n_grams").as("na"))
-    val b = inv.select(col("gram"), col("id").as("id_b"),
-      col("n_grams").as("nb"))
-    a.join(b, Seq("gram")).filter(col("id_a") < col("id_b"))
+      .select(col("id"), col("n_grams"), explode(col("grams")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col("id"), col("n_grams"))).as("docs"))
+    val capped =
+      if (maxDf > 0) postings.filter(size(col("docs")) <= maxDf) else postings
+    val pairs = capped
+      .filter(size(col("docs")) > 1)
+      .select(explode(filter(
+        flatten(transform(col("docs"), a => transform(col("docs"), b =>
+          struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            a.getField("n_grams").as("na"), b.getField("n_grams").as("nb"))))),
+        p => p.getField("id_a") < p.getField("id_b"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+    pairs
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
