@@ -231,12 +231,15 @@ object SparkEntry {
     }),
 
     // F1+F2: the _clean_text pipeline over deterministically-messied
-    // strings (Excel tuple artifacts), plus upper-alpha strip.
+    // strings (Excel tuple artifacts), plus upper-alpha strip. Uses the
+    // fused native expression (graft.functions.native_fns.clean_text,
+    // single-pass codegen); bit-parity with the composed built-ins is
+    // pinned by CleanTextExprSpec and by this query's DuckDB oracle.
     "f1_clean_text" -> ((s, dir) => {
       val messy = concat(lit("(\""), col("p_name"), lit("\", 1.0)"))
       T(s, dir, "part").select(
         col("p_partkey"),
-        CleanText.cleanText(messy).as("cleaned"),
+        graft.functions.native_fns.clean_text(messy).as("cleaned"),
         CleanText.upperAlpha(col("p_brand")).as("brand_alpha"))
         .orderBy(col("p_partkey"))
     }),

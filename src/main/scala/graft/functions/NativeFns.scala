@@ -1,0 +1,12 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.CleanTextExpr
+
+/** Public facade over graft's native Catalyst expressions (which live in
+  * org.apache.spark.sql.graft for access to private[sql] plumbing).
+  */
+object native_fns {
+  /** Fused single-pass _clean_text (SURVEY §2.3 F1) with codegen. */
+  def clean_text(c: Column): Column = CleanTextExpr.clean_text(c)
+}

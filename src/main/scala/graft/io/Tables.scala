@@ -26,6 +26,18 @@ object Tables {
   def save(df: DataFrame, dir: String, name: String): Unit =
     df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
+  /** S4 at scale: hive-style partitioned sink. Reads that filter on the
+    * partition columns prune directories before any IO (Catalyst
+    * PartitionFilters), which is the difference between scanning 100 TB
+    * and scanning one year/state slice of it. For the tidy relation the
+    * natural layout is partitionBy(year, state).
+    */
+  def savePartitioned(df: DataFrame, dir: String, name: String,
+                      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$dir/$name.parquet")
+
   /** S6: memoized scan — the dashboard's `@st.cache_data`
     * (`streamlit_app.py:26-27`) becomes a persisted DataFrame: first action
     * materializes, later chart jobs reuse the cached columnar batches.

@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import org.apache.spark.sql.graft.CleanTextExpr
+
+/** Engine extension point (SURVEY §4): registers graft's native
+  * expressions for SQL use. The reference needs no custom optimizer rules
+  * or strategies (its ops are all Catalyst built-ins), so this currently
+  * carries only the function registrations; planner rules would be
+  * injected here the same way.
+  *
+  * Usage:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  * or config: spark.sql.extensions=graft.plans.GraftExtensions
+  * After which: SELECT clean_text(col) FROM ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cleanTextDescriptor)
+}
+
+object GraftExtensions {
+
+  val cleanTextDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("clean_text"),
+    new ExpressionInfo(classOf[CleanTextExpr].getName, "clean_text"),
+    (children: Seq[Expression]) => CleanTextExpr(children.head))
+
+  /** Imperative registration on an existing session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "clean_text", children => CleanTextExpr(children.head), "scala_udf")
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.graft.CleanTextExpr
+import graft.SparkTestBase
+import graft.ops.CleanText
+
+/** The fused native expression must be bit-identical to the composed
+  * built-in pipeline — on the golden cases, on a real corpus, and on
+  * adversarial generated strings (parens/quotes/commas/numbers/ws).
+  */
+class CleanTextExprSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def crossCheck(inputs: Seq[String]): Unit = {
+    val df = inputs.toDF("raw").select(
+      col("raw"),
+      CleanText.cleanText(col("raw")).as("composed"),
+      CleanTextExpr.clean_text(col("raw")).as("fused"))
+    val diff = df.filter(not(col("composed") <=> col("fused"))).collect()
+    assert(diff.isEmpty,
+      diff.take(5).map(r => s"'${r.get(0)}' -> composed='${r.get(1)}' fused='${r.get(2)}'")
+        .mkString("; "))
+  }
+
+  test("fused == composed on golden reference cases") {
+    crossCheck(Seq(
+      "(\"Mental health\", 1.0)", "(\" Injury \", -2.5)", "plain",
+      "\"quoted\"", "ends with, 42", "  padded  ", "", "(", ")", "(\")",
+      "x, 1.2.3", "x,.5", "x,5.", "a, 1, 2", "(abc", "abc\")",
+      "\"\"\"triple\"\"\"", ", 7", ",x7", "(\"", "-3", "a,+3", "a, -0.5"))
+  }
+
+  test("fused == composed on the documents + part corpus") {
+    val parts = graft.io.Tables.load(spark, sf, "part")
+      .select(concat(lit("(\""), col("p_name"), lit("\", 1.0)")).as("raw"))
+      .as[String].collect().toSeq
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+      .select(col("text")).as[String].collect().toSeq.take(200)
+    crossCheck(parts ++ docs)
+  }
+
+  test("fused == composed on generated adversarial strings") {
+    val charGen = Gen.frequency(
+      5 -> Gen.oneOf('a', 'b'), 2 -> Gen.oneOf('0', '1', '9'),
+      2 -> Gen.oneOf('(', ')', '"', ',', '.', '+', '-'),
+      2 -> Gen.oneOf(' ', '\t'))
+    val strGen = Gen.listOf(charGen).map(_.mkString).map(_.take(12))
+    val cases = (0 until 400).flatMap(i =>
+      strGen.apply(Gen.Parameters.default, Seed(1000L + i)))
+    crossCheck(cases)
+  }
+
+  test("SQL registration via extensions descriptor") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT clean_text('("Mental health", 1.0)') AS c""")
+      .as[String].head()
+    assert(got == "Mental health")
+  }
+}
