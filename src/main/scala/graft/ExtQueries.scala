@@ -63,6 +63,11 @@ object ExtQueries {
       Similarity.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 8)),
 
+    "x_ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        centroidIds = (10L to 17L), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10)),
+
     // ---- text analysis ------------------------------------------------
 
     "x_text_langid" -> ((s, dir) =>
@@ -300,6 +305,34 @@ object ExtQueries {
           scored AS (
             SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
             FROM c JOIN q USING (bucket) WHERE query_id <> cand_id),
+          ranked AS (
+            SELECT query_id, cand_id, cosine,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+            FROM scored)
+          SELECT query_id, cand_id, cosine, rank FROM ranked
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x_ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, $qvec AS v FROM embeddings),
+          cents AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+                    WHERE vec_id IN (10,11,12,13,14,15,16,17)),
+          scoredc AS (
+            SELECT e.vec_id, e.v, centroid_id,
+                   ${cosSql("e.v", "centv")} AS ccos
+            FROM e CROSS JOIN cents),
+          assigned AS (
+            SELECT vec_id, v, centroid_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, centroid_id) AS rk FROM scoredc)
+            WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS cell
+                FROM assigned WHERE vec_id IN (0, 1, 2, 3, 4)),
+          c AS (SELECT vec_id AS cand_id, v AS cv, centroid_id AS cell
+                FROM assigned),
+          scored AS (
+            SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+            FROM c JOIN q USING (cell) WHERE query_id <> cand_id),
           ranked AS (
             SELECT query_id, cand_id, cosine,
               CAST(row_number() OVER (PARTITION BY query_id

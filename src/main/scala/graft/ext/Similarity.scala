@@ -97,6 +97,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a fixed set of `centroidIds` vectors act as
+    * coarse centroids; every vector is assigned to its nearest centroid
+    * (argmax cosine, ties to the lowest centroid id), giving an inverted
+    * list per cell. A query searches only its own cell — the IVF nprobe=1
+    * scheme. Centroid assignment is a broadcast of C tiny vectors against
+    * one corpus scan; at scale the cell id becomes a partition/bucket key
+    * so a query touches 1/C of the data. (Production would k-means the
+    * centroids; a fixed id set keeps the operator deterministic and
+    * oracle-checkable — the index structure is identical.)
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              centroidIds: Seq[Long], queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.filter(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).as("centroid_id"), quantize(col(vecCol)).as("centv"))
+    val assigned = emb
+      .select(col(idCol), quantize(col(vecCol)).as("v"))
+      .join(broadcast(cents), lit(true))
+      .select(col(idCol), col("v"), col("centroid_id"),
+        cosineQ(col("v"), col("centv")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("v"), col("centroid_id"))
+    val q = assigned.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("centroid_id").as("cell"))
+    val c = assigned.select(col(idCol).as("cand_id"), col("v").as("cv"),
+      col("centroid_id").as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineQ(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, within a
     * bounded candidate id range (stand-in for an upstream LSH/blocking
     * step — the pair space must never be the raw cross product).

@@ -38,6 +38,20 @@ object Tables {
       .partitionBy(partitionCols: _*)
       .parquet(s"$dir/$name.parquet")
 
+  /** S4 at scale, join-side: bucketed managed table. Two tables bucketed
+    * (and sorted) by the same join key with the same bucket count join
+    * with NO exchange on either side — the shuffle is paid once at write
+    * time instead of once per downstream join. This is the co-located
+    * join layout for the fact tables a 100 TB deployment joins
+    * repeatedly (e.g. orders ⋈ lineitem on the order key).
+    */
+  def saveBucketed(df: DataFrame, name: String, bucketCol: String,
+                   buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
+
   /** S6: memoized scan — the dashboard's `@st.cache_data`
     * (`streamlit_app.py:26-27`) becomes a persisted DataFrame: first action
     * materializes, later chart jobs reuse the cached columnar batches.

@@ -27,6 +27,40 @@ class TablesSpec extends SparkTestBase {
     assert(new java.io.File(s"$out/clean.parquet/year=2023/state=NSW").exists)
   }
 
+  test("saveBucketed: co-bucketed join plans without a shuffle") {
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    val o = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val l = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Tables.saveBucketed(o, "orders_b", "o_orderkey", 4)
+    Tables.saveBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4)
+    // disable broadcast so the planner actually exercises the co-located
+    // path (at test scale everything is broadcastable; at 100 TB the
+    // fact-fact join is not — that is the case bucketing exists for)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(joined.count() == l.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("withFallback: primary empty -> fallback plan, else primary") {
     val primary = Seq(1).toDF("x").filter(col("x") > 99)
     val got = Tables.withFallback(primary)(Seq(7).toDF("x"))
