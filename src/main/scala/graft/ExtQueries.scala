@@ -40,8 +40,7 @@ object ExtQueries {
         .orderBy(col("id_a"), col("id_b"))),
 
     "x_dedup_simhash" -> ((s, dir) =>
-      T(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      Dedup.simhashTable(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     "x_dedup_jaccard" -> ((s, dir) =>

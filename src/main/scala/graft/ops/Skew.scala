@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (builder brief: "skewed keys → salting or AQE
+  * skew-join").
+  *
+  * Spark's partial aggregation already absorbs most group-by skew, but a
+  * *high-cardinality-accumulator* aggregate (collect_list, exact distinct
+  * structures) over a hot key concentrates one key's whole payload in one
+  * reducer. `saltedGroupAgg` runs such aggregates in two phases: phase 1
+  * groups on (keys, salt) spreading each hot key over `buckets` reducers;
+  * phase 2 merges the per-salt partials. The caller supplies both the
+  * per-salt aggregate and the merge aggregate, so any algebraic
+  * (merge-able) aggregate fits.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default) covers the join side at runtime; salting is for aggregates
+  * and for deterministic pre-planned spreading.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets) — hash of the whole row's key
+    * columns plus a spreading column if provided (falls back to
+    * `spark_partition_id` + monotonically increasing id being avoided on
+    * purpose: determinism matters for replays/tests).
+    */
+  def salt(spreadOn: Column, buckets: Int): Column =
+    pmod(hash(spreadOn), lit(buckets))
+
+  /** Two-phase salted aggregation.
+    *
+    * @param phase1 aggregates evaluated per (keys, salt) group
+    * @param phase2 merge aggregates evaluated per keys group over the
+    *               phase-1 columns
+    */
+  def saltedGroupAgg(df: DataFrame, keys: Seq[String], spreadOn: Column,
+                     buckets: Int, phase1: Seq[Column],
+                     phase2: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", salt(spreadOn, buckets))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(phase1.head, phase1.tail: _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(phase2.head, phase2.tail: _*)
+  }
+
+  /** Salted SUM — the common case: phase1 partial sums per salt, phase2
+    * sums the partials. Result equals a plain groupBy-sum (the invariant
+    * the spec pins).
+    */
+  def saltedGroupSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                     spreadOn: Column, buckets: Int = 16): DataFrame =
+    saltedGroupAgg(df, keys, spreadOn, buckets,
+      phase1 = Seq(sum(col(valueCol)).as("__partial")),
+      phase2 = Seq(sum(col("__partial")).as(valueCol)))
+}

@@ -36,6 +36,16 @@ class ExtSpec extends SparkTestBase {
       "near-dup must be closer than unrelated doc")
   }
 
+  test("simhashTable == expression simhash on the documents corpus") {
+    val docs100 = graft.io.Tables.load(spark, sf, "documents").limit(100)
+    val viaExpr = docs100
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val viaTable = Dedup.simhashTable(docs100, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaTable)
+  }
+
   test("jaccard pairs: exact dup = 1.0, near-dup high, unrelated absent") {
     val j = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
       candidates = lit(true), minJaccard = 0.5)
