@@ -66,6 +66,28 @@ class StreamSpec extends SparkTestBase {
     assert(emitted == totalSessions - nUsers)
   }
 
+  test("file-source streaming over the events parquet reaches the same totals") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = Events.loadEvents(spark, sf).drop("ts_sec", "ts_us").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = tumblingAgg(stream)
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_out")
+        .agg(sum("n_events")).head.getLong(0)
+      val batch = Events.loadEvents(spark, sf).count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming plan survives analysis: tumblingAgg on readStream is streaming") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
