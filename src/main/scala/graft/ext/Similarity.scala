@@ -30,9 +30,18 @@ object Similarity {
 
   /** Exact integer dot product of two quantized vectors (cast to double
     * at the end so engines whose list arithmetic is double-typed compare
-    * equal — the value is exact either way, integers < 2^53).
+    * equal — the value is exact either way, integers < 2^53). Runs
+    * through the fused native expression (single codegen'd loop, no
+    * intermediate array); `dotQComposed` is the built-in composition,
+    * kept as the equivalence reference.
     */
   def dotQ(a: Column, b: Column): Column =
+    graft.functions.native_fns.quantized_dot(a, b).cast("double")
+
+  /** Built-in composition of the same dot product (equivalence oracle
+    * for [[dotQ]]; allocates a zipped array per evaluation).
+    */
+  def dotQComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
       .cast("double")
 

@@ -9,4 +9,8 @@ import org.apache.spark.sql.graft.CleanTextExpr
 object native_fns {
   /** Fused single-pass _clean_text (SURVEY §2.3 F1) with codegen. */
   def clean_text(c: Column): Column = CleanTextExpr.clean_text(c)
+
+  /** Fused exact integer dot product over quantized vectors. */
+  def quantized_dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.QuantizedDot.quantized_dot(a, b)
 }

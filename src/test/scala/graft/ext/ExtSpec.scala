@@ -86,6 +86,18 @@ class ExtSpec extends SparkTestBase {
     assert(lsh.nonEmpty, "bucket should contain some candidates")
   }
 
+  test("native quantized_dot == composed zip_with/aggregate on real embeddings") {
+    val emb = graft.io.Tables.load(spark, sf, "embeddings").limit(200)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val paired = emb.as("a").join(emb.as("b"),
+      col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 20)
+    val diff = paired.select(
+      Similarity.dotQ(col("a.q"), col("b.q")).as("native"),
+      Similarity.dotQComposed(col("a.q"), col("b.q")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.isEmpty)
+  }
+
   test("langId picks the language with most stopword hits, 'und' when none") {
     val df = Seq("the cat and the hat of a house",
                  "der hund und die katze ist gut",
