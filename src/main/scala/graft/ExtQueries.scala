@@ -48,6 +48,16 @@ object ExtQueries {
         candidates = col("doc_id") < 150, minJaccard = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "x_dedup_jaccard3" -> ((s, dir) =>
+      Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text", n = 3,
+        candidates = col("doc_id") < 150, minJaccard = 0.05)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "x_dedup_pipeline" -> ((s, dir) =>
+      Dedup.nearDupSurvivors(T(s, dir, "documents"), "doc_id", "text",
+        minJaccard = 0.8)
+        .orderBy(col("doc_id"))),
+
     "x_dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
         maxId = 300L, threshold = 0.3)),
@@ -157,6 +167,21 @@ object ExtQueries {
             .as("total_value"))
         .orderBy(col("bucket_start"), col("event_type"))),
 
+    "x_events_sliding" -> ((s, dir) => {
+      // 10-minute windows sliding by 5: every event lands in exactly two
+      // windows; emit both starts row-locally, then one group-by.
+      val sec = col("ts_sec")
+      val w1 = sec - sec % 300
+      Events.loadEvents(s, dir)
+        .select(col("event_type"), col("value"),
+          explode(array(w1 - 300, w1)).as("window_start"))
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     "x_events_sessions" -> ((s, dir) => {
       val ts = col("ts_sec")
       val w = Window.partitionBy(col("user_id"))
@@ -205,34 +230,76 @@ object ExtQueries {
     * `(a·h+b) mod P`), 4 bands × 2 — constants shared with
     * [[Dedup.minhashSigTable]] so both engines compute identical sigs.
     */
-  private def minhashOracle: String = {
+  /** DuckDB word-3-shingle list expression over `text`. */
+  private val shingleSql =
+    """CASE WHEN len(string_split(lower(text), ' ')) >= 3
+         THEN list_transform(
+           range(1, len(string_split(lower(text), ' ')) - 1),
+           i -> string_split(lower(text), ' ')[i] || ' ' ||
+                string_split(lower(text), ' ')[i+1] || ' ' ||
+                string_split(lower(text), ' ')[i+2])
+         ELSE [lower(text)] END"""
+
+  /** Shared CTE chain: shingles → base hash → 8 sigs → 4 bands → distinct
+    * candidate pairs. Constants shared with [[Dedup.minhashSigTable]].
+    */
+  private def minhashCtes: String = {
     val sigs = (0 until 8).map(j =>
       s"MIN((h * ${Dedup.MinhashA(j)} + ${Dedup.MinhashB(j)}) % ${Dedup.MinhashP}) AS sig$j")
       .mkString(", ")
     val band = (b: Int) =>
       s"(SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || '_' || CAST(sig${2 * b + 1} AS VARCHAR)) AS band_hash FROM sigs)"
     val bandsUnion = (0 until 4).map(band).mkString(" UNION ALL ")
-    s"""WITH sh AS (
-          SELECT doc_id,
-            CASE WHEN len(string_split(lower(text), ' ')) >= 3
-              THEN list_transform(
-                range(1, len(string_split(lower(text), ' ')) - 1),
-                i -> string_split(lower(text), ' ')[i] || ' ' ||
-                     string_split(lower(text), ' ')[i+1] || ' ' ||
-                     string_split(lower(text), ' ')[i+2])
-              ELSE [lower(text)] END AS sh
-          FROM documents),
+    s"""sh AS (SELECT doc_id, $shingleSql AS sh FROM documents),
         base AS (
           SELECT doc_id, ${Hashing.hash64Sql("s", 0)} % 2147483648 AS h
           FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
         sigs AS (SELECT doc_id, $sigs FROM base GROUP BY doc_id),
-        bands AS ($bandsUnion)
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
-        ORDER BY id_a, id_b"""
+        bands AS ($bandsUnion),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id)"""
   }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashCtes
+        SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"""
+
+  /** Full pipeline: candidates → shingle-set Jaccard ≥ t verification →
+    * greedy drop of id_b → surviving document rows.
+    */
+  private def dedupPipelineOracle: String =
+    s"""WITH $minhashCtes,
+        gsets AS (SELECT doc_id AS gid, list_distinct(sh) AS g FROM sh),
+        verified AS (
+          SELECT id_a, id_b,
+            CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+          FROM cand
+          JOIN gsets a ON cand.id_a = a.gid
+          JOIN gsets b ON cand.id_b = b.gid),
+        dropped AS (SELECT DISTINCT id_b FROM verified WHERE j >= 0.8)
+        SELECT d.* FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM dropped WHERE dropped.id_b = d.doc_id)
+        ORDER BY d.doc_id"""
+
+  private def jaccard3Oracle: String =
+    s"""WITH d AS (
+          SELECT doc_id, list_distinct($shingleSql) AS g
+          FROM documents WHERE doc_id < 150),
+        docs AS (SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM d),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                 COUNT(*) AS inter
+          FROM docs a JOIN docs b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        FROM pairs
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.05
+        ORDER BY id_a, id_b"""
 
   /** Sign-bucket expression (DuckDB side), 8 bits over leading dims. */
   private def bucketSql: String =
@@ -253,6 +320,21 @@ object ExtQueries {
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "x_dedup_minhash" -> minhashOracle,
+
+    "x_dedup_jaccard3" -> jaccard3Oracle,
+
+    "x_dedup_pipeline" -> dedupPipelineOracle,
+
+    "x_events_sliding" ->
+      s"""SELECT window_start, event_type, COUNT(*) AS n_events,
+            ${dsumSql("value")} AS total_value
+          FROM (
+            SELECT event_type, value,
+              unnest([sec - sec % 300 - 300, sec - sec % 300]) AS window_start
+            FROM (SELECT event_type, value,
+                    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+                  FROM events))
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "x_dedup_simhash" -> simhashOracle,
 

@@ -138,6 +138,36 @@ object Dedup {
       .distinct()
   }
 
+  /** The full near-dup dedup pipeline a training-data job runs:
+    * LSH candidates ([[minhashCandidatePairs]]) → exact shingle-set
+    * Jaccard verification on just those pairs (row-local
+    * `array_intersect`, no inverted index needed at candidate volume) →
+    * greedy drop of the higher id of each verified pair → surviving rows.
+    *
+    * Scale: verification work is |candidates| (LSH-bounded), not
+    * |docs|²; the only shuffles are the LSH bucket group-by and two
+    * joins keyed by doc id.
+    */
+  def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
+                       minJaccard: Double, bands: Int = 4,
+                       rowsPerBand: Int = 2): DataFrame = {
+    val cand = minhashCandidatePairs(df, idCol, textCol, bands, rowsPerBand)
+    val gramSets = df
+      .select(col(idCol).as("gid"), split(lower(col(textCol)), " ").as("toks"))
+      .select(col("gid"), array_distinct(shinglesOf(col("toks"))).as("g"))
+    val verified = cand
+      .join(gramSets.select(col("gid").as("id_a"), col("g").as("ga")), Seq("id_a"))
+      .join(gramSets.select(col("gid").as("id_b"), col("g").as("gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          (size(col("ga")) + size(col("gb"))
+            - size(array_intersect(col("ga"), col("gb")))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    val dropped = verified.select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   val SimhashBits = 32
@@ -200,27 +230,38 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    candidates: Column, minJaccard: Double,
                    maxDf: Int = 0): DataFrame = {
+    // tokens materialized first — see shinglesOf's perf contract. The
+    // gram array feeds explode ONCE; referencing it from a second
+    // expression (size) in the same projection planned as a
+    // multi-second interpreted Project (HOFs have no codegen) — set
+    // sizes are recovered from the exploded postings instead.
+    val withToks = df.filter(candidates)
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("toks"))
     val grams =
-      if (n == 1) array_distinct(split(lower(col(textCol)), " "))
-      else array_distinct(shingles(col(textCol)))
-    val postings = df.filter(candidates)
-      .select(col(idCol).as("id"), grams.as("grams"),
-        size(grams).as("n_grams"))
-      .select(col("id"), col("n_grams"), explode(col("grams")).as("gram"))
+      if (n == 1) array_distinct(col("toks"))
+      else array_distinct(shinglesOf(col("toks")))
+    val exploded = withToks
+      .select(col("id"), explode(grams).as("gram"))
+    // |gram set| per doc: grams are distinct, so a count-over-window on
+    // the exploded rows — attaches ng without ever re-evaluating the
+    // (interpreted, HOF-heavy) grams subtree or re-referencing the array.
+    val withNg = exploded.withColumn("ng",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))))
+    val postings = withNg
       .groupBy(col("gram"))
-      .agg(collect_list(struct(col("id"), col("n_grams"))).as("docs"))
+      .agg(collect_list(struct(col("id"), col("ng"))).as("docs"))
     val capped =
       if (maxDf > 0) postings.filter(size(col("docs")) <= maxDf) else postings
-    val pairs = capped
+    capped
       .filter(size(col("docs")) > 1)
       .select(explode(filter(
         flatten(transform(col("docs"), a => transform(col("docs"), b =>
           struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-            a.getField("n_grams").as("na"), b.getField("n_grams").as("nb"))))),
+            a.getField("ng").as("na"), b.getField("ng").as("nb"))))),
         p => p.getField("id_a") < p.getField("id_b"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
-    pairs
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
