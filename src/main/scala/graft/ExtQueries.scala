@@ -141,6 +141,25 @@ object ExtQueries {
       withOrders.crossJoin(withoutOrders)
     }),
 
+    // ---- grouping sets / percentiles (beyond-reference OLAP breadth) --
+
+    "x_rollup" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).as("year"), col("o_orderstatus"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("year").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)),
+
+    "x_percentiles" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy(col("o_orderstatus"))),
+
     // ---- window functions ---------------------------------------------
 
     "x_window_running" -> ((s, dir) => {
@@ -484,6 +503,19 @@ object ExtQueries {
            (SELECT COUNT(*) FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
              AS n_without_orders""",
+
+    "x_rollup" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus,
+            ${dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+          FROM orders
+          GROUP BY ROLLUP (1, 2)
+          ORDER BY year NULLS FIRST, o_orderstatus NULLS FIRST""",
+
+    "x_percentiles" ->
+      """SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "x_window_running" ->
       """SELECT o_orderkey, o_custkey,
