@@ -127,13 +127,32 @@ object Dedup {
     * one shuffle on the high-entropy bucket key (uniform → no skew). The
     * pair count is Σ|bucket|² — the LSH guarantee, not |docs|².
     */
+  /** @param maxBucket degenerate-bucket guard: a bucket of k docs emits
+    *   k² pairs, so one bucket of 10^6 identical documents would emit
+    *   10^12 — buckets larger than the cap emit star pairs to their
+    *   minimum id instead (O(k), sufficient to drop all members against
+    *   one representative). 0 disables (used by the exact oracle).
+    */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                            bands: Int = 4, rowsPerBand: Int = 2,
+                            maxBucket: Int = 0): DataFrame = {
     val bb = minhashBands(df, idCol, textCol, bands, rowsPerBand)
-    bb.groupBy(col("band"), col("band_hash"))
+    val buckets = bb.groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
+    val pairsCol =
+      if (maxBucket > 0) {
+        // star pairs: rep (array_min) is an argument of array_repeat —
+        // evaluated once per row, never inside a lambda (CSE contract)
+        val star = filter(
+          zip_with(array_repeat(array_min(col("ids")), size(col("ids"))),
+            col("ids"), (r, x) => struct(r.as("id_a"), x.as("id_b"))),
+          p => p.getField("id_a") < p.getField("id_b"))
+        when(size(col("ids")) <= maxBucket, pairsOf(col("ids")))
+          .otherwise(star)
+      } else pairsOf(col("ids"))
+    buckets
+      .select(explode(pairsCol).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }

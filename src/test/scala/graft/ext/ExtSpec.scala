@@ -36,6 +36,19 @@ class ExtSpec extends SparkTestBase {
       "near-dup must be closer than unrelated doc")
   }
 
+  test("minhash maxBucket guard: big buckets degrade to star pairs") {
+    // 6 identical docs share every band -> one bucket of 6.
+    val clones = (0L to 5L).map(i => (i, "spark makes big data small again"))
+      .toDF("doc_id", "text")
+    val full = Dedup.minhashCandidatePairs(clones, "doc_id", "text")
+      .count() // 6*5/2 = 15 all-pairs
+    assert(full == 15)
+    val starred = Dedup.minhashCandidatePairs(clones, "doc_id", "text",
+      maxBucket = 4).as[(Long, Long)].collect().toSet
+    assert(starred == (1L to 5L).map(i => (0L, i)).toSet,
+      "star pairs to the min id only")
+  }
+
   test("simhashTable == expression simhash on the documents corpus") {
     val docs100 = graft.io.Tables.load(spark, sf, "documents").limit(100)
     val viaExpr = docs100
