@@ -21,6 +21,7 @@ object Bench {
     // codegen compilation — measured at 0.3-3s per query, cached per
     // identical plan), then the timed run measures steady-state engine
     // execution, which is what scales with data volume.
+    // Failures report as -1 per-query but are excluded from the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -32,7 +33,7 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

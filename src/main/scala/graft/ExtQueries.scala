@@ -469,7 +469,7 @@ object ExtQueries {
       """SELECT doc_id,
            CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS ws_tokens,
            CAST(len(regexp_extract_all(lower(text),
-                '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INTEGER) AS re_tokens
+                '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]+')) AS INTEGER) AS re_tokens
          FROM documents ORDER BY doc_id""",
 
     "x_text_fingerprint" ->

@@ -423,9 +423,11 @@ object SparkEntry {
 
     "f1_clean_text" ->
       """SELECT p_partkey,
-         trim(trim(regexp_replace(regexp_replace(regexp_replace(
-           '("' || p_name || '", 1.0)',
-           '^\("?\s*', ''), '"?\)$', ''), ',\s*[-+]?[0-9]*\.?[0-9]+$', '')),
+         trim(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             '("' || p_name || '", 1.0)',
+             '^\("?\s*', ''), '"?\)$', ''), ',\s*[-+]?[0-9]*\.?[0-9]+$', ''),
+           '^[ \t\n\x0B\f\r]+', ''), '[ \t\n\x0B\f\r]+$', ''),
            '"') AS cleaned,
          regexp_replace(upper(p_brand), '[^A-Z]', '', 'g') AS brand_alpha
          FROM part ORDER BY p_partkey""",

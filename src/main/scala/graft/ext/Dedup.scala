@@ -47,12 +47,20 @@ object Dedup {
     * an inline split would be re-evaluated for every `element_at` (O(n²)
     * per row; measured 6× slowdown on the shingle explode).
     */
-  def shinglesOf(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
+  def shinglesOf(toks: Column): Column = ngramsOf(toks, 3)
+
+  /** Word n-grams over a tokens array (same attribute contract as
+    * [[shinglesOf]]); texts shorter than n tokens use the whole
+    * (re-joined) text as a single gram. n=1 returns the tokens as-is.
+    */
+  def ngramsOf(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    if (n == 1) toks
+    else when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array(concat_ws(" ", toks)))
+  }
 
   /** Convenience single-column form (fine for tests/small inputs; hot
     * paths go through [[shingleRows]]).
@@ -169,8 +177,9 @@ object Dedup {
     */
   def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
                        minJaccard: Double, bands: Int = 4,
-                       rowsPerBand: Int = 2): DataFrame = {
-    val cand = minhashCandidatePairs(df, idCol, textCol, bands, rowsPerBand)
+                       rowsPerBand: Int = 2, maxBucket: Int = 0): DataFrame = {
+    val cand = minhashCandidatePairs(df, idCol, textCol, bands, rowsPerBand,
+      maxBucket)
     val gramSets = df
       .select(col(idCol).as("gid"), split(lower(col(textCol)), " ").as("toks"))
       .select(col("gid"), array_distinct(shinglesOf(col("toks"))).as("g"))
@@ -218,6 +227,11 @@ object Dedup {
     * [[minhashSigTable]] and 2-3× cheaper than the per-row array
     * aggregate of [[simhash]] (kept for the expression-level API).
     * Returns (idCol, simhash).
+    *
+    * Contract: rows with null `textCol` are OMITTED from the output
+    * (explode drops them), whereas the expression form returns them with
+    * a null simhash — callers needing those rows should coalesce the
+    * text column first.
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
@@ -256,9 +270,7 @@ object Dedup {
     // sizes are recovered from the exploded postings instead.
     val withToks = df.filter(candidates)
       .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("toks"))
-    val grams =
-      if (n == 1) array_distinct(col("toks"))
-      else array_distinct(shinglesOf(col("toks")))
+    val grams = array_distinct(ngramsOf(col("toks"), n))
     val exploded = withToks
       .select(col("id"), explode(grams).as("gram"))
     // |gram set| per doc: grams are distinct, so a count-over-window on

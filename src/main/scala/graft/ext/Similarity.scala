@@ -121,7 +121,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cents = emb.filter(col(idCol).isin(centroidIds: _*))
       .select(col(idCol).as("centroid_id"), quantize(col(vecCol)).as("centv"))
-    val assigned = emb
+    // nearest-centroid assignment; applied separately to the full corpus
+    // (once) and to the tiny query subset, so the expensive corpus-wide
+    // scoring+window subtree is never planned twice by a self-join.
+    def assign(vecs: DataFrame): DataFrame = vecs
       .select(col(idCol), quantize(col(vecCol)).as("v"))
       .join(broadcast(cents), lit(true))
       .select(col(idCol), col("v"), col("centroid_id"),
@@ -131,10 +134,10 @@ object Similarity {
           .orderBy(col("ccos").desc, col("centroid_id"))))
       .filter(col("rk") === 1)
       .select(col(idCol), col("v"), col("centroid_id"))
-    val q = assigned.filter(col(idCol).isin(queryIds: _*))
+    val q = assign(emb.filter(col(idCol).isin(queryIds: _*)))
       .select(col(idCol).as("query_id"), col("v").as("qv"),
         col("centroid_id").as("cell"))
-    val c = assigned.select(col(idCol).as("cand_id"), col("v").as("cv"),
+    val c = assign(emb).select(col(idCol).as("cand_id"), col("v").as("cv"),
       col("centroid_id").as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))

@@ -72,7 +72,7 @@ object TextAnalysis {
     df.withColumn("ws_tokens", size(tokens(col(textCol))))
       .withColumn("re_tokens",
         size(regexp_extract_all(lower(col(textCol)),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))))
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]+"), lit(0))))
 
   /** Content-defined document fingerprint: hash of the sorted distinct
     * token set (word-order/duplication invariant — catches shuffled or

@@ -21,14 +21,24 @@ object CleanText {
 
   /** F1 `_clean_text` (`main.py:55-68`): strip Excel tuple artifacts
     * `("…", 1.0)` — leading `("`, trailing `")`, trailing `,<number>` —
-    * then whitespace-trim and strip surrounding double quotes.
+    * then whitespace-strip and strip surrounding double quotes.
     * Regexes mirror `_rx_tuple1/2/3` at `main.py:55-57` exactly.
+    *
+    * The whitespace strip matches pandas `.str.strip()` for the ASCII
+    * whitespace class (space, \t, \n, \x0B, \f, \r — written explicitly
+    * so Spark's Java regex and the DuckDB oracle's RE2 agree; RE2's \s
+    * excludes \x0B). Exotic unicode whitespace (NBSP etc.), which Python
+    * `str.strip` would also remove, is the one knowing divergence.
     */
+  val WsClass = "[ \\t\\n\\x0B\\f\\r]"
+
   def cleanText(c: Column): Column = {
     val noTuple1 = regexp_replace(c, "^\\(\"?\\s*", "")
     val noTuple2 = regexp_replace(noTuple1, "\"?\\)$", "")
     val noTuple3 = regexp_replace(noTuple2, ",\\s*[-+]?[0-9]*\\.?[0-9]+$", "")
-    trim(trim(noTuple3), "\"")
+    val wsStripped = regexp_replace(
+      regexp_replace(noTuple3, s"^$WsClass+", ""), s"$WsClass+$$", "")
+    trim(wsStripped, "\"")
   }
 
   /** F2 (`main.py:44`): uppercase then strip every char outside A-Z. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.CleanTextExpr
+import org.apache.spark.sql.graft.{CleanTextExpr, QuantizedDot}
 
 /** Engine extension point (SURVEY §4): registers graft's native
   * expressions for SQL use. The reference needs no custom optimizer rules
@@ -20,8 +20,10 @@ import org.apache.spark.sql.graft.CleanTextExpr
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cleanTextDescriptor)
+    ext.injectFunction(GraftExtensions.quantizedDotDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -31,8 +33,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CleanTextExpr].getName, "clean_text"),
     (children: Seq[Expression]) => CleanTextExpr(children.head))
 
+  val quantizedDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantized_dot"),
+    new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
+    (children: Seq[Expression]) => QuantizedDot(children(0), children(1)))
+
   /** Imperative registration on an existing session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "clean_text", children => CleanTextExpr(children.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantized_dot", children => QuantizedDot(children(0), children(1)),
+      "scala_udf")
+  }
 }

@@ -59,11 +59,14 @@ object StreamOps {
                         session_end: Long, n_events: Long)
 
   /** Custom sessionization with explicit state: emits a session row when
-    * a 30-minute silence closes it (processing-time timeout closes the
-    * tail session). The `mapGroupsWithState` form of what
-    * [[sessionAgg]] does declaratively — kept as the template for
-    * session logic Spark's built-in can't express (e.g. cap on session
-    * length, per-session early emission).
+    * a `gapSec` silence closes it. The open (tail) session is held in
+    * state and emitted by a processing-time timeout once the user has
+    * been silent for `gapSec` of processing time (streaming runs only:
+    * batch execution never fires timeouts, so a one-shot batch leaves
+    * each user's final open session unemitted — the batch oracle query
+    * `x_events_sessions` is the complete-count reference). Kept as the
+    * template for session logic Spark's built-in `session_window` can't
+    * express (caps on session length, early emission, custom merge).
     */
   def sessionizeWithState(events: Dataset[Event],
                           gapSec: Long = 1800): Dataset[SessionOut] = {
@@ -71,25 +74,34 @@ object StreamOps {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // batch-friendly: rows arrive unordered; sort this group's chunk.
-          val secs = rows.map(e => e.ts.getTime / 1000).toSeq.sorted
-          var sessions = state.getOption.getOrElse(Nil)
-          val closed = List.newBuilder[SessionOut]
-          secs.foreach { s =>
-            sessions match {
-              case cur :: rest if s - cur.lastSec <= gapSec =>
-                sessions = cur.copy(lastSec = s, n = cur.n + 1) :: rest
-              case cur :: rest =>
-                closed += SessionOut(user, cur.start, cur.lastSec, cur.n)
-                sessions = SessionState(s, s, 1, 0.0) :: rest
-              case Nil =>
-                sessions = SessionState(s, s, 1, 0.0) :: Nil
+          if (state.hasTimedOut) {
+            // silence elapsed: close and emit every open session
+            val open = state.getOption.getOrElse(Nil)
+              .map(s => SessionOut(user, s.start, s.lastSec, s.n))
+            state.remove()
+            open.iterator
+          } else {
+            // batch-friendly: rows arrive unordered; sort this chunk.
+            val secs = rows.map(e => e.ts.getTime / 1000).toSeq.sorted
+            var sessions = state.getOption.getOrElse(Nil)
+            val closed = List.newBuilder[SessionOut]
+            secs.foreach { s =>
+              sessions match {
+                case cur :: rest if s - cur.lastSec <= gapSec =>
+                  sessions = cur.copy(lastSec = s, n = cur.n + 1) :: rest
+                case cur :: rest =>
+                  closed += SessionOut(user, cur.start, cur.lastSec, cur.n)
+                  sessions = SessionState(s, s, 1, 0.0) :: rest
+                case Nil =>
+                  sessions = SessionState(s, s, 1, 0.0) :: Nil
+              }
             }
+            state.update(sessions)
+            if (!state.hasTimedOut) state.setTimeoutDuration(gapSec * 1000)
+            closed.result().iterator
           }
-          state.update(sessions)
-          closed.result().iterator
       }
   }
 }

@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   3. `,\s*[-+]?[0-9]*\.?[0-9]+$` — trailing tuple number (only the
   *      last comma can start a to-end match of that tail, so a backward
   *      scan is exactly the regex's leftmost successful match)
-  *   4. trim of 0x20 spaces, then 5. trim of `"` characters.
+  *   4. strip of ASCII whitespace (pandas .str.strip() over the \s
+  *      class), then 5. strip of `"` characters.
   *
   * Codegen calls the static scan directly ([[CleanTextExpr.clean]]), so
   * the expression stays inside WholeStageCodegen — no fallback, no
@@ -87,9 +88,9 @@ object CleanTextExpr {
       while (i >= st && isWs(s.charAt(i))) i -= 1
       if (i >= st && s.charAt(i) == ',') en = i
     }
-    // 4. strip 0x20 spaces (Spark trim semantics)
-    while (st < en && s.charAt(st) == ' ') st += 1
-    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    // 4. strip ASCII whitespace (pandas .str.strip() over \s class)
+    while (st < en && isWs(s.charAt(st))) st += 1
+    while (en > st && isWs(s.charAt(en - 1))) en -= 1
     // 5. strip '"' runs
     while (st < en && s.charAt(st) == '"') st += 1
     while (en > st && s.charAt(en - 1) == '"') en -= 1

@@ -59,6 +59,18 @@ class ExtSpec extends SparkTestBase {
     assert(viaExpr == viaTable)
   }
 
+  test("ngramsOf honors n (bigram vs trigram vs unigram)") {
+    val t = Seq("a b c d").toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+    def grams(n: Int): Seq[String] =
+      t.select(Dedup.ngramsOf(col("toks"), n).as("g"))
+        .head.getSeq[String](0)
+    assert(grams(1) == Seq("a", "b", "c", "d"))
+    assert(grams(2) == Seq("a b", "b c", "c d"))
+    assert(grams(3) == Seq("a b c", "b c d"))
+    assert(grams(5) == Seq("a b c d")) // shorter than n -> whole text
+  }
+
   test("jaccard pairs: exact dup = 1.0, near-dup high, unrelated absent") {
     val j = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
       candidates = lit(true), minJaccard = 0.5)

@@ -30,7 +30,8 @@ class CleanTextExprSpec extends SparkTestBase {
       "(\"Mental health\", 1.0)", "(\" Injury \", -2.5)", "plain",
       "\"quoted\"", "ends with, 42", "  padded  ", "", "(", ")", "(\")",
       "x, 1.2.3", "x,.5", "x,5.", "a, 1, 2", "(abc", "abc\")",
-      "\"\"\"triple\"\"\"", ", 7", ",x7", "(\"", "-3", "a,+3", "a, -0.5"))
+      "\"\"\"triple\"\"\"", ", 7", ",x7", "(\"", "-3", "a,+3", "a, -0.5",
+      "\tTabbed\t", "\n\"NL\"\n", "(\"\tws\t\", 1.0)", "vt"))
   }
 
   test("fused == composed on the documents + part corpus") {
@@ -46,7 +47,7 @@ class CleanTextExprSpec extends SparkTestBase {
     val charGen = Gen.frequency(
       5 -> Gen.oneOf('a', 'b'), 2 -> Gen.oneOf('0', '1', '9'),
       2 -> Gen.oneOf('(', ')', '"', ',', '.', '+', '-'),
-      2 -> Gen.oneOf(' ', '\t'))
+      2 -> Gen.oneOf(' ', '\t', '\n', '\u000B'))
     val strGen = Gen.listOf(charGen).map(_.mkString).map(_.take(12))
     val cases = (0 until 400).flatMap(i =>
       strGen.apply(Gen.Parameters.default, Seed(1000L + i)))
@@ -59,5 +60,9 @@ class CleanTextExprSpec extends SparkTestBase {
       """SELECT clean_text('("Mental health", 1.0)') AS c""")
       .as[String].head()
     assert(got == "Mental health")
+    val dot = spark.sql(
+      "SELECT quantized_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .as[Long].head()
+    assert(dot == 32L)
   }
 }

@@ -59,7 +59,10 @@ class OpsSpec extends SparkTestBase {
       ("plain", "plain"),
       ("\"quoted\"", "quoted"),
       ("ends with, 42", "ends with"),
-      ("  padded  ", "padded")
+      ("  padded  ", "padded"),
+      // pandas .str.strip() strips all ASCII whitespace, not just spaces
+      ("\tTabbed\t", "Tabbed"),
+      ("\n\"NL quoted\"\n", "NL quoted")
     ).toDF("raw", "expected")
     val bad = cases.withColumn("got", CleanText.cleanText(col("raw")))
       .filter(col("got") =!= col("expected")).collect()

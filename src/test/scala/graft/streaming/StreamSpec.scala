@@ -67,7 +67,6 @@ class StreamSpec extends SparkTestBase {
   }
 
   test("file-source streaming over the events parquet reaches the same totals") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file source wants a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
