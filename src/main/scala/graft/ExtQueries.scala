@@ -201,6 +201,24 @@ object ExtQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // As-of join: each purchase enriched with the user's latest
+    // signup at-or-before it (right side deduped to one row per
+    // (user, sec) for determinism).
+    "x_asof_join" -> ((s, dir) => {
+      val e = Events.loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_sec").as("sec"))
+      val l = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "sec", "value")
+      val r = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("sec"))
+        .agg(max(col("value")).as("signup_value"))
+        .withColumn("signup_sec", col("sec"))
+      graft.ops.AsOfJoin.asofJoin(l, r, "user_id", "sec",
+        payload = Seq("signup_value", "signup_sec"))
+        .orderBy(col("event_id"))
+    }),
+
     "x_events_sessions" -> ((s, dir) => {
       val ts = col("ts_sec")
       val w = Window.partitionBy(col("user_id"))
@@ -531,6 +549,23 @@ object ExtQueries {
             event_type, COUNT(*) AS n_events,
             ${dsumSql("value")} AS total_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_asof_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, value,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+           FROM events),
+         l AS (SELECT event_id, user_id, sec, value FROM e
+               WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, sec, max(value) AS signup_value,
+                      sec AS signup_sec
+               FROM e WHERE event_type = 'signup' GROUP BY user_id, sec)
+         SELECT l.event_id, l.user_id, l.sec, l.value,
+                r.signup_value AS asof_signup_value,
+                r.signup_sec AS asof_signup_sec
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.sec >= r.sec
+         ORDER BY l.event_id""",
 
     "x_events_sessions" ->
       """WITH t AS (
