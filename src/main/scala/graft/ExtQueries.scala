@@ -201,6 +201,40 @@ object ExtQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // Binned range join: "hot" 10-min windows (>= 2 events) paired with
+    // every event inside a surrounding [start-300, start+900) interval.
+    // Unaligned intervals force true range semantics; bins keep it an
+    // equi-join.
+    "x_range_join" -> ((s, dir) => {
+      val e = Events.loadEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts_sec").as("sec"))
+      val hot = e
+        .withColumn("bucket", col("sec") - col("sec") % 600)
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("event_type").as("hot_type"),
+          (col("bucket") - 300).as("lo"), (col("bucket") + 900).as("hi"))
+      graft.ops.RangeJoin
+        .binnedRangeJoin(e, hot, "sec", "lo", "hi", binWidth = 600)
+        .groupBy(col("hot_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_events_in_range"))
+        .orderBy(col("hot_type"), col("lo"))
+    }),
+
+    // Sketch-based stats: approx distinct + approx quantiles. No DuckDB
+    // oracle (sketch internals are engine-specific) -> the driver records
+    // the weaker rows-only check; exact counterparts are oracle-checked
+    // in a8/x_percentiles.
+    "x_approx_sketches" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("approx_custs"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("approx_p50"))
+        .orderBy(col("o_orderstatus"))),
+
     // As-of join: each purchase enriched with the user's latest
     // signup at-or-before it (right side deduped to one row per
     // (user, sec) for determinism).
@@ -549,6 +583,21 @@ object ExtQueries {
             event_type, COUNT(*) AS n_events,
             ${dsumSql("value")} AS total_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_range_join" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+           FROM events),
+         hot AS (
+           SELECT event_type AS hot_type, bucket - 300 AS lo,
+                  bucket + 900 AS hi
+           FROM (SELECT sec - sec % 600 AS bucket, event_type,
+                        COUNT(*) AS n FROM e GROUP BY 1, 2)
+           WHERE n >= 2)
+         SELECT hot_type, lo, hi, COUNT(*) AS n_events_in_range
+         FROM hot JOIN e ON e.sec >= hot.lo AND e.sec < hot.hi
+         GROUP BY 1, 2, 3 ORDER BY 1, 2""",
 
     "x_asof_join" ->
       """WITH e AS (
