@@ -58,6 +58,22 @@ object Multimodal {
     def sampleFrames(r: MediaRow, stride: Int): Iterator[Frame] =
       (0 until r.content.length by stride).iterator.zipWithIndex
         .map { case (off, idx) => Frame(r.media_id, idx, off.toLong) }
+
+    /** Resize: deterministic downsample — every k-th byte of the payload
+      * where k preserves the aspect of `targetW×targetH` vs the fake
+      * decoded dims. A real codec resamples pixels; the plumbing contract
+      * (payload in → smaller payload out, metadata updated) is identical.
+      */
+    def resize(r: MediaRow, targetW: Int, targetH: Int): MediaRow = {
+      val meta = decodeImage(r)
+      val ratio = math.max(1.0,
+        (meta.width.toDouble * meta.height) / (targetW.toDouble * targetH))
+      val step = math.max(1, math.round(ratio).toInt)
+      val out = r.content.indices.collect {
+        case i if i % step == 0 => r.content(i)
+      }.toArray
+      MediaRow(r.media_id, r.mime, out)
+    }
   }
 
   /** Attach a binary content column to any table (here: utf-8 bytes of a
@@ -89,5 +105,14 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(StubCodec.sampleFrames(_, stride)))
+  }
+
+  /** Resize every payload toward a target resolution (stub downsample);
+    * output rows are smaller MediaRows — run this before any shuffle so
+    * the wire carries resized bytes.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(StubCodec.resize(_, targetW, targetH)))
   }
 }

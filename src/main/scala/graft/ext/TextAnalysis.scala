@@ -81,4 +81,12 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ",
       array_sort(array_distinct(tokens(text)))).cast("binary"))
+
+  /** Position-sensitive rolling-hash fingerprint (Karp-Rabin over UTF-8
+    * bytes, native codegen'd expression) — the complement to
+    * [[fingerprint]]: detects byte-identical prefixes/content order,
+    * and is the primitive for content-defined chunking.
+    */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.native_fns.rolling_hash(text)
 }

@@ -13,4 +13,8 @@ object native_fns {
   /** Fused exact integer dot product over quantized vectors. */
   def quantized_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.QuantizedDot.quantized_dot(a, b)
+
+  /** Karp-Rabin polynomial fingerprint of a string's UTF-8 bytes. */
+  def rolling_hash(c: Column): Column =
+    org.apache.spark.sql.graft.RollingHash.rolling_hash(c)
 }

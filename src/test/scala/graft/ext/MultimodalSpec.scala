@@ -38,6 +38,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(nn.count() == 3)
   }
 
+  test("resize: shrinks payloads deterministically, keeps ids") {
+    val small = resize(media, targetW = 8, targetH = 8)
+    val byId = small.collect().map(r => r.media_id -> r.content.length).toMap
+    val orig = media.collect().map(r => r.media_id -> r.content.length).toMap
+    assert(byId.keySet == orig.keySet)
+    assert(byId.forall { case (id, n) => n <= orig(id) && n > 0 })
+    val again = resize(media, 8, 8).collect().map(r => r.media_id -> r.content.length).toMap
+    assert(byId == again)
+  }
+
   test("sampleFrames: stride covers the payload") {
     val frames = sampleFrames(media, stride = 100).collect()
     val byDoc = frames.groupBy(_.media_id)

@@ -54,6 +54,21 @@ class CleanTextExprSpec extends SparkTestBase {
     crossCheck(cases)
   }
 
+  test("rolling_hash matches a reference implementation and is order-sensitive") {
+    import org.apache.spark.sql.graft.RollingHash
+    def ref(s: String): Long = {
+      val M = BigInt(RollingHash.Mod)
+      s.getBytes("UTF-8").foldLeft(BigInt(0))((h, b) =>
+        (h * RollingHash.Base + (b & 0xff)) % M).toLong
+    }
+    val inputs = Seq("", "a", "ab", "ba", "the quick brown fox", "日本語テキスト")
+    val got = inputs.toDF("s")
+      .select(graft.functions.native_fns.rolling_hash(col("s")).as("h"))
+      .as[Long].collect()
+    assert(got.toSeq == inputs.map(ref))
+    assert(ref("ab") != ref("ba"), "position sensitivity")
+  }
+
   test("SQL registration via extensions descriptor") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(
