@@ -50,6 +50,27 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: left rows enriched with right rows of
+    * the same key whose event time falls in `[leftTs - lookback, leftTs]`.
+    * Both sides carry watermarks so the join state is bounded: Spark can
+    * discard right-side state older than the watermark minus the
+    * lookback. Works identically on batch inputs (watermark is a no-op).
+    *
+    * Column contract: both sides need `keyCol` and `tsCol`; right-side
+    * columns are suffixed `_r` in the output to avoid collisions.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, lookback: String = "1 hour",
+                   watermark: String = "30 minutes"): DataFrame = {
+    val r = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"${c}_r"))
+    left.withWatermark(tsCol, watermark)
+      .join(r.withWatermark(s"${tsCol}_r", watermark),
+        col(keyCol) === col(s"${keyCol}_r") &&
+          col(s"${tsCol}_r") <= col(tsCol) &&
+          col(s"${tsCol}_r") >= col(tsCol) - expr(s"interval $lookback"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ------------
 
   case class Event(ts: java.sql.Timestamp, user_id: Long,

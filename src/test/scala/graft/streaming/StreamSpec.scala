@@ -87,6 +87,30 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream intervalJoin pairs events within the lookback only") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val signups = MemoryStream[Event]
+    val joined = intervalJoin(
+      purchases.toDF(), signups.toDF(), "user_id", "ts",
+      lookback = "30 minutes")
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      signups.addData(Event(ts(0), 1L, "signup", 0.0),
+        Event(ts(0), 2L, "signup", 0.0))
+      purchases.addData(
+        Event(ts(10), 1L, "purchase", 5.0),  // 10 min after signup: joins
+        Event(ts(45), 2L, "purchase", 7.0),  // 45 min after: outside lookback
+        Event(ts(20), 3L, "purchase", 9.0))  // no signup at all
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("user_id", "value").as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming plan survives analysis: tumblingAgg on readStream is streaming") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
