@@ -426,7 +426,8 @@ object SparkEntry {
          trim(regexp_replace(regexp_replace(
            regexp_replace(regexp_replace(regexp_replace(
              '("' || p_name || '", 1.0)',
-             '^\("?\s*', ''), '"?\)$', ''), ',\s*[-+]?[0-9]*\.?[0-9]+$', ''),
+             '^\("?[ \t\n\x0B\f\r]*', ''), '"?\)$', ''),
+             ',[ \t\n\x0B\f\r]*[-+]?[0-9]*\.?[0-9]+$', ''),
            '^[ \t\n\x0B\f\r]+', ''), '[ \t\n\x0B\f\r]+$', ''),
            '"') AS cleaned,
          regexp_replace(upper(p_brand), '[^A-Z]', '', 'g') AS brand_alpha

@@ -65,6 +65,8 @@ object Multimodal {
       * (payload in → smaller payload out, metadata updated) is identical.
       */
     def resize(r: MediaRow, targetW: Int, targetH: Int): MediaRow = {
+      require(targetW > 0 && targetH > 0,
+        s"target dimensions must be positive, got ${targetW}x$targetH")
       val meta = decodeImage(r)
       val ratio = math.max(1.0,
         (meta.width.toDouble * meta.height) / (targetW.toDouble * targetH))

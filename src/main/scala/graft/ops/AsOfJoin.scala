@@ -37,6 +37,11 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__side", lit(1))
     val r = right
+      // a null key or null ts can never satisfy `l.key = r.key AND
+      // l.ts >= r.ts` (SQL three-valued logic; matches the DuckDB ASOF
+      // oracle) — but unfiltered they would sort nulls-first into every
+      // partition's window and bleed into real left rows
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol),
         struct(payload.map(col): _*).as("__asof"))
       .withColumn("__side", lit(0))

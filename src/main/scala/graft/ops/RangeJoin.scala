@@ -25,13 +25,28 @@ object RangeJoin {
   def binnedRangeJoin(points: DataFrame, ranges: DataFrame, ptCol: String,
                       loCol: String, hiCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val binOf: Column => Column = c => floor(c / binWidth).cast("long")
-    val expanded = ranges.withColumn("__bin",
-      explode(sequence(binOf(col(loCol)),
-        // hi is exclusive: a range ending exactly on a bin edge does not
-        // cover that bin
-        binOf(col(hiCol) - 1))))
-    val binned = points.withColumn("__bin", binOf(col(ptCol)))
+    // Exact long floor-division: Column `/` is DOUBLE division, which
+    // loses precision past 2^53 (epoch-nanos territory) and misassigns
+    // edge bins. `(v - pmod(v, w)) div w` stays in long arithmetic; the
+    // numerator is the exact floor-aligned multiple (pmod is
+    // non-negative), so `div`'s truncation is exact for negatives too.
+    def floorBin(v: String): Column =
+      expr(s"($v - pmod($v, ${binWidth}L)) div ${binWidth}L")
+    val expanded = ranges
+      // degenerate (empty/reversed) ranges match nothing; without this
+      // guard sequence(start, stop) would happily generate a DESCENDING
+      // bin list for hi < lo and explode spurious bins
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("__lo", col(loCol).cast("long"))
+      // hi is exclusive: a range ending exactly on a bin edge does not
+      // cover that bin
+      .withColumn("__hi", col(hiCol).cast("long") - 1)
+      .withColumn("__bin", explode(sequence(floorBin("__lo"), floorBin("__hi"))))
+      .drop("__lo", "__hi")
+    val binned = points
+      .withColumn("__pt", col(ptCol).cast("long"))
+      .withColumn("__bin", floorBin("__pt"))
+      .drop("__pt")
     binned.join(expanded, Seq("__bin"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bin")

@@ -28,22 +28,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> name,
+            "expectedNum" -> n.toString,
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(children)
+    }
+
   val cleanTextDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("clean_text"),
     new ExpressionInfo(classOf[CleanTextExpr].getName, "clean_text"),
-    (children: Seq[Expression]) => CleanTextExpr(children.head))
+    arity("clean_text", 1)(children => CleanTextExpr(children.head)))
 
   val quantizedDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("quantized_dot"),
     new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
-    (children: Seq[Expression]) => QuantizedDot(children(0), children(1)))
+    arity("quantized_dot", 2)(children => QuantizedDot(children(0), children(1))))
 
   /** Imperative registration on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "clean_text", children => CleanTextExpr(children.head), "scala_udf")
+      "clean_text", cleanTextDescriptor._3, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "quantized_dot", children => QuantizedDot(children(0), children(1)),
-      "scala_udf")
+      "quantized_dot", quantizedDotDescriptor._3, "scala_udf")
   }
 }

@@ -120,7 +120,7 @@ object StreamOps {
               }
             }
             state.update(sessions)
-            if (!state.hasTimedOut) state.setTimeoutDuration(gapSec * 1000)
+            state.setTimeoutDuration(gapSec * 1000)
             closed.result().iterator
           }
       }

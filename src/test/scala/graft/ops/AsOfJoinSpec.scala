@@ -21,6 +21,15 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got(2) == Row(3L, "B", 5L, null))
   }
 
+  test("asofJoin: null-ts/null-key right rows never match (SQL semantics)") {
+    val l = Seq((1L, "A", 10L)).toDF("id", "k", "t")
+    val r = Seq((Some("A"), Option.empty[Long], Some(9.0)),
+      (Option.empty[String], Some(5L), Some(8.0)))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asofJoin(l, r, "k", "t", Seq("v")).collect()
+    assert(got(0) == Row(1L, "A", 10L, null))
+  }
+
   test("asofJoin: right rows with null payload fields still win") {
     val l = Seq((1L, "A", 10L)).toDF("id", "k", "t")
     val r = Seq(("A", 3L, Some(1.0)), ("A", 7L, Option.empty[Double]))
