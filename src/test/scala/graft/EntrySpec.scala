@@ -14,6 +14,14 @@ class EntrySpec extends SparkTestBase {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
+  test("every query has an oracle except the known rows-only set") {
+    // sketch values are engine-specific by nature; everything else must
+    // stay oracle-checked — this pins against silently losing an oracle
+    val rowsOnly = Set("x_approx_sketches")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnly, s"queries missing oracles: ${missing -- rowsOnly}")
+  }
+
   test("every query runs and returns rows on sf0.001") {
     val empty = SparkEntry.queries.filter { case (_, fn) =>
       fn(spark, sf).isEmpty
