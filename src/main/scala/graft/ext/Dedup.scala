@@ -178,9 +178,21 @@ object Dedup {
   def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
                        minJaccard: Double, bands: Int = 4,
                        rowsPerBand: Int = 2, maxBucket: Int = 0): DataFrame = {
+    // Candidate pairs are persisted: they are referenced three times
+    // below (two id projections + the verification join), and each
+    // reference would otherwise re-execute the whole signature subtree.
+    // The pair list is tiny relative to the corpus (the LSH guarantee);
+    // a production pipeline would checkpoint it to a table instead.
     val cand = minhashCandidatePairs(df, idCol, textCol, bands, rowsPerBand,
-      maxBucket)
+      maxBucket).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verification gram sets are built ONLY for docs that appear in a
+    // candidate pair (semi-join prune): after LSH, that is a small
+    // fraction of the corpus — the shingle recompute for verification
+    // scales with |candidates|, not |docs|
+    val candDocs = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
     val gramSets = df
+      .join(candDocs, Seq(idCol), "left_semi")
       .select(col(idCol).as("gid"), split(lower(col(textCol)), " ").as("toks"))
       .select(col("gid"), array_distinct(shinglesOf(col("toks"))).as("g"))
     val verified = cand
