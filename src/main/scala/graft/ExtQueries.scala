@@ -152,6 +152,38 @@ object ExtQueries {
         .orderBy(col("year").asc_nulls_first,
           col("o_orderstatus").asc_nulls_first)),
 
+    "x_cube" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+            .as("total_bal"))
+        .orderBy(col("c_mktsegment").asc_nulls_first,
+          col("c_nationkey").asc_nulls_first)),
+
+    "x_string_funcs" -> ((s, dir) =>
+      T(s, dir, "part").select(
+        col("p_partkey"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        substring(col("p_name"), 1, 10).as("prefix10"),
+        levenshtein(col("p_brand"), col("p_type")).as("edit_dist"),
+        lpad(col("p_brand"), 12, ".").as("padded"),
+        reverse(col("p_brand")).as("reversed"),
+        locate("a", col("p_name")).as("first_a"))
+        .orderBy(col("p_partkey"))),
+
+    "x_datetime" -> ((s, dir) =>
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        unix_timestamp(date_trunc("month", col("o_orderdate")))
+          .as("month_start_epoch"))
+        .orderBy(col("o_orderkey"))),
+
     "x_percentiles" -> ((s, dir) =>
       T(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
@@ -562,6 +594,35 @@ object ExtQueries {
           FROM orders
           GROUP BY ROLLUP (1, 2)
           ORDER BY year NULLS FIRST, o_orderstatus NULLS FIRST""",
+
+    "x_cube" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer
+         GROUP BY CUBE (c_mktsegment, c_nationkey)
+         ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""",
+
+    "x_string_funcs" ->
+      """SELECT p_partkey,
+           concat_ws('|', p_brand, p_type) AS joined,
+           substring(p_name, 1, 10) AS prefix10,
+           CAST(levenshtein(p_brand, p_type) AS INTEGER) AS edit_dist,
+           lpad(p_brand, 12, '.') AS padded,
+           reverse(p_brand) AS reversed,
+           CAST(CASE WHEN position('a' IN p_name) IS NULL THEN 0
+                ELSE position('a' IN p_name) END AS INTEGER) AS first_a
+         FROM part ORDER BY p_partkey""",
+
+    "x_datetime" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)
+             AS month_start_epoch
+         FROM orders ORDER BY o_orderkey""",
 
     "x_percentiles" ->
       """SELECT o_orderstatus,

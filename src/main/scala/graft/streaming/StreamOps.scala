@@ -28,10 +28,14 @@ object StreamOps {
     */
   def tumblingAgg(events: DataFrame,
                   windowLen: String = "10 minutes",
-                  watermark: String = "30 minutes"): DataFrame =
+                  watermark: String = "30 minutes",
+                  slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(
+        slide.fold(window(col("ts"), windowLen))(s =>
+          window(col("ts"), windowLen, s)),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as("total_value"))
