@@ -152,6 +152,28 @@ object ExtQueries {
         .orderBy(col("year").asc_nulls_first,
           col("o_orderstatus").asc_nulls_first)),
 
+    // JSON extraction over the events.props payload column, then a
+    // grouped aggregate on the parsed value — scan-local parse, one
+    // shuffle.
+    "x_json_extract" -> ((s, dir) =>
+      Events.loadEvents(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").try_cast("int").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+        .orderBy(col("event_type"), col("k_mod"))),
+
+    // Set operations (distinct semantics on both engines).
+    "x_set_ops" -> ((s, dir) => {
+      val orderCusts = T(s, dir, "orders").select(col("o_custkey").as("k"))
+      val custs = T(s, dir, "customer").select(col("c_custkey").as("k"))
+      val both = orderCusts.intersect(custs).agg(count(lit(1)).as("n"))
+        .select(col("n").as("n_intersect"))
+      val onlyCust = custs.except(orderCusts).agg(count(lit(1)).as("n"))
+        .select(col("n").as("n_except"))
+      both.crossJoin(onlyCust)
+    }),
+
     "x_cube" -> ((s, dir) =>
       T(s, dir, "customer")
         .cube(col("c_mktsegment"), col("c_nationkey"))
@@ -594,6 +616,21 @@ object ExtQueries {
           FROM orders
           GROUP BY ROLLUP (1, 2)
           ORDER BY year NULLS FIRST, o_orderstatus NULLS FIRST""",
+
+    "x_json_extract" ->
+      """SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_set_ops" ->
+      """SELECT
+           (SELECT COUNT(*) FROM
+             (SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer))
+             AS n_intersect,
+           (SELECT COUNT(*) FROM
+             (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders))
+             AS n_except""",
 
     "x_cube" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
