@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkTestBase
+
+/** Property-style invariants for the dedup family over generated corpora
+  * (fixed seeds — see PropertySpec for the rationale).
+  */
+class DedupPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta", "theta")
+  private val docGen = Gen.chooseNum(3, 12)
+    .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+  private def corpus(seedBase: Long, n: Int): Seq[(Long, String)] =
+    (0 until n).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(seedBase + i))
+        .map(t => (i.toLong, t)))
+
+  test("property: jaccard values are within [0,1] and symmetric-by-construction") {
+    val docs = corpus(7L, 30).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
+      candidates = lit(true), minJaccard = 0.0).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { r =>
+      val j = r.getDouble(2)
+      j >= 0.0 && j <= 1.0 && r.getLong(0) < r.getLong(1)
+    })
+  }
+
+  test("property: identical docs always collide in minhash, survivors drop them") {
+    val base = corpus(99L, 20)
+    val withClones = base ++ base.take(5).map { case (id, t) => (id + 100, t) }
+    val df = withClones.toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach(i =>
+      assert(pairs.contains((i, i + 100)), s"clone pair $i missing"))
+    val survivors = Dedup.nearDupSurvivors(df, "doc_id", "text",
+      minJaccard = 0.99).select("doc_id").as[Long].collect().toSet
+    (0L until 5L).foreach { i =>
+      assert(survivors.contains(i), "lower clone id survives")
+      assert(!survivors.contains(i + 100), "higher clone id dropped")
+    }
+  }
+
+  test("property: simhash hamming distance is 0 iff token multisets equal (sampled)") {
+    val docs = corpus(555L, 40).toDF("doc_id", "text")
+    val h = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val byText = corpus(555L, 40).toMap
+    for {
+      (a, ta) <- byText; (b, tb) <- byText if a < b
+    } {
+      val sameTokens = ta.split(" ").sorted.sameElements(tb.split(" ").sorted)
+      if (sameTokens) assert(h(a) == h(b), s"equal multisets $a,$b must hash equal")
+    }
+  }
+
+  test("property: exact dedup survivors have no duplicate texts") {
+    val base = corpus(31L, 25)
+    val df = (base ++ base.map { case (id, t) => (id + 1000, t) })
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDups(df, "doc_id", "text")
+    assert(kept.count() == kept.select("text").distinct().count())
+    // totals: one survivor per distinct text
+    assert(kept.count() == df.select("text").distinct().count())
+  }
+}
