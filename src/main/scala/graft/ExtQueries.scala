@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Dedup, Events, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Events, Sampling, Similarity, TextAnalysis}
 import graft.functions.Hashing
 
 /** Beyond-reference operators (builder brief + SURVEY §7.4): dedup,
@@ -99,6 +99,26 @@ object ExtQueries {
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
+
+    // Deterministic hash sampling + train/valid/test split: counts per
+    // (lang, split) — reproducible on any engine/partitioning.
+    "x_sample_split" -> ((s, dir) =>
+      // independent seeds: with the same seed the sampled half would
+      // land entirely inside the train bucket range
+      Sampling.splitByHash(
+        Sampling.hashSample(T(s, dir, "documents"), "doc_id", 0.5, seed = 0),
+        "doc_id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+        seed = 1)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"), col("split"))),
+
+    // Vocabulary construction: top tokens by corpus frequency with dense
+    // ids (tokenizer-training id assignment).
+    "x_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(T(s, dir, "documents"), "text", minCount = 2)
+        .orderBy(col("token_id"))),
 
     // ---- multimodal (binary column plumbing; decode is stubbed) -------
 
@@ -583,6 +603,34 @@ object ExtQueries {
            md5(array_to_string(list_sort(list_distinct(
              string_split(lower(text), ' '))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+
+    "x_sample_split" -> {
+      val sampleBucket = Sampling.bucketSql("doc_id", 0)
+      val splitBucket = Sampling.bucketSql("doc_id", 1)
+      s"""WITH sampled AS (
+            SELECT *, $splitBucket AS b FROM documents
+            WHERE $sampleBucket < 500000),
+          labeled AS (
+            SELECT lang, n_chars,
+              CASE WHEN b < 800000 THEN 'train'
+                   WHEN b < 900000 THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM sampled)
+          SELECT lang, split, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM labeled GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    "x_vocab" ->
+      """WITH counts AS (
+           SELECT t AS token, COUNT(*) AS n FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS t
+             FROM documents)
+           GROUP BY 1 HAVING COUNT(*) >= 2)
+         SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+             AS token_id
+         FROM counts ORDER BY token_id""",
 
     "x_mm_features" ->
       """SELECT doc_id,

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * `df.sample(fraction, seed)` is only reproducible for a fixed
+  * partitioning — a repartition, compaction, or engine change reshuffles
+  * the RNG streams and yields a different sample. Hash-based sampling
+  * keys the decision on the ROW (a stable id column), so the same row
+  * lands in the same sample/split on any engine, any partitioning, any
+  * day — which is what dataset reproducibility actually requires, and
+  * what makes these operators oracle-checkable. All decisions are
+  * row-local expressions; no shuffle, no state.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform bucket in [0, 1e6) derived from the key column + seed. */
+  def bucketOf(key: Column, seed: Int): Column =
+    pmod(Hashing.hash64(key.cast("string"), seed), lit(Buckets))
+
+  /** Keep ~`fraction` of rows, decided per row by hash of `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 seed: Int = 0): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(bucketOf(col(keyCol), seed) < (fraction * Buckets).toLong)
+  }
+
+  /** Label every row with a split name by cumulative weight: e.g.
+    * Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1). Weights must
+    * sum to 1 (± rounding); assignment is deterministic per key.
+    */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)], seed: Int = 0): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val b = bucketOf(col(keyCol), seed)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(w => (w * Buckets).toLong)
+    val labeled = splits.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, hi)) =>
+        when(b < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", labeled)
+  }
+
+  /** SQL fragment computing the same bucket in DuckDB. */
+  def bucketSql(expr: String, seed: Int): String =
+    s"${Hashing.hash64Sql(s"CAST($expr AS VARCHAR)", seed)} % $Buckets"
+}

@@ -89,4 +89,21 @@ object TextAnalysis {
     */
   def rollingFingerprint(text: Column): Column =
     graft.functions.native_fns.rolling_hash(text)
+
+  /** Vocabulary construction: token → corpus frequency → dense id by
+    * (count desc, token asc) — the id assignment step of tokenizer
+    * training. One explode + one partial-aggregated group-by; the rank
+    * is a single window over the (small) distinct-token table, not the
+    * corpus.
+    */
+  def vocabulary(df: DataFrame, textCol: String,
+                 minCount: Long = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("token")))
+          .cast("int"))
+  }
 }

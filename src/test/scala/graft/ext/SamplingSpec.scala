@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.io.Tables
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("hashSample is deterministic and partitioning-invariant") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.2 && frac < 0.4, s"~0.3 expected, got $frac")
+  }
+
+  test("splitByHash: exhaustive, disjoint, roughly weighted") {
+    val split = Sampling.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts.values.sum == docs.count())
+    assert(counts("train") > counts("valid") && counts("train") > counts("test"))
+    // stability: same row, same split, every time
+    val again = Sampling.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again == split.select("doc_id", "split")
+      .as[(Long, String)].collect().toSet)
+  }
+
+  test("vocabulary: ids are dense by (count desc, token asc)") {
+    val v = TextAnalysis.vocabulary(docs, "text", minCount = 2)
+      .orderBy("token_id").collect()
+    assert(v.nonEmpty)
+    assert(v.map(_.getInt(2)).toSeq == (1 to v.length))
+    val counts = v.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse, "descending counts")
+  }
+}
