@@ -114,6 +114,15 @@ object ExtQueries {
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"), col("split"))),
 
+    // TF-IDF scores for a bounded doc subset (exact tf/df; idf rounded
+    // to 6dp at the comparison boundary).
+    "x_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(T(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("token"))),
+
     // Vocabulary construction: top tokens by corpus frequency with dense
     // ids (tokenizer-training id assignment).
     "x_vocab" -> ((s, dir) =>
@@ -620,6 +629,20 @@ object ExtQueries {
                  CAST(SUM(n_chars) AS BIGINT) AS total_chars
           FROM labeled GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+
+    "x_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, t AS token, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+             FROM documents)
+           GROUP BY 1, 2),
+         dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+         SELECT doc_id, tf.token AS token, tf, df,
+                round(tf * ln(n.n / df), 6) AS tfidf
+         FROM tf JOIN dfreq USING (token) CROSS JOIN n
+         WHERE doc_id < 20
+         ORDER BY doc_id, token""",
 
     "x_vocab" ->
       """WITH counts AS (

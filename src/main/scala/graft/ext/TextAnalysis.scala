@@ -90,6 +90,25 @@ object TextAnalysis {
   def rollingFingerprint(text: Column): Column =
     graft.functions.native_fns.rolling_hash(text)
 
+  /** TF-IDF over whitespace tokens: tf = in-document term count,
+    * df = documents containing the term, idf = ln(N/df),
+    * score = tf·idf. Two aggregates ((doc,token) counts and doc
+    * frequency) + one broadcast-sized join on the distinct-token table;
+    * N rides a literal computed once. Exact integer tf/df; the
+    * transcendental idf is the only double (rounded by callers needing
+    * cross-engine reproducibility).
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count()
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+  }
+
   /** Vocabulary construction: token → corpus frequency → dense id by
     * (count desc, token asc) — the id assignment step of tokenizer
     * training. One explode + one partial-aggregated group-by; the rank
