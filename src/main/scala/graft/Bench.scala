@@ -19,16 +19,21 @@ object Bench {
     } catch { case _: Throwable => () }
     // Per-query: one untimed warm run of the SAME plan (pays Janino
     // codegen compilation — measured at 0.3-3s per query, cached per
-    // identical plan), then the timed run measures steady-state engine
-    // execution, which is what scales with data volume.
+    // identical plan), then the MEDIAN of three timed runs measures
+    // steady-state engine execution — one scheduler/GC hiccup can no
+    // longer double the suite total (round 1 recorded a 22.4 s phantom
+    // for a 0.23 s query from an n=1 sample).
     // Failures report as -1 per-query but are excluded from the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.count()
-        val t0 = System.nanoTime()
-        df.count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> times(1)
       } catch { case _: Throwable => name -> -1.0 }
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

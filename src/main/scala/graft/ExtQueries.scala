@@ -77,6 +77,11 @@ object ExtQueries {
         centroidIds = (10L to 17L), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 10)),
 
+    "x_ann_ivf_probe2" -> ((s, dir) =>
+      Similarity.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        centroidIds = (10L to 17L), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, nprobe = 2)),
+
     // ---- text analysis ------------------------------------------------
 
     "x_text_langid" -> ((s, dir) =>
@@ -508,11 +513,14 @@ object ExtQueries {
          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
          ORDER BY id_a, id_b""",
 
+    // blocked on the same 8-bit sign bucket the Spark operator uses:
+    // only same-bucket pairs are candidates on BOTH engines.
     "x_dedup_embedding" ->
-      s"""WITH q AS (SELECT vec_id, $qvec AS v FROM embeddings WHERE vec_id < 300)
+      s"""WITH q AS (SELECT vec_id, $qvec AS v, $bucketSql AS bucket
+                     FROM embeddings WHERE vec_id < 300)
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  ${cosSql("a.v", "b.v")} AS cosine
-          FROM q a JOIN q b ON a.vec_id < b.vec_id
+          FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           WHERE ${cosSql("a.v", "b.v")} > 0.3
           ORDER BY id_a, id_b""",
 
@@ -565,6 +573,34 @@ object ExtQueries {
                 FROM assigned WHERE vec_id IN (0, 1, 2, 3, 4)),
           c AS (SELECT vec_id AS cand_id, v AS cv, centroid_id AS cell
                 FROM assigned),
+          scored AS (
+            SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+            FROM c JOIN q USING (cell) WHERE query_id <> cand_id),
+          ranked AS (
+            SELECT query_id, cand_id, cosine,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+            FROM scored)
+          SELECT query_id, cand_id, cosine, rank FROM ranked
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // nprobe=2: queries keep their TWO nearest cells; corpus vectors
+    // still live in exactly one cell.
+    "x_ann_ivf_probe2" ->
+      s"""WITH e AS (SELECT vec_id, $qvec AS v FROM embeddings),
+          cents AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+                    WHERE vec_id IN (10,11,12,13,14,15,16,17)),
+          scoredc AS (
+            SELECT e.vec_id, e.v, centroid_id,
+                   ${cosSql("e.v", "centv")} AS ccos
+            FROM e CROSS JOIN cents),
+          ranked_cells AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, centroid_id) AS rk FROM scoredc),
+          q AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS cell
+                FROM ranked_cells WHERE rk <= 2 AND vec_id IN (0, 1, 2, 3, 4)),
+          c AS (SELECT vec_id AS cand_id, v AS cv, centroid_id AS cell
+                FROM ranked_cells WHERE rk = 1),
           scored AS (
             SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
             FROM c JOIN q USING (cell) WHERE query_id <> cand_id),

@@ -73,11 +73,14 @@ object Similarity {
 
   /** Sign-pattern LSH bucket: the first `bits` dimensions' signs packed
     * into an integer. Vectors only compete within their bucket — a
-    * 2^bits-way partition prune of the candidate space.
+    * 2^bits-way partition prune of the candidate space. Dimensions past
+    * the vector's length contribute 0 (`try_element_at` null falls to the
+    * otherwise-branch), matching SQL engines where an out-of-bounds list
+    * index is NULL — short vectors bucket consistently on both sides.
     */
   def signBucket(vec: Column, bits: Int): Column =
     (0 until bits).map(j =>
-      when(element_at(vec, j + 1).cast("double") >= 0, lit(1L << j))
+      when(try_element_at(vec, lit(j + 1)).cast("double") >= 0, lit(1L << j))
         .otherwise(lit(0L)))
       .reduce(_ + _)
 
@@ -117,14 +120,19 @@ object Similarity {
     * oracle-checkable — the index structure is identical.)
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              centroidIds: Seq[Long], queryIds: Seq[Long], k: Int): DataFrame = {
+              centroidIds: Seq[Long], queryIds: Seq[Long], k: Int,
+              nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = emb.filter(col(idCol).isin(centroidIds: _*))
       .select(col(idCol).as("centroid_id"), quantize(col(vecCol)).as("centv"))
     // nearest-centroid assignment; applied separately to the full corpus
     // (once) and to the tiny query subset, so the expensive corpus-wide
     // scoring+window subtree is never planned twice by a self-join.
-    def assign(vecs: DataFrame): DataFrame = vecs
+    // `probes` > 1 keeps the top-n cells instead of only the nearest —
+    // the IVF nprobe knob (recall grows with the number of cells probed;
+    // cost grows as nprobe/C of the corpus per query).
+    def assign(vecs: DataFrame, probes: Int): DataFrame = vecs
       .select(col(idCol), quantize(col(vecCol)).as("v"))
       .join(broadcast(cents), lit(true))
       .select(col(idCol), col("v"), col("centroid_id"),
@@ -132,12 +140,14 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("ccos").desc, col("centroid_id"))))
-      .filter(col("rk") === 1)
+      .filter(col("rk") <= probes)
       .select(col(idCol), col("v"), col("centroid_id"))
-    val q = assign(emb.filter(col(idCol).isin(queryIds: _*)))
+    val q = assign(emb.filter(col(idCol).isin(queryIds: _*)), nprobe)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
         col("centroid_id").as("cell"))
-    val c = assign(emb).select(col(idCol).as("cand_id"), col("v").as("cv"),
+    // corpus vectors always live in exactly ONE cell (probes = 1), so a
+    // query probing n cells never sees the same candidate twice.
+    val c = assign(emb, 1).select(col(idCol).as("cand_id"), col("v").as("cv"),
       col("centroid_id").as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
@@ -150,12 +160,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold, within a
-    * bounded candidate id range (stand-in for an upstream LSH/blocking
-    * step — the pair space must never be the raw cross product).
+  /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
+    * sign-bucket LSH: only pairs sharing a sign bucket are scored. The
+    * pair space is Σ|bucket|² (bounded by the 2^bits-way blocking), never
+    * the raw cross product — the physical plan is an equi-join on the
+    * bucket key, not a nested-loop join, so at 100 TB the cosine work
+    * scales with bucket co-occupancy, not |corpus|². Recall trades
+    * against `bits` exactly like [[lshTopK]]; near-identical vectors
+    * agree on every leading sign, so true near-dups survive the blocking
+    * with high probability.
+    *
+    * `maxId` bounds the candidate id range (0 disables) so tests and
+    * oracles can pin a deterministic subset.
     */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                   maxId: Long, threshold: Double): DataFrame = {
+                   maxId: Long, threshold: Double, bits: Int = 8): DataFrame = {
+    val bounded = if (maxId > 0) emb.filter(col(idCol) < maxId) else emb
+    val v = bounded.select(col(idCol).as("id"),
+      quantize(col(vecCol)).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineQ(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") > threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** All-pairs near-dup reference: the exact (unblocked) form of
+    * [[nearDupPairs]], O(n²) by construction — small-N ground truth for
+    * measuring the blocked variant's recall, never a production path.
+    */
+  def nearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+                        maxId: Long, threshold: Double): DataFrame = {
     val a = emb.filter(col(idCol) < maxId)
       .select(col(idCol).as("id_a"), quantize(col(vecCol)).as("va"))
     val b = emb.filter(col(idCol) < maxId)

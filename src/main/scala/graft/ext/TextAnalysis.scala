@@ -93,36 +93,51 @@ object TextAnalysis {
   /** TF-IDF over whitespace tokens: tf = in-document term count,
     * df = documents containing the term, idf = ln(N/df),
     * score = tf·idf. Two aggregates ((doc,token) counts and doc
-    * frequency) + one broadcast-sized join on the distinct-token table;
-    * N rides a literal computed once. Exact integer tf/df; the
+    * frequency) + one broadcast-sized join on the distinct-token table.
+    * N rides the plan as a broadcast 1-row aggregate (`crossJoin`), so
+    * the operator is fully lazy — no driver-side action at plan-build
+    * time, and the count leg is a zero-column scan (parquet answers it
+    * from footer metadata, not data pages). Exact integer tf/df; the
     * transcendental idf is the only double (rounded by callers needing
     * cross-engine reproducibility).
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = df.count()
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n_docs"))
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
     tf.join(dfreq, Seq("token"))
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("__n_docs") / col("df")))
+      .drop("__n_docs")
   }
 
   /** Vocabulary construction: token → corpus frequency → dense id by
     * (count desc, token asc) — the id assignment step of tokenizer
-    * training. One explode + one partial-aggregated group-by; the rank
-    * is a single window over the (small) distinct-token table, not the
-    * corpus.
+    * training. One explode + one partial-aggregated group-by, then a
+    * DISTRIBUTED global rank: the counts table is range-sorted (stays
+    * spread across partitions) and ids come from `zipWithIndex`, whose
+    * per-partition offsets are computed by a cheap count job over the
+    * already-shuffled sort output (the shuffle files are reused, the
+    * corpus is scanned once). No single-partition `Window.orderBy`
+    * funnel — a web-scale vocabulary (10⁸–10⁹ distinct tokens) ranks in
+    * parallel across the cluster.
     */
   def vocabulary(df: DataFrame, textCol: String,
                  minCount: Long = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.select(explode(tokens(col(textCol))).as("token"))
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = df.sparkSession
+    val sorted = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(col("n").desc, col("token")))
-          .cast("int"))
+      .sort(col("n").desc, col("token"))
+    val schema = StructType(sorted.schema.fields :+
+      StructField("token_id", IntegerType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1).toInt)
+    }
+    spark.createDataFrame(indexed, schema)
   }
 }
