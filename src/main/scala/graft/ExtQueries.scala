@@ -34,28 +34,36 @@ object ExtQueries {
       Dedup.exactGroups(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("content_hash"))),
 
+    // exact-oracle queries disable the skew guards (maxBucket/maxDf = 0)
+    // so both engines enumerate identical pair spaces; production callers
+    // keep the safe defaults
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text",
-        bands = 4, rowsPerBand = 2)
+        bands = 4, rowsPerBand = 2, maxBucket = 0)
         .orderBy(col("id_a"), col("id_b"))),
 
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashTable(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "x_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashBandPairs(T(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4, maxBucket = 0)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "x_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text", n = 1,
-        candidates = col("doc_id") < 150, minJaccard = 0.8)
+        candidates = col("doc_id") < 150, minJaccard = 0.8, maxDf = 0)
         .orderBy(col("id_a"), col("id_b"))),
 
     "x_dedup_jaccard3" -> ((s, dir) =>
       Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text", n = 3,
-        candidates = col("doc_id") < 150, minJaccard = 0.05)
+        candidates = col("doc_id") < 150, minJaccard = 0.05, maxDf = 0)
         .orderBy(col("id_a"), col("id_b"))),
 
     "x_dedup_pipeline" -> ((s, dir) =>
       Dedup.nearDupSurvivors(T(s, dir, "documents"), "doc_id", "text",
-        minJaccard = 0.8)
+        minJaccard = 0.8, maxBucket = 0)
         .orderBy(col("doc_id"))),
 
     "x_dedup_embedding" -> ((s, dir) =>
@@ -365,9 +373,11 @@ object ExtQueries {
     s"list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))"
 
   /** SimHash oracle: 32 per-bit signed sums, assembled programmatically
-    * so Spark and SQL stay in lockstep on bit count/seed.
+    * so Spark and SQL stay in lockstep on bit count/seed. `simhashCtes`
+    * ends at a `sigs(doc_id, simhash)` CTE shared by the signature dump
+    * and the Hamming-band pair oracle.
     */
-  private def simhashOracle: String = {
+  private def simhashCtes: String = {
     val h = Hashing.hash64Sql("t", 0)
     val sums = (0 until Dedup.SimhashBits)
       .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j")
@@ -375,14 +385,40 @@ object ExtQueries {
     val assemble = (0 until Dedup.SimhashBits)
       .map(j => s"(CASE WHEN c$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
           FROM documents),
         h AS (SELECT doc_id, $h AS h FROM toks),
-        bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-        SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
-        FROM bits ORDER BY doc_id"""
+        bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+        sigs AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+                 FROM bits)"""
   }
+
+  private def simhashOracle: String =
+    s"""WITH $simhashCtes
+        SELECT doc_id, simhash FROM sigs ORDER BY doc_id"""
+
+  /** Hamming-band pair oracle: same 4×8-bit banding as
+    * [[Dedup.simhashBandPairs]], verify by bit_count(xor) — both
+    * portable DuckDB builtins.
+    */
+  private def simhashPairsOracle: String =
+    s"""WITH $simhashCtes,
+        bands AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> (band * 8)) & 255 AS band_val
+          FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sig_a,
+                          b.doc_id AS id_b, b.simhash AS sig_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        ORDER BY id_a, id_b"""
 
   /** MinHash oracle: 8 affine-permutation signatures over word
     * 3-shingles (one md5 base hash per shingle, k integer permutations
@@ -496,6 +532,8 @@ object ExtQueries {
           GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "x_dedup_simhash" -> simhashOracle,
+
+    "x_dedup_simhash_pairs" -> simhashPairsOracle,
 
     "x_dedup_jaccard" ->
       """WITH d AS (

@@ -19,6 +19,13 @@ import graft.functions.Hashing
   */
 object Dedup {
 
+  /** Production-safe default for the degenerate-bucket / stopword-gram
+    * skew guards (`maxBucket` / `maxDf`): a bucket of 10⁶ identical docs
+    * emits 10¹² pairs unguarded, so the guards default ON — exact-
+    * semantics callers (oracles, tests) pass 0 to disable.
+    */
+  val DefaultMaxBucket = 1000
+
   // ---- exact ----------------------------------------------------------
 
   /** Exact dedup via content hash: one row per distinct text, keeping the
@@ -139,11 +146,12 @@ object Dedup {
     *   k² pairs, so one bucket of 10^6 identical documents would emit
     *   10^12 — buckets larger than the cap emit star pairs to their
     *   minimum id instead (O(k), sufficient to drop all members against
-    *   one representative). 0 disables (used by the exact oracle).
+    *   one representative). Defaults ON (1000) — production-safe; exact
+    *   oracles pass 0 explicitly to disable.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             bands: Int = 4, rowsPerBand: Int = 2,
-                            maxBucket: Int = 0): DataFrame = {
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bb = minhashBands(df, idCol, textCol, bands, rowsPerBand)
     val buckets = bb.groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col(idCol)).as("ids"))
@@ -177,7 +185,8 @@ object Dedup {
     */
   def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
                        minJaccard: Double, bands: Int = 4,
-                       rowsPerBand: Int = 2, maxBucket: Int = 0): DataFrame = {
+                       rowsPerBand: Int = 2,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Candidate pairs are persisted: they are referenced three times
     // below (two id projections + the verification join), and each
     // reference would otherwise re-execute the whole signature subtree.
@@ -257,6 +266,73 @@ object Dedup {
     counts.select(col(idCol), assemble.as("simhash"))
   }
 
+  /** SimHash near-dup retrieval: band the 32-bit signature into `bands`
+    * equal bit slices and bucket docs by (band, slice value) — by the
+    * pigeonhole principle, any pair within Hamming distance < `bands`
+    * agrees on at least one full band, so recall at `maxHamming ≤
+    * bands − 1` is 100%. Candidates are verified exactly with
+    * `bit_count(sig_a XOR sig_b) <= maxHamming`.
+    *
+    * Shape mirrors [[minhashCandidatePairs]]: one pass over the signature
+    * subtree (signatures ride the posting lists through the bucket
+    * group-by — no join back, no second plan of the corpus scan), one
+    * shuffle on the high-entropy (band, slice) key, pair space Σ|bucket|²
+    * never |docs|². `maxBucket` is the same degenerate-bucket star-pair
+    * guard (0 disables — exact oracle semantics).
+    *
+    * Returns (id_a, id_b, hamming) with hamming as int.
+    */
+  def simhashBandPairs(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3, bands: Int = 4,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bands >= 1 && SimhashBits % bands == 0,
+      s"bands must divide $SimhashBits, got $bands")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val width = SimhashBits / bands
+    val mask = (1L << width) - 1
+    val sigs = simhashTable(df, idCol, textCol)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(mask).as("band_val"))
+    }
+    val bb = sigs
+      .select(col(idCol).as("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+    val buckets = bb.groupBy(col("band"), col("band_val"))
+      .agg(collect_list(struct(col("id"), col("simhash").as("sig"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    def pairStruct(a: Column, b: Column): Column =
+      struct(a.getField("id").as("id_a"), a.getField("sig").as("sig_a"),
+        b.getField("id").as("id_b"), b.getField("sig").as("sig_b"))
+    val allPairs = filter(
+      flatten(transform(col("docs"), a =>
+        transform(col("docs"), b => pairStruct(a, b)))),
+      p => p.getField("id_a") < p.getField("id_b"))
+    val pairsCol =
+      if (maxBucket > 0) {
+        // struct array_min orders by leading field (id) — the bucket's
+        // minimum-id doc with its sig; evaluated once per row (CSE
+        // contract: array_repeat argument, never inside a lambda)
+        val star = filter(
+          zip_with(array_repeat(array_min(col("docs")), size(col("docs"))),
+            col("docs"), (r, x) => pairStruct(r, x)),
+          p => p.getField("id_a") < p.getField("id_b"))
+        when(size(col("docs")) <= maxBucket, allPairs).otherwise(star)
+      } else allPairs
+    buckets
+      .select(explode(pairsCol).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- n-gram Jaccard -------------------------------------------------
 
   /** Exact Jaccard similarity over distinct word n-grams for candidate
@@ -270,11 +346,12 @@ object Dedup {
     * set comes from [[minhashCandidatePairs]]; here any predicate works.
     * `maxDf` drops grams whose posting list exceeds it (ultra-common
     * grams generate quadratic pairs while carrying no signal — the
-    * standard skew guard; 0 disables, used by the exact oracle).
+    * standard skew guard; defaults ON (1000), exact oracles pass 0 to
+    * disable).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    candidates: Column, minJaccard: Double,
-                   maxDf: Int = 0): DataFrame = {
+                   maxDf: Int = DefaultMaxBucket): DataFrame = {
     // tokens materialized first — see shinglesOf's perf contract. The
     // gram array feeds explode ONCE; referencing it from a second
     // expression (size) in the same projection planned as a

@@ -60,6 +60,26 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: simhash band pairs = exactly the pairs within maxHamming (pigeonhole recall)") {
+    val docs = corpus(777L, 40).toDF("doc_id", "text")
+    val sigs = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // ground truth by brute force: maxHamming = bands-1 = 3 ⇒ at least
+    // one 8-bit band agrees, so banding has 100% recall; verification
+    // makes precision exact — the operator output must EQUAL this set
+    // iterate a Seq, not the Map — yielding (a, b) pairs into a Map would
+    // collapse pairs sharing id_a
+    val sigSeq = sigs.toSeq
+    val expected = (for {
+      (a, sa) <- sigSeq; (b, sb) <- sigSeq
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashBandPairs(docs, "doc_id", "text",
+      maxHamming = 3, bands = 4, maxBucket = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("property: exact dedup survivors have no duplicate texts") {
     val base = corpus(31L, 25)
     val df = (base ++ base.map { case (id, t) => (id + 1000, t) })

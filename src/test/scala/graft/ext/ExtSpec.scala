@@ -49,6 +49,19 @@ class ExtSpec extends SparkTestBase {
       "star pairs to the min id only")
   }
 
+  test("simhash band pairs: clones found at hamming 0, star guard caps buckets") {
+    val clones = (0L to 5L).map(i => (i, "spark makes big data small again"))
+      .toDF("doc_id", "text")
+    val full = Dedup.simhashBandPairs(clones, "doc_id", "text",
+      maxHamming = 3, bands = 4, maxBucket = 0).collect()
+    assert(full.length == 15 && full.forall(_.getInt(2) == 0))
+    val starred = Dedup.simhashBandPairs(clones, "doc_id", "text",
+      maxHamming = 3, bands = 4, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(starred == (1L to 5L).map(i => (0L, i)).toSet,
+      "star pairs to the min id only")
+  }
+
   test("simhashTable == expression simhash on the documents corpus") {
     val docs100 = graft.io.Tables.load(spark, sf, "documents").limit(100)
     val viaExpr = docs100
