@@ -398,15 +398,17 @@ object ExtQueries {
     s"""WITH $simhashCtes
         SELECT doc_id, simhash FROM sigs ORDER BY doc_id"""
 
-  /** Hamming-band pair oracle: same 4×8-bit banding as
+  /** Hamming-band pair oracle: same 4×15-bit banding as
     * [[Dedup.simhashBandPairs]], verify by bit_count(xor) — both
     * portable DuckDB builtins.
     */
-  private def simhashPairsOracle: String =
+  private def simhashPairsOracle: String = {
+    val width = Dedup.SimhashBits / 4
+    val mask = (1L << width) - 1
     s"""WITH $simhashCtes,
         bands AS (
           SELECT doc_id, simhash, band,
-                 (simhash >> (band * 8)) & 255 AS band_val
+                 (simhash >> (band * $width)) & $mask AS band_val
           FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sig_a,
@@ -419,6 +421,7 @@ object ExtQueries {
         FROM cand
         WHERE bit_count(xor(sig_a, sig_b)) <= 3
         ORDER BY id_a, id_b"""
+  }
 
   /** MinHash oracle: 8 affine-permutation signatures over word
     * 3-shingles (one md5 base hash per shingle, k integer permutations

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timing: `runMain graft.QBench <sfDir> <query>...`.
+  * Same harness shape as [[Bench]] (warm run, median of three) but scoped
+  * to the named queries, for iterating on one operator without paying the
+  * full-suite cost.
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq else Seq("x_json_extract")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    for (n <- names) {
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val t0w = System.nanoTime()
+      df.count()
+      val warm = (System.nanoTime() - t0w) / 1e9
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"QBENCH $n warm=$warm%.3f median=${ts(1)}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -219,9 +220,17 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  val SimhashBits = 32
+  /** Signature width. [[Hashing.hash64]] yields 60-bit values (15 hex
+    * digits of md5), so 60 is the full usable entropy of the token hash;
+    * it also keeps every `1L << j` term positive, which both Spark and
+    * portable SQL sum without signed-overflow special cases. 60 = 4
+    * bands × 15 bits → 32,768 bucket values per band, vs 256 for the
+    * 8-bit bands a 32-bit signature would force (which degenerate into
+    * huge buckets on any corpus with correlated vocabulary).
+    */
+  val SimhashBits = 60
 
-  /** 32-bit SimHash over whitespace tokens: bit j of the result is set
+  /** 60-bit SimHash over whitespace tokens: bit j of the result is set
     * when Σ_tokens (2·bit_j(hash(token)) − 1) > 0. Computed entirely with
     * array higher-order functions (aggregate over a 32-wide count vector)
     * — row-local, shuffle-free, codegen'd. Bit positions are unrolled at
@@ -266,19 +275,26 @@ object Dedup {
     counts.select(col(idCol), assemble.as("simhash"))
   }
 
-  /** SimHash near-dup retrieval: band the 32-bit signature into `bands`
-    * equal bit slices and bucket docs by (band, slice value) — by the
+  /** SimHash near-dup retrieval: band the signature into `bands` equal
+    * bit slices and bucket docs by (band, slice value) — by the
     * pigeonhole principle, any pair within Hamming distance < `bands`
     * agrees on at least one full band, so recall at `maxHamming ≤
     * bands − 1` is 100%. Candidates are verified exactly with
     * `bit_count(sig_a XOR sig_b) <= maxHamming`.
     *
-    * Shape mirrors [[minhashCandidatePairs]]: one pass over the signature
-    * subtree (signatures ride the posting lists through the bucket
-    * group-by — no join back, no second plan of the corpus scan), one
-    * shuffle on the high-entropy (band, slice) key, pair space Σ|bucket|²
-    * never |docs|². `maxBucket` is the same degenerate-bucket star-pair
-    * guard (0 disables — exact oracle semantics).
+    * Pair generation is a self-equi-join on the (band, slice) key, not a
+    * per-bucket `collect_list` + nested transform: a sort-merge join
+    * streams arbitrarily large buckets through the shuffle machinery,
+    * whereas materializing Σ|bucket|² pair structs inside single rows
+    * dies on the first degenerate bucket (a 682-doc bucket is a 465k-
+    * element array in ONE row; a 10⁶-doc bucket overflows the 2 GB row
+    * limit outright). Both join sides are the same signature subtree —
+    * tiny relative to the corpus (|docs|×bands fixed-width rows, no
+    * text) — so Catalyst is free to broadcast one side or reuse the
+    * exchange; recomputing it is one aggregate over the token stream,
+    * not a second corpus pass of pair work. `maxBucket` is the
+    * degenerate-bucket star-pair guard: oversized buckets emit only
+    * (min-id, x) spanning pairs (0 disables — exact oracle semantics).
     *
     * Returns (id_a, id_b, hamming) with hamming as int.
     */
@@ -301,31 +317,27 @@ object Dedup {
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"),
         col("bb.band").as("band"), col("bb.band_val").as("band_val"))
-    val buckets = bb.groupBy(col("band"), col("band_val"))
-      .agg(collect_list(struct(col("id"), col("simhash").as("sig"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-    def pairStruct(a: Column, b: Column): Column =
-      struct(a.getField("id").as("id_a"), a.getField("sig").as("sig_a"),
-        b.getField("id").as("id_b"), b.getField("sig").as("sig_b"))
-    val allPairs = filter(
-      flatten(transform(col("docs"), a =>
-        transform(col("docs"), b => pairStruct(a, b)))),
-      p => p.getField("id_a") < p.getField("id_b"))
-    val pairsCol =
-      if (maxBucket > 0) {
-        // struct array_min orders by leading field (id) — the bucket's
-        // minimum-id doc with its sig; evaluated once per row (CSE
-        // contract: array_repeat argument, never inside a lambda)
-        val star = filter(
-          zip_with(array_repeat(array_min(col("docs")), size(col("docs"))),
-            col("docs"), (r, x) => pairStruct(r, x)),
-          p => p.getField("id_a") < p.getField("id_b"))
-        when(size(col("docs")) <= maxBucket, allPairs).otherwise(star)
-      } else allPairs
-    buckets
-      .select(explode(pairsCol).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+    // Bucket stats ride the same (band, band_val) shuffle the join needs,
+    // so the guard costs a sort within already-shuffled partitions, not
+    // an extra exchange.
+    val guarded = if (maxBucket > 0) {
+      val w = Window.partitionBy(col("band"), col("band_val"))
+      bb.withColumn("bsz", count(lit(1)).over(w))
+        .withColumn("min_id", min(col("id")).over(w))
+    } else bb
+    val a = guarded.select(
+      (Seq(col("band"), col("band_val"), col("id").as("id_a"),
+        col("simhash").as("sig_a")) ++
+        (if (maxBucket > 0) Seq(col("bsz"), col("min_id")) else Nil)): _*)
+    val b = guarded.select(col("band"), col("band_val"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    val joined = a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+    val kept =
+      if (maxBucket > 0)
+        joined.filter(col("bsz") <= maxBucket || col("id_a") === col("min_id"))
+      else joined
+    kept.select("id_a", "id_b", "sig_a", "sig_b")
       .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
