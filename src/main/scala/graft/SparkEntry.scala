@@ -138,6 +138,10 @@ object SparkEntry {
       Profile.profile(T(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_returnflag"))),
 
+    // A11 depth: the minimal report's per-column histogram (10 bins).
+    "a11_histogram" -> ((s, dir) =>
+      Profile.histogram(T(s, dir, "lineitem"), "l_extendedprice", 10)),
+
     // R1: melt/unpivot — wide measure columns to long form, null-dropping.
     "r1_unpivot" -> ((s, dir) => {
       Reshape.melt(T(s, dir, "lineitem"),
@@ -326,31 +330,56 @@ object SparkEntry {
       "SELECT COUNT(*) AS n_rows FROM lineitem",
 
     "a11_profile" ->
-      """WITH s AS (SELECT COUNT(*) AS n FROM lineitem)
-         SELECT 'l_quantity' AS column, s.n AS n,
-           (SELECT s.n - COUNT(l_quantity) FROM lineitem) AS nulls,
-           (SELECT CAST(COUNT(DISTINCT l_quantity) AS BIGINT) FROM lineitem) AS n_distinct,
-           (SELECT CAST(MIN(l_quantity) AS VARCHAR) FROM lineitem) AS min_value,
-           (SELECT CAST(MAX(l_quantity) AS VARCHAR) FROM lineitem) AS max_value,
-           (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) FROM lineitem) AS mean_value
-         FROM s
+      """WITH agg AS (SELECT COUNT(*) AS n,
+           COUNT(l_quantity) AS q_cnt,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS q_distinct,
+           CAST(MIN(l_quantity) AS VARCHAR) AS q_min,
+           CAST(MAX(l_quantity) AS VARCHAR) AS q_max,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS q_sum,
+           CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS q_sumsq,
+           COUNT(l_extendedprice) AS e_cnt,
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS e_distinct,
+           CAST(MIN(l_extendedprice) AS VARCHAR) AS e_min,
+           CAST(MAX(l_extendedprice) AS VARCHAR) AS e_max,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS e_sum,
+           CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS e_sumsq,
+           COUNT(l_returnflag) AS r_cnt,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS r_distinct,
+           MIN(l_returnflag) AS r_min, MAX(l_returnflag) AS r_max
+         FROM lineitem)
+         SELECT 'l_quantity' AS column, n, n - q_cnt AS nulls,
+           q_distinct AS n_distinct, q_min AS min_value, q_max AS max_value,
+           q_sum / q_cnt AS mean_value,
+           CASE WHEN q_cnt > 1 THEN
+             sqrt(GREATEST(0.0, (q_sumsq - q_sum*q_sum/q_cnt)/(q_cnt-1)))
+           END AS stddev_value
+         FROM agg
          UNION ALL
-         SELECT 'l_extendedprice', s.n,
-           (SELECT s.n - COUNT(l_extendedprice) FROM lineitem),
-           (SELECT CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) FROM lineitem),
-           (SELECT CAST(MIN(l_extendedprice) AS VARCHAR) FROM lineitem),
-           (SELECT CAST(MAX(l_extendedprice) AS VARCHAR) FROM lineitem),
-           (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) FROM lineitem)
-         FROM s
+         SELECT 'l_extendedprice', n, n - e_cnt, e_distinct, e_min, e_max,
+           e_sum / e_cnt,
+           CASE WHEN e_cnt > 1 THEN
+             sqrt(GREATEST(0.0, (e_sumsq - e_sum*e_sum/e_cnt)/(e_cnt-1)))
+           END
+         FROM agg
          UNION ALL
-         SELECT 'l_returnflag', s.n,
-           (SELECT s.n - COUNT(l_returnflag) FROM lineitem),
-           (SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem),
-           (SELECT MIN(l_returnflag) FROM lineitem),
-           (SELECT MAX(l_returnflag) FROM lineitem),
-           CAST(NULL AS DOUBLE)
-         FROM s
+         SELECT 'l_returnflag', n, n - r_cnt, r_distinct, r_min, r_max,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         FROM agg
          ORDER BY 1""",
+
+    "a11_histogram" ->
+      """WITH mm AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS mn,
+                            CAST(MAX(l_extendedprice) AS DOUBLE) AS mx
+                     FROM lineitem),
+         b AS (SELECT CAST(CASE WHEN mx = mn THEN 0
+                 ELSE LEAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn)
+                                  / ((mx - mn) / 10)), 9)
+                 END AS INTEGER) AS bin, mn, mx
+               FROM lineitem, mm WHERE l_extendedprice IS NOT NULL)
+         SELECT bin, mn + bin * ((mx - mn) / 10) AS lo,
+                mn + (bin + 1) * ((mx - mn) / 10) AS hi,
+                COUNT(*) AS n_rows
+         FROM b GROUP BY bin, mn, mx ORDER BY bin""",
 
     "r1_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

@@ -15,39 +15,92 @@ import org.apache.spark.sql.types.{DecimalType, NumericType}
 object Profile {
 
   /** One row per profiled column:
-    * (column, n, nulls, distinct, min, max, mean) — numeric stats null for
-    * non-numeric columns; min/max rendered as strings for uniform schema.
+    * (column, n, nulls, distinct, min, max, mean, stddev) — numeric stats
+    * null for non-numeric columns; min/max rendered as strings for uniform
+    * schema.
+    *
+    * Mean and stddev derive from exact decimal Σx and Σx² (shuffle-order-
+    * independent — float summation would give per-run low-bit drift), with
+    * a single double division/sqrt at the end. Stddev is the sample form
+    * (n−1), matching pandas' default; `greatest(0, ·)` guards the
+    * cancellation case where Σx² − (Σx)²/n rounds a hair negative.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val total = count(lit(1))
     val perCol = cols.flatMap { c =>
       val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
       Seq(
-        (total - count(col(c))).as(s"${c}__nulls"),
+        count(col(c)).as(s"${c}__cnt"),
         count_distinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"),
-        (if (isNum)
-          // order-independent mean: exact decimal sum, one double division
-           (sum(col(c).cast(DecimalType(28, 6))).cast("double") / count(col(c)))
-         else lit(null).cast("double")).as(s"${c}__mean")
+        (if (isNum) sum(col(c).cast(DecimalType(28, 6))).cast("double")
+         else lit(null).cast("double")).as(s"${c}__sum"),
+        (if (isNum) sum((col(c) * col(c)).cast(DecimalType(38, 10))).cast("double")
+         else lit(null).cast("double")).as(s"${c}__sumsq")
       )
     }
     val wide = df.agg(total.as("__n"), perCol: _*)
 
     // Reshape the single wide row to long form: one row per column.
     val stacked = cols.map { c =>
+      val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
+      val cnt = col(s"${c}__cnt")
+      val s1 = col(s"${c}__sum")
+      val s2 = col(s"${c}__sumsq")
+      val mean = s1 / cnt
+      // greatest() SKIPS nulls (it is not null-propagating), so the
+      // non-numeric case must be gated statically or a null Σx² would
+      // surface as stddev 0.0 instead of null.
+      val variance = greatest(lit(0.0), (s2 - s1 * s1 / cnt) / (cnt - 1))
+      val stddev =
+        if (isNum) when(cnt > 1, sqrt(variance)) else lit(null).cast("double")
       struct(
         lit(c).as("column"),
         col("__n").as("n"),
-        col(s"${c}__nulls").as("nulls"),
+        (col("__n") - cnt).as("nulls"),
         col(s"${c}__distinct").as("n_distinct"),
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"),
-        col(s"${c}__mean").as("mean_value")
+        mean.as("mean_value"),
+        stddev.as("stddev_value")
       )
     }
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
       .orderBy("column")
+  }
+
+  /** Fixed-bin histogram of a numeric column: `bins` equal-width buckets
+    * over [min, max], the ydata-profiling minimal histogram. Returns
+    * (bin, lo, hi, n_rows) with bin ∈ [0, bins).
+    *
+    * Two jobs by necessity (bin edges need global min/max), but both are
+    * single-scan with map-side partial aggregation and the min/max row is
+    * broadcast — no driver-side collect, no second shuffle of the data.
+    * Values exactly equal to max clamp into the last bin. Bin edges are
+    * recomputed from (min, bin index, width) in double arithmetic — the
+    * identical expression shape an external SQL engine produces, so edges
+    * are bit-reproducible across engines.
+    */
+  def histogram(df: DataFrame, c: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val mm = df.agg(min(col(c)).cast("double").as("mn"),
+      max(col(c)).cast("double").as("mx"))
+    val width = (col("mx") - col("mn")) / lit(bins)
+    df.select(col(c).cast("double").as("x")).where(col("x").isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("x") - col("mn")) / width),
+            lit(bins - 1L)))
+          .cast("int").as("bin"),
+        col("mn"), col("mx"))
+      .groupBy(col("bin"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bin"),
+        (col("mn") + col("bin") * width).as("lo"),
+        (col("mn") + (col("bin") + 1) * width).as("hi"),
+        col("n_rows"))
+      .orderBy("bin")
   }
 }
