@@ -66,6 +66,13 @@ object ExtQueries {
         minJaccard = 0.8, maxBucket = 0)
         .orderBy(col("doc_id"))),
 
+    // Transitive near-dup clusters: min-id label over the LSH pair graph.
+    "x_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text",
+          bands = 4, rowsPerBand = 2, maxBucket = 0))
+        .orderBy(col("doc_id"))),
+
     "x_dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
         maxId = 300L, threshold = 0.3)),
@@ -465,6 +472,22 @@ object ExtQueries {
     s"""WITH $minhashCtes
         SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"""
 
+  /** Transitive-closure oracle for [[Dedup.connectedComponents]]: full
+    * reachability via a recursive CTE (quadratic per component — fine at
+    * oracle scale), then cluster id = min reachable id.
+    */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY src"""
+
   /** Full pipeline: candidates → shingle-set Jaccard ≥ t verification →
     * greedy drop of id_b → surviving document rows.
     */
@@ -522,6 +545,8 @@ object ExtQueries {
     "x_dedup_jaccard3" -> jaccard3Oracle,
 
     "x_dedup_pipeline" -> dedupPipelineOracle,
+
+    "x_dedup_clusters" -> clustersOracle,
 
     "x_events_sliding" ->
       s"""SELECT window_start, event_type, COUNT(*) AS n_events,

@@ -218,6 +218,57 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-dup pair list: every doc that
+    * appears in at least one pair gets a `cluster_id` = the minimum doc
+    * id reachable through the pair graph. The pairwise greedy drop in
+    * [[nearDupSurvivors]] handles A~B; this handles A~B~C where A and C
+    * never paired directly — the transitive cluster a dedup job needs to
+    * keep exactly one representative per group.
+    *
+    * Algorithm: min-label propagation — each node starts labeled with
+    * its own id; each round every node takes the min of its own and its
+    * neighbors' labels; fixpoint in O(cluster diameter) rounds. Near-dup
+    * clusters are dense (LSH pairs most members directly), so diameter
+    * is small; `maxIter` bounds the adversarial path-graph case. Each
+    * round is two shuffles (join on dst + group-by src) over the PAIR
+    * list — never the corpus — and `localCheckpoint` truncates lineage
+    * so plans don't grow exponentially across rounds. This is the
+    * driver-coordinated iterative shape Spark graph libraries use;
+    * datasets-scale alternatives (alternating small-star/large-star)
+    * swap in behind the same contract if diameters ever get large.
+    *
+    * Returns (doc_id, cluster_id), one row per distinct doc in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame,
+                          idACol: String = "id_a", idBCol: String = "id_b",
+                          maxIter: Int = 20): DataFrame = {
+    val p = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both directions: label flows low→high and high→low
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    p.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** Signature width. [[Hashing.hash64]] yields 60-bit values (15 hex

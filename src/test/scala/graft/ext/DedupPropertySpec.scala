@@ -80,6 +80,26 @@ class DedupPropertySpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("connected components: chains collapse transitively, components stay apart") {
+    import spark.implicits._
+    // 1-2-3 chained (1~2, 2~3 but never 1~3), {10,11} separate, 20-21-22 star
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components: long path converges within maxIter rounds") {
+    import spark.implicits._
+    // path graph 0-1-2-...-9: worst case for label propagation (diameter 9)
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 10 && got.values.forall(_ == 0L))
+  }
+
   test("property: exact dedup survivors have no duplicate texts") {
     val base = corpus(31L, 25)
     val df = (base ++ base.map { case (id, t) => (id + 1000, t) })
