@@ -85,7 +85,7 @@ object ExtQueries {
 
     "x_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
-        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 8)),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 6, tables = 8)),
 
     "x_ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -522,11 +522,18 @@ object ExtQueries {
         WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.05
         ORDER BY id_a, id_b"""
 
-  /** Sign-bucket expression (DuckDB side), 8 bits over leading dims. */
-  private def bucketSql: String =
-    (0 until 8).map(j =>
-      s"(CASE WHEN CAST(embedding[${j + 1}] AS DOUBLE) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
-      .mkString(" + ")
+  /** Multi-table sign-LSH bands (DuckDB side): one SELECT per table over
+    * `src`, dimensions [t·bits, (t+1)·bits) per table — mirrors
+    * [[Similarity.signBands]] (out-of-range list index is NULL → CASE
+    * falls to 0 on both engines).
+    */
+  private def signBandsSql(tables: Int, bits: Int, src: String): String =
+    (0 until tables).map { t =>
+      val bucket = (0 until bits).map(j =>
+        s"(CASE WHEN CAST(embedding[${t * bits + j + 1}] AS DOUBLE) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM $src"
+    }.mkString(" UNION ALL ")
 
   private val langScores = TextAnalysis.LangStopwords.map { case (l, ws) =>
     val vocab = ws.map(w => s"'$w'").mkString(", ")
@@ -582,12 +589,19 @@ object ExtQueries {
     // blocked on the same 8-bit sign bucket the Spark operator uses:
     // only same-bucket pairs are candidates on BOTH engines.
     "x_dedup_embedding" ->
-      s"""WITH q AS (SELECT vec_id, $qvec AS v, $bucketSql AS bucket
-                     FROM embeddings WHERE vec_id < 300)
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 ${cosSql("a.v", "b.v")} AS cosine
-          FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          WHERE ${cosSql("a.v", "b.v")} > 0.3
+      s"""WITH e AS (SELECT vec_id, $qvec AS v
+                     FROM embeddings WHERE vec_id < 300),
+          bands AS (${signBandsSql(8, 6, "embeddings WHERE vec_id < 300")}),
+          ea AS (SELECT e.vec_id, v, tbl, bucket
+                 FROM e JOIN bands ON e.vec_id = bands.vec_id),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
+                            b.vec_id AS id_b, b.v AS vb
+            FROM ea a JOIN ea b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id)
+          SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
+          FROM cand WHERE ${cosSql("va", "vb")} > 0.3
           ORDER BY id_a, id_b""",
 
     "x_ann_brute_topk" ->
@@ -606,14 +620,19 @@ object ExtQueries {
           WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "x_ann_lsh_topk" ->
-      s"""WITH e AS (SELECT vec_id, $qvec AS v, $bucketSql AS bucket
-                     FROM embeddings),
-          q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
-                WHERE vec_id IN (0, 1, 2, 3, 4)),
-          c AS (SELECT vec_id AS cand_id, v AS cv, bucket FROM e),
+      s"""WITH e AS (SELECT vec_id, $qvec AS v FROM embeddings),
+          bands AS (${signBandsSql(8, 6, "embeddings")}),
+          q AS (SELECT e.vec_id AS query_id, v AS qv, tbl, bucket
+                FROM e JOIN bands ON e.vec_id = bands.vec_id
+                WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+          c AS (SELECT e.vec_id AS cand_id, v AS cv, tbl, bucket
+                FROM e JOIN bands ON e.vec_id = bands.vec_id),
+          cand AS (
+            SELECT DISTINCT query_id, qv, cand_id, cv
+            FROM c JOIN q USING (tbl, bucket) WHERE query_id <> cand_id),
           scored AS (
             SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
-            FROM c JOIN q USING (bucket) WHERE query_id <> cand_id),
+            FROM cand),
           ranked AS (
             SELECT query_id, cand_id, cosine,
               CAST(row_number() OVER (PARTITION BY query_id

@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+/** Approximation quality of the ANN paths, measured against
+  * [[Similarity.bruteForceTopK]] ground truth on the real embeddings
+  * table — recall is a tested number, not a doc-comment claim. The
+  * floors are deliberately below the measured values (printed on every
+  * run) so the assertions pin regressions, not noise.
+  */
+class AnnRecallSpec extends SparkTestBase {
+
+  private val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+  private val k = 10
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private lazy val exact: Map[Long, Set[Long]] =
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryIds, k)
+      .select("query_id", "cand_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+    val got = df.select("query_id", "cand_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val per = queryIds.map(q =>
+      (exact(q) & got.getOrElse(q, Set.empty)).size.toDouble / k)
+    per.sum / per.size
+  }
+
+  test("LSH top-k recall vs brute force has a measured floor") {
+    val single = recallOf(
+      Similarity.lshTopK(emb, "vec_id", "embedding", queryIds, k,
+        bits = 8, tables = 1))
+    val multi = recallOf(
+      Similarity.lshTopK(emb, "vec_id", "embedding", queryIds, k,
+        bits = 6, tables = 8))
+    info(f"lshTopK recall@$k: 1 table x 8 bits $single%.3f, 8 tables x 6 bits $multi%.3f")
+    assert(multi > single, "OR-construction must beat a single table")
+    assert(multi >= 0.1, f"multi-table LSH recall collapsed: $multi%.3f")
+  }
+
+  test("IVF top-k recall vs brute force, and nprobe=2 never below nprobe=1") {
+    val r1 = recallOf(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      centroidIds = (10L to 17L), queryIds, k, nprobe = 1))
+    val r2 = recallOf(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      centroidIds = (10L to 17L), queryIds, k, nprobe = 2))
+    info(f"ivfTopK recall@$k: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f")
+    assert(r1 >= 0.1, f"IVF nprobe=1 recall collapsed: $r1%.3f")
+    assert(r2 >= r1, "probing more cells must never lose candidates")
+  }
+
+  test("blocked near-dup pairs recover most exact pairs at high threshold") {
+    val exactPairs = Similarity.nearDupPairsExact(emb, "vec_id", "embedding",
+      maxId = 300, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      maxId = 300, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exactPairs), "blocking must never invent pairs")
+    val recall =
+      if (exactPairs.isEmpty) 1.0
+      else (exactPairs & blocked).size.toDouble / exactPairs.size
+    info(f"blocked near-dup recall = $recall%.3f over ${exactPairs.size} exact pairs")
+    assert(recall >= 0.1, f"blocking recall collapsed: $recall%.3f")
+  }
+}
