@@ -49,6 +49,30 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Stratified sample: a per-stratum keep fraction (e.g. downsample
+    * over-represented languages, keep all of a rare one) — the corpus
+    * rebalancing step of dataset curation. The keep decision is the
+    * same row-local hash bucket as [[hashSample]], so it is
+    * deterministic, partitioning-invariant, and composes with splits;
+    * strata not named in `fractions` keep `defaultFraction`. No
+    * shuffle: one scan, one filter.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0,
+                       seed: Int = 0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction))
+      .forall(f => f >= 0 && f <= 1), "fractions must be in [0,1]")
+    val b = bucketOf(col(keyCol), seed)
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit((defaultFraction * Buckets).toLong)) {
+        case (acc, (stratum, f)) =>
+          when(col(strataCol) === stratum, lit((f * Buckets).toLong))
+            .otherwise(acc)
+      }
+    df.filter(b < threshold)
+  }
+
   /** SQL fragment computing the same bucket in DuckDB. */
   def bucketSql(expr: String, seed: Int): String =
     s"${Hashing.hash64Sql(s"CAST($expr AS VARCHAR)", seed)} % $Buckets"

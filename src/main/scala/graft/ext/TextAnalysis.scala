@@ -114,6 +114,86 @@ object TextAnalysis {
       .drop("__n_docs")
   }
 
+  /** Repetition statistics (the Gopher/C4 quality-filter family):
+    * per-document token counts, distinct ratio, and the mass of the
+    * most-repeated unigram/bigram — the signals that catch boilerplate,
+    * keyword-stuffed, and looping documents. Computed with explode +
+    * partial-aggregated group-bys keyed by doc id (one shuffle per
+    * n-gram order, map-side combine does the heavy lifting), never a
+    * per-row nested loop over the token array.
+    *
+    * `gopher_keep` applies the published Gopher-style thresholds:
+    * 50 ≤ tokens, mean word length in [3, 10], distinct-token ratio
+    * > 0.2, top-unigram mass < 0.3, top-bigram mass < 0.18.
+    *
+    * Returns (idCol, n_tokens, n_distinct, distinct_ratio,
+    * top_unigram_frac, top_bigram_frac, mean_word_len, gopher_keep).
+    */
+  def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    def topFrac(n: Int, frac: String) = {
+      val grams = df.select(col(idCol),
+        explode(Dedup.ngramsOf(tokens(col(textCol)), n)).as("g"))
+      grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as(frac))
+    }
+    val base = {
+      val toks = df.select(col(idCol),
+        length(col(textCol)).as("n_chars_obs"),
+        explode(tokens(col(textCol))).as("t"))
+      toks.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("t")).as("n_distinct"),
+          // constant per group; max() rather than first() for a
+          // deterministic plan
+          max(col("n_chars_obs")).as("n_chars_obs"))
+    }
+    base
+      .join(topFrac(1, "top_unigram_frac"), Seq(idCol))
+      .join(topFrac(2, "top_bigram_frac"), Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_ratio"),
+        col("top_unigram_frac"), col("top_bigram_frac"),
+        ((col("n_chars_obs") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens").cast("double")).as("mean_word_len"))
+      .withColumn("gopher_keep",
+        col("n_tokens") >= 50 &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("distinct_ratio") > 0.2 &&
+          col("top_unigram_frac") < 0.3 &&
+          col("top_bigram_frac") < 0.18)
+  }
+
+  /** PII patterns shared with the SQL oracle: no lookarounds, no
+    * engine-specific classes — the subset Java regex and RE2 agree on.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("phone", "\\+[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"))
+
+  /** PII redaction: replace emails, URLs, and international-format
+    * phone numbers with typed placeholder tokens — the standard scrub
+    * step before corpus release. Row-local regexp chain, codegen'd;
+    * order matters (emails before URLs would double-hit rarely, so URL
+    * runs after email and the phone pattern requires a leading `+` to
+    * stay out of ordinary digit runs).
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, rx, tok)) =>
+      regexp_replace(c, rx, tok)
+    }
+
+  /** Per-document PII hit counts + the redacted text. */
+  def piiScan(df: DataFrame, textCol: String): DataFrame =
+    PiiPatterns.foldLeft(df) { case (d, (name, rx, _)) =>
+      d.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(rx), lit(0))))
+    }.withColumn("redacted", redactPii(col(textCol)))
+
   /** Vocabulary construction: token → corpus frequency → dense id by
     * (count desc, token asc) — the id assignment step of tokenizer
     * training. One explode + one partial-aggregated group-by, then a
