@@ -24,6 +24,14 @@ object Bench {
     // longer double the suite total (round 1 recorded a 22.4 s phantom
     // for a 0.23 s query from an n=1 sample).
     // Failures report as -1 per-query but are excluded from the total.
+    // Between queries: drop any caches an operator registered (the dedup
+    // pipeline persists its candidate-pair list for its own three-way
+    // reuse; that cache is dead once the query is timed) and nudge GC so
+    // the ContextCleaner reclaims dead broadcasts/shuffles — without
+    // this, 61 queries x 4 executions accumulate driver/executor garbage
+    // and late queries absorb multi-second full-GC pauses that read as
+    // phantom engine cost (round 3 recorded 5.8 s in-suite for a query
+    // that measures 0.5 s in a clean JVM).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -33,6 +41,8 @@ object Bench {
           df.count()
           (System.nanoTime() - t0) / 1e9
         }.sorted
+        spark.catalog.clearCache()
+        System.gc()
         name -> times(1)
       } catch { case _: Throwable => name -> -1.0 }
     }.toMap
