@@ -200,6 +200,14 @@ object Similarity {
     * ~16× the single-table form at moderate similarity (measured in
     * AnnRecallSpec).
     *
+    * Shuffle discipline: bucket entries carry ONLY (id, tbl, bucket) —
+    * vectors never ride the pair-generation shuffle. A pair colliding in
+    * several tables is deduped on the id pair alone (two longs per row,
+    * vs two full quantized vectors duplicated per colliding table), then
+    * each side's vector is fetched once by an equi-join against the
+    * (id → quantized vector) projection of the corpus. The cosine is
+    * computed exactly once per surviving candidate pair.
+    *
     * `maxId` bounds the candidate id range (0 disables) so tests and
     * oracles can pin a deterministic subset.
     */
@@ -207,19 +215,18 @@ object Similarity {
                    maxId: Long, threshold: Double, bits: Int = 6,
                    tables: Int = 8): DataFrame = {
     val bounded = if (maxId > 0) emb.filter(col(idCol) < maxId) else emb
-    val v = bounded.select(col(idCol).as("id"),
-      quantize(col(vecCol)).as("v"),
+    val entries = bounded.select(col(idCol).as("id"),
       explode(signBands(col(vecCol), tables, bits)).as("tb"))
-      .select(col("id"), col("v"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val a = v.select(col("tbl"), col("bucket"),
-      col("id").as("id_a"), col("v").as("va"))
-    val b = v.select(col("tbl"), col("bucket"),
-      col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("tbl", "bucket"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = entries.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = entries.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("va"), col("id_b"), col("vb"))
-      .distinct()
+      .select("id_a", "id_b").distinct()
+    val vecs = bounded.select(col(idCol).as("vid"), quantize(col(vecCol)).as("v"))
+    pairs
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosineQ(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") > threshold)
       .orderBy(col("id_a"), col("id_b"))
