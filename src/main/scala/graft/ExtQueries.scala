@@ -368,7 +368,42 @@ object ExtQueries {
         .agg(sum(col("is_new_session")).cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // ---- table maintenance (MERGE / SCD2) -----------------------------
+
+    // MERGE INTO customer: a deterministic change set derived from the
+    // base itself — updates (bal+100) for custkey%10==0, deletes for
+    // custkey%100==0 (matched only), inserts (id-shifted rows) for
+    // custkey%7==3. Exercises all three clauses plus the
+    // unmatched-but-delete-flagged insert edge (custkey 500 at sf0.01).
+    "x_merge_upsert" -> ((s, dir) => {
+      val base = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val matched = base.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+      val inserts = base.filter(col("c_custkey") % 7 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_name"), col("c_acctbal"))
+      graft.ops.Merge.mergeInto(base, matched.unionByName(inserts),
+          Seq("c_custkey"),
+          deleteCondition = col("c_custkey") % 100 === 0)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // SCD2 history: each user's event_type change log collapsed into
+    // half-open validity intervals.
+    "x_scd2" -> ((s, dir) =>
+      graft.ops.Scd2.buildHistory(
+        Events.loadEvents(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            col("event_type")),
+        key = "user_id", orderCol = "ts_sec", tieCol = "event_id",
+        trackedCol = "event_type")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -921,6 +956,54 @@ object ExtQueries {
            FROM t)
          SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
                 COUNT(*) AS n_events
-         FROM flags GROUP BY 1 ORDER BY 1"""
+         FROM flags GROUP BY 1 ORDER BY 1""",
+
+    "x_merge_upsert" ->
+      """WITH upd AS (
+           SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_name, c_acctbal
+           FROM customer WHERE c_custkey % 7 = 3)
+         SELECT
+           COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+                ELSE b.c_name END AS c_name,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                ELSE b.c_acctbal END AS c_acctbal
+         FROM customer b FULL OUTER JOIN upd u
+           ON b.c_custkey = u.c_custkey
+         WHERE NOT (b.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+                    AND u.c_custkey % 100 = 0)
+         ORDER BY c_custkey""",
+
+    "x_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, event_type, sec,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY sec, event_id)
+                  IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+           FROM e),
+         numbered AS (
+           SELECT *, SUM(chg) OVER
+             (PARTITION BY user_id ORDER BY sec, event_id
+              ROWS UNBOUNDED PRECEDING) AS run
+           FROM marked),
+         runs AS (
+           SELECT user_id, run, MIN(event_type) AS event_type,
+                  MIN(sec) AS valid_from
+           FROM numbered GROUP BY 1, 2),
+         chained AS (
+           SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+               AS valid_to
+           FROM runs)
+         SELECT user_id, event_type, valid_from, valid_to,
+                valid_to IS NULL AS is_current
+         FROM chained ORDER BY user_id, valid_from, event_type"""
   )
 }
