@@ -403,7 +403,25 @@ object ExtQueries {
         trackedCol = "event_type")
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("is_current"))
-        .orderBy(col("user_id"), col("valid_from"), col("event_type")))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
+
+    // ---- layout / data skipping ---------------------------------------
+
+    // Z-order layout audit: interleave (l_partkey%256, l_suppkey%256)
+    // into a 16-bit Morton code and profile each aligned 64-code block.
+    // Every block is exactly an 8x8 (x, y) tile, so min/max stats are
+    // tight in BOTH dimensions — the property parquet footer pruning
+    // needs after clusterByZ writes the layout.
+    "x_zorder" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("x"),
+          (col("l_suppkey") % 256).as("y"))
+        .withColumn("zval", graft.ops.ZOrder.zvalue(col("x"), col("y"), 8))
+        .groupBy(shiftright(col("zval"), 6).as("z_block"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy(col("z_block")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1004,6 +1022,20 @@ object ExtQueries {
            FROM runs)
          SELECT user_id, event_type, valid_from, valid_to,
                 valid_to IS NULL AS is_current
-         FROM chained ORDER BY user_id, valid_from, event_type"""
+         FROM chained ORDER BY user_id, valid_from, event_type""",
+
+    "x_zorder" -> {
+      val zexpr = (0 until 8).map { j =>
+        s"(((x >> $j) & 1) * ${1L << (2 * j)} + " +
+          s"((y >> $j) & 1) * ${1L << (2 * j + 1)})"
+      }.mkString(" + ")
+      s"""WITH t AS (
+            SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+          z AS (SELECT x, y, ($zexpr) AS zval FROM t)
+          SELECT zval >> 6 AS z_block, COUNT(*) AS n,
+                 MIN(x) AS x_min, MAX(x) AS x_max,
+                 MIN(y) AS y_min, MAX(y) AS y_max
+          FROM z GROUP BY 1 ORDER BY 1"""
+    }
   )
 }
