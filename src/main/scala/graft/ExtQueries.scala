@@ -421,7 +421,27 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"),
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
-        .orderBy(col("z_block")))
+        .orderBy(col("z_block"))),
+
+    // ---- sampling (corpus rebalancing / fixed-size draws) -------------
+
+    // Stratified downsample: halve en, quarter de, decimate fr, keep
+    // rare strata whole — then per-lang survivor stats.
+    "x_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
+          fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1),
+          defaultFraction = 1.0, seed = 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))),
+
+    // Deterministic fixed-size draw: the 100 smallest-hash documents.
+    "x_sample_reservoir" -> ((s, dir) =>
+      Sampling.reservoirSample(T(s, dir, "documents"), "doc_id", 100,
+          seed = 2)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1036,6 +1056,26 @@ object ExtQueries {
                  MIN(x) AS x_min, MAX(x) AS x_max,
                  MIN(y) AS y_min, MAX(y) AS y_max
           FROM z GROUP BY 1 ORDER BY 1"""
+    },
+
+    "x_sample_stratified" -> {
+      val bucket = Sampling.bucketSql("doc_id", 3)
+      s"""SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM documents
+          WHERE $bucket < CASE lang WHEN 'en' THEN 500000
+                                    WHEN 'de' THEN 250000
+                                    WHEN 'fr' THEN 100000
+                                    ELSE 1000000 END
+          GROUP BY 1 ORDER BY 1"""
+    },
+
+    "x_sample_reservoir" -> {
+      val h = Hashing.hash64Sql("CAST(doc_id AS VARCHAR)", 2)
+      s"""SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY $h, doc_id LIMIT 100)
+          ORDER BY doc_id"""
     }
   )
 }

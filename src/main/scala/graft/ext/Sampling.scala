@@ -73,6 +73,26 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Fixed-size uniform sample — the distributed, deterministic form of
+    * reservoir sampling: keep the `k` rows with the smallest
+    * (hash(key), key). Equivalent in distribution to a uniform
+    * k-of-n reservoir, but the selection is a pure function of row
+    * identity, so it is reproducible across engines and partitionings
+    * (a classic reservoir depends on encounter order, which a shuffle
+    * changes). Plans as TakeOrderedAndProject: each partition keeps its
+    * local top-k, the driver merges k·P candidates — no global sort of
+    * the corpus, no single-task funnel.
+    */
+  def reservoirSample(df: DataFrame, keyCol: String, k: Int,
+                      seed: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = Hashing.hash64(col(keyCol).cast("string"), seed)
+    df.withColumn("_h", h)
+      .orderBy(col("_h"), col(keyCol))
+      .limit(k)
+      .drop("_h")
+  }
+
   /** SQL fragment computing the same bucket in DuckDB. */
   def bucketSql(expr: String, seed: Int): String =
     s"${Hashing.hash64Sql(s"CAST($expr AS VARCHAR)", seed)} % $Buckets"

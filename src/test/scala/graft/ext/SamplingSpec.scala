@@ -35,6 +35,32 @@ class SamplingSpec extends SparkTestBase {
       .as[(Long, String)].collect().toSet)
   }
 
+  test("stratifiedSample: named strata thinned, unnamed kept whole") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      fractions = Map("en" -> 0.5), defaultFraction = 1.0)
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val after = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(after("en") < before("en"))
+    (before.keySet - "en").foreach(l => assert(after(l) == before(l),
+      s"unnamed stratum $l must be untouched"))
+    // partitioning invariance, same as hashSample
+    val again = Sampling.stratifiedSample(docs.repartition(5), "doc_id",
+      "lang", fractions = Map("en" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("reservoirSample: exactly k, partitioning-invariant, TakeOrdered plan") {
+    val s1 = Sampling.reservoirSample(docs, "doc_id", 25)
+    assert(s1.count() == 25)
+    val s2 = Sampling.reservoirSample(docs.repartition(9), "doc_id", 25)
+    assert(s1.select("doc_id").as[Long].collect().toSet ==
+      s2.select("doc_id").as[Long].collect().toSet)
+    // distributed top-k, not a global sort
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("vocabulary: ids are dense by (count desc, token asc)") {
     val v = TextAnalysis.vocabulary(docs, "text", minCount = 2)
       .orderBy("token_id").collect()
