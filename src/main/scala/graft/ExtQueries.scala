@@ -441,7 +441,15 @@ object ExtQueries {
       Sampling.reservoirSample(T(s, dir, "documents"), "doc_id", 100,
           seed = 2)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Verbatim 8-token spans recurring across documents (boilerplate /
+    // template detection at the substring level).
+    "x_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(
+          T(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy(col("span")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1076,6 +1084,19 @@ object ExtQueries {
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY $h, doc_id LIMIT 100)
           ORDER BY doc_id"""
-    }
+    },
+
+    "x_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS l
+           FROM documents WHERE doc_id < 200),
+         spans AS (
+           SELECT doc_id, array_to_string(l[i:i+7], ' ') AS span
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(l) - 7)) AS i) g),
+         per_doc AS (
+           SELECT span, doc_id, COUNT(*) AS occ FROM spans GROUP BY 1, 2)
+         SELECT span, COUNT(*) AS n_docs, CAST(SUM(occ) AS BIGINT) AS n_occ
+         FROM per_doc GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1"""
   )
 }

@@ -396,6 +396,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-document repeated span detection — the substring-level dedup
+    * diagnostic for training corpora (boilerplate, license blocks,
+    * templated text recur VERBATIM across documents even when whole-doc
+    * similarity is low). Every n-token window of every doc is emitted
+    * once, then aggregated twice: (span, doc) with map-side partials,
+    * then span → (distinct docs, total occurrences). Work and shuffle
+    * are linear in corpus tokens (each token starts exactly one span);
+    * both aggregates combine map-side, and no per-doc structure ever
+    * exceeds the doc itself. Docs shorter than n tokens contribute no
+    * spans (strict windows — no whole-doc fallback like [[ngramsOf]]).
+    * At production scale the first aggregate would key on a 64-bit span
+    * hash instead of the text; the text form keeps the operator
+    * oracle-checkable and the output human-readable.
+    *
+    * Returns (span, n_docs, n_occ) for spans in >= minDocs documents.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
+                     minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val toks = df.select(col(idCol).as("id"),
+      split(lower(col(textCol)), " ").as("toks"))
+    val spans = toks.filter(size(col("toks")) >= n)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
+          concat_ws(" ",
+            (0 until n).map(k => element_at(col("toks"), i + k)): _*)))
+        .as("span"))
+    spans.groupBy(col("span"), col("id"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   // ---- n-gram Jaccard -------------------------------------------------
 
   /** Exact Jaccard similarity over distinct word n-grams for candidate

@@ -109,4 +109,17 @@ class DedupPropertySpec extends SparkTestBase {
     // totals: one survivor per distinct text
     assert(kept.count() == df.select("text").distinct().count())
   }
+
+  test("duplicateSpans: shared window found, short docs strict, counts exact") {
+    val df = Seq(
+      (1L, "a b c d e f"),      // shares the c-d-e-f window via doc 2
+      (2L, "x y c d e f"),
+      (3L, "c d e"),            // 3 tokens < n=4: contributes nothing
+      (4L, "q q q q q q q q q") // repeats within ONE doc only
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "doc_id", "text", n = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("c d e f", 2L, 2L)),
+      s"single cross-doc span expected, got $out")
+  }
 }
