@@ -449,7 +449,35 @@ object ExtQueries {
       Dedup.duplicateSpans(
           T(s, dir, "documents").filter(col("doc_id") < 200),
           "doc_id", "text", n = 8, minDocs = 2)
-        .orderBy(col("span")))
+        .orderBy(col("span"))),
+
+    // Corpus-unigram LM scoring (perplexity proxy for quality filtering).
+    "x_text_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition stats + keep decision.
+    "x_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // PII scan + redaction. The corpus has no organic PII, so each doc
+    // is augmented with one synthetic email/URL/phone derived from its
+    // id — deterministic on both engines, and the redaction output is
+    // exact-checked, not just the counts.
+    "x_text_pii" -> ((s, dir) => {
+      val aug = T(s, dir, "documents").filter(col("doc_id") < 300)
+        .withColumn("aug_text", concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com see https://ex.com/d"),
+          col("doc_id").cast("string"),
+          lit(" call +61 2 5550 "),
+          (lit(1000) + col("doc_id") % 9000).cast("string")))
+      TextAnalysis.piiScan(aug, "aug_text")
+        .select(col("doc_id"), col("n_email"), col("n_url"),
+          col("n_phone"), col("redacted"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1084,6 +1112,83 @@ object ExtQueries {
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY $h, doc_id LIMIT 100)
           ORDER BY doc_id"""
+    },
+
+    "x_text_unigram_lm" ->
+      """WITH tf AS (
+           SELECT doc_id, t AS token, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+             FROM documents)
+           GROUP BY 1, 2),
+         counts AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c
+                    FROM tf GROUP BY 1),
+         total AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM counts),
+         terms AS (
+           SELECT tf.doc_id, tf.tf,
+                  CAST(tf.tf * -ln(counts.c / total.total)
+                    AS DECIMAL(28,9)) AS term
+           FROM tf JOIN counts ON tf.token = counts.token CROSS JOIN total)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                CAST(SUM(term) AS DOUBLE) AS neg_logprob_sum,
+                CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+                  AS avg_neg_logprob
+         FROM terms GROUP BY 1 ORDER BY 1""",
+
+    "x_text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, length(text) AS n_chars_obs,
+                  string_split(lower(text), ' ') AS l FROM documents),
+         uni AS (
+           SELECT doc_id, t, COUNT(*) AS c FROM (
+             SELECT doc_id, unnest(l) AS t FROM toks) GROUP BY 1, 2),
+         base AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  COUNT(*) AS n_distinct,
+                  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                    AS top_unigram_frac
+           FROM uni GROUP BY 1),
+         big AS (
+           SELECT doc_id, g, COUNT(*) AS c FROM (
+             SELECT doc_id, array_to_string(l[i:i+1], ' ') AS g
+             FROM toks, LATERAL (
+               SELECT unnest(generate_series(1, len(l) - 1)) AS i) s)
+           GROUP BY 1, 2),
+         topbig AS (
+           SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                    AS top_bigram_frac
+           FROM big GROUP BY 1),
+         merged AS (
+           SELECT b.doc_id, b.n_tokens, b.n_distinct,
+             CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+               AS distinct_ratio,
+             b.top_unigram_frac, t2.top_bigram_frac,
+             CAST(c.n_chars_obs - (b.n_tokens - 1) AS DOUBLE)
+               / CAST(b.n_tokens AS DOUBLE) AS mean_word_len
+           FROM base b
+           JOIN topbig t2 ON b.doc_id = t2.doc_id
+           JOIN (SELECT doc_id, n_chars_obs FROM toks) c
+             ON b.doc_id = c.doc_id)
+         SELECT *, (n_tokens >= 50 AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND distinct_ratio > 0.2 AND top_unigram_frac < 0.3
+                    AND top_bigram_frac < 0.18) AS gopher_keep
+         FROM merged ORDER BY doc_id""",
+
+    "x_text_pii" -> {
+      val augSql = "text || ' contact u' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com see https://ex.com/d' || CAST(doc_id AS VARCHAR) " +
+        "|| ' call +61 2 5550 ' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+      val countCols = TextAnalysis.PiiPatterns.map { case (name, rx, _) =>
+        s"CAST(len(regexp_extract_all(t, '$rx')) AS INTEGER) AS n_$name"
+      }.mkString(",\n           ")
+      val redacted = TextAnalysis.PiiPatterns.foldLeft("t") {
+        case (acc, (_, rx, tok)) => s"regexp_replace($acc, '$rx', '$tok', 'g')"
+      }
+      s"""WITH aug AS (
+            SELECT doc_id, $augSql AS t FROM documents WHERE doc_id < 300)
+          SELECT doc_id,
+           $countCols,
+           $redacted AS redacted
+          FROM aug ORDER BY doc_id"""
     },
 
     "x_dup_spans" ->

@@ -114,6 +114,44 @@ object TextAnalysis {
       .drop("__n_docs")
   }
 
+  /** Corpus-unigram language-model scoring — the perplexity-proxy
+    * quality signal: tokens that are rare IN THIS CORPUS are surprising,
+    * and documents dominated by surprising tokens (gibberish, OCR noise,
+    * wrong-language fragments) score high. score = Σ tf·(−ln c/N) / Σ tf
+    * with c = corpus count of the token, N = corpus token total.
+    *
+    * Shape: the same two aggregates as [[tfidf]] plus a join of the
+    * (doc, token) table against the unigram table keyed by token —
+    * zipfian-skewed at scale, which AQE's skew join handles (or
+    * broadcast the head of the vocabulary; the tail is tiny). N rides
+    * the plan as a broadcast 1-row aggregate — fully lazy, no driver
+    * action. Per-token terms are rounded into DECIMAL(28,9) before the
+    * per-doc sum so accumulation is exact and order-independent — the
+    * repo-wide reproducibility discipline (a double sum re-ordered by a
+    * shuffle changes low bits; a decimal sum never does).
+    *
+    * Returns (idCol, n_tokens, neg_logprob_sum, avg_neg_logprob).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("__total"))
+    tf.join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("tf"),
+        (col("tf").cast("double") *
+          -log(col("c").cast("double") / col("__total")))
+          .cast(DecimalType(28, 9)).as("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("term")).cast("double").as("neg_logprob_sum"))
+      .withColumn("avg_neg_logprob",
+        col("neg_logprob_sum") / col("n_tokens").cast("double"))
+  }
+
   /** Repetition statistics (the Gopher/C4 quality-filter family):
     * per-document token counts, distinct ratio, and the mass of the
     * most-repeated unigram/bigram — the signals that catch boilerplate,

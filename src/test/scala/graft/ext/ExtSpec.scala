@@ -157,4 +157,36 @@ class ExtSpec extends SparkTestBase {
     // 2024-01-01 00:00 UTC epoch = 1704067200
     assert(r >= 1704067200L && r < 1704067200L + 86400L * 366)
   }
+
+  test("unigramLogProb: all-distinct corpus scores ln(N) per token") {
+    // 6 tokens, each appearing once: every term is -ln(1/6) = ln 6
+    val df = Seq((1L, "aa bb cc"), (2L, "dd ee ff")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_neg_logprob")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(3L, 3L))
+    out.foreach { case (_, _, avg) =>
+      assert(math.abs(avg - math.log(6.0)) < 1e-6, s"expected ln 6, got $avg")
+    }
+  }
+
+  test("repetitionStats: looping doc fails gopher, varied doc passes") {
+    val varied = (1 to 60).map(i => s"word$i").mkString(" ")
+    val looping = Seq.fill(60)("spam").mkString(" ")
+    val out = TextAnalysis.repetitionStats(
+      Seq((1L, varied), (2L, looping)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("doc_id", "distinct_ratio", "top_unigram_frac", "gopher_keep")
+      .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(out(0)._4, s"varied doc should keep: ${out(0)}")
+    assert(!out(1)._4 && out(1)._2 < 0.02 && out(1)._3 == 1.0,
+      s"looping doc should drop: ${out(1)}")
+  }
+
+  test("redactPii replaces email, url, and phone with typed tokens") {
+    val red = Seq("mail a.b@x.org or https://x.org/p?q=1 or +61 2 5550 1234 end")
+      .toDF("t").select(TextAnalysis.redactPii(col("t")).as("r"))
+      .as[String].head()
+    assert(red == "mail <EMAIL> or <URL> or <PHONE> end", red)
+  }
 }
