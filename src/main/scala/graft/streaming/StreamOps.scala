@@ -75,6 +75,21 @@ object StreamOps {
           col(s"${tsCol}_r") >= col(tsCol) - expr(s"interval $lookback"))
   }
 
+  /** Streaming exact dedup: drop rows whose `idCols` were already seen,
+    * holding each key in the state store only until the watermark passes
+    * it — the streaming half of the dedup family (batch exact dedup is
+    * `Dedup.exactGroups`). Upstream replays and at-least-once sources
+    * (Kafka redeliveries, file re-listing) are the normal case at scale;
+    * without the watermark bound the seen-key state grows without limit,
+    * with it the store holds only the last `watermark` of keys, evenly
+    * spread across state-store partitions by key hash.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  tsCol: String = "ts",
+                  watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   // ---- custom state: flatMapGroupsWithState sessionization ------------
 
   case class Event(ts: java.sql.Timestamp, user_id: Long,

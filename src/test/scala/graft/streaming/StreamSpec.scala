@@ -116,4 +116,27 @@ class StreamSpec extends SparkTestBase {
     val mem = MemoryStream[Event]
     assert(tumblingAgg(mem.toDF()).isStreaming)
   }
+
+  test("dedupStream drops same-key replays across batches, keeps distinct keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val withId = mem.toDF().withColumn("event_id",
+      (col("value") * 10).cast("long"))
+    val q = dedupStream(withId, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(ts(1), 1L, "click", 1.0),
+        Event(ts(2), 1L, "click", 1.0)) // same id within one batch
+      q.processAllAvailable()
+      // replay of id 10 in a later batch, inside the watermark
+      mem.addData(Event(ts(3), 1L, "click", 1.0),
+        Event(ts(4), 2L, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(10L, 20L),
+        s"each key once, replays dropped: ${ids.toSeq}")
+    } finally q.stop()
+  }
 }
