@@ -71,16 +71,49 @@ object Dedup {
   }
 
   /** Convenience single-column form (fine for tests/small inputs; hot
-    * paths go through [[shingleRows]]).
+    * paths go through [[shingleRows]]/[[ngramRows]]).
     */
   def shingles(text: Column): Column = shinglesOf(split(lower(text), " "))
+
+  /** (id, gram) ROWS for an n-gram stream — the hot-path form. Same
+    * gram semantics as [[ngramsOf]] (short texts fall back to the whole
+    * text as one gram) but a different execution shape: instead of a
+    * per-row `transform` lambda (interpreted per ELEMENT — higher-order
+    * functions have no codegen, measured ~6× the explode cost on the
+    * bigram stream), the n windows are `arrays_zip`-ed slices of the
+    * token array, exploded as structs, and the gram string is
+    * assembled by a post-explode `concat_ws` Project that whole-stage
+    * codegen compiles. The short-text fallback rides the same struct
+    * shape with null tail fields (`concat_ws` skips nulls).
+    */
+  def ngramRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+                gramCol: String = "gram"): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toksed = df.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+    if (n == 1)
+      toksed.select(col(idCol), explode(col("toks")).as(gramCol))
+    else {
+      val m = size(col("toks")) - (n - 1)
+      val zipped = arrays_zip((0 until n).map(k =>
+        slice(col("toks"), lit(k + 1), m)): _*)
+      val fallback = array(struct(
+        concat_ws(" ", col("toks")).as("0") +:
+          (1 until n).map(i => lit(null).cast("string").as(i.toString)): _*))
+      toksed
+        .select(col(idCol),
+          explode(when(size(col("toks")) >= n, zipped)
+            .otherwise(fallback)).as("_g"))
+        .select(col(idCol), concat_ws(" ",
+          (0 until n).map(i => col("_g").getField(i.toString)): _*)
+          .as(gramCol))
+    }
+  }
 
   /** (id, shingle) rows with the token array materialized in its own
     * projection so the shingle lambda reads an attribute.
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
-      .select(col(idCol), explode(shinglesOf(col("toks"))).as("shingle"))
+    ngramRows(df, idCol, textCol, 3, gramCol = "shingle")
 
   /** MinHash universe: signatures are affine permutations of ONE md5-
     * derived base hash per shingle — `sig_j = min (a_j·h + b_j) mod P` —

@@ -170,8 +170,9 @@ object TextAnalysis {
   def repetitionStats(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     def topFrac(n: Int, frac: String) = {
-      val grams = df.select(col(idCol),
-        explode(Dedup.ngramsOf(tokens(col(textCol)), n)).as("g"))
+      // explode-first gram stream (codegen'd concat) — the per-row
+      // transform-lambda form measured 3.4s of the 3.6s query at sf0.1
+      val grams = Dedup.ngramRows(df, idCol, textCol, n, gramCol = "g")
       grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col(idCol))
         .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
