@@ -97,6 +97,11 @@ object ExtQueries {
         centroidIds = (10L to 17L), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, nprobe = 2)),
 
+    "x_ann_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        codebookIds = (20L to 35L), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        k = 10, m = 8)),
+
     // ---- text analysis ------------------------------------------------
 
     "x_text_langid" -> ((s, dir) =>
@@ -727,6 +732,42 @@ object ExtQueries {
             FROM scored)
           SELECT query_id, cand_id, cosine, rank FROM ranked
           WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x_ann_pq_topk" -> {
+      val sq = (a: String, b: String) =>
+        s"CAST(list_dot_product($a,$a) - 2*list_dot_product($a,$b) " +
+          s"+ list_dot_product($b,$b) AS DOUBLE)"
+      s"""WITH subs AS (SELECT unnest(range(8)) AS sub),
+          corp AS (SELECT vec_id, $qvec AS v FROM embeddings),
+          cents AS (
+            SELECT sub, vec_id AS code,
+                   list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
+            FROM corp, subs WHERE vec_id BETWEEN 20 AND 35),
+          corpsub AS (
+            SELECT vec_id AS cand_id, sub,
+                   list_slice(v, sub*8 + 1, sub*8 + 8) AS sv
+            FROM corp, subs),
+          codes AS (
+            SELECT cand_id, sub, code FROM (
+              SELECT cand_id, sub, code,
+                row_number() OVER (PARTITION BY cand_id, sub
+                  ORDER BY ${sq("sv", "cv")}, code) AS rn
+              FROM corpsub JOIN cents USING (sub)) WHERE rn = 1),
+          qdist AS (
+            SELECT q.query_id, q.sub, c.code, ${sq("q.sv", "c.cv")} AS qd
+            FROM (SELECT cand_id AS query_id, sub, sv FROM corpsub
+                  WHERE cand_id IN (0, 1, 2, 3, 4)) q
+            JOIN cents c USING (sub)),
+          adc AS (
+            SELECT query_id, cand_id, SUM(qd) AS approx_dist
+            FROM codes JOIN qdist USING (sub, code)
+            WHERE query_id <> cand_id GROUP BY 1, 2)
+          SELECT query_id, cand_id, approx_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_dist, cand_id) AS INTEGER) AS rank
+            FROM adc) WHERE rank <= 10
+          ORDER BY query_id, rank"""
+    },
 
     "x_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, $qvec AS v FROM embeddings),

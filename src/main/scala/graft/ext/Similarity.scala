@@ -189,6 +189,95 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact squared L2 distance between quantized vectors via three
+    * native dot products (d(a,b)² = a·a − 2a·b + b·b) — integer-exact
+    * (quantized 64-dim coordinates keep every term far under 2^53), so
+    * distance comparisons are reproducible across engines/partitionings.
+    */
+  def sqDistQ(a: Column, b: Column): Column =
+    dotQ(a, a) - lit(2.0) * dotQ(a, b) + dotQ(b, b)
+
+  /** Exact L2 nearest-neighbor top-k — [[bruteForceTopK]]'s shape with
+    * squared-L2 ranking; the metric-consistent ground truth for
+    * [[pqTopK]] (PQ approximates L2, and on unnormalized vectors L2 and
+    * cosine rankings genuinely differ).
+    */
+  def bruteForceTopKL2(emb: DataFrame, idCol: String, vecCol: String,
+                       queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val c = emb.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        sqDistQ(col("qv"), col("cv")).as("sq_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_dist").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Product-quantization ANN (the IVFPQ building block): vectors are
+    * split into `m` subspaces; each subspace has a codebook (the
+    * subvectors of `codebookIds` corpus rows — fixed ids keep the
+    * operator deterministic and oracle-checkable, production would
+    * k-means them); every corpus vector is ENCODED as m small codes
+    * (nearest codebook entry per subspace, ties to the lowest code id).
+    * A query computes one distance-table row per (subspace, code) —
+    * m·|codebook| entries, independent of corpus size — and a
+    * candidate's approximate distance is the sum of m table lookups
+    * (asymmetric distance computation).
+    *
+    * Scale shape: encoding is a broadcast of m·|codebook| subvectors
+    * against one corpus scan with a map-side min_by argmin — the codes
+    * table is m short ints per vector, ~100× smaller than the vectors;
+    * at 100 TB the full-precision vectors are scanned ONCE at index
+    * build and never again, and query scoring touches only the codes.
+    * ADC scoring is an equi-join of codes against the broadcast
+    * distance table, then a per-(query, cand) sum — all integer-exact.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             codebookIds: Seq[Long], queryIds: Seq[Long], k: Int,
+             m: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1, s"m must be >= 1, got $m")
+    // subspace s of a quantized vector v: slice [s·len/m, (s+1)·len/m)
+    def subspaces(vecs: DataFrame, outId: String): DataFrame = {
+      val v = quantize(col(vecCol))
+      val subLen = (size(v) / lit(m)).cast("int")
+      vecs.select(col(idCol).as(outId), explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+            slice(v, lit(s) * subLen + lit(1), subLen).as("sv"))): _*))
+        .as("_s"))
+        .select(col(outId), col("_s.sub").as("sub"), col("_s.sv").as("sv"))
+    }
+    val cents = subspaces(emb.filter(col(idCol).isin(codebookIds: _*)), "code")
+      .select(col("sub"), col("code"), col("sv").as("cv"))
+    // encode the corpus: nearest code per (vector, subspace)
+    val codes = subspaces(emb, "cand_id")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("cand_id"), col("sub"), col("code"),
+        sqDistQ(col("sv"), col("cv")).as("d"))
+      .groupBy(col("cand_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+    // per-query distance table: m·|codebook| entries
+    val qtable = subspaces(emb.filter(col(idCol).isin(queryIds: _*)),
+        "query_id")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        sqDistQ(col("sv"), col("cv")).as("qd"))
+    val scored = codes.join(broadcast(qtable), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("qd")).as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * multi-table sign LSH ([[signBands]]): only pairs colliding in at
     * least one table are scored, deduped before the cosine. The pair
