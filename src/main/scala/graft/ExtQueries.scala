@@ -448,6 +448,36 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Incremental aggregation: two disjoint slices partialized
+    // separately, merged as state, finalized — must equal aggregating
+    // the whole table in one pass (the DuckDB oracle does exactly that).
+    "x_incr_agg" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .withColumn("year", year(col("o_orderdate")))
+      val keys = Seq("year", "o_orderstatus")
+      val evens = graft.agg.AggState.partialize(
+        o.filter(col("o_custkey") % 2 === 0), keys, "o_totalprice")
+      val odds = graft.agg.AggState.partialize(
+        o.filter(col("o_custkey") % 2 =!= 0), keys, "o_totalprice")
+      graft.agg.AggState.finalized(
+          graft.agg.AggState.merge(keys, evens, odds))
+        .orderBy(col("year"), col("o_orderstatus"))
+    }),
+
+    // Two-phase salted aggregation: spreads a hot key over 16 reducers,
+    // merges partials — result must equal the plain group-by (oracle).
+    "x_skew_salted" -> ((s, dir) =>
+      graft.ops.Skew.saltedGroupAgg(T(s, dir, "orders"),
+          keys = Seq("o_orderstatus"), spreadOn = col("o_custkey"),
+          buckets = 16,
+          phase1 = Seq(
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("__p"),
+            count(lit(1)).as("__n")),
+          phase2 = Seq(
+            sum(col("__p")).cast("double").as("revenue"),
+            sum(col("__n")).as("n_orders")))
+        .orderBy(col("o_orderstatus"))),
+
     // Verbatim 8-token spans recurring across documents (boilerplate /
     // template detection at the substring level).
     "x_dup_spans" -> ((s, dir) =>
@@ -1231,6 +1261,19 @@ object ExtQueries {
            $redacted AS redacted
           FROM aug ORDER BY doc_id"""
     },
+
+    "x_incr_agg" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus,
+            ${dsumSql("o_totalprice")} AS total,
+            COUNT(o_totalprice) AS n,
+            ${dsumSql("o_totalprice")} / COUNT(o_totalprice) AS mean,
+            MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
+          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_skew_salted" ->
+      s"""SELECT o_orderstatus, ${dsumSql("o_totalprice")} AS revenue,
+            COUNT(*) AS n_orders
+          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "x_dup_spans" ->
       """WITH toks AS (

@@ -1,0 +1,58 @@
+package graft.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Decomposable aggregate STATE for incremental maintenance — the
+  * materialized-view discipline: keep (sum, count, min, max) per group
+  * instead of finished answers, because states MERGE (new partition of
+  * data → partialize it → merge into the stored state) while finished
+  * averages do not. This is how a 100 TB rolling aggregate avoids
+  * re-scanning history: each refresh aggregates only the new slice and
+  * merges two small state tables, and every non-decomposable read-side
+  * value (mean here) is derived at the end from decomposable parts.
+  *
+  * All three steps are plain hash aggregates with map-side partials;
+  * sums accumulate in DECIMAL so merge results are exact and identical
+  * to a single-pass aggregate — pinned by the x_incr_agg oracle, which
+  * compares a two-state merge against DuckDB aggregating the full
+  * table directly.
+  */
+object AggState {
+
+  private val StateCols = Seq("s_sum", "s_count", "s_min", "s_max")
+
+  /** Aggregate a slice of data into per-group state. */
+  def partialize(df: DataFrame, keys: Seq[String],
+                 valCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      sum(col(valCol).cast(DecimalType(18, 2))).as("s_sum"),
+      count(col(valCol)).as("s_count"),
+      min(col(valCol)).as("s_min"),
+      max(col(valCol)).as("s_max"))
+
+  /** Merge any number of state tables (same keys) into one. */
+  def merge(keys: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "need at least one state table")
+    states.map(_.select((keys ++ StateCols).map(col): _*))
+      .reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*).agg(
+        sum(col("s_sum")).as("s_sum"),
+        sum(col("s_count")).as("s_count"),
+        min(col("s_min")).as("s_min"),
+        max(col("s_max")).as("s_max"))
+  }
+
+  /** Read-side view of a state table: totals plus the derived mean. */
+  def finalized(state: DataFrame): DataFrame = {
+    val keys = state.columns.filterNot(StateCols.contains)
+    state.select(keys.map(col) ++ Seq(
+      col("s_sum").cast("double").as("total"),
+      col("s_count").as("n"),
+      (col("s_sum").cast("double") / col("s_count").cast("double"))
+        .as("mean"),
+      col("s_min").as("vmin"),
+      col("s_max").as("vmax")): _*)
+  }
+}

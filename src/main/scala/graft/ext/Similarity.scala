@@ -116,21 +116,30 @@ object Similarity {
               queryIds: Seq[Long], k: Int, bits: Int = 6,
               tables: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same shuffle discipline as [[nearDupPairs]]: bucket entries and
+    // the multi-table hit dedup carry ids only; vectors are attached
+    // after the (query_id, cand_id) distinct, each exactly once
     val q = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"),
+      .select(col(idCol).as("query_id"),
         explode(signBands(col(vecCol), tables, bits)).as("tb"))
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val c = emb.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("cv"),
+    val c = emb.select(col(idCol).as("cand_id"),
       explode(signBands(col(vecCol), tables, bits)).as("tb"))
-      .select(col("cand_id"), col("cv"),
+      .select(col("cand_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("qv"), col("cand_id"), col("cv"))
+      .select(col("query_id"), col("cand_id"))
       .distinct()
-    val scored = cand.select(col("query_id"), col("cand_id"),
-      cosineQ(col("qv"), col("cv")).as("cosine"))
+    val qv = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val cv = emb.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("cv"))
+    val scored = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineQ(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,34 @@
+package graft.agg
+
+import graft.SparkTestBase
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+class AggStateSpec extends SparkTestBase {
+
+  test("3-way split, partialize, merge == single-pass aggregate") {
+    val o = Tables.load(spark, sf, "orders")
+      .withColumn("year", year(col("o_orderdate")))
+    val keys = Seq("year", "o_orderstatus")
+    val slices = (0 until 3).map(i =>
+      AggState.partialize(o.filter(col("o_custkey") % 3 === i),
+        keys, "o_totalprice"))
+    val merged = AggState.finalized(AggState.merge(keys, slices: _*))
+    val direct = AggState.finalized(
+      AggState.partialize(o, keys, "o_totalprice"))
+    assert(merged.exceptAll(direct).isEmpty &&
+      direct.exceptAll(merged).isEmpty,
+      "merged state must equal the one-pass aggregate exactly")
+  }
+
+  test("merge is associative: (a+b)+c == a+(b+c)") {
+    val o = Tables.load(spark, sf, "orders")
+    val keys = Seq("o_orderstatus")
+    val Seq(a, b, c) = (0 until 3).map(i =>
+      AggState.partialize(o.filter(col("o_custkey") % 3 === i),
+        keys, "o_totalprice"))
+    val left = AggState.merge(keys, AggState.merge(keys, a, b), c)
+    val right = AggState.merge(keys, a, AggState.merge(keys, b, c))
+    assert(left.exceptAll(right).isEmpty && right.exceptAll(left).isEmpty)
+  }
+}
