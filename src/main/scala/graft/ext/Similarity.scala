@@ -251,23 +251,31 @@ object Similarity {
              m: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(m >= 1, s"m must be >= 1, got $m")
-    // subspace s of a quantized vector v: slice [s·len/m, (s+1)·len/m)
+    // subspace s of a quantized vector v: slice [s·len/m, (s+1)·len/m).
+    // The quantized vector is materialized as an attribute FIRST — the
+    // quantize lambda referenced from inside the m-struct array would
+    // be re-evaluated per subspace (HOFs sit outside codegen CSE; the
+    // shinglesOf lesson)
     def subspaces(vecs: DataFrame, outId: String): DataFrame = {
-      val v = quantize(col(vecCol))
-      val subLen = (size(v) / lit(m)).cast("int")
-      vecs.select(col(idCol).as(outId), explode(array((0 until m).map(s =>
+      val subLen = (size(col("_v")) / lit(m)).cast("int")
+      vecs.select(col(idCol).as(outId), quantize(col(vecCol)).as("_v"))
+        .select(col(outId), explode(array((0 until m).map(s =>
           struct(lit(s).as("sub"),
-            slice(v, lit(s) * subLen + lit(1), subLen).as("sv"))): _*))
-        .as("_s"))
+            slice(col("_v"), lit(s) * subLen + lit(1), subLen).as("sv"))): _*))
+          .as("_s"))
         .select(col(outId), col("_s.sub").as("sub"), col("_s.sv").as("sv"))
     }
     val cents = subspaces(emb.filter(col(idCol).isin(codebookIds: _*)), "code")
       .select(col("sub"), col("code"), col("sv").as("cv"))
-    // encode the corpus: nearest code per (vector, subspace)
+    // encode the corpus: nearest code per (vector, subspace). The
+    // ordering drops the sv·sv term — constant within an argmin group,
+    // so argmin(cv·cv − 2sv·cv) picks the identical code with one dot
+    // product less per (vector, code) candidate
     val codes = subspaces(emb, "cand_id")
       .join(broadcast(cents), Seq("sub"))
       .select(col("cand_id"), col("sub"), col("code"),
-        sqDistQ(col("sv"), col("cv")).as("d"))
+        (dotQ(col("cv"), col("cv")) - lit(2.0) * dotQ(col("sv"), col("cv")))
+          .as("d"))
       .groupBy(col("cand_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
     // per-query distance table: m·|codebook| entries
