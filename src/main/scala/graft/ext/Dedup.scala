@@ -348,6 +348,14 @@ object Dedup {
     * text column first.
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Shape notes from measurement (sf0.1): the 60 bit expressions +
+    // map-side partial aggregation over the raw token stream beat both
+    // (a) a tf pre-aggregation (the extra 5M-row group-by costs more
+    // than the expression work it saves, 1.4 s → 2.1 s on the pair
+    // query) and (b) an explicit repartition for self-join exchange
+    // reuse (1.4 s → 2.5 s). The pair query pays the signature subtree
+    // once per join side by design — the lazy-plan tradeoff; a real
+    // deployment checkpoints the signature table between stages.
     val toks = df.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("t"))
       .select(col(idCol), Hashing.hash64(col("t"), 0).as("h"))
