@@ -87,9 +87,14 @@ object Dedup {
     * shape with null tail fields (`concat_ws` skips nulls).
     */
   def ngramRows(df: DataFrame, idCol: String, textCol: String, n: Int,
-                gramCol: String = "gram"): DataFrame = {
+                gramCol: String = "gram", strict: Boolean = false): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val toksed = df.select(col(idCol), split(lower(col(textCol)), " ").as("toks"))
+    // strict = drop docs shorter than n (no whole-text fallback); the
+    // filter reads the materialized token attribute, not a re-split
+    val allToks = df.select(col(idCol),
+      split(lower(col(textCol)), " ").as("toks"))
+    val toksed =
+      if (strict) allToks.filter(size(col("toks")) >= n) else allToks
     if (n == 1)
       toksed.select(col(idCol), explode(col("toks")).as(gramCol))
     else {
@@ -456,15 +461,10 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
                      minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"span length must be >= 1, got $n")
-    val toks = df.select(col(idCol).as("id"),
-      split(lower(col(textCol)), " ").as("toks"))
-    val spans = toks.filter(size(col("toks")) >= n)
-      .select(col("id"), explode(
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
-          concat_ws(" ",
-            (0 until n).map(k => element_at(col("toks"), i + k)): _*)))
-        .as("span"))
-    spans.groupBy(col("span"), col("id"))
+    // strict windows: docs shorter than n contribute no spans
+    val spans = ngramRows(df, idCol, textCol, n, gramCol = "span",
+      strict = true)
+    spans.groupBy(col("span"), col(idCol))
       .agg(count(lit(1)).as("occ"))
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
