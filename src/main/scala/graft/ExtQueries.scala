@@ -448,6 +448,20 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Top-N per group: each nation's 3 highest-balance suppliers —
+    // rank inside key-partitioned windows (every nation ranks in
+    // parallel; no global sort, no single-partition funnel).
+    "x_group_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      T(s, dir, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("s_nationkey"), col("rank"))
+    }),
+
     // Incremental aggregation: two disjoint slices partialized
     // separately, merged as state, finalized — must equal aggregating
     // the whole table in one pass (the DuckDB oracle does exactly that).
@@ -1261,6 +1275,14 @@ object ExtQueries {
            $redacted AS redacted
           FROM aug ORDER BY doc_id"""
     },
+
+    "x_group_topk" ->
+      """SELECT s_nationkey, s_suppkey, s_name, s_acctbal, rank FROM (
+           SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+             CAST(row_number() OVER (PARTITION BY s_nationkey
+               ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rank
+           FROM supplier)
+         WHERE rank <= 3 ORDER BY s_nationkey, rank""",
 
     "x_incr_agg" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus,

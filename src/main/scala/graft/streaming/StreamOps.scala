@@ -90,6 +90,58 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming CDC apply: maintain a parquet table as the continuously
+    * merged view of a change stream. Each micro-batch is applied with
+    * [[graft.ops.Merge.mergeInto]] (update/delete/insert semantics,
+    * delete scoped to matched keys via `deleteCondition` over the
+    * change row) and the table is swapped atomically (write to a
+    * side directory, then rename) so concurrent readers never see a
+    * half-written table. `tableCols` fixes the maintained schema —
+    * change rows may carry extra columns (op codes, CDC metadata)
+    * that never land in the table.
+    *
+    * This is the parquet-directory form of the pattern; a
+    * transactional table format (Delta/Iceberg/Hudi) replaces the
+    * swap with a metadata commit and adds compaction — the merge plan
+    * (one full-outer equi-join per batch, update side = the
+    * micro-batch, typically broadcast) is identical. State lives in
+    * the TABLE, not the stream — the streaming side holds nothing
+    * between batches, so a 100 TB base table costs one key-partitioned
+    * join per refresh, not executor memory.
+    */
+  def upsertSink(changes: DataFrame, tablePath: String, keys: Seq[String],
+                 tableCols: Seq[String],
+                 deleteCondition: org.apache.spark.sql.Column =
+                   lit(false),
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChanges(batch, tablePath, keys, tableCols, deleteCondition)
+      }
+      .start()
+
+  /** One CDC batch against the parquet table at `tablePath` (the
+    * foreachBatch body, callable directly for batch backfills).
+    */
+  def applyChanges(batch: DataFrame, tablePath: String, keys: Seq[String],
+                   tableCols: Seq[String],
+                   deleteCondition: org.apache.spark.sql.Column): Unit = {
+    val spark = batch.sparkSession
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = path.getFileSystem(hadoop)
+    val base =
+      if (fs.exists(path)) spark.read.parquet(tablePath)
+      else batch.select(tableCols.map(col): _*).filter(lit(false))
+    val merged = graft.ops.Merge.mergeInto(
+      base.select(tableCols.map(col): _*), batch, keys, deleteCondition)
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + "__next")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(path)) fs.delete(path, true)
+    fs.rename(tmp, path)
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ------------
 
   case class Event(ts: java.sql.Timestamp, user_id: Long,

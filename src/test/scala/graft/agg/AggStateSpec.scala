@@ -21,6 +21,27 @@ class AggStateSpec extends SparkTestBase {
       "merged state must equal the one-pass aggregate exactly")
   }
 
+  test("HLL sketches merge exactly: union of slice sketches == one-pass sketch") {
+    // the approximate counterpart of AggState: Datasketches HLL state
+    // is mergeable, so distinct-count refreshes also skip history
+    val o = Tables.load(spark, sf, "orders")
+    val slices = (0 until 3).map(i =>
+      o.filter(col("o_custkey") % 3 === i)
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk")))
+    val merged = slices.reduce(_ unionByName _)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val onePass = o.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+      .head().getLong(0)
+    assert(merged == onePass,
+      s"sketch merge must be lossless vs one-pass: $merged != $onePass")
+    // and the estimate is a real distinct-count approximation
+    val exact = o.select("o_custkey").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged too far from exact $exact")
+  }
+
   test("merge is associative: (a+b)+c == a+(b+c)") {
     val o = Tables.load(spark, sf, "orders")
     val keys = Seq("o_orderstatus")

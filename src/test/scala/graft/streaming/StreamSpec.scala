@@ -117,6 +117,30 @@ class StreamSpec extends SparkTestBase {
     assert(tumblingAgg(mem.toDF()).isStreaming)
   }
 
+  test("upsertSink maintains a merged parquet table across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink").toString
+    val table = s"$dir/table"
+    val mem = MemoryStream[(Long, String, Double, String)]
+    val changes = mem.toDF().toDF("k", "name", "v", "op")
+    val q = upsertSink(changes, table, keys = Seq("k"),
+      tableCols = Seq("k", "name", "v"),
+      deleteCondition = col("op") === "d",
+      checkpointDir = s"$dir/ckpt")
+    try {
+      mem.addData((1L, "a", 1.0, "u"), (2L, "b", 2.0, "u"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(table).count() == 2)
+      // batch 2: update k=1, delete k=2, insert k=3
+      mem.addData((1L, "a2", 10.0, "u"), (2L, "b", 0.0, "d"),
+        (3L, "c", 3.0, "u"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(table).orderBy("k")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(rows == Seq((1L, "a2", 10.0), (3L, "c", 3.0)), rows.toString)
+    } finally q.stop()
+  }
+
   test("dedupStream drops same-key replays across batches, keeps distinct keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
