@@ -462,6 +462,21 @@ object ExtQueries {
         .orderBy(col("s_nationkey"), col("rank"))
     }),
 
+    // Same top-N-per-group via the custom whole-operator tier: logical
+    // node -> planner strategy -> per-key bounded-heap physical exec
+    // (O(n log k), no partition sort) — result must match the window
+    // form's oracle exactly.
+    "x_heap_topk" -> ((s, dir) =>
+      org.apache.spark.sql.graft.TopKPerKey.topKPerKey(
+          T(s, dir, "supplier")
+            .select(col("s_nationkey"), col("s_suppkey"), col("s_name"),
+              col("s_acctbal")),
+          keys = Seq("s_nationkey"),
+          orderBy = Seq(col("s_acctbal").desc, col("s_suppkey").asc),
+          k = 3)
+        .orderBy(col("s_nationkey"), col("s_acctbal").desc,
+          col("s_suppkey"))),
+
     // Incremental aggregation: two disjoint slices partialized
     // separately, merged as state, finalized — must equal aggregating
     // the whole table in one pass (the DuckDB oracle does exactly that).
@@ -1283,6 +1298,13 @@ object ExtQueries {
                ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rank
            FROM supplier)
          WHERE rank <= 3 ORDER BY s_nationkey, rank""",
+
+    "x_heap_topk" ->
+      """SELECT s_nationkey, s_suppkey, s_name, s_acctbal FROM (
+           SELECT *, row_number() OVER (PARTITION BY s_nationkey
+             ORDER BY s_acctbal DESC, s_suppkey) AS rn
+           FROM supplier) WHERE rn <= 3
+         ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""",
 
     "x_incr_agg" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus,

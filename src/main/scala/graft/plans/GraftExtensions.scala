@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cleanTextDescriptor)
     ext.injectFunction(GraftExtensions.quantizedDotDescriptor)
+    // whole-operator tier: grouped top-k via per-key bounded heaps
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
   }
 }
 
