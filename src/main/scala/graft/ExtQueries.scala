@@ -397,6 +397,25 @@ object ExtQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Snapshot diff (CDC generation, the inverse of MERGE): old =
+    // customer; new = customer with deterministic edits (drop %13==0,
+    // bal+50 where %7==1, inserts at shifted ids for %11==5). The diff
+    // must classify exactly the edited rows.
+    "x_snapshot_diff" -> ((s, dir) => {
+      val base = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val newSnap = base
+        .filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 1, col("c_acctbal") + 50.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(base.filter(col("c_custkey") % 11 === 5)
+          .select((col("c_custkey") + 2000000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      graft.ops.Diff.diffSnapshots(base, newSnap, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // SCD2 history: each user's event_type change log collapsed into
     // half-open validity intervals.
     "x_scd2" -> ((s, dir) =>
@@ -1150,6 +1169,31 @@ object ExtQueries {
          WHERE NOT (b.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
                     AND u.c_custkey % 100 = 0)
          ORDER BY c_custkey""",
+
+    "x_snapshot_diff" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         newsnap AS (
+           SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 1 THEN c_acctbal + 50.0
+                  ELSE c_acctbal END AS c_acctbal
+           FROM base WHERE c_custkey % 13 <> 0
+           UNION ALL
+           SELECT c_custkey + 2000000, c_name, c_acctbal FROM base
+           WHERE c_custkey % 11 = 5)
+         SELECT c_custkey, c_name, c_acctbal, op FROM (
+           SELECT
+             COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+             CASE WHEN n.c_custkey IS NOT NULL THEN n.c_name
+                  ELSE o.c_name END AS c_name,
+             CASE WHEN n.c_custkey IS NOT NULL THEN n.c_acctbal
+                  ELSE o.c_acctbal END AS c_acctbal,
+             CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                  WHEN n.c_custkey IS NULL THEN 'delete'
+                  WHEN o.c_acctbal <> n.c_acctbal
+                    OR o.c_name <> n.c_name THEN 'update' END AS op
+           FROM base o FULL OUTER JOIN newsnap n
+             ON o.c_custkey = n.c_custkey)
+         WHERE op IS NOT NULL ORDER BY c_custkey""",
 
     "x_scd2" ->
       """WITH e AS (

@@ -46,6 +46,34 @@ class MergeScd2Spec extends SparkTestBase {
     assert(out.toSeq == Seq((Some(1L), "a")))
   }
 
+  test("diffSnapshots classifies insert/update/delete; unchanged absent") {
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "name", "v")
+    val neu = Seq((1L, "a", 1.0), (2L, "b", 9.0), (4L, "d", 4.0))
+      .toDF("k", "name", "v")
+    val d = Diff.diffSnapshots(old, neu, Seq("k"))
+      .orderBy("k").as[(Long, String, Double, String)].collect()
+    assert(d.toSeq == Seq((2L, "b", 9.0, "update"), (3L, "c", 3.0, "delete"),
+      (4L, "d", 4.0, "insert")))
+  }
+
+  test("round trip: mergeInto(old, diff(old, new)) == new (real table)") {
+    val base = graft.io.Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val neu = base.filter(col("c_custkey") % 5 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 3 === 1, col("c_acctbal") * 2.0)
+          .otherwise(col("c_acctbal")))
+      .unionByName(base.filter(col("c_custkey") % 4 === 2)
+        .select((col("c_custkey") + 500000L).as("c_custkey"),
+          col("c_name"), col("c_acctbal")))
+    val changes = Diff.diffSnapshots(base, neu, Seq("c_custkey"))
+    val rebuilt = Merge.mergeInto(base, changes, Seq("c_custkey"),
+      deleteCondition = col("op") === "delete")
+    assert(rebuilt.exceptAll(neu).isEmpty && neu.exceptAll(rebuilt).isEmpty,
+      "applying the diff must reproduce the new snapshot exactly")
+  }
+
   test("buildHistory: runs collapse; reappearing value opens a NEW interval") {
     val log = Seq(
       (1L, 1L, 10L, "A"), (1L, 2L, 20L, "A"), (1L, 3L, 30L, "B"),
