@@ -281,6 +281,59 @@ object ExtQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Window-function breadth beyond the running sum: lag/lead, gaps
+    // (rank vs dense_rank), ntile, cume_dist — one key-partitioned
+    // window, no global sort.
+    "x_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Classic 3-table analytics (TPC-H Q3 shape): join reordering +
+    // broadcastable dimension + grouped decimal revenue + top-k.
+    "x_mjoin_revenue" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    }),
+
+    // 5-way star join (TPC-H Q5 shape): region→nation→customer +
+    // orders + lineitem, revenue per nation.
+    "x_mjoin_star" -> ((s, dir) => {
+      val r = T(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = T(s, dir, "nation")
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.join(broadcast(r),
+          col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ---- event-time aggregation (batch form; streaming in
     //      graft.streaming uses the identical plan over readStream) ------
 
@@ -1094,6 +1147,43 @@ object ExtQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS DOUBLE) AS running_total
          FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "x_window_suite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           cume_dist() OVER w AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "x_mjoin_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+
+    "x_mjoin_star" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
 
     "x_events_tumbling" ->
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes',

@@ -91,4 +91,29 @@ object Tables {
       .options(options)
       .mode("overwrite")
       .save()
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * `numFiles` evenly-sized files and swap it in atomically (write to
+    * a side directory, delete, rename — readers never see a partial
+    * table). Streaming sinks and incremental upserts accrete small
+    * files; at scale, file count is a planning cost (one scan task per
+    * file under `maxPartitionBytes`, driver memory per file footer) so
+    * periodic compaction is part of table maintenance. `rebalance =
+    * true` shuffles round-robin for even output sizes (handles skewed
+    * inputs); `false` coalesces without a shuffle (cheaper, keeps
+    * whatever size skew exists).
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int,
+              rebalance: Boolean = true): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val df = spark.read.parquet(path)
+    val sized = if (rebalance) df.repartition(numFiles)
+                else df.coalesce(numFiles)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    sized.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
 }

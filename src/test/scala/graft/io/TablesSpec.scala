@@ -61,6 +61,24 @@ class TablesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("compact: many small files -> numFiles, identical content, atomic swap") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val path = s"$dir/t.parquet"
+    val df = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    df.repartition(37).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 37)
+    val before = df.orderBy("o_orderkey").collect()
+    Tables.compact(spark, path, numFiles = 3)
+    assert(parquetFiles == 3, s"expected 3 files, got $parquetFiles")
+    val after = spark.read.parquet(path).orderBy("o_orderkey").collect()
+    assert(after.sameElements(before), "compaction must not change rows")
+    assert(!new java.io.File(path + "__compact").exists(),
+      "side directory must be swapped away")
+  }
+
   test("withFallback: primary empty -> fallback plan, else primary") {
     val primary = Seq(1).toDF("x").filter(col("x") > 99)
     val got = Tables.withFallback(primary)(Seq(7).toDF("x"))
