@@ -299,6 +299,45 @@ object ExtQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Frame-based window aggregates: trailing moving average (3
+    // preceding..current) and a centered min/max band — the sliding
+    // analytics shape; frames bound state per row, key-partitioned.
+    "x_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val trailing = w.rowsBetween(-3, Window.currentRow)
+      val centered = w.rowsBetween(-1, 1)
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(trailing)
+            .cast("double") /
+            count(lit(1)).over(trailing).cast("double")).as("trail_avg"),
+          min(col("o_totalprice")).over(centered).as("band_lo"),
+          max(col("o_totalprice")).over(centered).as("band_hi"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // NULL semantics parity: null-safe equality, coalesce/nullif,
+    // null-aware aggregation counts, and grouping with null keys.
+    "x_null_semantics" -> ((s, dir) => {
+      val e = Events.loadEvents(s, dir)
+        .select(col("event_id"),
+          when(col("event_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("etype"),
+          when(col("event_id") % 5 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("val"))
+      e.groupBy(col("etype"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("val")).as("n_vals"),
+          sum(col("val").cast(DecimalType(18, 2))).cast("double")
+            .as("val_sum"),
+          count(when(col("etype").eqNullSafe(lit(null).cast("string")),
+            1)).as("n_nullsafe_hits"),
+          count(when(nullif(col("etype"), lit("click")).isNull &&
+            col("etype").isNotNull, 1)).as("n_clicks_via_nullif"))
+        .orderBy(col("etype").asc_nulls_first)
+    }),
+
     // Classic 3-table analytics (TPC-H Q3 shape): join reordering +
     // broadcastable dimension + grouped decimal revenue + top-k.
     "x_mjoin_revenue" -> ((s, dir) => {
@@ -1160,6 +1199,37 @@ object ExtQueries {
          WINDOW w AS (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+
+    "x_window_frames" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wt AS DOUBLE)
+             / CAST(COUNT(*) OVER wt AS DOUBLE) AS trail_avg,
+           MIN(o_totalprice) OVER wc AS band_lo,
+           MAX(o_totalprice) OVER wc AS band_hi
+         FROM orders
+         WINDOW wt AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                wc AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "x_null_semantics" ->
+      """WITH e AS (
+           SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE event_type END AS etype,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS val
+           FROM events)
+         SELECT etype, COUNT(*) AS n_rows, COUNT(val) AS n_vals,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+           COUNT(CASE WHEN etype IS NOT DISTINCT FROM NULL THEN 1 END)
+             AS n_nullsafe_hits,
+           COUNT(CASE WHEN nullif(etype, 'click') IS NULL
+                       AND etype IS NOT NULL THEN 1 END)
+             AS n_clicks_via_nullif
+         FROM e GROUP BY 1 ORDER BY 1 NULLS FIRST""",
 
     "x_mjoin_revenue" ->
       """SELECT l_orderkey, o_orderdate,
