@@ -102,6 +102,11 @@ object ExtQueries {
         codebookIds = (20L to 35L), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         k = 10, m = 8)),
 
+    "x_ann_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfpqTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        centroidIds = (10L to 17L), codebookIds = (20L to 35L),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, m = 8, nprobe = 2)),
+
     // ---- text analysis ------------------------------------------------
 
     "x_text_langid" -> ((s, dir) =>
@@ -902,6 +907,58 @@ object ExtQueries {
             FROM scored)
           SELECT query_id, cand_id, cosine, rank FROM ranked
           WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x_ann_ivfpq_topk" -> {
+      val sq = (a: String, b: String) =>
+        s"CAST(list_dot_product($a,$a) - 2*list_dot_product($a,$b) " +
+          s"+ list_dot_product($b,$b) AS DOUBLE)"
+      s"""WITH e AS (SELECT vec_id, $qvec AS v FROM embeddings),
+          coarse AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+                     WHERE vec_id IN (10,11,12,13,14,15,16,17)),
+          cellrank AS (
+            SELECT e.vec_id, centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.v", "centv")} DESC, centroid_id) AS rk
+            FROM e CROSS JOIN coarse),
+          ccells AS (SELECT vec_id AS cand_id, centroid_id AS cell
+                     FROM cellrank WHERE rk = 1),
+          qcells AS (SELECT vec_id AS query_id, centroid_id AS cell
+                     FROM cellrank WHERE rk <= 2
+                       AND vec_id IN (0, 1, 2, 3, 4)),
+          cand AS (
+            SELECT query_id, cand_id FROM ccells JOIN qcells USING (cell)
+            WHERE query_id <> cand_id),
+          subs AS (SELECT unnest(range(8)) AS sub),
+          corpsub AS (
+            SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS sv
+            FROM e, subs),
+          cbook AS (
+            SELECT sub, vec_id AS code, sv AS cv FROM corpsub
+            WHERE vec_id BETWEEN 20 AND 35),
+          codes AS (
+            SELECT vec_id AS cand_id, sub, code FROM (
+              SELECT c.vec_id, c.sub, b.code,
+                row_number() OVER (PARTITION BY c.vec_id, c.sub
+                  ORDER BY ${sq("c.sv", "b.cv")}, b.code) AS rn
+              FROM corpsub c JOIN cbook b USING (sub)) WHERE rn = 1),
+          qdist AS (
+            SELECT q.vec_id AS query_id, q.sub, b.code,
+                   ${sq("q.sv", "b.cv")} AS qd
+            FROM corpsub q JOIN cbook b USING (sub)
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+          adc AS (
+            SELECT cand.query_id, cand.cand_id, SUM(qd) AS approx_dist
+            FROM cand
+            JOIN codes ON codes.cand_id = cand.cand_id
+            JOIN qdist ON qdist.query_id = cand.query_id
+              AND qdist.sub = codes.sub AND qdist.code = codes.code
+            GROUP BY 1, 2)
+          SELECT query_id, cand_id, approx_dist, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_dist, cand_id) AS INTEGER) AS rank
+            FROM adc) WHERE rank <= 10
+          ORDER BY query_id, rank"""
+    },
 
     "x_ann_pq_topk" -> {
       val sq = (a: String, b: String) =>

@@ -295,6 +295,77 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF + PQ composite (the production ANN architecture — FAISS-style
+    * IVFPQ, non-residual variant): coarse centroids prune the candidate
+    * space to the query's `nprobe` nearest cells, and candidates are
+    * scored by PQ asymmetric distance over their m-code encodings —
+    * full-precision vectors are touched only at index build. At 100 TB
+    * the codes table is partitioned BY CELL, so a query reads
+    * nprobe/|cells| of an already-~100×-compressed index; everything
+    * else (coarse assign, encode) is one corpus scan against broadcast
+    * centroids/codebooks. Same determinism discipline as [[ivfTopK]] /
+    * [[pqTopK]]: fixed centroid/codebook ids, integer-exact distances,
+    * ties to the lowest id.
+    */
+  def ivfpqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                centroidIds: Seq[Long], codebookIds: Seq[Long],
+                queryIds: Seq[Long], k: Int, m: Int = 8,
+                nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && m >= 1, s"nprobe/m must be >= 1")
+    val cents = emb.filter(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).as("centroid_id"), quantize(col(vecCol)).as("centv"))
+    def assign(vecs: DataFrame, probes: Int, outId: String): DataFrame = vecs
+      .select(col(idCol).as(outId), quantize(col(vecCol)).as("v"))
+      .join(broadcast(cents), lit(true))
+      .select(col(outId), col("centroid_id"),
+        cosineQ(col("v"), col("centv")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(outId))
+          .orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("rk") <= probes)
+      .select(col(outId), col("centroid_id").as("cell"))
+    def subspaces(vecs: DataFrame, outId: String): DataFrame = {
+      val subLen = (size(col("_v")) / lit(m)).cast("int")
+      vecs.select(col(idCol).as(outId), quantize(col(vecCol)).as("_v"))
+        .select(col(outId), explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col("_v"), lit(s) * subLen + lit(1), subLen).as("sv"))): _*))
+          .as("_s"))
+        .select(col(outId), col("_s.sub").as("sub"), col("_s.sv").as("sv"))
+    }
+    // cell-pruned candidate pairs: corpus vectors live in ONE cell,
+    // queries probe nprobe distinct cells -> no pair duplication
+    val cand = assign(emb, 1, "cand_id")
+      .join(broadcast(assign(emb.filter(col(idCol).isin(queryIds: _*)),
+        nprobe, "query_id")), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+    val cbook = subspaces(emb.filter(col(idCol).isin(codebookIds: _*)), "code")
+      .select(col("sub"), col("code"), col("sv").as("cv"))
+    val codes = subspaces(emb, "cand_id")
+      .join(broadcast(cbook), Seq("sub"))
+      .select(col("cand_id"), col("sub"), col("code"),
+        (dotQ(col("cv"), col("cv")) - lit(2.0) * dotQ(col("sv"), col("cv")))
+          .as("d"))
+      .groupBy(col("cand_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+    val qtable = subspaces(emb.filter(col(idCol).isin(queryIds: _*)),
+        "query_id")
+      .join(broadcast(cbook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        sqDistQ(col("sv"), col("cv")).as("qd"))
+    val scored = cand.join(codes, Seq("cand_id"))
+      .join(broadcast(qtable), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("qd")).as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by
     * multi-table sign LSH ([[signBands]]): only pairs colliding in at
     * least one table are scored, deduped before the cosine. The pair

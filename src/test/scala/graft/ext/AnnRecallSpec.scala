@@ -70,6 +70,29 @@ class AnnRecallSpec extends SparkTestBase {
     assert(r >= 0.1, f"PQ recall collapsed: $r%.3f")
   }
 
+  test("IVFPQ recall: cell pruning costs recall vs plain PQ, never adds") {
+    val exactL2 = Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
+        queryIds, k)
+      .select("query_id", "cand_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recallVsL2(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "cand_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      queryIds.map(q =>
+        (exactL2(q) & got.getOrElse(q, Set.empty)).size.toDouble / k)
+        .sum / queryIds.size
+    }
+    val pq = recallVsL2(Similarity.pqTopK(emb, "vec_id", "embedding",
+      codebookIds = (20L to 35L), queryIds, k, m = 8))
+    val ivfpq = recallVsL2(Similarity.ivfpqTopK(emb, "vec_id", "embedding",
+      centroidIds = (10L to 17L), codebookIds = (20L to 35L),
+      queryIds, k, m = 8, nprobe = 2))
+    info(f"recall@$k vs exact L2: pq $pq%.3f, ivfpq(nprobe=2) $ivfpq%.3f")
+    assert(ivfpq <= pq + 1e-9,
+      "cell pruning can only remove candidates, never add recall")
+    assert(ivfpq >= 0.02, f"IVFPQ recall collapsed below random: $ivfpq%.3f")
+  }
+
   test("PQ codes table is m codes per vector (index compression holds)") {
     // pqTopK's encode leg, reproduced: every (vector, subspace) must
     // resolve to exactly ONE code — the 8x compression that lets ADC
