@@ -304,6 +304,18 @@ object ExtQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Typed UDAF (custom Aggregator via functions.udaf): quantity-
+    // weighted mean price per return flag, integer-exact buffer.
+    "x_typed_wavg" -> ((s, dir) => {
+      val wm = udaf(graft.functions.TypedAggs.WeightedMean)
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(wm(col("l_extendedprice"), col("l_quantity"))
+          .as("wavg_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Frame-based window aggregates: trailing moving average (3
     // preceding..current) and a centered min/max band — the sliding
     // analytics shape; frames bound state per row, key-partitioned.
@@ -1256,6 +1268,15 @@ object ExtQueries {
          WINDOW w AS (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+
+    "x_typed_wavg" ->
+      """SELECT l_returnflag,
+           (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0)
+             / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+             AS wavg_price,
+           COUNT(*) AS n_items
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "x_window_frames" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
