@@ -34,6 +34,12 @@ object ExtQueries {
       Dedup.exactGroups(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("content_hash"))),
 
+    // Survivor rows of exact dedup (lowest id per content hash).
+    "x_dedup_survivors" -> ((s, dir) =>
+      Dedup.dropExactDups(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // exact-oracle queries disable the skew guards (maxBucket/maxDf = 0)
     // so both engines enumerate identical pair spaces; production callers
     // keep the safe defaults
@@ -302,6 +308,27 @@ object ExtQueries {
           ntile(4).over(w).as("quartile"),
           cume_dist().over(w).as("cdist"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Array-function breadth over the token arrays: sizes, sorted
+    // distinct join, sorted extremes, overlap/intersection with a
+    // constant keyword list — all row-local, zero shuffle.
+    "x_array_funcs" -> ((s, dir) => {
+      val kw = array(lit("data"), lit("query"), lit("table"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          concat_ws(" ", array_sort(array_distinct(col("toks"))))
+            .as("sorted_vocab"),
+          element_at(array_sort(col("toks")), 1).as("first_tok"),
+          element_at(array_sort(col("toks")), -1).as("last_tok"),
+          arrays_overlap(col("toks"),
+            array(lit("data"), lit("query"))).as("has_kw"),
+          size(array_intersect(array_distinct(col("toks")), kw))
+            .as("n_kw"))
+        .orderBy(col("doc_id"))
     }),
 
     // Typed UDAF (custom Aggregator via functions.udaf): quantity-
@@ -1268,6 +1295,28 @@ object ExtQueries {
          WINDOW w AS (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+
+    "x_dedup_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id IN (
+           SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+         ORDER BY doc_id""",
+
+    "x_array_funcs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           array_to_string(list_sort(list_distinct(toks)), ' ')
+             AS sorted_vocab,
+           list_sort(toks)[1] AS first_tok,
+           list_sort(toks)[-1] AS last_tok,
+           len(list_intersect(toks, ['data', 'query'])) > 0 AS has_kw,
+           CAST(len(list_intersect(list_distinct(toks),
+             ['data', 'query', 'table'])) AS INTEGER) AS n_kw
+         FROM t ORDER BY doc_id""",
 
     "x_typed_wavg" ->
       """SELECT l_returnflag,
