@@ -632,6 +632,24 @@ object ExtQueries {
         .orderBy(col("s_nationkey"), col("s_acctbal").desc,
           col("s_suppkey"))),
 
+    // Same contract a third way: the plain window idiom (row_number →
+    // filter → drop), with the WindowTopKRewrite optimizer rule installed
+    // — Catalyst itself swaps the window+sort for the bounded-heap
+    // operator (Rule[LogicalPlan] tier of the extension stack). Top-2
+    // customers by balance per nation so the plan is distinct from the
+    // supplier variants.
+    "x_rule_topk" -> ((s, dir) => {
+      org.apache.spark.sql.graft.WindowTopKRewrite.install(s)
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      T(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .drop("rn")
+        .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+    }),
+
     // Incremental aggregation: two disjoint slices partialized
     // separately, merged as state, finalized — must equal aggregating
     // the whole table in one pass (the DuckDB oracle does exactly that).
@@ -1636,6 +1654,14 @@ object ExtQueries {
              ORDER BY s_acctbal DESC, s_suppkey) AS rn
            FROM supplier) WHERE rn <= 3
          ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""",
+
+    "x_rule_topk" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer) WHERE rn <= 2
+         ORDER BY c_nationkey, c_acctbal DESC, c_custkey""",
 
     "x_incr_agg" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus,

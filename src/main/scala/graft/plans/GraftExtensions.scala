@@ -7,11 +7,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.graft.{CleanTextExpr, QuantizedDot}
 
-/** Engine extension point (SURVEY §4): registers graft's native
-  * expressions for SQL use. The reference needs no custom optimizer rules
-  * or strategies (its ops are all Catalyst built-ins), so this currently
-  * carries only the function registrations; planner rules would be
-  * injected here the same way.
+/** Engine extension point (SURVEY §4): registers every tier of graft's
+  * custom-operator stack — native expressions for SQL use, the
+  * window-top-k optimizer rewrite, and the planner strategy for the
+  * bounded-heap grouped top-k operator. (The reference itself needs none
+  * of these — its ops are all Catalyst built-ins — they are the
+  * beyond-reference engine surface.)
   *
   * Usage:
   *   SparkSession.builder().withExtensions(new GraftExtensions)...
@@ -25,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.quantizedDotDescriptor)
     // whole-operator tier: grouped top-k via per-key bounded heaps
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
+    // optimizer tier: window row_number top-k idiom → the heap operator
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.WindowTopKRewrite)
   }
 }
 
