@@ -331,6 +331,53 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Higher-order functions over a MATERIALIZED token array (the round-1
+    // lesson: HOF lambdas sit outside codegen CSE, so the array a lambda
+    // reads must be an attribute, never an inline expression):
+    // transform/aggregate/filter/exists/forall, oracle re-derived
+    // relationally from exploded tokens.
+    "x_hof_funcs" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).as("sum_len"),
+          size(filter(col("toks"), t => length(t) > 4)).as("n_long"),
+          array_max(transform(col("toks"), t => length(t))).as("max_len"),
+          exists(col("toks"), t => length(t) > 7).cast("int").as("has_long"),
+          forall(col("toks"), t => length(t) > 0).cast("int")
+            .as("all_nonempty"))
+        .orderBy(col("doc_id"))),
+
+    // Map column functions: construct (map_from_arrays), read
+    // (element_at, size), and relationalize (explode) — all row-local,
+    // zero shuffle before the presentation sort.
+    "x_map_funcs" -> ((s, dir) =>
+      Events.loadEvents(s, dir)
+        .filter(col("event_id") < 100)
+        .select(col("event_id"),
+          map_from_arrays(
+            array(lit("etype"), lit("k")),
+            array(col("event_type"),
+              get_json_object(col("props"), "$.k"))).as("m"))
+        .select(col("event_id"),
+          size(col("m")).as("n_keys"),
+          element_at(col("m"), lit("etype")).as("etype2"),
+          explode(col("m")))
+        .orderBy(col("event_id"), col("key"))),
+
+    // posexplode: token stream with ordinal positions — the
+    // lateral-view shape; order is derived from the array, not from row
+    // order, so it is partitioning-invariant.
+    "x_explode_pos" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("token"))
+        .orderBy(col("doc_id"), col("pos"))),
+
     // Typed UDAF (custom Aggregator via functions.udaf): quantity-
     // weighted mean price per return flag, integer-exact buffer.
     "x_typed_wavg" -> ((s, dir) => {
@@ -416,6 +463,92 @@ object ExtQueries {
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+
+    // ---- SQL surface: subqueries, grouping sets --------------------------
+    // These run through spark.sql over temp views — the SQL entry point is
+    // part of the engine's public surface, and subqueries exercise
+    // Catalyst's decorrelation (RewritePredicateSubquery → semi/anti join,
+    // scalar subquery → aggregate + join), which the DataFrame queries
+    // never touch.
+
+    // Correlated scalar subquery (per-nation average) + nested
+    // uncorrelated IN chain. Decorrelates to one aggregate join — no
+    // per-row re-execution.
+    "x_subq_scalar" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("customer")
+      T(s, dir, "nation").createOrReplaceTempView("nation")
+      T(s, dir, "region").createOrReplaceTempView("region")
+      s.sql("""
+        SELECT c.c_nationkey, COUNT(*) AS n_above_avg
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey IN (SELECT r_regionkey
+                                  FROM region WHERE r_name <> 'EUROPE'))
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey""")
+    }),
+
+    // EXISTS and NOT EXISTS legs of the same correlated predicate —
+    // planned as left-semi and left-anti hash joins respectively.
+    "x_subq_exists" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("customer")
+      T(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT 'active' AS grp, c_nationkey, COUNT(*) AS n
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 50000)
+        GROUP BY c_nationkey
+        UNION ALL
+        SELECT 'inactive' AS grp, c_nationkey, COUNT(*) AS n
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY grp, c_nationkey""")
+    }),
+
+    // Explicit GROUPING SETS with grouping() indicator columns — the
+    // general form behind rollup/cube (x_rollup/x_cube), one shuffle of
+    // the expanded grouping-id keys.
+    "x_grouping_sets" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT yr, o_orderstatus,
+          CAST(GROUPING(yr) AS INTEGER) AS g_yr,
+          CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_orders
+        FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                     o_orderstatus, o_totalprice FROM orders)
+        GROUP BY GROUPING SETS ((yr, o_orderstatus), (yr), (o_orderstatus), ())
+        ORDER BY g_yr, g_st, yr NULLS FIRST, o_orderstatus NULLS FIRST""")
+    }),
+
+    // Bivariate statistical aggregates: correlation, covariance, and
+    // least-squares regression per group — single-pass decomposable
+    // moments, one shuffle (rounded: the moment recurrences differ
+    // across engines in the last float digits).
+    "x_stats_aggs" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("covp_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("covs_qp"),
+          round(stddev_pop(col("l_quantity")), 6).as("sdp_q"),
+          round(var_pop(col("l_quantity")), 6).as("varp_q"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope_pq"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("icept_pq"))
+        .orderBy(col("l_returnflag"))),
 
     // ---- event-time aggregation (batch form; streaming in
     //      graft.streaming uses the identical plan over readStream) ------
@@ -1336,6 +1469,49 @@ object ExtQueries {
              ['data', 'query', 'table'])) AS INTEGER) AS n_kw
          FROM t ORDER BY doc_id""",
 
+    // Relational re-derivation of the HOF results: explode tokens with
+    // unnest, then plain aggregates.
+    "x_hof_funcs" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents WHERE doc_id < 200),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS t FROM d)
+         SELECT doc_id,
+           CAST(SUM(len(t)) AS INTEGER) AS sum_len,
+           CAST(COUNT(CASE WHEN len(t) > 4 THEN 1 END) AS INTEGER)
+             AS n_long,
+           CAST(MAX(len(t)) AS INTEGER) AS max_len,
+           CAST(MAX(CASE WHEN len(t) > 7 THEN 1 ELSE 0 END) AS INTEGER)
+             AS has_long,
+           CAST(MIN(CASE WHEN len(t) > 0 THEN 1 ELSE 0 END) AS INTEGER)
+             AS all_nonempty
+         FROM tok GROUP BY doc_id ORDER BY doc_id""",
+
+    "x_map_funcs" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+             json_extract_string(props, '$.k') AS k
+           FROM events WHERE event_id < 100)
+         SELECT * FROM (
+           SELECT event_id, 2 AS n_keys, event_type AS etype2,
+             'etype' AS key, event_type AS value FROM e
+           UNION ALL
+           SELECT event_id, 2, event_type, 'k', k FROM e)
+         ORDER BY event_id, key""",
+
+    "x_explode_pos" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents WHERE doc_id < 50),
+         z AS (
+           SELECT doc_id,
+             unnest(list_zip(toks, range(0, len(toks)))) AS p
+           FROM d)
+         SELECT doc_id, CAST(p[2] AS INTEGER) AS pos,
+           p[1] AS token
+         FROM z ORDER BY doc_id, pos""",
+
     "x_typed_wavg" ->
       """SELECT l_returnflag,
            (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -1399,6 +1575,57 @@ object ExtQueries {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
          GROUP BY 1 ORDER BY revenue DESC, n_name""",
+
+    "x_subq_scalar" ->
+      """SELECT c.c_nationkey, COUNT(*) AS n_above_avg
+         FROM customer c
+         WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                              WHERE c2.c_nationkey = c.c_nationkey)
+           AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                                 WHERE n_regionkey IN (SELECT r_regionkey
+                                   FROM region WHERE r_name <> 'EUROPE'))
+         GROUP BY c.c_nationkey
+         ORDER BY c.c_nationkey""",
+
+    "x_subq_exists" ->
+      """SELECT 'active' AS grp, c_nationkey, COUNT(*) AS n
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 50000)
+         GROUP BY c_nationkey
+         UNION ALL
+         SELECT 'inactive' AS grp, c_nationkey, COUNT(*) AS n
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_nationkey
+         ORDER BY grp, c_nationkey""",
+
+    "x_grouping_sets" ->
+      """SELECT yr, o_orderstatus,
+           CAST(GROUPING(yr) AS INTEGER) AS g_yr,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_orders
+         FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                      o_orderstatus, o_totalprice FROM orders)
+         GROUP BY GROUPING SETS ((yr, o_orderstatus), (yr),
+           (o_orderstatus), ())
+         ORDER BY g_yr, g_st, yr NULLS FIRST, o_orderstatus NULLS FIRST""",
+
+    "x_stats_aggs" ->
+      """SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+           round(stddev_pop(l_quantity), 6) AS sdp_q,
+           round(var_pop(l_quantity), 6) AS varp_q,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)
+             AS icept_pq
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "x_events_tumbling" ->
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes',
