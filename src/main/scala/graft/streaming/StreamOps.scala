@@ -75,6 +75,22 @@ object StreamOps {
           col(s"${tsCol}_r") >= col(tsCol) - expr(s"interval $lookback"))
   }
 
+  /** Stream-static enrichment join: every micro-batch joined against a
+    * static dimension table. The dimension side is marked broadcast —
+    * Spark re-plans the join per micro-batch, so the stream side never
+    * shuffles and there is no join state to watermark (static side is
+    * re-read per batch, which also picks up dimension updates for file
+    * sources). Left join keeps stream rows with no dimension match. This
+    * is the stateless counterpart of [[intervalJoin]]; use it for slowly
+    * changing lookups (user→tier, key→config), not for time-versioned
+    * enrichment (that is the as-of join).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keyCol: String,
+                   dimCols: Seq[String]): DataFrame =
+    stream.join(
+      broadcast(dim.select((keyCol +: dimCols).map(col): _*)),
+      Seq(keyCol), "left")
+
   /** Streaming exact dedup: drop rows whose `idCols` were already seen,
     * holding each key in the state store only until the watermark passes
     * it — the streaming half of the dedup family (batch exact dedup is

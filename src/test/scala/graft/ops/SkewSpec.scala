@@ -29,4 +29,47 @@ class SkewSpec extends SparkTestBase {
     val b = s.collect().map(_.getInt(0)).toSeq
     assert(a == b)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the runtime complement of manual salting: one hot key, shuffle
+    // join, thresholds lowered so the test corpus trips the same
+    // OptimizeSkewedJoin path a 100 TB hot key would
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 50k rows on ONE key vs a near-uniform remainder
+      val left = spark.range(0, 52000)
+        .select(when($"id" < 50000, 0L).otherwise($"id" % 40).as("k"),
+          $"id".as("v"))
+      val right = spark.range(0, 40).select($"id".as("k"), ($"id" * 10).as("w"))
+      val joined = left.join(right, "k")
+      // materialize THIS QueryExecution (count() would build another one
+      // and leave this plan un-executed, isFinalPlan=false)
+      assert(joined.collect().length == 52000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split join in final plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

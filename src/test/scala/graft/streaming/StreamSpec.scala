@@ -163,4 +163,31 @@ class StreamSpec extends SparkTestBase {
         s"each key once, replays dropped: ${ids.toSeq}")
     } finally q.stop()
   }
+
+  test("enrichStream joins micro-batches against a static broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = enrichStream(mem.toDF(), dim, "user_id", Seq("tier"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(ts(1), 1L, "click", 1.0),
+        Event(ts(2), 9L, "view", 2.0)) // user 9 has no dim row
+      q.processAllAvailable()
+      mem.addData(Event(ts(3), 2L, "click", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("user_id", "tier").as[(Long, Option[String])]
+        .collect().toSeq.sortBy(_._1)
+      assert(got == Seq((1L, Some("gold")), (2L, Some("basic")),
+        (9L, None)), got.toString)
+      // stateless: no watermark, no state rows — the plan must carry a
+      // broadcast join, not a stateful stream-stream join
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("StateStore"), plan)
+    } finally q.stop()
+  }
 }
