@@ -39,10 +39,10 @@ object SheetParser {
     * P3 positional unnamed→category/principal_diagnosis/dimension_i,
     * P4 drop `total`.
     */
-  private[ingest] case class Header(colNames: Seq[String], idCols: Seq[String],
+  private[graft] case class Header(colNames: Seq[String], idCols: Seq[String],
                                     stateCols: Seq[String], keep: Seq[Int])
 
-  private[ingest] def resolveHeader(cells: Seq[Any]): Header = {
+  private[graft] def resolveHeader(cells: Seq[Any]): Header = {
     // pandas read_excel names empty header cells "Unnamed: <i>"
     val raw = cells.zipWithIndex.map { case (c, i) =>
       if (c == null || c.toString.trim.isEmpty) s"Unnamed: $i" else c.toString

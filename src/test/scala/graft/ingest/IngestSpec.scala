@@ -11,22 +11,10 @@ import graft.SparkTestBase
   */
 class IngestSpec extends SparkTestBase {
 
-  // -- fakes: a "workbook" is UTF-8 text, sheets delimited by
-  //    `== name ==` lines, cells tab-separated. Deterministic, no codec.
-  private object FakeDecoder extends WorkbookDecoder {
-    def decode(bytes: Array[Byte]): Seq[(String, Seq[Seq[String]])] = {
-      val lines = new String(bytes, UTF_8).split("\n").toSeq
-      val starts = lines.zipWithIndex.collect {
-        case (l, i) if l.startsWith("== ") => i
-      }
-      starts.zipAll(starts.drop(1), -1, lines.size).map { case (s, e) =>
-        val name = lines(s).stripPrefix("== ").stripSuffix(" ==")
-        val grid = lines.slice(s + 1, e).map(_.split("\t", -1).toSeq
-          .map(c => if (c.isEmpty) null else c))
-        name -> grid
-      }
-    }
-  }
+  // -- fake fetch only; decode is the real offline TextWorkbook format
+  //    (`== name ==` delimited, tab-separated cells) shared with the
+  //    graft-sheet DataSource V2
+  private val FakeDecoder = graft.sources.TextWorkbook
 
   private def sheet(name: String, rows: Seq[String]): String =
     (s"== $name ==" +: rows).mkString("\n")
