@@ -821,6 +821,26 @@ object ExtQueries {
           "doc_id", "text", n = 8, minDocs = 2)
         .orderBy(col("span"))),
 
+    // Benchmark decontamination: docs sharing any verbatim 8-gram with
+    // a stand-in eval set (every 97th doc) — broadcast-semi-join prune,
+    // hits-only aggregate. (4-grams: sized to this corpus's tiny
+    // synthetic vocabulary; real decontamination runs 8-13.)
+    "x_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Training-sequence chunking: 32-token windows, 8-token overlap.
+    "x_chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(
+          T(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Corpus-unigram LM scoring (perplexity proxy for quality filtering).
     "x_text_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
@@ -1914,6 +1934,41 @@ object ExtQueries {
          per_doc AS (
            SELECT span, doc_id, COUNT(*) AS occ FROM spans GROUP BY 1, 2)
          SELECT span, COUNT(*) AS n_docs, CAST(SUM(occ) AS BIGINT) AS n_occ
-         FROM per_doc GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1"""
+         FROM per_doc GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
+
+    "x_decontaminate" ->
+      """WITH corpus AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS l
+           FROM documents WHERE doc_id % 97 <> 0),
+         bench AS (
+           SELECT string_split(lower(text), ' ') AS l
+           FROM documents WHERE doc_id % 97 = 0),
+         cg AS (
+           SELECT doc_id, array_to_string(l[i:i+3], ' ') AS gram
+           FROM corpus, LATERAL (
+             SELECT unnest(generate_series(1, len(l) - 3)) AS i) g),
+         bg AS (
+           SELECT DISTINCT array_to_string(l[i:i+3], ' ') AS gram
+           FROM bench, LATERAL (
+             SELECT unnest(generate_series(1, len(l) - 3)) AS i) g)
+         SELECT doc_id,
+           COUNT(DISTINCT cg.gram) AS n_hit_grams,
+           COUNT(*) AS n_hits
+         FROM cg JOIN bg ON cg.gram = bg.gram
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "x_chunk_docs" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 100),
+         s AS (
+           SELECT doc_id, toks, CAST(i AS INTEGER) AS start
+           FROM d, LATERAL (
+             SELECT unnest(generate_series(0, len(toks) - 1, 24)) AS i) g)
+         SELECT doc_id,
+           CAST(start // 24 AS INTEGER) AS chunk_id,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
+           CAST(LEAST(len(toks) - start, 32) AS INTEGER) AS n_toks
+         FROM s ORDER BY doc_id, chunk_id"""
   )
 }

@@ -471,6 +471,29 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Benchmark decontamination: corpus documents sharing any verbatim
+    * n-token window with an evaluation set, with hit counts — the
+    * pretraining-hygiene scan run before training on scraped data.
+    * The benchmark side is DISTINCT grams and broadcast (eval suites
+    * are thousands of docs; the corpus is the 100 TB side), so corpus
+    * grams are filtered map-side by a broadcast semi-join as they
+    * stream out of the scan — no corpus-sized shuffle; only the
+    * (rare) hits reach the per-doc aggregate. Returns
+    * (id, n_hit_grams distinct, n_hits total occurrences).
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val corpusGrams = ngramRows(corpus, idCol, textCol, n, strict = true)
+    val benchGrams = ngramRows(bench, idCol, textCol, n, strict = true)
+      .select(col("gram")).distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("gram")).as("n_hit_grams"),
+        count(lit(1)).as("n_hits"))
+  }
+
   // ---- n-gram Jaccard -------------------------------------------------
 
   /** Exact Jaccard similarity over distinct word n-grams for candidate

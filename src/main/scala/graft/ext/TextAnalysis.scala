@@ -259,4 +259,31 @@ object TextAnalysis {
     }
     spark.createDataFrame(indexed, schema)
   }
+
+  /** Fixed token-window chunking for training sequences: windows of
+    * `chunkSize` tokens starting every `chunkSize - overlap` tokens;
+    * trailing windows may be short, and a doc shorter than a window
+    * yields one chunk. Entirely row-local — per-doc starts explode from
+    * a `sequence`, the slice reads the materialized token attribute
+    * carried through the Generate — so the operator is a narrow map at
+    * any corpus size; chunk ids are (doc, start)-derived, never a
+    * global counter.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val step = chunkSize - overlap
+    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(step))).as("start"))
+      .select(col(idCol),
+        (col("start") / step).cast("int").as("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("start") + 1, lit(chunkSize))).as("chunk"),
+        least(size(col("toks")) - col("start"), lit(chunkSize))
+          .as("n_toks"))
+  }
 }

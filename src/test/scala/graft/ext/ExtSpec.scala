@@ -189,4 +189,39 @@ class ExtSpec extends SparkTestBase {
       .as[String].head()
     assert(red == "mail <EMAIL> or <URL> or <PHONE> end", red)
   }
+
+  test("chunkDocuments: non-overlapping chunks reassemble the text exactly") {
+    val real = graft.io.Tables.load(spark, sf, "documents")
+      .filter($"doc_id" < 20).select($"doc_id", $"text")
+    val rebuilt = TextAnalysis
+      .chunkDocuments(real, "doc_id", "text", chunkSize = 7, overlap = 0)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct($"chunk_id", $"chunk"))).getField("chunk")).as("rebuilt"))
+    val diff = real.join(rebuilt, "doc_id")
+      .filter($"text" =!= $"rebuilt").count()
+    assert(diff == 0, "concat of overlap-0 chunks must equal the source text")
+  }
+
+  test("chunkDocuments: overlap windows start every (size - overlap) tokens") {
+    val one = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocuments(one, "doc_id", "text", 4, 2)
+      .orderBy("chunk_id")
+      .select("chunk", "n_toks").as[(String, Int)].collect().toSeq
+    assert(rows == Seq(
+      ("t0 t1 t2 t3", 4), ("t2 t3 t4 t5", 4), ("t4 t5 t6 t7", 4),
+      ("t6 t7 t8 t9", 4), ("t8 t9", 2)), rows.toString)
+  }
+
+  test("contaminationReport flags exactly the docs sharing an n-gram") {
+    val corpus = docs.filter($"doc_id" =!= 0L)
+    val bench = docs.filter($"doc_id" === 0L)
+    val hits = Dedup.contaminationReport(corpus, bench, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_hit_grams").as[(Long, Long)].collect().toSeq
+    // doc 2 is verbatim (2 distinct 8-grams of a 9-token doc); doc 1
+    // shares the first 8-gram only; doc 3 shares nothing
+    assert(hits == Seq((1L, 1L), (2L, 2L)), hits.toString)
+  }
 }
