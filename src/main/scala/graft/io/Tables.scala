@@ -66,6 +66,30 @@ object Tables {
   def withFallback(primary: DataFrame)(fallback: => DataFrame): DataFrame =
     if (primary.isEmpty) fallback else primary
 
+  /** S5/S4 format breadth: the same named-table scan/sink over any
+    * built-in columnar or text format. Parquet stays the scale default
+    * (splittable + column-pruned + predicate-pushed); ORC shares those
+    * properties; CSV/JSON are interchange formats — schemaless text, so
+    * reads REQUIRE an explicit schema (schema inference is a full extra
+    * pass over the data, and silently wrong types at 100 TB; never
+    * infer in production paths). CSV writes quote/escape per RFC 4180
+    * via Spark's univocity writer; JSON is line-delimited.
+    */
+  def loadFormat(spark: SparkSession, dir: String, name: String,
+                 format: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None,
+                 options: Map[String, String] = Map.empty): DataFrame = {
+    require(format != "csv" && format != "json" || schema.nonEmpty,
+      s"$format reads need an explicit schema (inference = extra full pass)")
+    val r = spark.read.format(format).options(options)
+    schema.fold(r)(r.schema).load(s"$dir/$name.$format")
+  }
+
+  def saveFormat(df: DataFrame, dir: String, name: String, format: String,
+                 options: Map[String, String] = Map.empty): Unit =
+    df.write.mode("overwrite").format(format).options(options)
+      .save(s"$dir/$name.$format")
+
   // ---- JDBC-shaped surface (S4/S5 as the reference actually runs them).
   // Untestable in this offline harness (no database); the parquet forms
   // above are the graded path. Kept so a reference user's PostgreSQL

@@ -50,6 +50,11 @@ class SheetDataSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SheetPlanning.plan(options.get("path"))._1
 
+  // a user-supplied .schema(...) skips the driver-side inference pass —
+  // at crawl scale (10^5 workbooks) inference reads every workbook once
+  // on the driver, so production readers pass the known tidy schema
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new SheetTable(schema, properties.get("path"))
@@ -57,12 +62,16 @@ class SheetDataSource extends TableProvider
 
 private[sources] class SheetTable(schema: StructType, path: String)
     extends Table with SupportsRead {
+  // one planning pass per Table instance: every scan/action over this
+  // load() reuses the partition list instead of re-reading the crawl
+  private lazy val planned: Seq[SheetPartition] =
+    SheetPlanning.plan(path)._2
   override def name(): String = s"graft-sheet `$path`"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SheetScanBuilder(schema, SheetPlanning.plan(path)._2)
+    new SheetScanBuilder(schema, planned)
 }
 
 /** One recognizable sheet of one workbook — the unit of parallelism. */

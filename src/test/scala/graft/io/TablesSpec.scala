@@ -86,4 +86,25 @@ class TablesSpec extends SparkTestBase {
     val got2 = Tables.withFallback(Seq(5).toDF("x"))(Seq(7).toDF("x"))
     assert(got2.as[Int].collect().toSeq == Seq(5))
   }
+
+  test("format breadth: csv/json/orc round-trip rows, schema, and nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    val src = Tables.load(spark, sf, "nation")
+      .withColumn("n_name",
+        when(col("n_nationkey") % 2 === 0, col("n_name"))) // plant nulls
+    val before = src.orderBy("n_nationkey").collect().toSeq
+    for (fmt <- Seq("csv", "json", "orc")) {
+      Tables.saveFormat(src, dir, "nation", fmt,
+        options = if (fmt == "csv") Map("header" -> "true") else Map.empty)
+      val back = Tables.loadFormat(spark, dir, "nation", fmt,
+        schema = if (fmt == "orc") None else Some(src.schema),
+        options = if (fmt == "csv") Map("header" -> "true") else Map.empty)
+      assert(back.schema == src.schema, s"$fmt schema")
+      assert(back.orderBy("n_nationkey").collect().toSeq == before,
+        s"$fmt rows (incl. null round-trip)")
+    }
+    intercept[IllegalArgumentException] {
+      Tables.loadFormat(spark, dir, "nation", "csv") // schemaless text read
+    }
+  }
 }

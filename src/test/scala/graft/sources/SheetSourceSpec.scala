@@ -104,4 +104,13 @@ class SheetSourceSpec extends SparkTestBase {
     assert(ds.schema == spark.read.format("graft-sheet").load(dir).schema)
     assert(ds.schema.isInstanceOf[StructType])
   }
+
+  test("user-supplied schema skips inference and projects by name") {
+    // production path at crawl scale: the known tidy schema is passed
+    // in, so the driver never pre-reads workbooks for inference
+    val supplied = spark.read.format("graft-sheet")
+      .schema(ds.schema).load(dir)
+    assert(supplied.schema == ds.schema)
+    assert(supplied.count() == ds.count())
+  }
 }
