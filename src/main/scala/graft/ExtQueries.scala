@@ -550,6 +550,24 @@ object ExtQueries {
             .as("icept_pq"))
         .orderBy(col("l_returnflag"))),
 
+    // Data-quality gate: rule violation counters in ONE aggregate pass
+    // + referential-integrity orphan count (left-anti join), combined
+    // by a 1-row × 1-row scalar crossJoin.
+    "x_quality_gate" -> ((s, dir) => {
+      import graft.ops.Quality
+      val li = T(s, dir, "lineitem")
+      val counts = Quality.violationCounts(li, Seq(
+        Quality.Rule("null_qty", col("l_quantity").isNull),
+        Quality.Rule("neg_price", col("l_extendedprice") < 0),
+        Quality.Rule("high_discount", col("l_discount") > 0.05),
+        Quality.Rule("late_ship",
+          col("l_shipdate") >= lit("1997-06-01").cast("timestamp"))))
+      val orphans = Quality
+        .orphans(li, "l_orderkey", T(s, dir, "orders"), "o_orderkey")
+        .agg(count(lit(1)).as("n_orphans"))
+      counts.crossJoin(orphans)
+    }),
+
     // ---- event-time aggregation (batch form; streaming in
     //      graft.streaming uses the identical plan over readStream) ------
 
@@ -1646,6 +1664,22 @@ object ExtQueries {
            round(regr_intercept(l_extendedprice, l_quantity), 4)
              AS icept_pq
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "x_quality_gate" ->
+      """SELECT
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS null_qty,
+           CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS neg_price,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_discount,
+           CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS late_ship,
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+         FROM lineitem""",
 
     "x_events_tumbling" ->
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes',

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val li = Tables.load(spark, sf, "lineitem")
+
+  private val rules = Seq(
+    Quality.Rule("null_qty", col("l_quantity").isNull),
+    Quality.Rule("high_discount", col("l_discount") > 0.05))
+
+  test("observed metrics ride the job and equal the gate pass") {
+    val gate = Quality.violationCounts(li, rules).head()
+    val (obsDf, obs) = Quality.observed(li, rules)
+    // the caller's own job — metrics must NOT need a second scan
+    obsDf.agg(sum("l_discount")).collect()
+    val m = obs.get
+    assert(m("n_rows") == gate.getAs[Long]("n_rows"))
+    assert(m("null_qty") == gate.getAs[Long]("null_qty"))
+    assert(m("high_discount") == gate.getAs[Long]("high_discount"))
+  }
+
+  test("orphans: planted missing parent keys surface, null FK is an orphan") {
+    val child = Seq((1L, "a"), (2L, "b"), (99L, "c"))
+      .toDF("k", "v")
+      .union(Seq((Option.empty[Long], "d")).toDF("k", "v"))
+    val parent = Seq(1L, 2L, 3L).toDF("k")
+    val got = Quality.orphans(child, "k", parent, "k")
+      .select("v").as[String].collect().sorted.toSeq
+    assert(got == Seq("c", "d"), got.toString)
+  }
+
+  test("violationCounts single pass: one aggregate, no join/extra scan") {
+    val plan = Quality.violationCounts(li, rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      "one scan only:\n" + plan)
+  }
+}
