@@ -115,6 +115,15 @@ object ExtQueries {
 
     // ---- text analysis ------------------------------------------------
 
+    // Character-trigram language-ID (v2): length/replace occurrence
+    // arithmetic, zero explode — linguistic behavior pinned on real
+    // sentences in ExtSpec; this oracle pins the scoring arithmetic.
+    "x_text_langid2" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.langIdNgram(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
     "x_text_langid" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -1309,6 +1318,31 @@ object ExtQueries {
       }.mkString(" ")
       s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
           FROM documents ORDER BY doc_id"""
+    },
+
+    "x_text_langid2" -> {
+      // same trigram profiles, same length/replace arithmetic, same
+      // precedence (later CASE arms shadowed by earlier = Spark's
+      // reverse-fold); CJK branch sized by ideograph count
+      val scores = TextAnalysis.LangTrigrams.map { case (l, tris) =>
+        l -> tris.map(t =>
+          s"(length(t) - length(replace(t, '$t', '')))")
+          .mkString("(", " + ", ")")
+      }
+      val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+      val cases = scores.map { case (l, sc) =>
+        s"WHEN $sc = ($best) AND ($best) > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH p AS (
+            SELECT doc_id, ' ' || lower(text) || ' ' AS t,
+              CAST(len(regexp_extract_all(text,
+                '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) AS cjk,
+              length(text) AS n
+            FROM documents)
+          SELECT doc_id,
+            CASE WHEN cjk > n * 0.3 THEN 'zh'
+                 $cases ELSE 'und' END AS lang_pred
+          FROM p ORDER BY doc_id"""
     },
 
     "x_text_quality" ->

@@ -44,6 +44,49 @@ object TextAnalysis {
     pick
   }
 
+  /** Characteristic character trigrams per language (function-word
+    * morphology, space-padded to catch word boundaries). Literal lists —
+    * they ride the plan, never a join.
+    */
+  val LangTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", "ing", " an", "nd ", " of", "ion"),
+    "de" -> Seq("der", "ein", "sch", "ich", "die", "und", "ung", "cht"),
+    "es" -> Seq(" de", "que", " la", "ien", "los", " es", "ado", "nte"),
+    "fr" -> Seq(" de", "les", "ent", " le", "des", "une", "eur", "ais"))
+
+  /** Occurrence count of a literal substring — `(len - len(remove)) `,
+    * pure `length`/`replace` arithmetic: stays inside whole-stage
+    * codegen, no token explode, no regex engine. (Counts are 3× the
+    * occurrence count for trigrams; uniform across patterns, so argmax
+    * and ties are unchanged.)
+    */
+  private def charHits(padded: Column, pat: String): Column =
+    length(padded) - length(replace(padded, lit(pat), lit("")))
+
+  /** Language-ID v2, the character-n-gram heuristic: score = summed
+    * profile-trigram occurrences over the space-padded lowercased text,
+    * argmax with fixed precedence (earlier profile wins ties), "und"
+    * when nothing matches; CJK scripts short-circuit to "zh" when more
+    * than 30% of characters fall in the unified-ideograph range (trigram
+    * profiles are useless without word separators). Unlike [[langId]]'s
+    * whole-token stopword hits, trigrams see inflected forms
+    * ("thing" hits " th"/"ing") — the standard trick langid.c/fastText
+    * distill down to.
+    */
+  def langIdNgram(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val cjk = size(split(text, "[\\u4e00-\\u9fff]")) - 1
+    val scores = LangTrigrams.map { case (l, tris) =>
+      l -> tris.map(charHits(padded, _)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(cjk.cast("double") > length(text) * lit(0.3), lit("zh"))
+      .otherwise(pick)
+  }
+
   /** Quality features (length / punctuation / stopword ratios) and a
     * composite keep-score in [0,1].
     */

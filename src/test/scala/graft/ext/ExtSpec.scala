@@ -214,6 +214,21 @@ class ExtSpec extends SparkTestBase {
       ("t6 t7 t8 t9", 4), ("t8 t9", 2)), rows.toString)
   }
 
+  test("langIdNgram classifies real sentences (the synthetic corpus can't)") {
+    val samples = Seq(
+      ("the quick brown fox is jumping over the lazy dog again", "en"),
+      ("der schnelle braune fuchs springt über den faulen hund", "de"),
+      ("el perro que duerme bien no tiene los problemas de nadie", "es"),
+      ("les enfants mangent une pomme dans le jardin des voisins", "fr"),
+      ("这是一个完全用中文写成的句子没有空格", "zh"),
+      ("zzz qqq xxx", "und")
+    ).toDF("text", "expected")
+    val got = samples
+      .select($"expected", TextAnalysis.langIdNgram($"text").as("got"))
+      .filter($"expected" =!= $"got").collect()
+    assert(got.isEmpty, got.mkString(", "))
+  }
+
   test("contaminationReport flags exactly the docs sharing an n-gram") {
     val corpus = docs.filter($"doc_id" =!= 0L)
     val bench = docs.filter($"doc_id" === 0L)
