@@ -85,6 +85,22 @@ object ExtQueries {
 
     // ---- similarity search -------------------------------------------
 
+    // One k-means training step from a deterministic 8-vector codebook:
+    // literal-codebook argmin assignment (zero-shuffle), C·d-row mean.
+    "x_kmeans_step" -> ((s, dir) => {
+      val codebook = T(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .collect()  // KB-sized codebook = driver-side parameter
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq)
+        .toSeq.sortBy(_._1)
+      Similarity.lloydStep(T(s, dir, "embeddings"), "vec_id", "embedding",
+          codebook)
+        .orderBy(col("cell"), col("dim"))
+    }),
+
     "x_ann_brute_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
         "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
@@ -1129,6 +1145,32 @@ object ExtQueries {
           SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
           FROM cand WHERE ${cosSql("va", "vb")} > 0.3
           ORDER BY id_a, id_b""",
+
+    "x_kmeans_step" ->
+      s"""WITH cents AS (
+            SELECT vec_id AS cell, $qvec AS cv FROM embeddings
+            WHERE vec_id < 8),
+          v AS (SELECT vec_id, $qvec AS v FROM embeddings),
+          scored AS (
+            SELECT vec_id, cell,
+              list_sum(list_transform(list_zip(v, cv),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+            FROM v CROSS JOIN cents),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cell) AS rn
+              FROM scored) WHERE rn = 1),
+          dims AS (
+            SELECT a.cell, CAST(p[2] AS INTEGER) AS dim,
+              CAST(p[1] AS BIGINT) AS x
+            FROM v JOIN assigned a USING (vec_id),
+              LATERAL (SELECT unnest(list_zip(v, range(0, len(v)))) AS p) u)
+          SELECT cell, dim,
+            round(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+              AS mean_q,
+            COUNT(*) AS n_members
+          FROM dims GROUP BY 1, 2 ORDER BY cell, dim""",
 
     "x_ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $qvec AS qv FROM embeddings

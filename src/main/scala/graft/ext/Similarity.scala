@@ -147,6 +147,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** One Lloyd (k-means) iteration — the training step that turns
+    * [[ivfTopK]]'s fixed coarse centroids into learned ones. The
+    * codebook is a driver-side PARAMETER (quantized vectors), not a
+    * DataFrame: codebooks are KB-sized metadata, and inlining them as
+    * literals keeps assignment row-local — distance to every centroid
+    * and the argmin (ties to the lowest cell) evaluate inside the scan
+    * projection with zero joins and zero shuffles. The only exchange is
+    * the per-(cell, dim) mean: map-side partial sums collapse the
+    * corpus to at most C·d rows regardless of input size. All
+    * arithmetic is exact (integer squared-L2; means divide an exact
+    * long sum by an exact count, rounded to 6dp), so the step is
+    * bit-reproducible under any partitioning.
+    *
+    * Returns (cell, dim, mean_q, n_members) rows; cells that won no
+    * vectors are absent (the standard empty-cell outcome — reseed or
+    * drop at the training loop level).
+    */
+  def lloydStep(emb: DataFrame, idCol: String, vecCol: String,
+                codebook: Seq[(Long, Seq[Long])]): DataFrame = {
+    require(codebook.nonEmpty, "empty codebook")
+    val scored = codebook.map { case (cell, cvec) =>
+      val dist = aggregate(
+        zip_with(col("v"), lit(cvec.toArray), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+      struct(dist.as("dist"), lit(cell).as("cell"))
+    }
+    val assigned = emb
+      .select(col(idCol), quantize(col(vecCol)).as("v"))
+      .select(col(idCol), col("v"),
+        array_min(array(scored: _*)).getField("cell").as("cell"))
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(sum(col("x")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_q"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** IVF (inverted-file) ANN: a fixed set of `centroidIds` vectors act as
     * coarse centroids; every vector is assigned to its nearest centroid
     * (argmax cosine, ties to the lowest centroid id), giving an inverted

@@ -118,4 +118,35 @@ class AnnRecallSpec extends SparkTestBase {
     info(f"blocked near-dup recall = $recall%.3f over ${exactPairs.size} exact pairs")
     assert(recall >= 0.1, f"blocking recall collapsed: $recall%.3f")
   }
+
+  test("lloydStep recovers true cluster means from off-center seeds") {
+    import spark.implicits._
+    // two tight clusters around (0,0) and (10,10) in embedding space;
+    // seeds deliberately off-center but on the correct sides
+    val pts = Seq(
+      (0L, Array(0.001f, 0.002f)), (1L, Array(-0.001f, 0.0f)),
+      (2L, Array(0.002f, -0.001f)),
+      (10L, Array(0.010f, 0.010f)), (11L, Array(0.012f, 0.010f)),
+      (12L, Array(0.011f, 0.008f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq(0L -> Seq(3L, 3L), 1L -> Seq(8L, 8L)) // quantized grid
+    val got = Similarity.lloydStep(pts, "vec_id", "embedding", seeds)
+      .orderBy("cell", "dim")
+      .select("cell", "dim", "mean_q", "n_members")
+      .as[(Long, Int, Double, Long)].collect().toSeq
+    // quantized coords: cluster A {(1,2),(-1,0),(2,-1)} mean (2/3, 1/3);
+    // cluster B {(10,10),(12,10),(11,8)} mean (11, 28/3)
+    assert(got == Seq(
+      (0L, 0, 0.666667, 3L), (0L, 1, 0.333333, 3L),
+      (1L, 0, 11.0, 3L), (1L, 1, 9.333333, 3L)), got.toString)
+  }
+
+  test("lloydStep assignment is join-free (literal codebook, one exchange)") {
+    val step = Similarity.lloydStep(emb, "vec_id", "embedding",
+      Seq(0L -> Seq.fill(64)(0L), 1L -> Seq.fill(64)(500L)))
+    val plan = step.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      "corpus must shuffle once (partial-agged cell/dim means):\n" + plan)
+  }
 }
