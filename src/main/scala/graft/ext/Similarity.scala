@@ -185,6 +185,57 @@ object Similarity {
         count(lit(1)).as("n_members"))
   }
 
+  /** Full k-means training loop over [[lloydStep]]: each round runs one
+    * distributed step and collects the C·d mean rows (KB-sized) back
+    * into the next round's literal codebook — the iterative-algorithm
+    * pattern on Spark: per-iteration driver state is O(model), never
+    * O(data), and each iteration is one scan + one C·d-row exchange.
+    * Seeds are the quantized vectors of `seedIds` (deterministic, like
+    * [[ivfTopK]]'s fixed centroids). Empty cells keep their previous
+    * centroid. Means re-quantize HALF_UP onto the integer grid so every
+    * round's codebook (and therefore the whole run) is bit-reproducible
+    * under any partitioning. Returns the final codebook.
+    */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String,
+             seedIds: Seq[Long], iters: Int): Seq[(Long, Seq[Long])] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val seeds: Seq[(Long, Seq[Long])] = emb
+      .filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol), quantize(col(vecCol)).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => i.toLong -> v }
+    (1 to iters).foldLeft(seeds) { (codebook, _) =>
+      val d = codebook.head._2.size
+      val means = lloydStep(emb, idCol, vecCol, codebook)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      codebook.map { case (cell, prev) =>
+        cell -> (0 until d).map(j => means.get(cell -> j)
+          .map(m => BigDecimal(m)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+          .getOrElse(prev(j)))
+      }
+    }
+  }
+
+  /** Within-cluster sum of squared (quantized) distances — the k-means
+    * objective; one scan, same literal-codebook argmin as the step.
+    */
+  def inertia(emb: DataFrame, idCol: String, vecCol: String,
+              codebook: Seq[(Long, Seq[Long])]): Double = {
+    val dists = codebook.map { case (cell, cvec) =>
+      val dist = aggregate(
+        zip_with(col("v"), lit(cvec.toArray), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+      struct(dist.as("dist"), lit(cell).as("cell"))
+    }
+    emb.select(quantize(col(vecCol)).as("v"))
+      .select(array_min(array(dists: _*)).getField("dist").as("d"))
+      .agg(sum(col("d"))).head.getLong(0).toDouble
+  }
+
   /** IVF (inverted-file) ANN: a fixed set of `centroidIds` vectors act as
     * coarse centroids; every vector is assigned to its nearest centroid
     * (argmax cosine, ties to the lowest centroid id), giving an inverted

@@ -141,6 +141,18 @@ class AnnRecallSpec extends SparkTestBase {
       (1L, 0, 11.0, 3L), (1L, 1, 9.333333, 3L)), got.toString)
   }
 
+  test("kmeans training: inertia never increases across rounds") {
+    val seeds = Seq(3L, 17L, 42L, 99L)
+    val cb0 = Similarity.kmeans(emb, "vec_id", "embedding", seeds, iters = 1)
+    val cb2 = Similarity.kmeans(emb, "vec_id", "embedding", seeds, iters = 3)
+    val i0 = Similarity.inertia(emb, "vec_id", "embedding", cb0)
+    val i2 = Similarity.inertia(emb, "vec_id", "embedding", cb2)
+    info(f"inertia after 1 round = $i0%.0f, after 3 rounds = $i2%.0f")
+    assert(i2 <= i0 * 1.000001,
+      s"Lloyd iterations must not increase the objective: $i0 -> $i2")
+    assert(cb2.size == seeds.size && cb2.forall(_._2.size == 64))
+  }
+
   test("lloydStep assignment is join-free (literal codebook, one exchange)") {
     val step = Similarity.lloydStep(emb, "vec_id", "embedding",
       Seq(0L -> Seq.fill(64)(0L), 1L -> Seq.fill(64)(500L)))
