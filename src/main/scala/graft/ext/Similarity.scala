@@ -236,6 +236,51 @@ object Similarity {
       .agg(sum(col("d"))).head.getLong(0).toDouble
   }
 
+  /** IVF search over an explicit (learned) codebook — [[ivfTopK]] with
+    * [[kmeans]] output instead of fixed member vectors. Assignment uses
+    * the same join-free literal-codebook argmin as [[lloydStep]]
+    * (integer squared-L2; for assignment on same-scale quantized
+    * vectors, nearest-by-L2 is the IVF partition rule), so building the
+    * inverted file costs one scan and zero joins; the probe then
+    * equi-joins query cells to candidate cells exactly like ivfTopK.
+    */
+  def ivfTopKCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                      codebook: Seq[(Long, Seq[Long])], queryIds: Seq[Long],
+                      k: Int, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && codebook.nonEmpty)
+    def scored = codebook.map { case (cell, cvec) =>
+      val dist = aggregate(
+        zip_with(col("v"), lit(cvec.toArray), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+      struct(dist.as("dist"), lit(cell).as("cell"))
+    }
+    def assign(vecs: DataFrame, probes: Int): DataFrame = {
+      val base = vecs.select(col(idCol), quantize(col(vecCol)).as("v"))
+      if (probes == 1)
+        base.select(col(idCol), col("v"),
+          array_min(array(scored: _*)).getField("cell").as("cell"))
+      else
+        base.select(col(idCol), col("v"),
+          explode(slice(array_sort(array(scored: _*)), 1, probes)
+            .getField("cell")).as("cell"))
+    }
+    val q = assign(emb.filter(col(idCol).isin(queryIds: _*)), nprobe)
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("cell"))
+    val c = assign(emb, 1).select(col(idCol).as("cand_id"),
+      col("v").as("cv"), col("cell"))
+    val scoredPairs = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineQ(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scoredPairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF (inverted-file) ANN: a fixed set of `centroidIds` vectors act as
     * coarse centroids; every vector is assigned to its nearest centroid
     * (argmax cosine, ties to the lowest centroid id), giving an inverted

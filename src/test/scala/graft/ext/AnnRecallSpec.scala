@@ -141,6 +141,21 @@ class AnnRecallSpec extends SparkTestBase {
       (1L, 0, 11.0, 3L), (1L, 1, 9.333333, 3L)), got.toString)
   }
 
+  test("IVF with a kmeans-learned codebook vs seed member vectors") {
+    val seeds = (20L to 27L).toSeq
+    val learned = Similarity.kmeans(emb, "vec_id", "embedding", seeds, iters = 3)
+    val rLearned = recallOf(Similarity.ivfTopKCodebook(
+      emb, "vec_id", "embedding", learned, queryIds, k, nprobe = 2))
+    val rFixed = recallOf(Similarity.ivfTopK(
+      emb, "vec_id", "embedding", seeds, queryIds, k, nprobe = 2))
+    info(f"IVF recall@$k nprobe=2: learned $rLearned%.3f vs seed-vector $rFixed%.3f")
+    // structure-free random vectors don't reward training much — pin
+    // that learning is at least not harmful, and absolute floor holds
+    assert(rLearned >= rFixed - 0.1,
+      f"learned centroids collapsed recall: $rLearned%.3f vs $rFixed%.3f")
+    assert(rLearned >= 0.1, f"learned-IVF recall floor: $rLearned%.3f")
+  }
+
   test("kmeans training: inertia never increases across rounds") {
     val seeds = Seq(3L, 17L, 42L, 99L)
     val cb0 = Similarity.kmeans(emb, "vec_id", "embedding", seeds, iters = 1)
