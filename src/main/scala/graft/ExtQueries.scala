@@ -433,6 +433,35 @@ object ExtQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Multi-aggregate pivot: explicit value list (no distinct pre-job),
+    // two measures per pivot value — the general R2 form.
+    "x_pivot_multi" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .withColumn("year", year(col("l_shipdate")).cast("int"))
+        .groupBy(col("year"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("year"))),
+
+    // RANGE window frames: the value-distance frame mode (ROWS frames
+    // are x_window_frames) — peers enter the frame by order-key
+    // distance, not position.
+    "x_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0L) // trailing 30 days (NTZ→epoch
+        // via timestamp cast; session tz is pinned UTC)
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("odate"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("rev_30d"))
+        .orderBy(col("o_custkey"), col("odate"), col("o_orderkey"))
+    }),
+
     // NULL semantics parity: null-safe equality, coalesce/nullif,
     // null-aware aggregation counts, and grouping with null keys.
     "x_null_semantics" -> ((s, dir) => {
@@ -1650,8 +1679,32 @@ object ExtQueries {
                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
          ORDER BY o_custkey, o_orderkey""",
 
+    "x_pivot_multi" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A_qty,
+           COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A_n,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N_qty,
+           COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N_n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R_qty,
+           COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R_n
+         FROM lineitem GROUP BY 1 ORDER BY year""",
+
+    "x_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS odate,
+           COUNT(*) OVER w AS n_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS rev_30d
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, odate, o_orderkey""",
+
     "x_null_semantics" ->
-      """WITH e AS (
+"""WITH e AS (
            SELECT event_id,
              CASE WHEN event_id % 7 = 0 THEN NULL
                   ELSE event_type END AS etype,
