@@ -913,6 +913,14 @@ object ExtQueries {
           "doc_id", "text", chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Sparse retrieval: TF-IDF cosine pairs from the inverted index
+    // (exact quantized-integer weights; maxDf 0 = exact for the oracle).
+    "x_tfidf_sim" -> ((s, dir) =>
+      TextAnalysis.tfidfSimilarPairs(
+          T(s, dir, "documents").filter(col("doc_id") < 150),
+          "doc_id", "text", minCosine = 0.5, maxDf = 0)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Corpus-unigram LM scoring (perplexity proxy for quality filtering).
     "x_text_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
@@ -1474,6 +1482,38 @@ object ExtQueries {
          FROM tf JOIN dfreq USING (token) CROSS JOIN n
          WHERE doc_id < 20
          ORDER BY doc_id, token""",
+
+    "x_tfidf_sim" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+         tf AS (
+           SELECT doc_id, t AS token, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+             FROM d)
+           GROUP BY 1, 2),
+         dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM d),
+         wq AS (
+           SELECT doc_id, token,
+             CAST(round(tf * round(ln(n.nd / df), 9) * 1e6) AS BIGINT)
+               AS wq
+           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         norms AS (
+           SELECT doc_id, CAST(SUM(CAST(wq AS HUGEINT) * wq) AS DOUBLE)
+             AS norm2
+           FROM wq GROUP BY 1),
+         dots AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(CAST(a.wq AS HUGEINT) * b.wq) AS DOUBLE) AS dot
+           FROM wq a JOIN wq b ON a.token = b.token
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
+         FROM dots
+         JOIN norms na ON na.doc_id = id_a
+         JOIN norms nb ON nb.doc_id = id_b
+         WHERE round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) >= 0.5
+         ORDER BY id_a, id_b""",
 
     "x_vocab" ->
       """WITH counts AS (

@@ -229,6 +229,21 @@ class ExtSpec extends SparkTestBase {
     assert(got.isEmpty, got.mkString(", "))
   }
 
+  test("tfidfSimilarPairs: identical docs score 1.0, disjoint docs absent") {
+    val pairs = TextAnalysis.tfidfSimilarPairs(docs, "doc_id", "text",
+        minCosine = 0.0, maxDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(pairs((0L, 2L)) == 1.0, s"identical docs: ${pairs.get((0L, 2L))}")
+    // the one differing token ("cat", df=1) carries maximal idf in a
+    // 4-doc corpus, so the near-dup lands mid-range, clearly separated
+    // from both identical (1.0) and disjoint (absent)
+    assert(pairs((0L, 1L)) > 0.3 && pairs((0L, 1L)) < 1.0,
+      s"near-dup in between: ${pairs.get((0L, 1L))}")
+    assert(!pairs.contains((0L, 3L)),
+      "no shared token -> no pair from the inverted index")
+  }
+
   test("contaminationReport flags exactly the docs sharing an n-gram") {
     val corpus = docs.filter($"doc_id" =!= 0L)
     val bench = docs.filter($"doc_id" === 0L)
