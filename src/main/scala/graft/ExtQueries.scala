@@ -913,6 +913,34 @@ object ExtQueries {
           "doc_id", "text", chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Capstone composition: the full LLM data-prep pipeline as ONE lazy
+    // plan — exact dedup → length gate → language filter → eval-set
+    // exclusion + decontamination → training-sequence chunking →
+    // deterministic doc-level split. Every stage is an already-oracled
+    // operator; composing them stays a single DAG (one scan of
+    // documents feeds dedup+quality+langid row-locally; the only extra
+    // scans are the gram semi-join legs), with the split assigned by
+    // hash so the whole dataset cut is reproducible at any scale.
+    "x_llm_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val uniq = Dedup.dropExactDups(docs, "doc_id", "text")
+      val quality = uniq.filter(size(split(lower(col("text")), " ")) >= 30)
+      val en = quality.filter(TextAnalysis.langId(col("text")) === "en")
+      val corpus = en.filter(col("doc_id") % 97 =!= 0)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val contaminated = Dedup
+        .contaminationReport(corpus, bench, "doc_id", "text", n = 4)
+        .select(col("doc_id"))
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      val chunks = TextAnalysis.chunkDocuments(clean, "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+      Sampling.splitByHash(chunks, "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), seed = 1)
+        .select(col("doc_id"), col("chunk_id"), col("split"),
+          col("chunk"), col("n_toks"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Sparse retrieval: TF-IDF cosine pairs from the inverted index
     // (exact quantized-integer weights; maxDf 0 = exact for the oracle).
     "x_tfidf_sim" -> ((s, dir) =>
@@ -1482,6 +1510,53 @@ object ExtQueries {
          FROM tf JOIN dfreq USING (token) CROSS JOIN n
          WHERE doc_id < 20
          ORDER BY doc_id, token""",
+
+    "x_llm_pipeline" -> {
+      val best = langScores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+      val langCase = langScores.map { case (l, sc) =>
+        s"WHEN $sc = ($best) AND ($best) > 0 THEN '$l'"
+      }.mkString(" ")
+      val splitBucket = Sampling.bucketSql("doc_id", 1)
+      s"""WITH uniq AS (
+            SELECT * FROM documents WHERE doc_id IN (
+              SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+          quality AS (
+            SELECT * FROM uniq
+            WHERE len(string_split(lower(text), ' ')) >= 30),
+          en AS (
+            SELECT * FROM quality
+            WHERE (CASE $langCase ELSE 'und' END) = 'en'),
+          corpus AS (SELECT * FROM en WHERE doc_id % 97 <> 0),
+          bench AS (
+            SELECT string_split(lower(text), ' ') AS l
+            FROM documents WHERE doc_id % 97 = 0),
+          cg AS (
+            SELECT doc_id, array_to_string(l[i:i+3], ' ') AS gram
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+                  FROM corpus) c,
+              LATERAL (SELECT unnest(generate_series(1, len(l) - 3)) AS i) g),
+          bg AS (
+            SELECT DISTINCT array_to_string(l[i:i+3], ' ') AS gram
+            FROM bench,
+              LATERAL (SELECT unnest(generate_series(1, len(l) - 3)) AS i) g),
+          bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+          clean AS (
+            SELECT * FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+          d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM clean),
+          chunks AS (
+            SELECT doc_id, toks, CAST(i AS INTEGER) AS start
+            FROM d, LATERAL (
+              SELECT unnest(generate_series(0, len(toks) - 1, 24)) AS i) g)
+          SELECT doc_id,
+            CAST(start // 24 AS INTEGER) AS chunk_id,
+            CASE WHEN $splitBucket < 800000 THEN 'train'
+                 WHEN $splitBucket < 900000 THEN 'valid'
+                 ELSE 'test' END AS split,
+            array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
+            CAST(LEAST(len(toks) - start, 32) AS INTEGER) AS n_toks
+          FROM chunks ORDER BY doc_id, chunk_id"""
+    },
 
     "x_tfidf_sim" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
