@@ -913,6 +913,14 @@ object ExtQueries {
           "doc_id", "text", chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Sequence packing: contiguous-fill assignment of docs to 256-token
+    // training sequences via the two-phase distributed prefix sum (no
+    // global single-partition window).
+    "x_seq_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(T(s, dir, "documents"),
+          "doc_id", "text", budget = 256, bucketWidth = 50)
+        .orderBy(col("doc_id"))),
+
     // Capstone composition: the full LLM data-prep pipeline as ONE lazy
     // plan — exact dedup → length gate → language filter → eval-set
     // exclusion + decontamination → training-sequence chunking →
@@ -1510,6 +1518,21 @@ object ExtQueries {
          FROM tf JOIN dfreq USING (token) CROSS JOIN n
          WHERE doc_id < 20
          ORDER BY doc_id, token""",
+
+    "x_seq_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_toks,
+             COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM d)
+         SELECT doc_id, n_toks,
+           CAST(off // 256 AS BIGINT) AS seq_id,
+           CAST(off % 256 AS BIGINT) AS seq_offset
+         FROM o ORDER BY doc_id""",
 
     "x_llm_pipeline" -> {
       val best = langScores.map(_._2).reduce((a, b) => s"greatest($a, $b)")

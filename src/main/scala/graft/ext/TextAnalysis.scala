@@ -385,4 +385,53 @@ object TextAnalysis {
         least(size(col("toks")) - col("start"), lit(chunkSize))
           .as("n_toks"))
   }
+
+  /** Training-sequence packing: assign documents, in ascending `idCol`
+    * order, to fixed token-budget sequences by contiguous fill — doc d's
+    * sequence is `floor(offset(d) / budget)` where `offset(d)` is the
+    * total token count of all earlier docs (concat-and-chunk packing; a
+    * doc whose tokens straddle a budget boundary belongs to the sequence
+    * it starts in). Returns (id, n_toks, seq_id, seq_offset).
+    *
+    * The global prefix sum is the scale hazard here: a naive
+    * `sum(...).over(Window.orderBy(id))` has no partitionBy, so the whole
+    * corpus funnels through ONE task. Instead, a two-phase distributed
+    * prefix sum: docs map to order-preserving coarse buckets
+    * (`id / bucketWidth` — monotone in id, so bucket order == id order);
+    * phase 1 computes per-bucket token totals (a few hundred rows at any
+    * corpus size) whose running totals become per-bucket starting
+    * offsets; phase 2 adds a within-bucket cumulative sum, windowed BY
+    * BUCKET — every partition does bounded work, and the only global
+    * step is a window over the tiny bucket-totals table. One wide
+    * shuffle (the per-bucket window), one broadcast join.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long, bucketWidth: Long = 1000L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val counted = df.select(col(idCol),
+      (col(idCol).cast("long") / bucketWidth).cast("long").as("__bucket"),
+      size(tokens(col(textCol))).cast("long").as("n_toks"))
+    // phase 1: bucket totals -> exclusive running offsets (tiny table)
+    val bucketOffsets = counted
+      .groupBy(col("__bucket")).agg(sum(col("n_toks")).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__bucket"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+      .drop("__btot")
+    // phase 2: within-bucket exclusive cumsum + bucket offset
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    counted
+      .join(broadcast(bucketOffsets), Seq("__bucket"))
+      .withColumn("__off",
+        col("__boff") + coalesce(sum(col("n_toks")).over(wb), lit(0L)))
+      .select(col(idCol), col("n_toks"),
+        (col("__off") / budget).cast("long").as("seq_id"),
+        (col("__off") % budget).as("seq_offset"))
+  }
 }

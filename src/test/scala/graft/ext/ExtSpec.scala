@@ -254,4 +254,36 @@ class ExtSpec extends SparkTestBase {
     // shares the first 8-gram only; doc 3 shares nothing
     assert(hits == Seq((1L, 1L), (2L, 2L)), hits.toString)
   }
+
+  test("packSequences: two-phase prefix sum == naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val real = graft.io.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val naive = real
+      .select($"doc_id", size(split(lower($"text"), " ")).cast("long").as("n_toks"))
+      .withColumn("off", coalesce(sum($"n_toks").over(
+        Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"doc_id", $"n_toks",
+        ($"off" / 128).cast("long").as("seq_id"),
+        ($"off" % 128).as("seq_offset"))
+    val packed = TextAnalysis.packSequences(
+      real.repartition(7), "doc_id", "text", budget = 128, bucketWidth = 13)
+    assert(packed.exceptAll(naive).isEmpty && naive.exceptAll(packed).isEmpty,
+      "two-phase packing must equal the single-window reference")
+  }
+
+  test("packSequences: offsets are contiguous and budget-bounded") {
+    val one = Seq(
+      (10L, "a b c"), (20L, "d e f g"), (30L, "h i"), (40L, "j k l m n"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.packSequences(one, "doc_id", "text",
+        budget = 5, bucketWidth = 25)
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // offsets 0,3,7,9 -> seqs 0,0,1,1; in-seq offsets 0,3,2,4
+    assert(rows == Seq((10L, 3L, 0L, 0L), (20L, 4L, 0L, 3L),
+      (30L, 2L, 1L, 2L), (40L, 5L, 1L, 4L)), rows.toString)
+  }
 }
