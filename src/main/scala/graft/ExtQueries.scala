@@ -962,6 +962,14 @@ object ExtQueries {
       TextAnalysis.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Perplexity-quantile gate: keep docs at or below the corpus p80
+    // of average unigram surprisal (exact percentile for the oracle;
+    // production default is the mergeable percentile_approx sketch).
+    "x_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityQuantileGate(T(s, dir, "documents"),
+          "doc_id", "text", p = 0.8, exact = true)
+        .orderBy(col("doc_id"))),
+
     // Gopher-style repetition stats + keep decision.
     "x_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(T(s, dir, "documents"), "doc_id", "text")
@@ -2130,6 +2138,32 @@ object ExtQueries {
                 CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                   AS avg_neg_logprob
          FROM terms GROUP BY 1 ORDER BY 1""",
+
+    "x_quality_gate" ->
+      """WITH tf AS (
+           SELECT doc_id, t AS token, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+             FROM documents)
+           GROUP BY 1, 2),
+         counts AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c
+                    FROM tf GROUP BY 1),
+         total AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM counts),
+         terms AS (
+           SELECT tf.doc_id, tf.tf,
+                  CAST(tf.tf * -ln(counts.c / total.total)
+                    AS DECIMAL(28,9)) AS term
+           FROM tf JOIN counts ON tf.token = counts.token CROSS JOIN total),
+         lm AS (
+           SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                  CAST(SUM(term) AS DOUBLE) AS neg_logprob_sum,
+                  CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+                    AS avg_neg_logprob
+           FROM terms GROUP BY 1),
+         thr AS (SELECT quantile_cont(avg_neg_logprob, 0.8) AS t FROM lm)
+         SELECT doc_id, n_tokens, neg_logprob_sum, avg_neg_logprob
+         FROM lm CROSS JOIN thr
+         WHERE avg_neg_logprob <= t
+         ORDER BY doc_id""",
 
     "x_text_repetition" ->
       """WITH toks AS (

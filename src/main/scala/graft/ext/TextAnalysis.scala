@@ -251,6 +251,34 @@ object TextAnalysis {
         col("neg_logprob_sum") / col("n_tokens").cast("double"))
   }
 
+  /** Perplexity-quantile quality gate: keep the documents whose
+    * average unigram surprisal falls at or below the corpus p-quantile
+    * — the "drop the weirdest (1-p) of the corpus" filter of LM data
+    * curation, with the threshold learned from the corpus itself
+    * rather than hand-tuned. One extra aggregate over the per-doc
+    * metric table plus a broadcast of the single threshold row; the
+    * metric table is computed once (same DAG feeds both sides).
+    *
+    * `exact = false` (production default) estimates the quantile with
+    * the mergeable `percentile_approx` sketch — per-partition sketches
+    * combine, nothing gathers the full distribution. `exact = true`
+    * (oracle/testing) uses exact `percentile`, which buffers the
+    * distribution in one aggregation buffer: fine to ~10⁷ docs, not a
+    * 100 TB path.
+    */
+  def qualityQuantileGate(df: DataFrame, idCol: String, textCol: String,
+                          p: Double, exact: Boolean = false): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    val lm = unigramLogProb(df, idCol, textCol)
+    val thrAgg =
+      if (exact) expr(s"percentile(avg_neg_logprob, $p)")
+      else percentile_approx(col("avg_neg_logprob"), lit(p), lit(10000))
+    val thr = lm.agg(thrAgg.as("__thr"))
+    lm.crossJoin(broadcast(thr))
+      .filter(col("avg_neg_logprob") <= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Repetition statistics (the Gopher/C4 quality-filter family):
     * per-document token counts, distinct ratio, and the mass of the
     * most-repeated unigram/bigram — the signals that catch boilerplate,

@@ -255,6 +255,24 @@ class ExtSpec extends SparkTestBase {
     assert(hits == Seq((1L, 1L), (2L, 2L)), hits.toString)
   }
 
+  test("qualityQuantileGate keeps the p-fraction cleanest docs, cleanly split") {
+    val real = graft.io.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val n = real.count()
+    val kept = TextAnalysis.qualityQuantileGate(real, "doc_id", "text",
+      p = 0.6, exact = true)
+    val all = TextAnalysis.unigramLogProb(real, "doc_id", "text")
+    val k = kept.count()
+    // exact quantile_cont keeps ~p of the corpus (interpolation can
+    // include the boundary doc either way)
+    assert(math.abs(k - 0.6 * n) <= 1, s"kept $k of $n")
+    val maxKept = kept.agg(max($"avg_neg_logprob")).as[Double].head()
+    val minDropped = all.join(kept.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .agg(min($"avg_neg_logprob")).as[Double].head()
+    assert(maxKept < minDropped,
+      s"gate must split the metric: maxKept=$maxKept minDropped=$minDropped")
+  }
+
   test("packSequences: two-phase prefix sum == naive global window") {
     import org.apache.spark.sql.expressions.Window
     val real = graft.io.Tables.load(spark, sf, "documents")
