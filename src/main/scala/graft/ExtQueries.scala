@@ -801,6 +801,16 @@ object ExtQueries {
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))),
 
+    // Domain-mixture resampling: rebalance four sources to a 40/30/20/10
+    // target mixture (no upsampling — the most-constrained domain keeps
+    // 100%); other sources are dropped. Per-row survival audit.
+    "x_domain_mix" -> ((s, dir) =>
+      Sampling.domainMix(T(s, dir, "documents"), "doc_id", "source",
+          targets = Seq("src0" -> 0.4, "src1" -> 0.3,
+            "src2" -> 0.2, "src3" -> 0.1), seed = 5)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic fixed-size draw: the 100 smallest-hash documents.
     "x_sample_reservoir" -> ((s, dir) =>
       Sampling.reservoirSample(T(s, dir, "documents"), "doc_id", 100,
@@ -2097,6 +2107,25 @@ object ExtQueries {
                  MIN(x) AS x_min, MAX(x) AS x_max,
                  MIN(y) AS y_min, MAX(y) AS y_max
           FROM z GROUP BY 1 ORDER BY 1"""
+    },
+
+    "x_domain_mix" -> {
+      val bucket = Sampling.bucketSql("doc_id", 5)
+      s"""WITH w AS (
+            SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+              ('src2', 0.2), ('src3', 0.1)) AS t(source, w)),
+          counts AS (
+            SELECT d.source, CAST(COUNT(*) AS DOUBLE) AS n, w.w
+            FROM documents d JOIN w USING (source)
+            GROUP BY d.source, w.w),
+          s AS (SELECT MIN(n / w) AS scale FROM counts),
+          fracs AS (
+            SELECT source, LEAST(1.0, w * scale / n) AS frac
+            FROM counts CROSS JOIN s)
+          SELECT doc_id, source, lang, n_chars
+          FROM documents JOIN fracs USING (source)
+          WHERE CAST($bucket AS DOUBLE) < frac * 1000000
+          ORDER BY doc_id"""
     },
 
     "x_sample_stratified" -> {

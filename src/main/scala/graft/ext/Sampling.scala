@@ -93,6 +93,42 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Domain-mixture resampling: downsample each domain so the surviving
+    * corpus matches a target mixture (e.g. 40% web / 30% books / 20%
+    * code / 10% wiki) WITHOUT upsampling — the largest corpus the
+    * observed counts can support is taken, so the most-constrained
+    * domain keeps 100% and every other domain's keep fraction is
+    * `w_d * scale / n_d` with `scale = min_d(n_d / w_d)`. Domains not
+    * named in `targets` are dropped.
+    *
+    * Per-domain counts are one partial-aggregated group-by over a
+    * handful of domains; the fractions table (|domains| rows) broadcasts
+    * back and the keep decision is the same row-local hash bucket as
+    * [[hashSample]] — deterministic, partitioning-invariant, one wide
+    * shuffle of a few dozen rows regardless of corpus size.
+    */
+  def domainMix(df: DataFrame, keyCol: String, domainCol: String,
+                targets: Seq[(String, Double)], seed: Int = 0): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "target weights must be positive")
+    val wCol = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, w)) => when(col(domainCol) === d, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", wCol)
+      .filter(col("__w").isNotNull)
+    val scale = counts.agg(min(col("__n") / col("__w")).as("__scale"))
+    val fracs = counts.crossJoin(broadcast(scale))
+      .select(col(domainCol),
+        least(lit(1.0), col("__w") * col("__scale") / col("__n"))
+          .as("__frac"))
+    df.join(broadcast(fracs), Seq(domainCol))
+      .filter(bucketOf(col(keyCol), seed).cast("double") <
+        col("__frac") * Buckets)
+      .drop("__frac")
+  }
+
   /** SQL fragment computing the same bucket in DuckDB. */
   def bucketSql(expr: String, seed: Int): String =
     s"${Hashing.hash64Sql(s"CAST($expr AS VARCHAR)", seed)} % $Buckets"

@@ -61,6 +61,29 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("domainMix: bottleneck keeps all, others downsample to the mixture") {
+    val rows = (0 until 300).map(i => (i.toLong, "a")) ++
+      (300 until 360).map(i => (i.toLong, "b")) ++
+      (360 until 400).map(i => (i.toLong, "c")) ++
+      (400 until 420).map(i => (i.toLong, "drop_me"))
+    val df = rows.toDF("id", "domain")
+    val mixed = Sampling.domainMix(df, "id", "domain",
+      targets = Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), seed = 1)
+    val kept = mixed.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    // scale = min(300/.5, 60/.25, 40/.25) = 160 -> quotas 80/40/40:
+    // c is the bottleneck (keeps all 40); a,b hash-sample toward quota
+    assert(kept.getOrElse("c", 0L) == 40L, kept.toString)
+    assert(!kept.contains("drop_me"), "unlisted domains must be dropped")
+    assert(math.abs(kept("a") - 80L) <= 25, kept.toString)
+    assert(math.abs(kept("b") - 40L) <= 15, kept.toString)
+    // partitioning-invariant
+    val again = Sampling.domainMix(df.repartition(7), "id", "domain",
+      targets = Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25), seed = 1)
+      .select("id").as[Long].collect().toSet
+    assert(again == mixed.select("id").as[Long].collect().toSet)
+  }
+
   test("vocabulary: ids are dense by (count desc, token asc)") {
     val v = TextAnalysis.vocabulary(docs, "text", minCount = 2)
       .orderBy("token_id").collect()
