@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Dedup, Events, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Events, Sampling, Similarity, TextAnalysis, Urls}
 import graft.functions.Hashing
 
 /** Beyond-reference operators (builder brief + SURVEY §7.4): dedup,
@@ -1001,6 +1001,27 @@ object ExtQueries {
         .select(col("doc_id"), col("n_email"), col("n_url"),
           col("n_phone"), col("redacted"))
         .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization + URL-level dedup over deterministically
+    // synthesized URLs that exercise every rule: scheme/host case, www
+    // prefix, default port, trailing slash, tracking params, fragment.
+    "x_url_dedup" -> ((s, dir) => {
+      val d = col("doc_id")
+      val url = concat(
+        when(d % 4 === 0, "HTTPS://").otherwise(lit("https://")),
+        when(d % 3 === 0, "WWW.").otherwise(lit("")),
+        lit("host"), (d % 7).cast("string"), lit(".Example.org"),
+        when(d % 5 === 0, ":443").otherwise(lit("")),
+        lit("/p/"), (d % 40).cast("string"),
+        when(d % 2 === 0, "/").otherwise(lit("")),
+        lit("?id="), (d % 40).cast("string"),
+        when(d % 6 === 0, "&utm_source=feed").otherwise(lit("")),
+        when(d % 9 === 0, "#frag").otherwise(lit("")))
+      Urls.dedupByUrl(
+          T(s, dir, "documents").select(d, url.as("url")),
+          "doc_id", "url")
+        .orderBy(col("url_norm"))
     })
   )
 
@@ -2250,6 +2271,48 @@ object ExtQueries {
            $redacted AS redacted
           FROM aug ORDER BY doc_id"""
     },
+
+    "x_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+               CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+               'host', CAST(doc_id % 7 AS VARCHAR), '.Example.org',
+               CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+               '/p/', CAST(doc_id % 40 AS VARCHAR),
+               CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+               '?id=', CAST(doc_id % 40 AS VARCHAR),
+               CASE WHEN doc_id % 6 = 0 THEN '&utm_source=feed' ELSE '' END,
+               CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         st1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS s FROM u),
+         st2 AS (SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(s,
+                   '&(?:utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+                 '\?(?:utm_[a-z]+|fbclid|gclid)=[^&]*&', '?'),
+               '\?(?:utm_[a-z]+|fbclid|gclid)=[^&]*$', '') AS s
+           FROM st1),
+         st3 AS (SELECT doc_id,
+             regexp_replace(s, '/+(\?|$)', '\1') AS s FROM st2),
+         norm AS (
+           SELECT doc_id,
+             concat(
+               lower(regexp_extract(s,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)), '://',
+               regexp_replace(
+                 regexp_replace(
+                   lower(regexp_extract(s,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                   '^www\.', ''),
+                 ':(80|443)$', ''),
+               regexp_extract(s,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$', 1)) AS url_norm
+           FROM st3)
+         SELECT url_norm, MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
+         FROM norm GROUP BY 1 ORDER BY 1""",
 
     "x_group_topk" ->
       """SELECT s_nationkey, s_suppkey, s_name, s_acctbal, rank FROM (
