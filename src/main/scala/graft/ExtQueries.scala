@@ -101,6 +101,24 @@ object ExtQueries {
         .orderBy(col("cell"), col("dim"))
     }),
 
+    // SemDeDup: cluster-bounded semantic near-dup pruning. Fixed
+    // 8-vector codebook for determinism; the synthetic corpus has no
+    // true semantic dups (max pairwise cosine 0.51), so the 0.3
+    // threshold exercises the pruning path.
+    "x_semdedup" -> ((s, dir) => {
+      val codebook = T(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .collect()  // KB-sized codebook = driver-side parameter
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq)
+        .toSeq.sortBy(_._1)
+      Similarity.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
+          codebook, threshold = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     "x_ann_brute_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
         "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
@@ -1283,6 +1301,32 @@ object ExtQueries {
               AS mean_q,
             COUNT(*) AS n_members
           FROM dims GROUP BY 1, 2 ORDER BY cell, dim""",
+
+    "x_semdedup" ->
+      s"""WITH cents AS (
+            SELECT vec_id AS cell, $qvec AS cv FROM embeddings
+            WHERE vec_id < 8),
+          v AS (SELECT vec_id, $qvec AS v FROM embeddings),
+          scoredc AS (
+            SELECT vec_id, cell,
+              list_sum(list_transform(list_zip(v, cv),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+            FROM v CROSS JOIN cents),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cell) AS rn
+              FROM scoredc) WHERE rn = 1),
+          av AS (SELECT a.vec_id, a.cell, v.v
+                 FROM assigned a JOIN v USING (vec_id)),
+          dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM av a JOIN av b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ${cosSql("a.v", "b.v")} >= 0.3)
+          SELECT vec_id, cell FROM assigned
+          WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+          ORDER BY vec_id""",
 
     "x_ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $qvec AS qv FROM embeddings

@@ -281,6 +281,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SemDeDup-style semantic dedup: cluster the corpus with a (learned
+    * or fixed) codebook, then prune near-duplicates WITHIN each cluster
+    * — a document is dropped when a lower-id same-cell document has
+    * cosine ≥ `threshold`. The cluster equi-join is what makes this a
+    * scale operator: the quadratic term is bounded by cluster size
+    * (pick C so n/C stays ~10⁴ and each cell's pair block fits an
+    * executor), instead of the corpus-wide all-pairs a flat threshold
+    * scan would need. Assignment is the join-free literal-codebook
+    * argmin of [[lloydStep]]; survivors return as (id, cell).
+    *
+    * Keep rule is "no lower-id near-dup in my cell" (the exact-dedup
+    * survivor convention), not transitive closure — chains longer than
+    * one hop keep their local minima, which is SemDeDup's published
+    * behavior (one representative per epsilon-ball, greedy by id).
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               codebook: Seq[(Long, Seq[Long])],
+               threshold: Double): DataFrame = {
+    require(codebook.nonEmpty, "empty codebook")
+    val scored = codebook.map { case (cell, cvec) =>
+      val dist = aggregate(
+        zip_with(col("v"), lit(cvec.toArray), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+      struct(dist.as("dist"), lit(cell).as("cell"))
+    }
+    val assigned = emb
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("v"))
+      .select(col("__id"), col("v"),
+        array_min(array(scored: _*)).getField("cell").as("cell"))
+    val a = assigned.select(col("cell"), col("__id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cell"), col("__id").as("id_b"),
+      col("v").as("vb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineQ(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("__id")).distinct()
+    assigned.join(dropped, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("cell"))
+  }
+
   /** IVF (inverted-file) ANN: a fixed set of `centroidIds` vectors act as
     * coarse centroids; every vector is assigned to its nearest centroid
     * (argmax cosine, ties to the lowest centroid id), giving an inverted

@@ -168,6 +168,28 @@ class AnnRecallSpec extends SparkTestBase {
     assert(cb2.size == seeds.size && cb2.forall(_._2.size == 64))
   }
 
+  test("semDedup: threshold monotone, idempotent, rule holds per survivor") {
+    val codebook = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq)
+      .toSeq.sortBy(_._1)
+    def survivors(t: Double, of: org.apache.spark.sql.DataFrame = emb) =
+      Similarity.semDedup(of, "vec_id", "embedding", codebook, t)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val loose = survivors(0.3)
+    val tight = survivors(0.45)
+    info(s"survivors: t=0.3 -> ${loose.size}, t=0.45 -> ${tight.size} of ${emb.count()}")
+    assert(loose.size < emb.count(), "0.3 must actually prune this corpus")
+    assert(loose.subsetOf(tight),
+      "raising the threshold can only add survivors")
+    val again = survivors(0.3,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id")
+        .isin(loose.toSeq: _*)))
+    assert(again == loose, "semDedup must be idempotent at a fixed threshold")
+  }
+
   test("lloydStep assignment is join-free (literal codebook, one exchange)") {
     val step = Similarity.lloydStep(emb, "vec_id", "embedding",
       Seq(0L -> Seq.fill(64)(0L), 1L -> Seq.fill(64)(500L)))
