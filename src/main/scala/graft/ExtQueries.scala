@@ -1021,6 +1021,22 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode normalization (native codegen'd expression): NFC-compose
+    // combining marks appended to real text, plus accent stripping —
+    // the canonicalization step before any hash/shingle dedup key.
+    "x_text_normalize" -> ((s, dir) => {
+      // decomposed on purpose (combining marks + one precomposed A-ring)
+      // so NFC genuinely composes; output is " Caf\u00e9 \u00fcber \u00f1o \u00c5 \u00c5"
+      val aug = concat(col("text"),
+        lit(" Cafe\u0301 u\u0308ber n\u0303o \u00c5 A\u030a"))
+      T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.functions.native_fns.unicode_normalize(aug, "NFC")
+            .as("nfc_text"),
+          graft.functions.native_fns.strip_accents(aug).as("ascii_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization + URL-level dedup over deterministically
     // synthesized URLs that exercise every rule: scheme/host case, www
     // prefix, default port, trailing slash, tracking params, fragment.
@@ -2315,6 +2331,17 @@ object ExtQueries {
            $redacted AS redacted
           FROM aug ORDER BY doc_id"""
     },
+
+    "x_text_normalize" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' Cafe' || chr(769) || ' u' || chr(776) || 'ber n'
+               || chr(771) || 'o ' || chr(197) || ' A' || chr(778) AS t
+           FROM documents WHERE doc_id < 200)
+         SELECT doc_id,
+           nfc_normalize(t) AS nfc_text,
+           strip_accents(nfc_normalize(t)) AS ascii_text
+         FROM aug ORDER BY doc_id""",
 
     "x_url_dedup" ->
       """WITH u AS (

@@ -17,4 +17,14 @@ object native_fns {
   /** Karp-Rabin polynomial fingerprint of a string's UTF-8 bytes. */
   def rolling_hash(c: Column): Column =
     org.apache.spark.sql.graft.RollingHash.rolling_hash(c)
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD), codegen'd with an
+    * ASCII fast path.
+    */
+  def unicode_normalize(c: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.UnicodeNormalizeExpr.unicode_normalize(c, form)
+
+  /** Accent stripping (NFD → drop combining marks → NFC). */
+  def strip_accents(c: Column): Column =
+    org.apache.spark.sql.graft.UnicodeNormalizeExpr.strip_accents(c)
 }
