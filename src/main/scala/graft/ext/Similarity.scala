@@ -309,14 +309,18 @@ object Similarity {
     val assigned = emb
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("v"))
       .select(col("__id"), col("v"),
-        array_min(array(scored: _*)).getField("cell").as("cell"))
+        array_min(array(scored: _*)).getField("cell").as("cell"),
+        // norm once per VECTOR, not per pair — cuts the pair-stage
+        // dot products 3x; sqrt here equals sqrt-at-pair-time exactly
+        sqrt(dotQ(col("v"), col("v"))).as("nrm"))
     val a = assigned.select(col("cell"), col("__id").as("id_a"),
-      col("v").as("va"))
+      col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col("__id").as("id_b"),
-      col("v").as("vb"))
+      col("v").as("vb"), col("nrm").as("nb"))
     val dropped = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(cosineQ(col("va"), col("vb")) >= threshold)
+      .filter(dotQ(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
       .select(col("id_b").as("__id")).distinct()
     assigned.join(dropped, Seq("__id"), "left_anti")
       .select(col("__id").as(idCol), col("cell"))
