@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Dedup, Events, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ext.{Bpe, Dedup, Events, Sampling, Similarity, TextAnalysis, Urls}
 import graft.functions.Hashing
 
 /** Beyond-reference operators (builder brief + SURVEY §7.4): dedup,
@@ -989,6 +989,18 @@ object ExtQueries {
     "x_text_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // BPE training, the oracle-able leg: the weighted adjacent-pair
+    // count over the char-segmented vocabulary (= iteration 1's merge
+    // candidate table). The full training loop is spec'd against a
+    // reference implementation (BpeSpec), the kmeans precedent.
+    "x_bpe_pairs" -> ((s, dir) => {
+      val vocab = Bpe.wordCounts(T(s, dir, "documents"), "text")
+        .select(Bpe.charSyms(col("word")).as("syms"), col("n"))
+      Bpe.pairCounts(vocab)
+        .orderBy(col("total").desc, col("x"), col("y"))
+        .limit(30)
+    }),
 
     // Perplexity-quantile gate: keep docs at or below the corpus p80
     // of average unigram surprisal (exact percentile for the oracle;
@@ -2248,6 +2260,21 @@ object ExtQueries {
                 CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                   AS avg_neg_logprob
          FROM terms GROUP BY 1 ORDER BY 1""",
+
+    "x_bpe_pairs" ->
+      """WITH words AS (
+           SELECT w AS word, COUNT(*) AS n FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS w
+             FROM documents)
+           WHERE w <> '' GROUP BY 1),
+         chars AS (SELECT string_split(word, '') AS cs, n FROM words),
+         pairs AS (
+           SELECT cs[i] AS x, cs[i + 1] AS y, n
+           FROM chars, LATERAL (
+             SELECT unnest(generate_series(1, len(cs) - 1)) AS i) g)
+         SELECT x, y, CAST(SUM(n) AS BIGINT) AS total
+         FROM pairs GROUP BY 1, 2
+         ORDER BY total DESC, x, y LIMIT 30""",
 
     "x_quality_gate" ->
       """WITH tf AS (

@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training — the other iterative-algorithm
+  * workload of an LLM data pipeline (k-means being the first, see
+  * [[Similarity.kmeans]]). The Spark shape matters more than the
+  * algorithm: the corpus is touched EXACTLY ONCE, by the word-count
+  * aggregation (words with counts are the sufficient statistic for BPE);
+  * every training iteration then runs against the vocabulary table,
+  * whose size is bounded by the language (~10⁵–10⁶ distinct words)
+  * regardless of corpus size — iteration cost is O(vocab), never
+  * O(corpus). Driver state is the merge list, O(numMerges).
+  *
+  * Pair semantics are the classic Sennrich et al. greedy: one merge per
+  * iteration (the highest weighted count of ADJACENT symbol pairs, ties
+  * to the lexicographically smallest pair), applied left-to-right
+  * non-overlapping within each word. No end-of-word marker — words are
+  * the tokenization unit, and the marker is orthogonal to the engine
+  * mechanics.
+  */
+object Bpe {
+
+  /** Single-character initial segmentation of a word (split("") leaves
+    * a trailing empty string on some engines — filtered).
+    */
+  def charSyms(word: Column): Column =
+    filter(split(word, ""), s => s =!= "")
+
+  /** One left-to-right non-overlapping merge pass of the pair (x, y)
+    * over a symbol array — a fold carrying (emitted, pending): the
+    * pending symbol merges with the current one iff they equal (x, y);
+    * a merged symbol is emitted and cannot re-merge this pass.
+    */
+  def applyMerge(syms: Column, x: String, y: String): Column = {
+    val zero = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("pend"))
+    val step = (acc: Column, s: Column) =>
+      when(acc.getField("pend").isNull,
+        struct(acc.getField("out").as("out"), s.as("pend")))
+        .when(acc.getField("pend") === x && s === y,
+          struct(concat(acc.getField("out"), array(lit(x + y))).as("out"),
+            lit(null).cast("string").as("pend")))
+        .otherwise(
+          struct(concat(acc.getField("out"), array(acc.getField("pend")))
+            .as("out"), s.as("pend")))
+    val finish = (acc: Column) =>
+      when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend"))))
+    aggregate(syms, zero, step, finish)
+  }
+
+  /** The corpus-scale step: one scan collapsing the corpus to
+    * (word, n) — everything after runs on this vocabulary table.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Weighted adjacent-pair counts over a (syms, n) vocabulary table:
+    * `zip(syms, syms[1:])` explodes to one row per adjacent pair,
+    * weighted by the word count. Partial aggregation collapses the
+    * explode before the (tiny) shuffle.
+    */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("n"),
+      explode(arrays_zip(
+        slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+        slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0)))))
+        .as("p"))
+      .select(col("p.0").as("x"), col("p.1").as("y"), col("n"))
+      .groupBy(col("x"), col("y")).agg(sum(col("n")).as("total"))
+
+  /** Train `numMerges` merges. Returns the ordered merge list. Each
+    * iteration: apply the previous merge to the vocabulary (fold over
+    * ≤|word| symbols per row), count pairs, collect the argmax — a
+    * KB-sized driver round-trip. `localCheckpoint` truncates the plan
+    * each round so iteration N doesn't re-execute rounds 1..N-1 (the
+    * standard Spark iterative-algorithm guard).
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var vocab = wordCounts(df, textCol)
+      .select(charSyms(col("word")).as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("total").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y) = (top(0).getString(0), top(0).getString(1))
+        merges += ((x, y))
+        vocab = vocab
+          .select(applyMerge(col("syms"), x, y).as("syms"), col("n"))
+          .localCheckpoint()
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  /** Encode documents with a trained merge list: per word, the initial
+    * char segmentation folded through every merge in training order
+    * (row-local; the merge list rides the plan as literals), then words
+    * re-concatenated in document order.
+    */
+  def encodeDocuments(df: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val encoded = merges.foldLeft(charSyms(col("word"))) {
+      case (syms, (x, y)) => applyMerge(syms, x, y)
+    }
+    words.select(col(idCol), col("pos"), encoded.as("toks"))
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("toks"))))
+        .getField("toks")).as("bpe_tokens"))
+  }
+}
