@@ -829,6 +829,15 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Per-domain fixed-size draw (5 docs per source) via the custom
+    // bounded-heap TopKPerKey operator — no per-group sort.
+    "x_sample_per_group" -> ((s, dir) =>
+      Sampling.reservoirPerGroup(
+          T(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("lang")),
+          "doc_id", "source", k = 5, seed = 9)
+        .orderBy(col("source"), col("doc_id"))),
+
     // Deterministic fixed-size draw: the 100 smallest-hash documents.
     "x_sample_reservoir" -> ((s, dir) =>
       Sampling.reservoirSample(T(s, dir, "documents"), "doc_id", 100,
@@ -1009,6 +1018,22 @@ object ExtQueries {
       TextAnalysis.qualityQuantileGate(T(s, dir, "documents"),
           "doc_id", "text", p = 0.8, exact = true)
         .orderBy(col("doc_id"))),
+
+    // Character-distribution entropy: the compressibility quality
+    // signal, decimal-exact accumulation.
+    "x_text_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(
+          T(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Corpus bigram PMI (phrase mining): top-50 bigrams by count with
+    // pointwise mutual information over corpus-wide counts.
+    "x_phrase_pmi" -> ((s, dir) =>
+      TextAnalysis.phraseScores(T(s, dir, "documents"), "text",
+          minCount = 5)
+        .orderBy(col("c_xy").desc, col("x"), col("y"))
+        .limit(50)),
 
     // Gopher-style repetition stats + keep decision.
     "x_text_repetition" -> ((s, dir) =>
@@ -2202,6 +2227,16 @@ object ExtQueries {
           FROM z GROUP BY 1 ORDER BY 1"""
     },
 
+    "x_sample_per_group" -> {
+      val h = Hashing.hash64Sql("CAST(doc_id AS VARCHAR)", 9)
+      s"""SELECT doc_id, source, lang FROM (
+            SELECT doc_id, source, lang,
+              row_number() OVER (PARTITION BY source
+                ORDER BY $h, doc_id) AS rn
+            FROM documents) WHERE rn <= 5
+          ORDER BY source, doc_id"""
+    },
+
     "x_domain_mix" -> {
       val bucket = Sampling.bucketSql("doc_id", 5)
       s"""WITH w AS (
@@ -2275,6 +2310,43 @@ object ExtQueries {
          SELECT x, y, CAST(SUM(n) AS BIGINT) AS total
          FROM pairs GROUP BY 1, 2
          ORDER BY total DESC, x, y LIMIT 30""",
+
+    "x_text_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, g, COUNT(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text, '')) AS g
+             FROM documents WHERE doc_id < 300)
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               AS DECIMAL(28,9))) AS DOUBLE) AS s
+           FROM ch GROUP BY 1)
+         SELECT doc_id, n,
+           round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 9)
+             AS char_entropy
+         FROM agg ORDER BY doc_id""",
+
+    "x_phrase_pmi" ->
+      """WITH toks AS (
+           SELECT string_split(lower(text), ' ') AS l FROM documents),
+         bi AS (
+           SELECT l[i] AS x, l[i + 1] AS y, COUNT(*) AS c_xy
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         uni AS (
+           SELECT t, COUNT(*) AS c FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS t
+             FROM documents)
+           WHERE t <> '' GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni)
+         SELECT x, y, c_xy,
+           round(ln(CAST(c_xy * n AS DOUBLE) / CAST(ux.c * uy.c AS DOUBLE)),
+             9) AS pmi
+         FROM bi JOIN uni ux ON bi.x = ux.t
+           JOIN uni uy ON bi.y = uy.t CROSS JOIN tot
+         ORDER BY c_xy DESC, x, y LIMIT 50""",
 
     "x_quality_gate" ->
       """WITH tf AS (

@@ -93,6 +93,25 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Per-group fixed-size sample: `k` deterministic rows per stratum
+    * (the "pull 100 docs from every domain for inspection" query).
+    * Same smallest-hash selection as [[reservoirSample]], but grouped —
+    * and executed by the custom bounded-heap TopKPerKey operator, so
+    * each partition keeps k candidates per key with NO per-group sort
+    * (the window row_number idiom sorts every group; at web scale a
+    * group is a domain with 10⁹ rows and the sort is the bottleneck).
+    */
+  def reservoirPerGroup(df: DataFrame, keyCol: String, strataCol: String,
+                        k: Int, seed: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    org.apache.spark.sql.graft.TopKPerKey.topKPerKey(
+        df.withColumn("__h",
+          Hashing.hash64(col(keyCol).cast("string"), seed)),
+        keys = Seq(strataCol),
+        orderBy = Seq(col("__h").asc, col(keyCol).asc), k = k)
+      .drop("__h")
+  }
+
   /** Domain-mixture resampling: downsample each domain so the surviving
     * corpus matches a target mixture (e.g. 40% web / 30% books / 20%
     * code / 10% wiki) WITHOUT upsampling — the largest corpus the

@@ -251,6 +251,59 @@ object TextAnalysis {
         col("neg_logprob_sum") / col("n_tokens").cast("double"))
   }
 
+  /** Per-document character-distribution entropy — the cheap
+    * "compressibility" quality signal (near-zero for repeated-char
+    * spam, high for natural text; the poor man's gzip-ratio filter).
+    * Computed as `H = ln(n) - (Σ c·ln c)/n` so the only shuffled rows
+    * are the per-(doc, char) partial counts; the per-char `c·ln c`
+    * terms are DECIMAL-cast before summing so accumulation order
+    * cannot move the double result (the unigramLogProb trick).
+    */
+  def charEntropy(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.select(col(idCol),
+      explode(filter(split(col(textCol), ""), s => s =!= "")).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast(DecimalType(28, 9))).cast("double").as("__s"))
+      .select(col(idCol), col("n"),
+        // 9dp: JVM and C libm ln() disagree in the last ulp for some
+        // inputs; the metric is meaningful to ~1e-9 at most
+        round(log(col("n").cast("double")) -
+          col("__s") / col("n").cast("double"), 9).as("char_entropy"))
+  }
+
+  /** Corpus-level bigram phrase mining (word2vec/gensim-style): for
+    * every adjacent token pair, `pmi = ln(c_xy · N / (c_x · c_y))`
+    * over corpus-wide counts — the signal that turns "new york" into
+    * one token before embedding training. Three partial-aggregated
+    * group-bys (unigrams, bigrams, total) and two hash joins of the
+    * bigram table against the unigram table; nothing touches the
+    * corpus more than once.
+    */
+  def phraseScores(df: DataFrame, textCol: String,
+                   minCount: Long = 2): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("syms"), lit(1L).as("n"))
+    val bigrams = Bpe.pairCounts(toks)
+      .filter(col("total") >= minCount)
+      .select(col("x"), col("y"), col("total").as("c_xy"))
+    val uni = df.select(explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("__n_tokens"))
+    bigrams
+      .join(uni.select(col("t").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(total))
+      .select(col("x"), col("y"), col("c_xy"),
+        // 9dp: last-ulp libm ln() portability (see charEntropy)
+        round(log((col("c_xy") * col("__n_tokens")).cast("double") /
+          (col("c_x") * col("c_y")).cast("double")), 9).as("pmi"))
+  }
+
   /** Perplexity-quantile quality gate: keep the documents whose
     * average unigram surprisal falls at or below the corpus p-quantile
     * — the "drop the weirdest (1-p) of the corpus" filter of LM data

@@ -255,6 +255,30 @@ class ExtSpec extends SparkTestBase {
     assert(hits == Seq((1L, 1L), (2L, 2L)), hits.toString)
   }
 
+  test("charEntropy: 0 for constant text, ln(k) for uniform chars") {
+    val df = Seq((1L, "aaaaaaaa"), (2L, "abcdabcd"), (3L, "abcdefgh"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").select("char_entropy").as[Double].collect()
+    assert(rows(0) == 0.0, s"constant text: ${rows(0)}")
+    assert(math.abs(rows(1) - math.log(4)) < 1e-9, s"4 uniform: ${rows(1)}")
+    assert(math.abs(rows(2) - math.log(8)) < 1e-9, s"8 uniform: ${rows(2)}")
+  }
+
+  test("phraseScores: collocated bigram outranks independent pair") {
+    // "new york" always adjacent; "red" and "dog" co-occur only once
+    val text = (Seq.fill(10)("new york") ++
+      Seq.fill(10)("red car") ++ Seq.fill(10)("big dog") ++
+      Seq("red dog")).mkString(" ")
+    val scores = TextAnalysis.phraseScores(Seq(text).toDF("text"), "text",
+        minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    val m = scores.map { case (x, y, _, p) => (x, y) -> p }.toMap
+    assert(m(("new", "york")) > m(("red", "dog")),
+      s"collocation must outscore chance: $m")
+  }
+
   test("qualityQuantileGate keeps the p-fraction cleanest docs, cleanly split") {
     val real = graft.io.Tables.load(spark, sf, "documents")
       .select($"doc_id", $"text")

@@ -61,6 +61,20 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("reservoirPerGroup: k per stratum, no window sort, partition-invariant") {
+    val base = docs.select($"doc_id", $"source")
+    val s1 = Sampling.reservoirPerGroup(base, "doc_id", "source", k = 3, seed = 2)
+    val got = s1.groupBy("source").count().as[(String, Long)].collect()
+    assert(got.nonEmpty && got.forall(_._2 <= 3), got.mkString(","))
+    val a = s1.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.reservoirPerGroup(base.repartition(7), "doc_id",
+      "source", k = 3, seed = 2).select("doc_id").as[Long].collect().toSet
+    assert(a == b, "selection must not depend on partitioning")
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), "must not fall back to window sort:\n" + plan)
+  }
+
   test("domainMix: bottleneck keeps all, others downsample to the mixture") {
     val rows = (0 until 300).map(i => (i.toLong, "a")) ++
       (300 until 360).map(i => (i.toLong, "b")) ++
