@@ -48,6 +48,17 @@ object ExtQueries {
         bands = 4, rowsPerBand = 2, maxBucket = 0)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental dedup: batch (doc_id >= 400) vs corpus index
+    // (doc_id < 400) — band join + Jaccard verification on collisions.
+    "x_dedup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.dedupAgainstIndex(
+          docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", minJaccard = 0.5)
+        .orderBy(col("batch_id"), col("index_id"))
+    }),
+
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashTable(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -950,6 +961,14 @@ object ExtQueries {
           "doc_id", "text", chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Content-defined chunking: shift-robust token-level CDC segments
+    // (boundaries where hash64(token) % 16 == 0).
+    "x_cdc_chunks" -> ((s, dir) =>
+      TextAnalysis.contentChunks(
+          T(s, dir, "documents").filter(col("doc_id") < 150),
+          "doc_id", "text", avgChunk = 16, seed = 4)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Sequence packing: contiguous-fill assignment of docs to 256-token
     // training sequences via the two-phase distributed prefix sum (no
     // global single-partition window).
@@ -1197,6 +1216,28 @@ object ExtQueries {
     s"""WITH $minhashCtes
         SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"""
 
+  /** Incremental (batch-vs-index) oracle: same band derivation, split
+    * at doc_id 400, Jaccard-verified collisions.
+    */
+  private def incrementalOracle: String =
+    s"""WITH $minhashCtes,
+        icand AS (
+          SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+          WHERE a.doc_id < 400 AND b.doc_id >= 400),
+        gsets AS (SELECT doc_id AS gid, list_distinct(sh) AS g FROM sh),
+        verified AS (
+          SELECT batch_id, index_id,
+            CAST(len(list_intersect(bg.g, ig.g)) AS DOUBLE)
+              / (len(bg.g) + len(ig.g) - len(list_intersect(bg.g, ig.g)))
+              AS jaccard
+          FROM icand
+          JOIN gsets bg ON icand.batch_id = bg.gid
+          JOIN gsets ig ON icand.index_id = ig.gid)
+        SELECT batch_id, index_id, jaccard FROM verified
+        WHERE jaccard >= 0.5 ORDER BY batch_id, index_id"""
+
   /** Transitive-closure oracle for [[Dedup.connectedComponents]]: full
     * reachability via a recursive CTE (quadratic per component — fine at
     * oracle scale), then cluster id = min reachable id.
@@ -1273,6 +1314,8 @@ object ExtQueries {
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "x_dedup_minhash" -> minhashOracle,
+
+    "x_dedup_incremental" -> incrementalOracle,
 
     "x_dedup_jaccard3" -> jaccard3Oracle,
 
@@ -1654,6 +1697,31 @@ object ExtQueries {
          FROM tf JOIN dfreq USING (token) CROSS JOIN n
          WHERE doc_id < 20
          ORDER BY doc_id, token""",
+
+    "x_cdc_chunks" -> {
+      val h = Hashing.hash64Sql("t", 4)
+      s"""WITH toks AS (
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, l[i] AS t
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+                  FROM documents WHERE doc_id < 150) d,
+              LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+          marked AS (
+            SELECT doc_id, pos, t,
+              CASE WHEN ($h) % 16 = 0 THEN 1 ELSE 0 END AS b
+            FROM toks),
+          cum AS (
+            SELECT doc_id, pos, t,
+              CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS chunk_id
+            FROM marked)
+          SELECT doc_id, chunk_id,
+            CAST(MIN(pos) AS INTEGER) AS start_pos,
+            CAST(COUNT(*) AS INTEGER) AS n_toks,
+            string_agg(t, ' ' ORDER BY pos) AS chunk
+          FROM cum GROUP BY 1, 2
+          ORDER BY doc_id, chunk_id"""
+    },
 
     "x_seq_pack" ->
       """WITH d AS (

@@ -256,6 +256,44 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Incremental dedup: which documents of a NEW batch near-duplicate
+    * the EXISTING corpus — the daily-crawl workflow, where re-running
+    * corpus-wide dedup per batch would be quadratic in days. The
+    * index's band table depends only on the index (at scale: computed
+    * once, persisted bucketed by (band, band_hash)); the batch computes
+    * bands for itself only and equi-joins — per-batch cost scales with
+    * the batch, not the corpus. Collisions verify with exact shingle
+    * Jaccard built ONLY for collided docs (the nearDupSurvivors prune).
+    * Returns (batch_id, index_id, jaccard) pairs at or above
+    * `minJaccard`.
+    */
+  def dedupAgainstIndex(index: DataFrame, batch: DataFrame, idCol: String,
+                        textCol: String, minJaccard: Double,
+                        bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val ib = minhashBands(index, idCol, textCol, bands, rowsPerBand)
+      .select(col(idCol).as("index_id"), col("band"), col("band_hash"))
+    val bb = minhashBands(batch, idCol, textCol, bands, rowsPerBand)
+      .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
+    val cand = bb.join(ib, Seq("band", "band_hash"))
+      .select(col("batch_id"), col("index_id")).distinct()
+    def gramSets(df: DataFrame, ids: DataFrame, as: String) = df
+      .join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol).as(as),
+        array_distinct(shingles(col(textCol))).as(s"g_$as"))
+    val bg = gramSets(batch,
+      cand.select(col("batch_id").as(idCol)).distinct(), "batch_id")
+    val ig = gramSets(index,
+      cand.select(col("index_id").as(idCol)).distinct(), "index_id")
+    cand.join(bg, Seq("batch_id")).join(ig, Seq("index_id"))
+      .select(col("batch_id"), col("index_id"),
+        (size(array_intersect(col("g_batch_id"), col("g_index_id")))
+          .cast("double") /
+          (size(col("g_batch_id")) + size(col("g_index_id"))
+            - size(array_intersect(col("g_batch_id"), col("g_index_id"))))
+          .cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Connected components over a near-dup pair list: every doc that
     * appears in at least one pair gets a `cluster_id` = the minimum doc
     * id reachable through the pair graph. The pairwise greedy drop in

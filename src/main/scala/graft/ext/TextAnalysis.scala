@@ -467,6 +467,36 @@ object TextAnalysis {
           .as("n_toks"))
   }
 
+  /** Content-defined chunking at token granularity: a chunk boundary
+    * opens at every token whose hash lands in a 1/`avgChunk` bucket —
+    * the Rabin/gear-CDC idea, lifted to tokens so it is engine-portable
+    * and oracle-checkable. Unlike fixed-size windows, chunk boundaries
+    * are a function of CONTENT: insert a paragraph at the front of a
+    * document and every downstream chunk still hashes identically, so
+    * chunk-level exact dedup catches shifted duplicates that
+    * fixed-offset chunking never re-aligns. The cumulative boundary
+    * count is windowed PER DOCUMENT (bounded by doc length, shuffled by
+    * doc id) — no global state.
+    */
+  def contentChunks(df: DataFrame, idCol: String, textCol: String,
+                    avgChunk: Int = 16, seed: Int = 0): DataFrame = {
+    require(avgChunk >= 2, s"avgChunk must be >= 2, got $avgChunk")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("b",
+        (pmod(graft.functions.Hashing.hash64(col("tok"), seed),
+          lit(avgChunk.toLong)) === 0).cast("long"))
+      .withColumn("chunk_id", sum(col("b")).over(w))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(min(col("pos")).as("start_pos"),
+        count(lit(1)).cast("int").as("n_toks"),
+        concat_ws(" ", array_sort(collect_list(struct(col("pos"),
+          col("tok")))).getField("tok")).as("chunk"))
+  }
+
   /** Training-sequence packing: assign documents, in ascending `idCol`
     * order, to fixed token-budget sequences by contiguous fill — doc d's
     * sequence is `floor(offset(d) / budget)` where `offset(d)` is the

@@ -297,6 +297,41 @@ class ExtSpec extends SparkTestBase {
       s"gate must split the metric: maxKept=$maxKept minDropped=$minDropped")
   }
 
+  test("dedupAgainstIndex flags planted dup, passes novel doc") {
+    val index = graft.io.Tables.load(spark, sf, "documents")
+      .filter($"doc_id" < 40).select($"doc_id", $"text")
+    val copied = index.filter($"doc_id" === 7L).as[(Long, String)].head()._2
+    val batch = Seq(
+      (1000L, copied),
+      (1001L, "utterly novel content that matches nothing else at all" +
+        " in this corpus with unique vocabulary zyxw qwer asdf"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.dedupAgainstIndex(index, batch, "doc_id", "text",
+        minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hits.exists(h => h._1 == 1000L && h._2 == 7L && h._3 == 1.0),
+      s"planted copy must hit its source: $hits")
+    assert(!hits.exists(_._1 == 1001L), s"novel doc must pass: $hits")
+  }
+
+  test("contentChunks: chunk boundaries survive a prefix shift") {
+    val base = graft.io.Tables.load(spark, sf, "documents")
+      .filter($"doc_id" === 0L).select($"text").as[String].head()
+    val df = Seq((1L, base), (2L, s"inserted prefix tokens here $base"))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.contentChunks(df, "doc_id", "text",
+        avgChunk = 8, seed = 4)
+      .select($"doc_id", $"chunk")
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val orig = chunks(1L)
+    val shifted = chunks(2L)
+    // all original chunks except (at most) the head chunk re-align
+    assert((orig -- shifted).size <= 1,
+      s"CDC must re-align after a shift; lost ${(orig -- shifted).size} of ${orig.size}")
+    assert(orig.size > 3, s"doc should split into several chunks: ${orig.size}")
+  }
+
   test("packSequences: two-phase prefix sum == naive global window") {
     import org.apache.spark.sql.expressions.Window
     val real = graft.io.Tables.load(spark, sf, "documents")
