@@ -1038,6 +1038,46 @@ object ExtQueries {
           "doc_id", "text", p = 0.8, exact = true)
         .orderBy(col("doc_id"))),
 
+    // Corpus card: the one-row dataset summary a corpus release ships
+    // with — size, token counts, vocabulary, language mix, exact-dup
+    // rate. One scan for the row-local stats + one distinct-hash
+    // aggregate + one token aggregate, combined by 1-row crossJoins.
+    "x_corpus_card" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"))
+      val dups = docs.agg(
+        count_distinct(md5(col("text").cast("binary"))).as("n_unique"))
+      val vocab = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .agg(count_distinct(col("t")).as("vocab_size"))
+      base.crossJoin(broadcast(dups)).crossJoin(broadcast(vocab))
+        .select(col("n_docs"), col("n_chars"), col("n_tokens"),
+          col("n_langs"), col("n_sources"), col("vocab_size"),
+          round(lit(1.0) - col("n_unique").cast("double") /
+            col("n_docs").cast("double"), 9).as("exact_dup_rate"))
+    }),
+
+    // Per-source top-5 tokens by count — the bounded-heap TopKPerKey
+    // over an aggregated (source, token, n) table.
+    "x_top_tokens_per_source" -> ((s, dir) => {
+      val counts = T(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("n"))
+      org.apache.spark.sql.graft.TopKPerKey.topKPerKey(counts,
+          keys = Seq("source"),
+          orderBy = Seq(col("n").desc, col("t").asc), k = 5)
+        .orderBy(col("source"), col("n").desc, col("t"))
+    }),
+
     // Character-distribution entropy: the compressibility quality
     // signal, decimal-exact accumulation.
     "x_text_entropy" -> ((s, dir) =>
@@ -2378,6 +2418,39 @@ object ExtQueries {
          SELECT x, y, CAST(SUM(n) AS BIGINT) AS total
          FROM pairs GROUP BY 1, 2
          ORDER BY total DESC, x, y LIMIT 30""",
+
+    "x_corpus_card" ->
+      """WITH base AS (
+           SELECT COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+           FROM documents),
+         dups AS (
+           SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+           FROM documents),
+         vocab AS (
+           SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_size FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS t
+             FROM documents) WHERE t <> '')
+         SELECT n_docs, n_chars, n_tokens, n_langs, n_sources, vocab_size,
+           round(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+             AS exact_dup_rate
+         FROM base CROSS JOIN dups CROSS JOIN vocab""",
+
+    "x_top_tokens_per_source" ->
+      """SELECT source, t, n FROM (
+           SELECT source, t, n,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n DESC, t) AS rn
+           FROM (
+             SELECT source, t, COUNT(*) AS n FROM (
+               SELECT source, unnest(string_split(lower(text), ' ')) AS t
+               FROM documents)
+             WHERE t <> '' GROUP BY 1, 2))
+         WHERE rn <= 5
+         ORDER BY source, n DESC, t""",
 
     "x_text_entropy" ->
       """WITH ch AS (

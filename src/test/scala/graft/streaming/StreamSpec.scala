@@ -164,6 +164,30 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming URL dedup: canonical-equal variants collapse across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val urls = mem.toDF().toDF("ts", "url")
+      .withColumn("url_norm", graft.ext.Urls.normalize($"url"))
+    val q = dedupStream(urls, Seq("url_norm"))
+      .writeStream.format("memory").queryName("urldedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(1), "https://example.org/p?id=1"),
+        (ts(2), "HTTPS://WWW.example.org/p/?id=1&utm_source=x"))
+      q.processAllAvailable()
+      mem.addData(
+        (ts(3), "https://example.org:443/p?id=1#top"), // replay, batch 2
+        (ts(4), "https://example.org/other"))
+      q.processAllAvailable()
+      val kept = spark.table("urldedup_out").select("url_norm")
+        .as[String].collect().sorted.toSeq
+      assert(kept == Seq("https://example.org/other",
+        "https://example.org/p?id=1"), kept.toString)
+    } finally q.stop()
+  }
+
   test("enrichStream joins micro-batches against a static broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
