@@ -332,6 +332,19 @@ class ExtSpec extends SparkTestBase {
     assert(orig.size > 3, s"doc should split into several chunks: ${orig.size}")
   }
 
+  test("qualityQuantileGate: approx sketch path agrees with exact path") {
+    val real = graft.io.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val exact = TextAnalysis.qualityQuantileGate(real, "doc_id", "text",
+      p = 0.7, exact = true).select("doc_id").as[Long].collect().toSet
+    val approx = TextAnalysis.qualityQuantileGate(real, "doc_id", "text",
+      p = 0.7, exact = false).select("doc_id").as[Long].collect().toSet
+    val sym = (exact -- approx).size + (approx -- exact).size
+    info(s"exact=${exact.size} approx=${approx.size} symdiff=$sym")
+    assert(sym <= math.max(2, exact.size / 20),
+      s"sketch threshold must track the exact quantile: symdiff $sym of ${exact.size}")
+  }
+
   test("packSequences: two-phase prefix sum == naive global window") {
     import org.apache.spark.sql.expressions.Window
     val real = graft.io.Tables.load(spark, sf, "documents")
