@@ -840,6 +840,13 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic negative sampling: 4 pseudo-random negatives per
+    // embedding anchor, reproducible across engines/partitionings.
+    "x_negative_sample" -> ((s, dir) =>
+      Sampling.negativeSamples(T(s, dir, "embeddings"), "vec_id",
+          k = 4, seed = 11)
+        .orderBy(col("anchor_id"), col("j"))),
+
     // Per-domain fixed-size draw (5 docs per source) via the custom
     // bounded-heap TopKPerKey operator — no per-group sort.
     "x_sample_per_group" -> ((s, dir) =>
@@ -1093,6 +1100,13 @@ object ExtQueries {
           minCount = 5)
         .orderBy(col("c_xy").desc, col("x"), col("y"))
         .limit(50)),
+
+    // Rare-token scrub: drop tokens seen < 3 times corpus-wide,
+    // reassemble documents in position order.
+    "x_token_scrub" -> ((s, dir) =>
+      TextAnalysis.scrubRareTokens(T(s, dir, "documents"),
+          "doc_id", "text", minCount = 3)
+        .orderBy(col("doc_id"))),
 
     // Gopher-style repetition stats + keep decision.
     "x_text_repetition" -> ((s, dir) =>
@@ -2335,6 +2349,19 @@ object ExtQueries {
           FROM z GROUP BY 1 ORDER BY 1"""
     },
 
+    "x_negative_sample" -> {
+      val h = Hashing.hash64Sql(
+        "CAST(anchor_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)", 11)
+      s"""WITH m AS (SELECT MAX(vec_id) + 1 AS mm FROM embeddings),
+          a AS (
+            SELECT vec_id AS anchor_id, CAST(unnest(range(4)) AS INTEGER) AS j
+            FROM embeddings)
+          SELECT anchor_id, j, ($h) % mm AS neg_id
+          FROM a CROSS JOIN m
+          WHERE ($h) % mm <> anchor_id
+          ORDER BY anchor_id, j"""
+    },
+
     "x_sample_per_group" -> {
       val h = Hashing.hash64Sql("CAST(doc_id AS VARCHAR)", 9)
       s"""SELECT doc_id, source, lang FROM (
@@ -2451,6 +2478,33 @@ object ExtQueries {
              WHERE t <> '' GROUP BY 1, 2))
          WHERE rn <= 5
          ORDER BY source, n DESC, t""",
+
+    "x_token_scrub" ->
+      """WITH toks AS (
+           SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, l[i] AS t
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+                 FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g
+           WHERE l[i] <> ''),
+         keep AS (
+           SELECT t FROM toks GROUP BY t HAVING COUNT(*) >= 3),
+         marked AS (SELECT doc_id, pos, t FROM toks JOIN keep USING (t)),
+         kept AS (
+           SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_kept,
+             string_agg(t, ' ' ORDER BY pos) AS clean_text
+           FROM marked GROUP BY 1),
+         totals AS (
+           SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_total
+           FROM toks GROUP BY 1)
+         SELECT d.doc_id,
+           COALESCE(kept.clean_text, '') AS clean_text,
+           COALESCE(kept.n_kept, 0) AS n_kept,
+           COALESCE(totals.n_total, 0) - COALESCE(kept.n_kept, 0)
+             AS n_removed
+         FROM documents d
+         LEFT JOIN kept ON d.doc_id = kept.doc_id
+         LEFT JOIN totals ON d.doc_id = totals.doc_id
+         ORDER BY d.doc_id""",
 
     "x_text_entropy" ->
       """WITH ch AS (

@@ -148,6 +148,31 @@ object Sampling {
       .drop("__frac")
   }
 
+  /** Deterministic negative sampling for contrastive training data:
+    * `k` pseudo-random candidate ids per anchor, derived by hashing
+    * (anchor, draw-index) into the dense id domain [0, max(id)] —
+    * reproducible across engines and partitionings like every sampler
+    * here, and collision-free with the anchor by construction (self
+    * hits are filtered; callers anti-join their positive pairs).
+    * The id-space bound rides the plan as a broadcast 1-row aggregate,
+    * so the operator stays lazy end to end. Row-local otherwise: the
+    * output is |anchors|·k rows from one scan, no shuffle.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+                      seed: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = df.agg((max(col(idCol)) + 1).as("__m"))
+    df.select(col(idCol).as("anchor_id"))
+      .crossJoin(broadcast(m))
+      .select(col("anchor_id"), col("__m"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("anchor_id"), col("j"),
+        pmod(Hashing.hash64(
+          concat(col("anchor_id").cast("string"), lit("#"),
+            col("j").cast("string")), seed), col("__m")).as("neg_id"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+  }
+
   /** SQL fragment computing the same bucket in DuckDB. */
   def bucketSql(expr: String, seed: Int): String =
     s"${Hashing.hash64Sql(s"CAST($expr AS VARCHAR)", seed)} % $Buckets"

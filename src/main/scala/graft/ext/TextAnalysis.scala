@@ -467,6 +467,37 @@ object TextAnalysis {
           .as("n_toks"))
   }
 
+  /** Rare-token scrub: rewrite each document with tokens below a
+    * corpus-frequency floor removed — the gibberish/typo/token-noise
+    * cleaning pass (OCR garbage and random strings are exactly the
+    * tokens the corpus has never seen twice). One corpus scan builds
+    * the token counts; the keep decision is a hash semi-join of the
+    * positional token stream against the ABOVE-floor vocabulary
+    * (common tokens match, so the join is the cheap direction); docs
+    * reassemble by position. Returns (id, clean_text, n_kept,
+    * n_removed).
+    */
+  def scrubRareTokens(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Long): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .filter(col("t") =!= "")
+    val keep = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("t"))
+    val marked = toks.join(keep, Seq("t"), "left_semi")
+    val kept = marked.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        concat_ws(" ", array_sort(collect_list(struct(col("pos"),
+          col("t")))).getField("t")).as("clean_text"))
+    df.select(col(idCol),
+      size(filter(tokens(col(textCol)), t => t =!= "")).as("n_total"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0))).as("n_removed"))
+  }
+
   /** Content-defined chunking at token granularity: a chunk boundary
     * opens at every token whose hash lands in a 1/`avgChunk` bucket —
     * the Rabin/gear-CDC idea, lifted to tokens so it is engine-portable

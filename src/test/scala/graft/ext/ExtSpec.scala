@@ -297,6 +297,37 @@ class ExtSpec extends SparkTestBase {
       s"gate must split the metric: maxKept=$maxKept minDropped=$minDropped")
   }
 
+  test("scrubRareTokens drops below-floor tokens, preserves order") {
+    val df = Seq(
+      (1L, "the cat zzqx9 sat on the mat"),
+      (2L, "the cat sat near the mat"),
+      (3L, "qqqq")) // all-rare doc scrubs to empty
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.scrubRareTokens(df, "doc_id", "text",
+        minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    // "zzqx9", "on", "near", "qqqq" all appear once -> scrubbed
+    assert(rows == Seq(
+      (1L, "the cat sat the mat", 5, 2),
+      (2L, "the cat sat the mat", 5, 1),
+      (3L, "", 0, 1)), rows.toString)
+  }
+
+  test("negativeSamples: k in-domain draws per anchor, partition-invariant") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val s1 = Sampling.negativeSamples(emb, "vec_id", k = 3, seed = 7)
+    val rows = s1.as[(Long, Int, Long)].collect().toSeq
+    assert(rows.size >= 3 * n - 5 && rows.size <= 3 * n,
+      s"${rows.size} of ${3 * n} (few self-hits allowed)")
+    assert(rows.forall { case (a, _, g) => g != a && g >= 0 && g < n },
+      "negatives must be in-domain and never the anchor")
+    val s2 = Sampling.negativeSamples(emb.repartition(7), "vec_id",
+      k = 3, seed = 7).as[(Long, Int, Long)].collect().toSeq
+    assert(s2.toSet == rows.toSet, "draws must not depend on partitioning")
+  }
+
   test("dedupAgainstIndex flags planted dup, passes novel doc") {
     val index = graft.io.Tables.load(spark, sf, "documents")
       .filter($"doc_id" < 40).select($"doc_id", $"text")
