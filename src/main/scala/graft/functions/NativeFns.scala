@@ -27,4 +27,18 @@ object native_fns {
   /** Accent stripping (NFD → drop combining marks → NFC). */
   def strip_accents(c: Column): Column =
     org.apache.spark.sql.graft.UnicodeNormalizeExpr.strip_accents(c)
+
+  /** Distributed Bloom-filter build over a LONG key column (Catalyst's
+    * runtime-filter aggregate; returns the serialized filter as BINARY).
+    */
+  def bloom_filter_agg(key: Column, estimatedItems: Long,
+                       numBits: Long): Column =
+    org.apache.spark.sql.graft.BloomFilterFns
+      .bloom_filter_agg(key, estimatedItems, numBits)
+
+  /** Bloom probe: false = definitely absent. `bloom` must be foldable
+    * (`lit(filterBytes)`); codegen'd so it rides the scan.
+    */
+  def might_contain(bloom: Column, key: Column): Column =
+    org.apache.spark.sql.graft.BloomFilterFns.might_contain(bloom, key)
 }
