@@ -219,6 +219,19 @@ object ExtQueries {
       TextAnalysis.vocabulary(T(s, dir, "documents"), "text", minCount = 2)
         .orderBy(col("token_id"))),
 
+    // Exact heavy hitters via Misra-Gries candidates + verification count:
+    // pass 1 is map-only (≤ k candidate keys per task, no key-universe
+    // shuffle), pass 2 counts candidates only. Result is provably exact
+    // (candidate union ⊇ true heavy hitters), so a plain HAVING-threshold
+    // group-by is the oracle.
+    "x_heavy_hitters" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+      graft.agg.HeavyHitters.heavyHitters(toks, "token", k = 35)
+        .withColumnRenamed("key", "token")
+        .orderBy(col("token"))
+    }),
+
     // ---- multimodal (binary column plumbing; decode is stubbed) -------
 
     "x_mm_features" -> ((s, dir) =>
@@ -258,6 +271,22 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"))
         .select(col("n").as("n_without_orders"))
       withOrders.crossJoin(withoutOrders)
+    }),
+
+    // Bloom-pruned semi join: distributed filter build over the dim keys,
+    // codegen'd probe inside the fact scan (rows definitely-absent never
+    // reach the shuffle), exact semi-join verify over the survivors —
+    // result must equal the plain semi join (oracle).
+    "x_bloom_join" -> ((s, dir) => {
+      val fact = T(s, dir, "lineitem")
+      val dim = T(s, dir, "supplier").filter(col("s_nationkey") < 5)
+      graft.ops.BloomJoin.bloomSemiJoin(fact, dim, "l_suppkey", "s_suppkey",
+          estimatedItems = 1 << 14)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // ---- grouping sets / percentiles (beyond-reference OLAP breadth) --
@@ -1882,6 +1911,14 @@ object ExtQueries {
              AS token_id
          FROM counts ORDER BY token_id""",
 
+    "x_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS t
+           FROM documents)
+         SELECT t AS token, COUNT(*) AS n FROM toks GROUP BY 1
+         HAVING COUNT(*) * 36 > (SELECT COUNT(*) FROM toks)
+         ORDER BY 1""",
+
     "x_mm_features" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
@@ -1907,6 +1944,14 @@ object ExtQueries {
            (SELECT COUNT(*) FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
              AS n_without_orders""",
+
+    "x_bloom_join" ->
+      s"""SELECT l_returnflag, ${dsumSql("l_extendedprice")} AS revenue,
+            COUNT(*) AS n_rows
+          FROM lineitem
+          WHERE l_suppkey IN
+            (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+          GROUP BY 1 ORDER BY 1""",
 
     "x_rollup" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus,
