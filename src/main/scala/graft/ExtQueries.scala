@@ -1054,6 +1054,13 @@ object ExtQueries {
       TextAnalysis.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Add-α smoothed bigram LM surprisal (KenLM-ladder step 2): row-local
+    // bigram extraction, one corpus model group-by, context counts
+    // derived from the bigram table.
+    "x_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // BPE training, the oracle-able leg: the weighted adjacent-pair
     // count over the char-segmented vocabulary (= iteration 1's merge
     // candidate table). The full training loop is spec'd against a
@@ -2474,6 +2481,36 @@ object ExtQueries {
                 CAST(SUM(term) AS DOUBLE) AS neg_logprob_sum,
                 CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
                   AS avg_neg_logprob
+         FROM terms GROUP BY 1 ORDER BY 1""",
+
+    "x_bigram_lm" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS l
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+           FROM t),
+         bg AS (
+           SELECT a.doc_id, a.w AS w1, b.w AS w2
+           FROM tok a JOIN tok b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg
+                GROUP BY 1, 2, 3),
+         cb AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb FROM tf
+                GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS ctx FROM cb
+                 GROUP BY 1),
+         v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM tok),
+         terms AS (
+           SELECT tf.doc_id, tf.tf,
+             CAST(tf.tf * -ln((cb.cb + 0.5) / (ctx.ctx + 0.5 * v.v))
+               AS DECIMAL(28,9)) AS term
+           FROM tf JOIN cb USING (w1, w2) JOIN ctx USING (w1)
+           CROSS JOIN v)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(term) AS DOUBLE) AS neg_logprob_sum,
+           CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+             AS avg_neg_logprob
          FROM terms GROUP BY 1 ORDER BY 1""",
 
     "x_bpe_pairs" ->

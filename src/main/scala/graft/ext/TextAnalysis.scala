@@ -251,6 +251,54 @@ object TextAnalysis {
         col("neg_logprob_sum") / col("n_tokens").cast("double"))
   }
 
+  /** Per-document add-α smoothed bigram LM surprisal — the next step up
+    * from [[unigramLogProb]] on the KenLM-style quality-filter ladder:
+    * `P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V)` with corpus-wide
+    * counts, scored as `Σ tf·-ln P` over each document's adjacent pairs.
+    *
+    * Shapes for scale: bigram extraction is ROW-LOCAL (slice+zip of the
+    * materialized token array — no posexplode self-join, no per-doc
+    * window shuffle); corpus model = one group-by of the per-doc bigram
+    * partials; context counts c(w1) are derived FROM the bigram table
+    * (Σ_w2 c(w1,w2)), so model mass is self-consistent and the corpus
+    * is never re-scanned; V and the model join back by bigram key.
+    * Terms are DECIMAL(28,9)-cast before summing (order-independent
+    * doubles — the unigramLogProb parity contract).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // materialize the token array BEFORE the lambdas index it (HOF
+    // lambdas sit outside codegen CSE — the round-1 shingle trap)
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    val pairs = toks.select(col(idCol),
+      explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val tf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+    val ctx = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ctx"))
+    val vocabSize = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .agg(countDistinct(col("token")).cast("double").as("__v"))
+    tf.join(cb, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col(idCol), col("tf"),
+        (col("tf").cast("double") *
+          -log((col("cb").cast("double") + alpha) /
+               (col("ctx").cast("double") + col("__v") * alpha)))
+          .cast(DecimalType(28, 9)).as("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("term")).cast("double").as("neg_logprob_sum"))
+      .withColumn("avg_neg_logprob",
+        col("neg_logprob_sum") / col("n_bigrams").cast("double"))
+  }
+
   /** Per-document character-distribution entropy — the cheap
     * "compressibility" quality signal (near-zero for repeated-char
     * spam, high for natural text; the poor man's gzip-ratio filter).

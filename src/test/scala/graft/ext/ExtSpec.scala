@@ -170,6 +170,37 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("bigramLogProb: hand-computed add-α surprisal on a 2-doc corpus") {
+    // corpus bigrams: (a,b)×2 from doc 1, (a,c)×1 from doc 2
+    // ctx(a) = 3, V = 3 distinct tokens, α = 0.5:
+    //   P(b|a) = (2+0.5)/(3+1.5) = 5/9;  P(c|a) = (1+0.5)/(3+1.5) = 1/3
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "neg_logprob_sum")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // doc 1: bigrams (a,b),(b,a),(a,b) — (b,a) exists too: recount
+    // corpus: doc1 "a b a b" → (a,b),(b,a),(a,b); doc2 → (a,c)
+    // cb: (a,b)=2, (b,a)=1, (a,c)=1; ctx(a)=3, ctx(b)=1; V=3
+    val pAB = (2 + 0.5) / (3 + 1.5)
+    val pBA = (1 + 0.5) / (1 + 1.5)
+    val pAC = (1 + 0.5) / (3 + 1.5)
+    assert(out.map(_._2).toSeq == Seq(3L, 1L))
+    assert(math.abs(out(0)._3 - (2 * -math.log(pAB) - math.log(pBA))) < 1e-6)
+    assert(math.abs(out(1)._3 - -math.log(pAC)) < 1e-6)
+  }
+
+  test("bigramLogProb: single-token and empty docs emit no rows; repeated text scores lower") {
+    val df = Seq((1L, "solo"), (2L, ""), (3L, "x y x y x y x y"),
+      (4L, "x q y p x r")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .select("doc_id", "avg_neg_logprob")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(3L, 4L))
+    // the repetitive doc's bigrams dominate the corpus model → lower
+    // average surprisal than the all-novel doc
+    assert(out(0)._2 < out(1)._2)
+  }
+
   test("repetitionStats: looping doc fails gopher, varied doc passes") {
     val varied = (1 to 60).map(i => s"word$i").mkString(" ")
     val looping = Seq.fill(60)("spam").mkString(" ")
