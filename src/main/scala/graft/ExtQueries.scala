@@ -289,6 +289,20 @@ object ExtQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Daily gap-fill per series key: per-key spine (sequence/explode
+    // inside the group), zero-filled counts, forward-filled revenue.
+    "x_gap_fill" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+          col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("revenue"))
+      graft.ops.GapFill.fillDaily(daily, Seq("status"), "day",
+          zeroFill = Seq("n"), forwardFill = Seq("revenue"))
+        .orderBy(col("status"), col("day"))
+    }),
+
     // ---- grouping sets / percentiles (beyond-reference OLAP breadth) --
 
     "x_rollup" -> ((s, dir) =>
@@ -1959,6 +1973,27 @@ object ExtQueries {
           WHERE l_suppkey IN
             (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
           GROUP BY 1 ORDER BY 1""",
+
+    "x_gap_fill" ->
+      s"""WITH agg AS (
+            SELECT o_orderstatus AS status, o_orderdate AS day,
+              COUNT(*) AS n, ${dsumSql("o_totalprice")} AS revenue
+            FROM orders GROUP BY 1, 2),
+          bounds AS (SELECT status, MIN(day) AS d0, MAX(day) AS d1
+                     FROM agg GROUP BY 1),
+          spine AS (
+            SELECT status,
+              CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                AS day
+            FROM bounds),
+          j AS (
+            SELECT s.status, s.day, COALESCE(a.n, 0) AS n, a.revenue
+            FROM spine s LEFT JOIN agg a USING (status, day))
+          SELECT status, day, n,
+            LAST_VALUE(revenue IGNORE NULLS) OVER (
+              PARTITION BY status ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue
+          FROM j ORDER BY status, day""",
 
     "x_rollup" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus,
