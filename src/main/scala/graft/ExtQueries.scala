@@ -134,6 +134,14 @@ object ExtQueries {
       Similarity.bruteForceTopK(T(s, dir, "embeddings"), "vec_id",
         "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // Nearest-centroid confusion: exact integer-sum centroids (cosine is
+    // scale-invariant, so sum ≡ mean), broadcast centroid table, one
+    // corpus scan, per-vector argmax window.
+    "x_domain_centroids" -> ((s, dir) =>
+      Similarity.nearestCentroidConfusion(T(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy(col("label"), col("assigned"))),
+
     "x_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 6, tables = 8)),
@@ -1527,6 +1535,25 @@ object ExtQueries {
           SELECT vec_id, cell FROM assigned
           WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
           ORDER BY vec_id""",
+
+    "x_domain_centroids" ->
+      s"""WITH e AS (SELECT vec_id, label, $qvec AS v FROM embeddings),
+          d AS (SELECT label, generate_subscripts(v, 1) AS pos,
+                  unnest(v) AS x FROM e),
+          cs AS (SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s
+                 FROM d GROUP BY 1, 2),
+          cent AS (SELECT label AS assigned, list(s ORDER BY pos) AS c
+                   FROM cs GROUP BY 1),
+          scored AS (
+            SELECT e.vec_id, e.label, cent.assigned,
+              ${cosSql("e.v", "cent.c")} AS cos
+            FROM e CROSS JOIN cent),
+          r AS (SELECT vec_id, label, assigned,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, assigned) AS rn
+                FROM scored)
+          SELECT label, assigned, COUNT(*) AS n FROM r WHERE rn = 1
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "x_ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $qvec AS qv FROM embeddings

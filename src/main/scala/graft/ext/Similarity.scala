@@ -592,6 +592,48 @@ object Similarity {
     * [[nearDupPairs]], O(n²) by construction — small-N ground truth for
     * measuring the blocked variant's recall, never a production path.
     */
+  /** Per-label centroid DIRECTION as the exact integer SUM of the
+    * label's quantized vectors. Cosine is scale-invariant, so
+    * nearest-centroid by the sum vector equals nearest by the mean —
+    * and keeping the sum (never dividing) keeps every later dot
+    * product an exact integer, which is what makes nearest-centroid
+    * assignment bit-reproducible across engines. One posexplode +
+    * one (label, dim) group-by; output is |labels| rows.
+    */
+  def labelCentroids(emb: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(quantize(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        d => d.getField("s")).as("centroid"))
+
+  /** Nearest-centroid assignment + label-vs-assigned confusion counts —
+    * the "is this corpus separable by source?" diagnostic (and the
+    * classify-new-docs primitive once centroids are frozen). The
+    * centroid table is broadcast (|labels| rows); the corpus is scanned
+    * once; the argmax is a per-vector window over |labels| scored rows.
+    */
+  def nearestCentroidConfusion(emb: DataFrame, idCol: String,
+                               vecCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = emb.select(col(idCol).as("__id"), col(labelCol).as("label"),
+      quantize(col(vecCol)).as("q"))
+    val cents = labelCentroids(emb, vecCol, labelCol)
+      .select(col("label").as("assigned"), col("centroid"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("cos").desc, col("assigned"))
+    docs.join(broadcast(cents))
+      .select(col("__id"), col("label"), col("assigned"),
+        cosineQ(col("q"), col("centroid")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def nearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
                         maxId: Long, threshold: Double): DataFrame = {
     val a = emb.filter(col(idCol) < maxId)

@@ -190,6 +190,37 @@ class AnnRecallSpec extends SparkTestBase {
     assert(again == loose, "semDedup must be idempotent at a fixed threshold")
   }
 
+  test("labelCentroids: sum vector is exact; separable clusters classify perfectly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two well-separated 4-dim clusters
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.9f, 0.0f, 0.0f), 0), (2L, Seq(0.9f, 1.1f, 0.1f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.1f, 1.0f, 1.1f), 1), (4L, Seq(0.1f, 0.0f, 0.9f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.labelCentroids(rows, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(cents(0) == Seq(1900L, 2000L, 100L, 0L))
+    assert(cents(1) == Seq(100L, 100L, 1900L, 2100L))
+    val conf = Similarity.nearestCentroidConfusion(rows, "vec_id",
+      "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(conf == Set((0, 0, 2L), (1, 1, 2L)))
+  }
+
+  test("nearestCentroidConfusion: real labels are mostly self-assigned and rows sum to corpus") {
+    val conf = Similarity.nearestCentroidConfusion(emb, "vec_id",
+      "embedding", "label").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(conf.map(_._3).sum == emb.count())
+    val diag = conf.filter(c => c._1 == c._2).map(_._3).sum.toDouble
+    val nLabels = conf.map(_._1).distinct.length
+    info(f"self-assignment rate: ${diag / emb.count()}%.2f over $nLabels labels")
+    // the synthetic labels are weakly separable (measured ~0.37); the
+    // invariant worth pinning is "well above the 1/|labels| chance rate"
+    assert(diag / emb.count() > 2.0 / nLabels)
+  }
+
   test("lloydStep assignment is join-free (literal codebook, one exchange)") {
     val step = Similarity.lloydStep(emb, "vec_id", "embedding",
       Seq(0L -> Seq.fill(64)(0L), 1L -> Seq.fill(64)(500L)))
