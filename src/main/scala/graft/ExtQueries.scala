@@ -78,6 +78,21 @@ object ExtQueries {
         candidates = col("doc_id") < 150, minJaccard = 0.05, maxDf = 0)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // PageRank over the doc-similarity graph (importance-weighted
+    // canonical-copy selection): 3 damped iterations, decimal-pinned
+    // contributions for cross-engine exactness.
+    "x_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id",
+        "text", n = 1, candidates = col("doc_id") < 150,
+        minJaccard = 0.8, maxDf = 0)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.ext.Graph.pageRank(edges, iters = 3, dampingPct = 85)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "x_dedup_pipeline" -> ((s, dir) =>
       Dedup.nearDupSurvivors(T(s, dir, "documents"), "doc_id", "text",
         minJaccard = 0.8, maxBucket = 0)
@@ -1465,6 +1480,44 @@ object ExtQueries {
          FROM pairs
          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
          ORDER BY id_a, id_b""",
+
+    "x_pagerank" -> {
+      // fixed-point longs in 1e-12 units, integer DIV everywhere —
+      // bit-identical across engines by construction (see Graph.pageRank)
+      def iterCte(cur: String, prev: String) =
+        s"""$cur AS (
+            SELECT e.dst AS src,
+              ((1000000000000 * 15) // 100) // nn.n +
+                ((SUM($prev.pr // deg.d) * 85) // 100) AS pr
+            FROM e JOIN $prev ON e.src = $prev.src
+            JOIN deg ON e.src = deg.src CROSS JOIN nn
+            GROUP BY e.dst, nn.n)"""
+      s"""WITH d AS (
+           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS g
+           FROM documents WHERE doc_id < 150),
+         docs AS (SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM d),
+         jp AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na,
+               b.ng AS nb, COUNT(*) AS inter
+             FROM docs a JOIN docs b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM jp
+               UNION ALL SELECT id_b, id_a FROM jp),
+         nodes AS (SELECT DISTINCT src FROM e),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+         r0 AS (SELECT src, 1000000000000 // nn.n AS pr
+                FROM nodes CROSS JOIN nn),
+         ${iterCte("r1", "r0")},
+         ${iterCte("r2", "r1")},
+         ${iterCte("r3", "r2")}
+         SELECT src AS doc_id,
+           CAST(pr AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS pagerank
+         FROM r3 ORDER BY 1"""
+    },
 
     // blocked on the same 8-bit sign bucket the Spark operator uses:
     // only same-bucket pairs are candidates on BOTH engines.

