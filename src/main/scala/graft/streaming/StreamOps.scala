@@ -158,6 +158,56 @@ object StreamOps {
     fs.rename(tmp, path)
   }
 
+  // ---- custom state: streaming heavy hitters --------------------------
+
+  case class HeavyHit(bucket: Int, key: String, minCount: Long,
+                      bucketN: Long)
+
+  case class MGState(counters: Map[String, Long], n: Long)
+
+  /** Streaming Misra-Gries: maintain a k-counter frequent-items summary
+    * per hash bucket of the key space, emitting each bucket's current
+    * candidates every micro-batch (Update mode). The streaming twin of
+    * `graft.agg.HeavyHitters`: any key whose GLOBAL frequency exceeds
+    * N/(k+1) is guaranteed present (its whole count lives in one
+    * bucket, and bucketN ≤ N only tightens the local threshold), counts
+    * are lower bounds, and the exactness pass — count only the
+    * candidates — is the same downstream batch verify. State is bounded
+    * by `buckets × k` counters TOTAL regardless of stream length or key
+    * cardinality; state-store partitioning follows the bucket key.
+    */
+  def heavyHittersStream(keys: Dataset[String], k: Int,
+                         buckets: Int = 32): Dataset[HeavyHit] = {
+    import keys.sparkSession.implicits._
+    keys
+      .groupByKey(s => math.floorMod(s.hashCode, buckets))
+      .flatMapGroupsWithState[MGState, HeavyHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: Int, rows: Iterator[String], state: GroupState[MGState]) =>
+          var counters = state.getOption
+            .map(s => collection.mutable.HashMap.from(s.counters))
+            .getOrElse(collection.mutable.HashMap.empty[String, Long])
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          rows.foreach { x =>
+            n += 1
+            counters.get(x) match {
+              case Some(c) => counters.update(x, c + 1)
+              case None if counters.size < k => counters.update(x, 1L)
+              case None =>
+                val dead = List.newBuilder[String]
+                counters.foreach { case (key, c) =>
+                  if (c == 1L) dead += key else counters.update(key, c - 1)
+                }
+                dead.result().foreach(counters.remove)
+            }
+          }
+          state.update(MGState(counters.toMap, n))
+          counters.iterator.map { case (key, c) =>
+            HeavyHit(bucket, key, c, n)
+          }
+      }
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ------------
 
   case class Event(ts: java.sql.Timestamp, user_id: Long,

@@ -214,4 +214,41 @@ class StreamSpec extends SparkTestBase {
       assert(!plan.contains("StateStore"), plan)
     } finally q.stop()
   }
+
+  test("heavyHittersStream: hot keys survive across micro-batches with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val k = 3
+    val q = heavyHittersStream(mem.toDS(), k, buckets = 4)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: hot=40%, warm=30%, tail unique
+      mem.addData(Seq.fill(40)("hot") ++ Seq.fill(30)("warm") ++
+        (0 until 30).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      // batch 2: more of the same skew
+      mem.addData(Seq.fill(40)("hot") ++ Seq.fill(30)("warm") ++
+        (30 until 60).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      // latest emission per (bucket, key)
+      val latest = spark.table("hh_out")
+        .groupBy("bucket", "key")
+        .agg(max(struct(col("bucketN"), col("minCount"))).as("s"))
+        .select(col("key"), col("s.minCount").as("minCount"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // guarantee: keys above N/(k+1) of their bucket must be present
+      assert(latest.contains("hot") && latest.contains("warm"))
+      // minCount is a lower bound on the true count
+      assert(latest("hot") <= 80L && latest("warm") <= 60L)
+      // MG bound: each decrement step cancels ≤ k+1 occurrences, so the
+      // counter can't undercount by more than bucketN/(k+1)
+      assert(latest("hot") >= 80L - 200L / (k + 1))
+      // bounded state: ≤ k candidates emitted per bucket in any batch
+      val perBucket = spark.table("hh_out")
+        .groupBy("bucket", "bucketN").count()
+        .select("count").as[Long].collect()
+      assert(perBucket.forall(_ <= k))
+    } finally q.stop()
+  }
 }
