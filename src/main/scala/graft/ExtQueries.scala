@@ -326,6 +326,35 @@ object ExtQueries {
         .orderBy(col("status"), col("day"))
     }),
 
+    // Series anomaly flags composing gap-fill: zero-filled daily revenue
+    // per status, exact decimal moments (Σx, Σx² — variance is a pure
+    // function of exact sums, so z is engine-deterministic), |z| > 2.
+    "x_anomaly" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+          col("o_orderdate").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      val filled = graft.ops.GapFill.fillDaily(daily, Seq("status"), "day",
+        zeroFill = Seq("revenue"), forwardFill = Seq.empty)
+      val moments = filled.groupBy(col("status")).agg(
+        count(lit(1)).as("nd"),
+        sum(col("revenue").cast(DecimalType(18, 2))).as("s1"),
+        sum(col("revenue").cast(DecimalType(18, 2)) *
+          col("revenue").cast(DecimalType(18, 2))).as("s2"))
+      filled.join(moments, Seq("status"))
+        .withColumn("mean",
+          col("s1").cast("double") / col("nd").cast("double"))
+        .withColumn("z",
+          (col("revenue") - col("mean")) /
+            sqrt(col("s2").cast("double") / col("nd").cast("double") -
+              col("mean") * col("mean")))
+        .filter(abs(col("z")) > 2)
+        .select(col("status"), col("day"), col("revenue"),
+          round(col("z"), 6).as("z"))
+        .orderBy(col("status"), col("day"))
+    }),
+
     // ---- grouping sets / percentiles (beyond-reference OLAP breadth) --
 
     "x_rollup" -> ((s, dir) =>
@@ -658,6 +687,25 @@ object ExtQueries {
                           WHERE o.o_custkey = c.c_custkey)
         GROUP BY c_nationkey
         ORDER BY grp, c_nationkey""")
+    }),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (top-k per
+    // outer row) — Catalyst decorrelates it; the SQL-surface twin of
+    // the DataFrame-side TopKPerKey operator.
+    "x_lateral_topk" -> ((s, dir) => {
+      T(s, dir, "region").createOrReplaceTempView("region")
+      T(s, dir, "nation").createOrReplaceTempView("nation")
+      T(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT r.r_name, t.n_name, t.n_customers
+        FROM region r, LATERAL (
+          SELECT n.n_name, COUNT(*) AS n_customers
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_customers DESC, n.n_name
+          LIMIT 2) t
+        ORDER BY r.r_name, t.n_customers DESC, t.n_name""")
     }),
 
     // Explicit GROUPING SETS with grouping() indicator columns — the
@@ -2075,6 +2123,37 @@ object ExtQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue
           FROM j ORDER BY status, day""",
 
+    "x_anomaly" ->
+      s"""WITH agg AS (
+            SELECT o_orderstatus AS status, o_orderdate AS day,
+              ${dsumSql("o_totalprice")} AS revenue
+            FROM orders GROUP BY 1, 2),
+          bounds AS (SELECT status, MIN(day) AS d0, MAX(day) AS d1
+                     FROM agg GROUP BY 1),
+          spine AS (
+            SELECT status,
+              CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                AS day
+            FROM bounds),
+          filled AS (
+            SELECT s.status, s.day, COALESCE(a.revenue, 0) AS revenue
+            FROM spine s LEFT JOIN agg a USING (status, day)),
+          m AS (
+            SELECT status, COUNT(*) AS nd,
+              SUM(CAST(revenue AS DECIMAL(18,2))) AS s1,
+              SUM(CAST(revenue AS DECIMAL(18,2)) *
+                  CAST(revenue AS DECIMAL(18,2))) AS s2
+            FROM filled GROUP BY 1),
+          z AS (
+            SELECT f.status, f.day, f.revenue,
+              (f.revenue - CAST(s1 AS DOUBLE) / nd) /
+                sqrt(CAST(s2 AS DOUBLE) / nd -
+                  (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))
+                AS z
+            FROM filled f JOIN m USING (status))
+          SELECT status, day, revenue, round(z, 6) AS z
+          FROM z WHERE abs(z) > 2 ORDER BY status, day""",
+
     "x_rollup" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderstatus,
             ${dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
@@ -2316,6 +2395,17 @@ object ExtQueries {
                                    FROM region WHERE r_name <> 'EUROPE'))
          GROUP BY c.c_nationkey
          ORDER BY c.c_nationkey""",
+
+    "x_lateral_topk" ->
+      """SELECT r.r_name, t.n_name, t.n_customers
+         FROM region r, LATERAL (
+           SELECT n.n_name, COUNT(*) AS n_customers
+           FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+           WHERE n.n_regionkey = r.r_regionkey
+           GROUP BY n.n_name
+           ORDER BY n_customers DESC, n.n_name
+           LIMIT 2) t
+         ORDER BY r.r_name, t.n_customers DESC, t.n_name""",
 
     "x_subq_exists" ->
       """SELECT 'active' AS grp, c_nationkey, COUNT(*) AS n
