@@ -34,4 +34,60 @@ object TypedAggs {
     override def outputEncoder: Encoder[Option[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]()
   }
+
+  case class CmsBuf(cells: Array[Long])
+
+  /** Count-min sketch over string keys: a `depth × width` counter grid,
+    * mergeable by cellwise addition — the bounded-memory frequency
+    * summary for key universes too large to group by (the approximate
+    * complement of `graft.agg.HeavyHitters`' exact candidate-verify).
+    * Buffer is `depth·width` longs per partial aggregate (8 KB at the
+    * 4×256 default), independent of stream length and key cardinality.
+    *
+    * Guarantees (spec-pinned): estimates never undercount, and
+    * overcount is ≤ 2N/width with probability 1 − 2^−depth per key.
+    * Hashes are seeded polynomial hashes over the UTF-8 bytes —
+    * deterministic across JVMs and partitionings.
+    */
+  class CountMin(depth: Int = 4, width: Int = 256)
+      extends Aggregator[String, CmsBuf, Array[Long]] {
+    private def rowHash(row: Int, key: String): Int = {
+      var h = 0x9e3779b9 ^ (row * 0x85ebca6b)
+      key.getBytes("UTF-8").foreach { b =>
+        h = h * 31 + (b & 0xff)
+        h ^= (h >>> 13)
+      }
+      math.floorMod(h, width)
+    }
+    override def zero: CmsBuf = CmsBuf(new Array[Long](depth * width))
+    override def reduce(b: CmsBuf, key: String): CmsBuf = {
+      var r = 0
+      while (r < depth) {
+        b.cells(r * width + rowHash(r, key)) += 1
+        r += 1
+      }
+      b
+    }
+    override def merge(a: CmsBuf, b: CmsBuf): CmsBuf = {
+      var i = 0
+      while (i < a.cells.length) { a.cells(i) += b.cells(i); i += 1 }
+      a
+    }
+    override def finish(b: CmsBuf): Array[Long] = b.cells
+    override def bufferEncoder: Encoder[CmsBuf] = Encoders.product
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+    /** Point estimate from a finished sketch: min over the depth rows. */
+    def estimate(cells: Array[Long], key: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = cells(r * width + rowHash(r, key))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
 }

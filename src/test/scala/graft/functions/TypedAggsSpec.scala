@@ -25,4 +25,38 @@ class TypedAggsSpec extends SparkTestBase {
         .orderBy("l_returnflag").as[(String, Double)].collect().toSeq
     assert(run(li) == run(li.repartition(17)))
   }
+
+  test("CountMin: never undercounts, bounded overcount, exact on heavy keys") {
+    val cms = new TypedAggs.CountMin(depth = 4, width = 256)
+    val agg = udaf(cms)
+    val rows = Seq.fill(300)("hot") ++ Seq.fill(100)("warm") ++
+      (0 until 600).map(i => s"tail_$i")
+    val df = rows.toDF("k").repartition(9)
+    val cells = df.agg(agg(col("k")).as("sk"))
+      .as[Array[Long]].head()
+    val n = rows.size
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // overestimate property: est >= true for EVERY key
+    exact.foreach { case (k, c) =>
+      assert(cms.estimate(cells, k) >= c, s"undercount for $k")
+    }
+    // CM error bound (deterministic check at 2N/width, far above the
+    // expected eN/width): overcount small relative to the stream
+    exact.foreach { case (k, c) =>
+      assert(cms.estimate(cells, k) - c <= 2L * n / 256 + 8,
+        s"overcount for $k: ${cms.estimate(cells, k)} vs $c")
+    }
+    // every counter row sums to exactly N (no lost mass)
+    (0 until 4).foreach { r =>
+      assert(cells.slice(r * 256, (r + 1) * 256).sum == n.toLong)
+    }
+  }
+
+  test("CountMin sketch is mergeable: identical cells at any partitioning") {
+    val agg = udaf(new TypedAggs.CountMin(4, 128))
+    val rows = (0 until 2000).map(i => s"k${i % 37}")
+    def run(p: Int) = rows.toDF("k").repartition(p)
+      .agg(agg(col("k"))).as[Array[Long]].head().toSeq
+    assert(run(1) == run(13))
+  }
 }
