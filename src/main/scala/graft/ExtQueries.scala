@@ -933,6 +933,30 @@ object ExtQueries {
 
     // ---- sampling (corpus rebalancing / fixed-size draws) -------------
 
+    // Shard-assignment balance audit: hash-sharded export layout with
+    // per-shard doc/char totals — the check that no shard is hot before
+    // a 100 TB write fans out by shard.
+    "x_shard_audit" -> ((s, dir) =>
+      Sampling.shardAssign(T(s, dir, "documents"), "doc_id",
+          nShards = 8, seed = 11)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("shard"))),
+
+    // Curriculum quartiles: ntile(4) per source over (n_chars, doc_id)
+    // — deterministic total order, windows partitioned by source.
+    "x_curriculum" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("quartile", ntile(4).over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars"), col("doc_id"))))
+        .groupBy(col("source"), col("quartile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source"), col("quartile"))),
+
     // Stratified downsample: halve en, quarter de, decimate fr, keep
     // rare strata whole — then per-lang survivor stats.
     "x_sample_stratified" -> ((s, dir) =>
@@ -2647,6 +2671,22 @@ object ExtQueries {
           WHERE CAST($bucket AS DOUBLE) < frac * 1000000
           ORDER BY doc_id"""
     },
+
+    "x_shard_audit" -> {
+      val shard = Sampling.shardSql("doc_id", 8, 11)
+      s"""SELECT $shard AS shard, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY 1 ORDER BY 1"""
+    },
+
+    "x_curriculum" ->
+      """WITH q AS (
+           SELECT source, CAST(ntile(4) OVER (PARTITION BY source
+             ORDER BY n_chars, doc_id) AS INTEGER) AS quartile, n_chars
+           FROM documents)
+         SELECT source, quartile, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "x_sample_stratified" -> {
       val bucket = Sampling.bucketSql("doc_id", 3)

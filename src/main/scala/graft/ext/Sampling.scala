@@ -173,6 +173,26 @@ object Sampling {
       .filter(col("neg_id") =!= col("anchor_id"))
   }
 
+  /** Deterministic shard assignment for balanced export: shard id in
+    * [0, nShards) hashed from the key — stable across engines,
+    * partitionings, and reruns, so shard membership is part of the
+    * dataset's identity (resumable exports, per-shard retries,
+    * reader-side sharding all depend on that). Row-local, no shuffle;
+    * the write path groups by `shard` (one exchange) or passes it to
+    * `partitionBy`.
+    */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int,
+                  seed: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn("shard",
+      pmod(Hashing.hash64(col(keyCol).cast("string"), seed),
+        lit(nShards.toLong)).cast("int"))
+  }
+
+  /** SQL fragment computing the same shard in DuckDB. */
+  def shardSql(expr: String, nShards: Int, seed: Int = 0): String =
+    s"CAST(${Hashing.hash64Sql(s"CAST($expr AS VARCHAR)", seed)} % $nShards AS INTEGER)"
+
   /** SQL fragment computing the same bucket in DuckDB. */
   def bucketSql(expr: String, seed: Int): String =
     s"${Hashing.hash64Sql(s"CAST($expr AS VARCHAR)", seed)} % $Buckets"

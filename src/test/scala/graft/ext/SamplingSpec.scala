@@ -98,6 +98,23 @@ class SamplingSpec extends SparkTestBase {
     assert(again == mixed.select("id").as[Long].collect().toSet)
   }
 
+  test("shardAssign: stable, in-range, partitioning-invariant, roughly balanced") {
+    val ids = (0L until 1000L).toDF("id")
+    val a = Sampling.shardAssign(ids, "id", nShards = 8, seed = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(a.values.forall(s => s >= 0 && s < 8))
+    val b = Sampling.shardAssign(ids.repartition(13), "id", 8, seed = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(a == b)
+    // uniform hash → each shard within ±50% of the 125 expectation
+    val sizes = a.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 8 && sizes.forall(s => s > 62 && s < 188), sizes)
+    // different seed → different layout
+    val c = Sampling.shardAssign(ids, "id", 8, seed = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(a != c)
+  }
+
   test("vocabulary: ids are dense by (count desc, token asc)") {
     val v = TextAnalysis.vocabulary(docs, "text", minCount = 2)
       .orderBy("token_id").collect()
