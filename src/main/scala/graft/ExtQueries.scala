@@ -750,7 +750,7 @@ object ExtQueries {
     // Data-quality gate: rule violation counters in ONE aggregate pass
     // + referential-integrity orphan count (left-anti join), combined
     // by a 1-row × 1-row scalar crossJoin.
-    "x_quality_gate" -> ((s, dir) => {
+    "x_dq_gate" -> ((s, dir) => {
       import graft.ops.Quality
       val li = T(s, dir, "lineitem")
       val counts = Quality.violationCounts(li, Seq(
@@ -2471,7 +2471,7 @@ object ExtQueries {
              AS icept_pq
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
-    "x_quality_gate" ->
+    "x_dq_gate" ->
       """SELECT
            COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
