@@ -6,7 +6,8 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Bpe, Dedup, Events, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ext.{Basket, Behavior, Bpe, Dedup, Events, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ops.EditDistJoin
 import graft.functions.Hashing
 
 /** Beyond-reference operators (builder brief + SURVEY §7.4): dedup,
@@ -1311,7 +1312,117 @@ object ExtQueries {
           T(s, dir, "documents").select(d, url.as("url")),
           "doc_id", "url")
         .orderBy(col("url_norm"))
-    })
+    }),
+
+    // ---- behavioral analytics (events) -------------------------------
+
+    // Ordered funnel view→click→purchase, 1-day max gap per stage:
+    // per-stage reach + mean seconds from the previous stage. Event
+    // table reduces to one row per (user, stage) before any join.
+    "x_funnel" -> ((s, dir) =>
+      Behavior.funnel(Events.loadEvents(s, dir), "user_id", "ts_sec",
+          "event_type", Seq("view", "click", "purchase"),
+          maxGapSec = 86400)
+        .orderBy(col("stage"))),
+
+    // Cohort retention: users bucketed by first-activity day, counted
+    // per activity-day offset (the product-analytics retention matrix).
+    "x_cohort" -> ((s, dir) =>
+      Behavior.cohortRetention(
+          Events.loadEvents(s, dir)
+            .withColumn("day", expr("ts_sec div 86400")),
+          "user_id", "day")
+        .orderBy(col("cohort_day"), col("day_offset"))),
+
+    // ---- co-occurrence mining ----------------------------------------
+
+    // Market-basket pair support+lift: parts co-ordered within an order.
+    // maxBucket guard off for the exact oracle (orders are ~4 lines).
+    "x_copurchase" -> ((s, dir) =>
+      Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          maxBasket = 0)
+        .orderBy(col("pair_support").desc, col("item_a"), col("item_b"))
+        .limit(40)),
+
+    // ---- string similarity join --------------------------------------
+
+    // Edit-distance self-join (exact recall): part names within
+    // Levenshtein 1..2, length-band candidates via equi-join on emitted
+    // candidate lengths — no nested-loop join. Input bounded to one
+    // size decile so the verify cost stays candidate-shaped at any SF.
+    "x_editdist_join" -> ((s, dir) =>
+      EditDistJoin.selfJoin(
+          T(s, dir, "part").filter(col("p_size") <= 10),
+          "p_partkey", "p_name", maxDist = 2, minDist = 1)
+        .orderBy(col("dist"), col("id_a"), col("id_b"))
+        .limit(100)),
+
+    // ---- weighted sampling -------------------------------------------
+
+    // Sequential Poisson (Ohlsson) πps sample: 50 docs weighted by
+    // n_chars, priority = hash-uniform / weight — engine-portable
+    // (IEEE divisions only), TakeOrderedAndProject plan.
+    "x_sample_weighted" -> ((s, dir) =>
+      Sampling.weightedPrioritySample(T(s, dir, "documents"),
+          "doc_id", "n_chars", k = 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // ---- skip-gram co-occurrence -------------------------------------
+
+    // word2vec-style (center, context) pairs within a ±2 window
+    // (directional), counted corpus-wide; pair generation is row-local
+    // zip_with against shifted slices — the only shuffle is the count.
+    "x_skipgram" -> ((s, dir) =>
+      TextAnalysis.skipgramPairs(T(s, dir, "documents"), "text",
+          window = 2)
+        .orderBy(col("n_pairs").desc, col("w"), col("c"))
+        .limit(50)),
+
+    // ---- robust statistics -------------------------------------------
+
+    // Per-group winsorized stats: clip to [p05, p95], count clips,
+    // decimal-exact clipped sum + one-division mean.
+    "x_winsorize" -> ((s, dir) =>
+      graft.agg.Robust.winsorizedStats(T(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", 0.05, 0.95)
+        .orderBy(col("l_returnflag"))),
+
+    // ---- join breadth: full outer ------------------------------------
+
+    // Full-outer join of per-customer order totals vs the customer dim,
+    // folded to a 3-row presence summary (both/cust_only/order_only).
+    "x_join_full" -> ((s, dir) => {
+      val totals = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total_price"),
+          count(lit(1)).as("n_orders"))
+      T(s, dir, "customer").join(totals,
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_custkey").isNull, "cust_only")
+            .otherwise("both").as("side"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_orders")).as("n_orders"),
+          sum(col("total_price").cast(DecimalType(18, 2))).cast("double")
+            .as("total_price"))
+        .orderBy(col("side"))
+    }),
+
+    // ---- ordered string aggregation ----------------------------------
+
+    // Deterministic grouped concat: sorted names per (segment, nation)
+    // — collect_list is unordered by contract, so sort inside the
+    // aggregate buffer via array_sort before joining.
+    "x_string_agg" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .filter(col("c_nationkey").isin(1, 2))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_names"),
+          array_join(array_sort(collect_list(col("c_name"))), "|")
+            .as("names"))
+        .orderBy(col("c_mktsegment"), col("c_nationkey")))
   )
 
   // ---- oracles --------------------------------------------------------
@@ -3088,6 +3199,154 @@ object ExtQueries {
            CAST(start // 24 AS INTEGER) AS chunk_id,
            array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
            CAST(LEAST(len(toks) - start, 32) AS INTEGER) AS n_toks
-         FROM s ORDER BY doc_id, chunk_id"""
+         FROM s ORDER BY doc_id, chunk_id""",
+
+    "x_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) AS sec
+           FROM events),
+         s1 AS (SELECT user_id, MIN(sec) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(sec) AS t2 FROM e
+                JOIN s1 USING (user_id)
+                WHERE event_type = 'click'
+                  AND sec >= t1 AND sec <= t1 + 86400 GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(sec) AS t3 FROM e
+                JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase'
+                  AND sec >= t2 AND sec <= t2 + 86400 GROUP BY 1),
+         j AS (SELECT s1.user_id, t1, t2, t3 FROM s1
+               LEFT JOIN s2 USING (user_id)
+               LEFT JOIN s3 USING (user_id))
+         SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
+           COUNT(t1) AS n_users, CAST(NULL AS DOUBLE) AS mean_gap_sec
+         FROM j
+         UNION ALL
+         SELECT 2, 'click', COUNT(t2),
+           CASE WHEN COUNT(t2) > 0 THEN
+             CAST(SUM(CAST(t2 - t1 AS DECIMAL(18,2))) AS DOUBLE) / COUNT(t2)
+           END
+         FROM j
+         UNION ALL
+         SELECT 3, 'purchase', COUNT(t3),
+           CASE WHEN COUNT(t3) > 0 THEN
+             CAST(SUM(CAST(t3 - t2 AS DECIMAL(18,2))) AS DOUBLE) / COUNT(t3)
+           END
+         FROM j
+         ORDER BY 1""",
+
+    "x_cohort" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day
+           FROM events),
+         c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+         SELECT cohort_day, day - cohort_day AS day_offset,
+           COUNT(*) AS n_users
+         FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_copurchase" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         pairs AS (
+           SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS pair_support
+           FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2),
+         s AS (SELECT i, COUNT(*) AS s FROM bi GROUP BY 1),
+         n AS (SELECT COUNT(DISTINCT b) AS n FROM bi)
+         SELECT item_a, item_b, pair_support,
+           sa.s AS support_a, sb.s AS support_b,
+           round(CAST(pair_support * n.n AS DOUBLE)
+                 / CAST(sa.s * sb.s AS DOUBLE), 9) AS lift
+         FROM pairs
+         JOIN s sa ON pairs.item_a = sa.i
+         JOIN s sb ON pairs.item_b = sb.i
+         CROSS JOIN n
+         ORDER BY pair_support DESC, item_a, item_b LIMIT 40""",
+
+    "x_editdist_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+         FROM part a JOIN part b
+           ON a.p_partkey < b.p_partkey
+          AND abs(length(a.p_name) - length(b.p_name)) <= 2
+         WHERE a.p_size <= 10 AND b.p_size <= 10
+           AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+         ORDER BY dist, id_a, id_b LIMIT 100""",
+
+    "x_sample_weighted" -> {
+      val pri = Sampling.prioritySql("doc_id", "n_chars", 0)
+      s"""SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars > 0
+            ORDER BY $pri, doc_id LIMIT 50)
+          ORDER BY doc_id"""
+    },
+
+    "x_skipgram" ->
+      """WITH toks AS (
+           SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, l[i] AS t
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+                 FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+         pairs AS (
+           SELECT a.t AS w, b.t AS c
+           FROM toks a JOIN toks b
+             ON a.doc_id = b.doc_id
+            AND b.pos - a.pos BETWEEN 1 AND 2
+           WHERE a.t <> '' AND b.t <> '')
+         SELECT w, c, COUNT(*) AS n_pairs FROM pairs
+         GROUP BY 1, 2
+         ORDER BY n_pairs DESC, w, c LIMIT 50""",
+
+    "x_winsorize" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS blo,
+             quantile_cont(l_extendedprice, 0.95) AS bhi
+           FROM lineitem GROUP BY 1),
+         g AS (
+           SELECT l.l_returnflag, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN l_extendedprice < blo THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped_lo,
+             CAST(SUM(CASE WHEN l_extendedprice > bhi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped_hi,
+             MIN(blo) AS lo, MIN(bhi) AS hi,
+             CAST(SUM(CAST(round(LEAST(GREATEST(l_extendedprice, blo), bhi),
+               6) AS DECIMAL(28,6))) AS DOUBLE) AS clipped_sum
+           FROM lineitem l JOIN b USING (l_returnflag)
+           GROUP BY 1)
+         SELECT l_returnflag, n_rows, n_clipped_lo, n_clipped_hi, lo, hi,
+           clipped_sum, clipped_sum / n_rows AS clipped_mean
+         FROM g ORDER BY 1""",
+
+    "x_join_full" ->
+      """WITH totals AS (
+           SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+             COUNT(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                     WHEN o_custkey IS NULL THEN 'cust_only'
+                     ELSE 'both' END AS side,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(total_price AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+         FROM customer FULL OUTER JOIN totals
+           ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "x_string_agg" ->
+      """SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS n_names,
+           string_agg(c_name, '|' ORDER BY c_name) AS names
+         FROM customer
+         WHERE c_nationkey IN (1, 2)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

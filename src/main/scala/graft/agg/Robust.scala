@@ -1,0 +1,46 @@
+package graft.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Robust (outlier-resistant) statistics — the feature-conditioning step
+  * before a numeric column feeds training or anomaly baselines.
+  */
+object Robust {
+
+  /** Per-group winsorized statistics: clip `valCol` to its group's
+    * [pLo, pHi] exact percentiles, report clip counts and the clipped
+    * sum/mean.
+    *
+    * Two-phase: one group-by computes the per-group percentile bounds
+    * (|groups| rows), which broadcast-join back onto the rows for the
+    * row-local clip, then one partial-agged group-by aggregates. The
+    * clipped values are rounded to 6dp and DECIMAL-accumulated so the
+    * sum is order-independent (hash-parity contract); the mean is one
+    * IEEE double division. Exact `percentile` buffers a group's
+    * distribution in the agg buffer — the oracle/testing form; swap
+    * `percentile_approx` in at 100 TB (mergeable sketch, same shape).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
+                      pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, $pLo)").as("lo"),
+      expr(s"percentile($valCol, $pHi)").as("hi"))
+    val clipped = df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("_clip",
+        least(greatest(col(valCol), col("lo")), col("hi")))
+    clipped.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(valCol) < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col(valCol) > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(round(col("_clip"), 6).cast(DecimalType(28, 6))).cast("double")
+          .as("clipped_sum"))
+      .withColumn("clipped_mean",
+        col("clipped_sum") / col("n_rows").cast("double"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event streams: funnel conversion and cohort
+  * retention — the two queries every product-analytics engine ships
+  * (reference has no event analytics; beyond-reference per the builder
+  * brief's events table).
+  *
+  * Scale shape: both operators reduce the event table to one row per
+  * (user, stage) / (user, day) BEFORE any join, so every join input is
+  * bounded by |users| × small, not |events|. All joins are equi-joins on
+  * the user key and co-partition after the first shuffle (Spark reuses
+  * the hash partitioning across the chained aggregates).
+  */
+object Behavior {
+
+  /** Ordered-funnel stage times: for each user, the earliest time of
+    * step i that occurs within `maxGapSec` AFTER their step i-1 time
+    * (classic "strict order, bounded gap" funnel semantics, gap measured
+    * between consecutive stage completions).
+    *
+    * Returns one row per user who completed at least stage 1, with a
+    * nullable `t<i>` epoch-seconds column per stage.
+    *
+    * Each stage is one filtered aggregate (min over the user's qualifying
+    * events) joined to the previous stage's result on the user key — a
+    * left join so earlier-stage completers survive with null later
+    * stages. At 100 TB: the per-stage aggregate does map-side partial
+    * min; the join side is |users-who-reached-stage| rows.
+    */
+  def funnelTimes(events: DataFrame, userCol: String, tsSecCol: String,
+                  typeCol: String, steps: Seq[String],
+                  maxGapSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsSecCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (prev, (step, i)) =>
+      val tPrev = s"t$i"
+      val tCur = s"t${i + 1}"
+      val cur = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsSecCol))
+        .join(prev.select(col(userCol), col(tPrev)), Seq(userCol))
+        .filter(col(tsSecCol) >= col(tPrev) &&
+                col(tsSecCol) <= col(tPrev) + maxGapSec)
+        .groupBy(col(userCol))
+        .agg(min(col(tsSecCol)).as(tCur))
+      prev.join(cur, Seq(userCol), "left")
+    }
+  }
+
+  /** Funnel summary: one row per stage with the user count that reached
+    * it and the mean seconds from the previous stage (null for stage 1).
+    *
+    * The mean is exact-decimal gap sum → one IEEE double division by the
+    * count — bit-identical on any engine regardless of row order.
+    */
+  def funnel(events: DataFrame, userCol: String, tsSecCol: String,
+             typeCol: String, steps: Seq[String],
+             maxGapSec: Long): DataFrame = {
+    val times = funnelTimes(events, userCol, tsSecCol, typeCol, steps,
+      maxGapSec)
+    val perStage = steps.indices.map { i =>
+      val t = s"t${i + 1}"
+      val gapSum = if (i == 0) lit(null).cast("double")
+        else sum((col(t) - col(s"t$i")).cast("decimal(18,2)")).cast("double")
+      times.agg(count(col(t)).as("n_users"), gapSum.as("gap_sum"))
+        .select(lit(i + 1).as("stage"), lit(steps(i)).as("step"),
+          col("n_users"),
+          when(col("n_users") > 0, col("gap_sum") / col("n_users"))
+            .as("mean_gap_sec"))
+    }
+    perStage.reduce(_.union(_))
+  }
+
+  /** Cohort retention matrix: users grouped by their first-activity day
+    * (the cohort), counted on each subsequent activity day offset.
+    *
+    * `dayCol` is an integer day number (e.g. epoch-seconds div 86400 —
+    * integer arithmetic, engine-portable). Two aggregates and one
+    * equi-join, all keyed/co-partitioned on the user column; the join
+    * input is one row per (user, active day), not one per event.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      dayCol: String): DataFrame = {
+    val userDays = events.select(col(userCol), col(dayCol)).distinct()
+    val cohorts = userDays.groupBy(col(userCol))
+      .agg(min(col(dayCol)).as("cohort_day"))
+    userDays.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_day"),
+        (col(dayCol) - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

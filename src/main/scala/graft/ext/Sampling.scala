@@ -189,6 +189,38 @@ object Sampling {
         lit(nShards.toLong)).cast("int"))
   }
 
+  /** Weighted sampling without replacement — Ohlsson's sequential
+    * Poisson sampling: each row draws a deterministic uniform
+    * u = (bucket + 0.5) / 1e6 from its key hash and is ranked by
+    * priority u / w; the k smallest priorities are the sample.
+    * Inclusion probability is ≈ proportional to weight (πps), and the
+    * scheme is a published, well-studied estimator (Ohlsson 1998, used
+    * by official statistics agencies) — unlike ad-hoc weight·random.
+    *
+    * Engine-portable determinism: the priority is two IEEE-754 double
+    * divisions on integer-derived operands — exact-rounded and therefore
+    * bit-identical on any IEEE engine, no transcendentals (the A-ES
+    * exponential-keys variant needs ln(u), whose libm rounding differs
+    * across engines). Plans as TakeOrderedAndProject: per-partition
+    * top-k, driver merges k·P candidates — no global sort.
+    */
+  def weightedPrioritySample(df: DataFrame, keyCol: String,
+                             weightCol: String, k: Int,
+                             seed: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (bucketOf(col(keyCol), seed).cast("double") + 0.5) / Buckets
+    df.filter(col(weightCol) > 0)
+      .withColumn("_pri", u / col(weightCol).cast("double"))
+      .orderBy(col("_pri"), col(keyCol))
+      .limit(k)
+      .drop("_pri")
+  }
+
+  /** SQL fragment computing the same priority in DuckDB. */
+  def prioritySql(keyExpr: String, weightExpr: String, seed: Int): String =
+    s"((${bucketSql(keyExpr, seed)}) + 0.5) / $Buckets.0" +
+      s" / CAST($weightExpr AS DOUBLE)"
+
   /** SQL fragment computing the same shard in DuckDB. */
   def shardSql(expr: String, nShards: Int, seed: Int = 0): String =
     s"CAST(${Hashing.hash64Sql(s"CAST($expr AS VARCHAR)", seed)} % $nShards AS INTEGER)"

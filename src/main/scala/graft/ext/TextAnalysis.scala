@@ -352,6 +352,36 @@ object TextAnalysis {
           (col("c_x") * col("c_y")).cast("double")), 9).as("pmi"))
   }
 
+  /** Skip-gram context pairs — the word2vec/GloVe co-occurrence input:
+    * every ordered token pair (w, c) with c at distance 1..`window`
+    * AFTER w, counted corpus-wide (the directional half; symmetric
+    * counts are the sum of both directions).
+    *
+    * Pair generation is ROW-LOCAL: for each offset k the token array is
+    * zip_with'ed against its own k-shifted slice (the bigramLogProb
+    * idiom generalized), so no posexplode self-join, no per-doc window
+    * shuffle — the only exchange is the final count group-by, which
+    * map-side combines. Fan-out per token is exactly `window` struct
+    * rows; at 100 TB the shuffle carries (pair, partial-count) rows,
+    * bounded by the distinct-pair count per partition, not token count.
+    */
+  def skipgramPairs(df: DataFrame, textCol: String,
+                    window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = df.select(tokens(col(textCol)).as("t"))
+    val shifted = (1 to window).map { k =>
+      zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - k, lit(0))),
+        slice(col("t"), lit(k + 1), greatest(size(col("t")) - k, lit(0))),
+        (a, b) => struct(a.as("w"), b.as("c")))
+    }
+    toks.select(explode(flatten(array(shifted: _*))).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"))
+      .filter(col("w") =!= "" && col("c") =!= "")
+      .groupBy(col("w"), col("c"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Perplexity-quantile quality gate: keep the documents whose
     * average unigram surprisal falls at or below the corpus p-quantile
     * — the "drop the weirdest (1-p) of the corpus" filter of LM data

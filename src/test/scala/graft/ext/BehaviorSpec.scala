@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Funnel, cohort retention, co-occurrence mining, weighted sampling —
+  * the round-5 behavioral/curation additions.
+  */
+class BehaviorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev = Seq(
+    // user 1 completes A -> B -> C in order, within gap
+    (1L, 100L, "A"), (1L, 200L, "B"), (1L, 300L, "C"),
+    // user 2 does B before A, never after -> stops at stage 1
+    (2L, 50L, "B"), (2L, 100L, "A"),
+    // user 3 completes A -> B, then C too late (gap 2000 > 1000)
+    (3L, 0L, "A"), (3L, 500L, "B"), (3L, 2600L, "C"),
+    // user 4 never does A -> not in funnel at all
+    (4L, 10L, "B"), (4L, 20L, "C")
+  ).toDF("user_id", "sec", "etype")
+
+  test("funnel: strict order, bounded gap, monotone stage counts") {
+    val f = Behavior.funnel(ev, "user_id", "sec", "etype",
+      Seq("A", "B", "C"), maxGapSec = 1000)
+      .orderBy("stage").collect()
+    assert(f.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L))
+    // stage 2 mean gap: user1 (200-100) + user3 (500-0) over 2 = 300
+    assert(f(1).getDouble(3) == 300.0)
+    // stage 3: only user1, gap 100
+    assert(f(2).getDouble(3) == 100.0)
+    // stage 1 has no previous stage
+    assert(f(0).isNullAt(3))
+  }
+
+  test("funnel: counts never increase across stages (property)") {
+    val counts = Behavior.funnel(ev, "user_id", "sec", "etype",
+      Seq("A", "B", "C"), maxGapSec = 10000)
+      .orderBy("stage").collect().map(_.getLong(2))
+    assert(counts.sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("cohortRetention: offsets relative to first-activity day") {
+    val days = Seq(
+      (1L, 10L), (1L, 10L), (1L, 12L), // dup (user,day) collapses
+      (2L, 11L), (2L, 12L),
+      (3L, 10L)
+    ).toDF("user_id", "day")
+    val m = Behavior.cohortRetention(days, "user_id", "day")
+      .orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.toSeq == Seq((10L, 0L, 2L), (10L, 2L, 1L),
+      (11L, 0L, 1L), (11L, 1L, 1L)))
+  }
+
+  test("basket pairSupport: hand-computed support and lift") {
+    val bi = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "x") // dup item in basket collapses
+    ).toDF("basket", "item")
+    val p = Basket.pairSupport(bi, "basket", "item", maxBasket = 0)
+      .orderBy("item_a", "item_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // supports: x=3 baskets, y=2, z=1; n_baskets=3
+    // pairs: (x,y)=2, (x,z)=1, (y,z)=1
+    assert(p.toSeq == Seq(
+      ("x", "y", 2L, 3L, 2L, 1.0),         // 2*3/(3*2)
+      ("x", "z", 1L, 3L, 1L, 1.0),         // 1*3/(3*1)
+      ("y", "z", 1L, 2L, 1L, 1.5)))        // 1*3/(2*1)
+  }
+
+  test("basket pairSupport: maxBasket guard drops oversized baskets") {
+    val bi = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"))
+      .toDF("basket", "item")
+    val p = Basket.pairSupport(bi, "basket", "item", maxBasket = 2)
+      .collect()
+    // basket 1 (3 items) dropped; only basket 2's (a,b) remains
+    assert(p.length == 1 &&
+      p(0).getString(0) == "a" && p(0).getString(1) == "b" &&
+      p(0).getLong(2) == 1L)
+  }
+
+  test("weightedPrioritySample: deterministic, partitioning-invariant, " +
+    "favors heavy rows") {
+    val rows = (1 to 400).map(i => (i.toLong, if (i <= 40) 1000L else 1L))
+    val df = rows.toDF("id", "w")
+    val a = Sampling.weightedPrioritySample(df, "id", "w", k = 20)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val b = Sampling.weightedPrioritySample(df.repartition(7), "id", "w",
+      k = 20).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "selection must not depend on partitioning")
+    // 10% of rows carry 1000x weight -> they dominate the sample
+    assert(a.count(_ <= 40) >= 15,
+      s"heavy rows underrepresented: ${a.count(_ <= 40)}/20")
+    // zero/negative weights are excluded
+    val z = Sampling.weightedPrioritySample(
+      Seq((1L, 0L), (2L, 5L)).toDF("id", "w"), "id", "w", k = 10)
+      .collect().map(_.getLong(0))
+    assert(z.toSeq == Seq(2L))
+  }
+
+  test("skipgramPairs: window-2 pairs of a known sentence") {
+    val docs = Seq("a b c d").toDF("text")
+    val p = TextAnalysis.skipgramPairs(docs, "text", window = 2)
+      .orderBy("w", "c").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(p.toSeq == Seq(
+      ("a", "b", 1L), ("a", "c", 1L),
+      ("b", "c", 1L), ("b", "d", 1L),
+      ("c", "d", 1L)))
+    // short docs produce no out-of-range pairs
+    val one = TextAnalysis.skipgramPairs(Seq("solo").toDF("text"), "text", 2)
+    assert(one.count() == 0)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class EditDistJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val words = Seq(
+    (1L, "kitten"), (2L, "sitten"), (3L, "sittin"), (4L, "sitting"),
+    (5L, "kitten"),            // exact duplicate of 1
+    (6L, "completely-other"), (7L, "ktten")
+  ).toDF("id", "s")
+
+  test("selfJoin == naive cross-join verification (exact recall)") {
+    val got = EditDistJoin.selfJoin(words, "id", "s", maxDist = 2)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val a = words.select(col("id").as("id_a"), col("s").as("s_a"))
+    val b = words.select(col("id").as("id_b"), col("s").as("s_b"))
+    val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).as("d"))
+      .filter(col("d") <= 2).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == naive)
+    assert(got.contains((1L, 2L, 1)))  // kitten ~ sitten
+    assert(got.contains((1L, 5L, 0)))  // exact dup at dist 0
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("minDist excludes exact duplicates; each pair emitted once") {
+    val got = EditDistJoin.selfJoin(words, "id", "s", maxDist = 2,
+      minDist = 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got.contains((1L, 5L)))
+    assert(got.distinct.length == got.length, "pairs must be unique")
+    assert(got.forall(p => p._1 < p._2))
+  }
+
+  test("plan is an equi-join on the candidate-length key (no BNLJ)") {
+    val plan = EditDistJoin.selfJoin(words, "id", "s", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+}
