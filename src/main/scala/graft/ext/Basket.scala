@@ -7,18 +7,22 @@ import org.apache.spark.sql.functions._
   * "parts ordered together", "domains cited together": the pairwise core
   * of association-rule mining.
   *
-  * Pair generation is a SELF-EQUI-JOIN on the basket key over the
-  * DEDUPLICATED (basket, item) table: |pairs per basket| = C(b,2) where
-  * b is basket size — the data's intrinsic output, not an engine
-  * artifact — and the join is hash-partitioned on the basket key, never
-  * a nested loop. Baskets are bounded in practice (an order has a
-  * handful of lines); for heavy-tailed basket sizes cap with a
-  * `maxBasket` guard, the Dedup star-pair pattern.
+  * Pair generation is GROUPED, not a self-join: one shuffle gathers
+  * each basket's distinct items into a sorted array (`collect_set`
+  * dedups inside the aggregation buffer — no separate distinct pass),
+  * and C(b,2) pair structs are emitted ROW-LOCALLY from the array. A
+  * self-join on the basket key would shuffle the (basket, item) table
+  * twice and materialize the pair space as join output; here the only
+  * other exchanges are the pair-count and item-support group-bys, both
+  * map-side combined. Per-row blowup is C(b,2) — safe because baskets
+  * are bounded (an order has a handful of lines; the round-3 lesson:
+  * array emission is only safe with bounded buckets), and heavy-tailed
+  * basket sizes are capped by the `maxBasket` guard, the Dedup
+  * star-pair pattern.
   *
-  * Lift denominators come from one item-support aggregate broadcast back
+  * Lift denominators come from one item-support aggregate hash-joined
   * onto the |distinct pairs| table, and the basket total rides the plan
-  * as a broadcast 1-row aggregate — the whole operator is lazy, three
-  * group-bys and three equi-joins.
+  * as a broadcast 1-row aggregate — the whole operator is lazy.
   */
 object Basket {
 
@@ -30,21 +34,25 @@ object Basket {
     */
   def pairSupport(df: DataFrame, basketCol: String, itemCol: String,
                   maxBasket: Int = 1000): DataFrame = {
-    val bi0 = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
-    val bi = if (maxBasket > 0) {
-      val sizes = bi0.groupBy(col("b")).agg(count(lit(1)).as("__bs"))
-        .filter(col("__bs") <= maxBasket)
-      bi0.join(sizes.select(col("b")), Seq("b"), "left_semi")
-    } else bi0
-    val pairs = bi.select(col("b"), col("i").as("item_a"))
-      .join(bi.select(col("b"), col("i").as("item_b")), Seq("b"))
-      .filter(col("item_a") < col("item_b"))
+    val grouped = df.groupBy(col(basketCol).as("b"))
+      .agg(sort_array(collect_set(col(itemCol))).as("items"))
+    val baskets =
+      if (maxBasket > 0) grouped.filter(size(col("items")) <= maxBasket)
+      else grouped
+    // sorted array -> nested transform emits each pair once with
+    // item_a < item_b by construction (indexes j < k)
+    val pairs = baskets
+      .select(explode(flatten(transform(col("items"), (x, j) =>
+        transform(
+          slice(col("items"), j + lit(2),
+            greatest(size(col("items")) - j - 1, lit(0))),
+          y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("pair_support"))
-    val support = bi.groupBy(col("i")).agg(count(lit(1)).as("s"))
-    val nBaskets = bi.select(col("b")).distinct()
-      .agg(count(lit(1)).as("__n"))
+    val support = baskets.select(explode(col("items")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("s"))
+    val nBaskets = baskets.agg(count(lit(1)).as("__n"))
     pairs
       .join(support.select(col("i").as("item_a"), col("s").as("support_a")),
         Seq("item_a"))

@@ -39,7 +39,9 @@ object EditDistJoin {
           length(col(strCol)) + maxDist)).as("len_key"))
     anchor.join(probe, Seq("len_key"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      // bounded form: banded DP, O(maxDist·len) per pair with early
+      // exit, returns -1 above the bound — which minDist >= 0 excludes
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
       .filter(col("dist") >= minDist && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
