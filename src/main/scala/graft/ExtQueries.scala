@@ -860,6 +860,22 @@ object ExtQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Built-in session_window sessionization (the Structured-Streaming-
+    // native form; identical plan shape under readStream + watermark).
+    // Second-truncated timestamps for engine parity; Spark's session
+    // merge rule is strict overlap, so a gap of exactly 30 min starts a
+    // NEW session — the oracle flags `diff >= 1800`.
+    "x_events_sessions_win" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionAgg(
+          Events.loadEvents(s, dir)
+            .withColumn("ts", timestamp_seconds(col("ts_sec"))),
+          gap = "30 minutes")
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start"),
+          unix_timestamp(col("session_end")).as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // ---- table maintenance (MERGE / SCD2) -----------------------------
 
     // MERGE INTO customer: a deterministic change set derived from the
@@ -2653,6 +2669,29 @@ object ExtQueries {
          SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
                 COUNT(*) AS n_events
          FROM flags GROUP BY 1 ORDER BY 1""",
+
+    "x_events_sessions_win" ->
+      s"""WITH t AS (
+           SELECT user_id, value,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) AS sec
+           FROM events),
+         o AS (
+           SELECT user_id, value, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w >= 1800 THEN 1
+                  ELSE 0 END AS is_new
+           FROM t
+           WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+         s AS (
+           SELECT user_id, value, sec,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id, MIN(sec) AS session_start,
+           MAX(sec) + 1800 AS session_end, COUNT(*) AS n_events,
+           ${dsumSql("value")} AS total_value
+         FROM s GROUP BY user_id, sid ORDER BY 1, 2""",
 
     "x_merge_upsert" ->
       """WITH upd AS (
