@@ -27,6 +27,29 @@ class TablesSpec extends SparkTestBase {
     assert(new java.io.File(s"$out/clean.parquet/year=2023/state=NSW").exists)
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at " +
+    "runtime") {
+    val out = java.nio.file.Files.createTempDirectory("dpp").toString
+    val fact = (1 to 2000).map(i => (i % 20, i.toLong, i * 1.0))
+      .toDF("part_year", "k", "v")
+    Tables.savePartitioned(fact, out, "fact", Seq("part_year"))
+    (0 until 20).map(y => (y, if (y < 2) "keep" else "drop"))
+      .toDF("dim_year", "tag")
+      .write.parquet(s"$out/dim.parquet")
+    // DPP needs the join key to be the partition column, a real Filter
+    // on the dim side (a Seq-backed dim constant-folds to a
+    // LocalRelation and the rule sees no filter), and a selective
+    // predicate only known at runtime
+    val dim = spark.read.parquet(s"$out/dim.parquet")
+    val joined = Tables.load(spark, out, "fact")
+      .join(dim.filter(col("tag") === "keep"),
+        col("part_year") === col("dim_year"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan not DPP-pruned:\n$plan")
+    assert(joined.count() == 200) // 2 of 20 partitions survive
+  }
+
   test("saveBucketed: co-bucketed join plans without a shuffle") {
     Seq("orders_b", "lineitem_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
