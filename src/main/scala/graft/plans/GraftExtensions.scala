@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{CleanTextExpr, QuantizedDot}
+import org.apache.spark.sql.graft.{CleanTextExpr, QuantizedDot, RollingHash, StripAccents, UnicodeNormalize}
 
 /** Engine extension point (SURVEY §4): registers every tier of graft's
   * custom-operator stack — native expressions for SQL use, the
@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cleanTextDescriptor)
     ext.injectFunction(GraftExtensions.quantizedDotDescriptor)
+    ext.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
+    ext.injectFunction(GraftExtensions.stripAccentsDescriptor)
+    ext.injectFunction(GraftExtensions.rollingHashDescriptor)
     // whole-operator tier: grouped top-k via per-key bounded heaps
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
     // optimizer tier: window row_number top-k idiom → the heap operator
@@ -56,11 +59,40 @@ object GraftExtensions {
     new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
     arity("quantized_dot", 2)(children => QuantizedDot(children(0), children(1))))
 
+  val unicodeNormalizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("unicode_normalize"),
+    new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+    arity("unicode_normalize", 2)(children => children(1) match {
+      // the normalization form must be a literal: it selects the codegen
+      // path at plan time, exactly like the pattern arg of RLIKE
+      case org.apache.spark.sql.catalyst.expressions.Literal(f, _)
+          if f != null =>
+        UnicodeNormalize(children.head, f.toString)
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+        messageParameters = Map("parameter" -> "form",
+          "functionName" -> "unicode_normalize",
+          "value" -> "non-literal"))
+    }))
+
+  val stripAccentsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("strip_accents"),
+    new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+    arity("strip_accents", 1)(children => StripAccents(children.head)))
+
+  val rollingHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+    arity("rolling_hash", 1)(children => RollingHash(children.head)))
+
+  private val allDescriptors = Seq(cleanTextDescriptor,
+    quantizedDotDescriptor, unicodeNormalizeDescriptor,
+    stripAccentsDescriptor, rollingHashDescriptor)
+
   /** Imperative registration on an existing session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "clean_text", cleanTextDescriptor._3, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "quantized_dot", quantizedDotDescriptor._3, "scala_udf")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    allDescriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "scala_udf")
+    }
 }

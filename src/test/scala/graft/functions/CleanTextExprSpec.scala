@@ -79,5 +79,20 @@ class CleanTextExprSpec extends SparkTestBase {
       "SELECT quantized_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .as[Long].head()
     assert(dot == 32L)
+    // the full native-expression surface is SQL-callable
+    val norm = spark.sql(
+      "SELECT unicode_normalize('école', 'NFC') AS n")
+      .as[String].head()
+    assert(norm == "école")
+    val stripped = spark.sql("SELECT strip_accents('école') AS s")
+      .as[String].head()
+    assert(stripped == "ecole")
+    val rh = spark.sql("SELECT rolling_hash('ab') AS h").as[Long].head()
+    val rh2 = spark.sql("SELECT rolling_hash('ba') AS h").as[Long].head()
+    assert(rh != rh2, "position sensitivity survives the SQL path")
+    // non-literal form is rejected at analysis, not at runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT unicode_normalize('x', lower('NFC'))").collect()
+    }
   }
 }
