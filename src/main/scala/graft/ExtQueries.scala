@@ -846,6 +846,35 @@ object ExtQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Last-touch attribution: each purchase attributed to the user's
+    // most recent click within a 1-day lookback (as-of join + bounded
+    // staleness — DuckDB's native ASOF JOIN oracles the match, the
+    // lookback is a row-local post-filter). Output: corpus-level
+    // attribution rate and mean click→purchase delay, both as single
+    // IEEE divisions of exact accumulations.
+    "x_attribution" -> ((s, dir) => {
+      val e = Events.loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_sec").as("sec"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "sec")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("sec"), col("sec").as("click_sec"))
+        .distinct()
+      graft.ops.AsOfJoin.asofJoin(purchases, clicks, "user_id", "sec",
+          payload = Seq("click_sec"))
+        .withColumn("attributed", col("asof_click_sec").isNotNull &&
+          col("asof_click_sec") >= col("sec") - 86400)
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+          sum(when(col("attributed"), col("sec") - col("asof_click_sec"))
+            .cast(DecimalType(18, 2))).cast("double").as("delay_sum"))
+        .select(col("n_purchases"), col("n_attributed"),
+          (col("n_attributed").cast("double") / col("n_purchases"))
+            .as("attribution_rate"),
+          (col("delay_sum") / col("n_attributed")).as("mean_delay_sec"))
+    }),
+
     "x_events_sessions" -> ((s, dir) => {
       val ts = col("ts_sec")
       val w = Window.partitionBy(col("user_id"))
@@ -2652,6 +2681,38 @@ object ExtQueries {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.sec >= r.sec
          ORDER BY l.event_id""",
+
+    "x_attribution" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) AS sec
+           FROM events),
+         p AS (SELECT event_id, user_id, sec FROM e
+               WHERE event_type = 'purchase'),
+         c AS (SELECT DISTINCT user_id, sec AS click_sec FROM e
+               WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id, p.sec, c.click_sec
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.user_id AND p.sec >= c.click_sec),
+         f AS (
+           SELECT sec, click_sec,
+             (click_sec IS NOT NULL AND click_sec >= sec - 86400)
+               AS attributed
+           FROM j),
+         g AS (
+           SELECT COUNT(*) AS n_purchases,
+             CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_attributed,
+             CAST(SUM(CASE WHEN attributed
+               THEN CAST(sec - click_sec AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS delay_sum
+           FROM f)
+         SELECT n_purchases, n_attributed,
+           CAST(n_attributed AS DOUBLE) / n_purchases AS attribution_rate,
+           delay_sum / n_attributed AS mean_delay_sec
+         FROM g""",
 
     "x_events_sessions" ->
       """WITH t AS (
