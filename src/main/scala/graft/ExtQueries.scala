@@ -1392,11 +1392,13 @@ object ExtQueries {
     // ---- string similarity join --------------------------------------
 
     // Edit-distance self-join (exact recall): part names within
-    // Levenshtein 1..2, length-band candidates via equi-join on emitted
-    // candidate lengths — no nested-loop join. Input bounded to one
-    // size decile so the verify cost stays candidate-shaped at any SF.
+    // Levenshtein 1..2 via PassJoin segment blocking — candidates are
+    // pairs sharing an exact segment at a compatible position, so cost
+    // scales with matches, not length-band density² (the selfJoin
+    // band form measured 20× cost for 10× rows). Input bounded to one
+    // size decile to keep the oracle's cross-join re-derivation cheap.
     "x_editdist_join" -> ((s, dir) =>
-      EditDistJoin.selfJoin(
+      EditDistJoin.segmentJoin(
           T(s, dir, "part").filter(col("p_size") <= 10),
           "p_partkey", "p_name", maxDist = 2, minDist = 1)
         .orderBy(col("dist"), col("id_a"), col("id_b"))

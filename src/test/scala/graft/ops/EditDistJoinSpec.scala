@@ -43,4 +43,48 @@ class EditDistJoinSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("segmentJoin == selfJoin == naive on adversarial data " +
+    "(short strings, planted dups, edits in every segment)") {
+    // lengths from 1 (below the segment minimum) to 40; edits planted
+    // at the front, middle, and back so every segment position is the
+    // one the pigeonhole must catch
+    val base = Seq(
+      "a", "ab", "abc", "abcd",                       // short-leg strings
+      "kitten", "sitten", "kittens", "ktten",
+      "the quick brown fox jumps over dogs",
+      "Xhe quick brown fox jumps over dogs",           // front edit
+      "the quick brXwn fox jumps over dogs",           // middle edit
+      "the quick brown fox jumps over dogX",           // back edit
+      "the quick brown fox jumps over do",             // back deletions
+      "completely unrelated string here")
+    val df = base.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (d <- Seq(1, 2, 3)) {
+      val seg = EditDistJoin.segmentJoin(df, "id", "s", maxDist = d)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val band = EditDistJoin.selfJoin(df, "id", "s", maxDist = d)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(seg == band, s"segment vs band mismatch at d=$d")
+    }
+  }
+
+  test("segmentJoin: exact recall on the real part-name slice") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val seg = EditDistJoin.segmentJoin(parts, "id", "s", maxDist = 2,
+      minDist = 1).count()
+    val band = EditDistJoin.selfJoin(parts, "id", "s", maxDist = 2,
+      minDist = 1).count()
+    assert(seg == band, s"segment $seg vs band $band")
+  }
+
+  test("segmentJoin plans equi-joins only (no BNLJ/cartesian)") {
+    val plan = EditDistJoin.segmentJoin(words, "id", "s", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
