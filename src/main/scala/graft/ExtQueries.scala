@@ -1426,6 +1426,26 @@ object ExtQueries {
         .orderBy(col("n_pairs").desc, col("w"), col("c"))
         .limit(50)),
 
+    // Equi-depth histogram (the optimizer-statistics form; complements
+    // a11_histogram's equal-width bins): exact decile boundaries ride
+    // the plan as one broadcast row, bucket assignment is a row-local
+    // count of boundaries strictly below the value.
+    "x_histogram_eqdepth" -> ((s, dir) => {
+      val qs = (1 to 9).map(_ / 10.0).mkString(", ")
+      val bounds = T(s, dir, "lineitem")
+        .agg(expr(s"percentile(l_extendedprice, array($qs))").as("bs"))
+      T(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"))
+        .crossJoin(broadcast(bounds))
+        .select(col("v"),
+          filter(col("bs"), b => b < col("v")).as("below"))
+        .select(col("v"), size(col("below")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- robust statistics -------------------------------------------
 
     // Per-group winsorized stats: clip to [p05, p95], count clips,
@@ -3403,6 +3423,19 @@ object ExtQueries {
          SELECT w, c, COUNT(*) AS n_pairs FROM pairs
          GROUP BY 1, 2
          ORDER BY n_pairs DESC, w, c LIMIT 50""",
+
+    "x_histogram_eqdepth" ->
+      """WITH b AS (
+           SELECT quantile_cont(l_extendedprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+           FROM lineitem),
+         a AS (
+           SELECT l_extendedprice AS v,
+             len(list_filter(bs, x -> x < l_extendedprice)) AS bucket
+           FROM lineitem CROSS JOIN b)
+         SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+         FROM a GROUP BY 1 ORDER BY 1""",
 
     "x_winsorize" ->
       """WITH b AS (

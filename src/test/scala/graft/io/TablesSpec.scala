@@ -50,6 +50,20 @@ class TablesSpec extends SparkTestBase {
     assert(joined.count() == 200) // 2 of 20 partitions survive
   }
 
+  test("join strategy control: hints force SMJ / shuffle-hash / " +
+    "broadcast picks") {
+    val big = (1 to 1000).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    val dim = (1 to 50).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    assert(planOf(big.join(dim.hint("merge"), "k"))
+      .contains("SortMergeJoin"))
+    assert(planOf(big.join(dim.hint("shuffle_hash"), "k"))
+      .contains("ShuffledHashJoin"))
+    assert(planOf(big.join(broadcast(dim), "k"))
+      .contains("BroadcastHashJoin"))
+  }
+
   test("saveBucketed: co-bucketed join plans without a shuffle") {
     Seq("orders_b", "lineitem_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
