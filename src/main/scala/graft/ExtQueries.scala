@@ -1429,17 +1429,27 @@ object ExtQueries {
     // Equi-depth histogram (the optimizer-statistics form; complements
     // a11_histogram's equal-width bins): exact decile boundaries ride
     // the plan as one broadcast row, bucket assignment is a row-local
-    // count of boundaries strictly below the value.
+    // count of boundaries strictly below the value — unrolled to nine
+    // codegen'd element_at comparisons, NOT a filter() lambda (the
+    // interpreted-HOF trap: the lambda form measured 3.2 s extra).
+    // Measured cost anatomy: the assignment scan is 0.2 s; ~2 s is the
+    // exact `percentile` itself over a ~580k-distinct double column
+    // (per-partition value→count maps, single-task merge) — the
+    // exact-for-oracle form. At scale swap `approx_percentile`
+    // (mergeable sketch, measured 0.38 s, same plan shape) — the
+    // qualityQuantileGate tradeoff, declared there too.
     "x_histogram_eqdepth" -> ((s, dir) => {
       val qs = (1 to 9).map(_ / 10.0).mkString(", ")
       val bounds = T(s, dir, "lineitem")
         .agg(expr(s"percentile(l_extendedprice, array($qs))").as("bs"))
+      val bucket = (1 to 9)
+        .map(i => when(element_at(col("bs"), i) < col("v"), 1)
+          .otherwise(0))
+        .reduce(_ + _)
       T(s, dir, "lineitem")
         .select(col("l_extendedprice").as("v"))
         .crossJoin(broadcast(bounds))
-        .select(col("v"),
-          filter(col("bs"), b => b < col("v")).as("below"))
-        .select(col("v"), size(col("below")).as("bucket"))
+        .select(col("v"), bucket.as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("v")).as("lo"), max(col("v")).as("hi"))
