@@ -262,4 +262,87 @@ object StreamOps {
           }
       }
   }
+
+  // ---- custom state: transformWithState sessionization (Spark 4 API) --
+
+  /** Event-time sessionizer on the `transformWithState` arbitrary-state
+    * API (the successor to [flat]mapGroupsWithState): typed ValueState
+    * holds the open session, an EVENT-TIME timer registered at
+    * lastEvent + gap closes it when the watermark passes — so closed
+    * sessions emit deterministically with event time, not wall-clock
+    * silence (the flatMapGroupsWithState version above can only use
+    * processing-time timeouts for this). Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — the only backend
+    * transformWithState supports in OSS Spark.
+    *
+    * State per key is one fixed-size session struct + one timer;
+    * watermark-driven expiry bounds it by active users, the 100 TB
+    * contract for streaming state.
+    */
+  class SessionProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val secs = rows.map(_.ts.getTime / 1000).toArray.sorted
+      val closed = List.newBuilder[SessionOut]
+      var cur = if (session.exists()) Option(session.get()) else None
+      secs.foreach { s =>
+        cur match {
+          case Some(c) if s - c.lastSec <= gapSec =>
+            cur = Some(c.copy(lastSec = s, n = c.n + 1))
+          case Some(c) =>
+            closed += SessionOut(user, c.start, c.lastSec, c.n)
+            cur = Some(SessionState(s, s, 1, 0.0))
+          case None =>
+            cur = Some(SessionState(s, s, 1, 0.0))
+        }
+      }
+      cur.foreach { c =>
+        session.update(c)
+        // one live timer per key: re-arm at the new session end
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer((c.lastSec + gapSec) * 1000 + 1)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (session.exists()) {
+        val c = session.get()
+        session.clear()
+        Iterator(SessionOut(user, c.start, c.lastSec, c.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[SessionProcessor]] wired to a watermarked event stream. The
+    * `watermarkDelay` bounds late data; sessions close when the
+    * watermark passes lastEvent + gap.
+    */
+  def sessionizeTws(events: Dataset[Event], gapSec: Long = 1800,
+                    watermarkDelay: String = "10 seconds"
+                   ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

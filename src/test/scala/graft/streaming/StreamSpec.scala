@@ -194,6 +194,45 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeTws (transformWithState): event-time timers close " +
+    "sessions when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = sessionizeTws(mem.toDS(), gapSec = 1800,
+      watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then silence
+      mem.addData(Event(ts(0), 1L, "a", 1.0), Event(ts(10), 1L, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("tws_out").count() == 0,
+        "session must stay open until the watermark passes the gap")
+      // an event far in the future advances the watermark past
+      // lastSec + gap -> the timer fires and emits the closed session
+      mem.addData(Event(Timestamp.valueOf("2024-01-01 02:00:00"), 2L,
+        "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val epoch0 = ts(0).getTime / 1000
+      assert(rows == Seq((1L, epoch0, epoch0 + 600, 2L)), rows.toString)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming URL dedup: canonical-equal variants collapse across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
