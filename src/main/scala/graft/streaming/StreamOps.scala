@@ -345,4 +345,94 @@ object StreamOps {
       .transformWithState(new SessionProcessor(gapSec),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ---- custom state: streaming funnel (CEP-lite) ----------------------
+
+  case class FunnelState(stage: Int, stageSec: Long, startSec: Long)
+  case class Conversion(user_id: Long, start_sec: Long, end_sec: Long,
+                        n_stages: Int)
+
+  /** Streaming ordered-funnel detector — the incremental counterpart of
+    * `Behavior.funnel`: per user, advance a stage cursor when the next
+    * step's event type arrives within `maxGapSec` of the previous
+    * stage; emit a [[Conversion]] row the moment the final stage
+    * completes, then reset. A stage that times out resets the cursor to
+    * whatever the current event can start (an occurrence of step 0).
+    *
+    * State per user is ONE fixed-size cursor struct plus one
+    * EVENT-TIME cleanup timer at stageTime + gap: when the watermark
+    * passes it, the abandoned cursor is dropped — state is bounded by
+    * users active within the gap, not all users ever seen. (A TTL +
+    * processing-time variant busy-loops empty micro-batches against
+    * the RocksDB checkpointer; event-time timers only do work when
+    * data moves the watermark.) Events within a micro-batch are
+    * processed in event-time order (sorted per key); cross-batch order
+    * is the stream's own arrival order, the streaming-funnel contract.
+    */
+  class FunnelProcessor(steps: Seq[String], maxGapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Conversion] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var cursor: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cursor = getHandle.getValueState[FunnelState]("cursor",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Conversion] = {
+      val out = List.newBuilder[Conversion]
+      rows.toArray.sortBy(e => e.ts.getTime).foreach { e =>
+        val sec = e.ts.getTime / 1000
+        val cur = if (cursor.exists()) Option(cursor.get()) else None
+        val next = cur match {
+          case Some(c) if e.event_type == steps(c.stage) &&
+              sec - c.stageSec <= maxGapSec =>
+            Some(FunnelState(c.stage + 1, sec, c.startSec))
+          case _ if e.event_type == steps.head =>
+            Some(FunnelState(1, sec, sec))
+          case other => other // unrelated or stale event: keep cursor
+        }
+        next match {
+          case Some(c) if c.stage == steps.length =>
+            out += Conversion(user, c.startSec, sec, steps.length)
+            cursor.clear()
+          case Some(c) => cursor.update(c)
+          case None => ()
+        }
+      }
+      // re-arm the cleanup timer for whatever cursor remains
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (cursor.exists())
+        getHandle.registerTimer(
+          (cursor.get().stageSec + maxGapSec) * 1000 + 1)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Conversion] = {
+      cursor.clear() // abandoned funnel: drop the cursor, emit nothing
+      Iterator.empty
+    }
+  }
+
+  /** [[FunnelProcessor]] over a watermarked stream (event-time mode;
+    * the watermark drives both lateness and state cleanup).
+    */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   maxGapSec: Long = 86400,
+                   watermarkDelay: String = "10 seconds"
+                  ): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps, maxGapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

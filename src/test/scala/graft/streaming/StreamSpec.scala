@@ -233,6 +233,53 @@ class StreamSpec extends SparkTestBase {
     }
   }
 
+  test("funnelStream: conversions emit on final-stage completion, " +
+    "stale stages reset, state survives across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = funnelStream(mem.toDS(), Seq("view", "click", "purchase"),
+      maxGapSec = 600)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 reaches stage 2; user 2 clicks without a view
+      mem.addData(
+        Event(ts(0), 1L, "view", 1.0), Event(ts(5), 1L, "click", 1.0),
+        Event(ts(1), 2L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").count() == 0)
+      // batch 2: user 1 purchases within gap -> conversion (state
+      // crossed the batch boundary); user 2 still nothing
+      mem.addData(Event(ts(9), 1L, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out")
+        .as[Conversion].collect().toSeq
+      assert(rows == Seq(Conversion(1L, ts(0).getTime / 1000,
+        ts(9).getTime / 1000, 3)), rows.toString)
+      // batch 3: user 3's click arrives > gap after the view -> the
+      // funnel resets instead of converting
+      mem.addData(Event(ts(0), 3L, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts(20), 3L, "click", 1.0),
+        Event(ts(25), 3L, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").count() == 1,
+        "stale stage must not convert")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming URL dedup: canonical-equal variants collapse across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
