@@ -1456,6 +1456,21 @@ object ExtQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Blocklist scan — the word-filter curation stage (NSFW/toxicity
+    // blocklists): per-doc hit count against a term list + keep flag.
+    // Row-local (one scan, no shuffle); the list broadcasts as plan
+    // literals, the production shape for the usual few-thousand-term
+    // lists.
+    "x_blocklist" -> ((s, dir) => {
+      val blocklist = Seq("slow", "broken", "spill")
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.vocabHits(TextAnalysis.tokens(col("text")),
+          blocklist).as("n_hits"))
+        .withColumn("keep", col("n_hits") === 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- robust statistics -------------------------------------------
 
     // Per-group winsorized stats: clip to [p05, p95], count clips,
@@ -3433,6 +3448,15 @@ object ExtQueries {
          SELECT w, c, COUNT(*) AS n_pairs FROM pairs
          GROUP BY 1, 2
          ORDER BY n_pairs DESC, w, c LIMIT 50""",
+
+    "x_blocklist" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('slow', 'broken', 'spill'))) AS INTEGER)
+             AS n_hits,
+           len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('slow', 'broken', 'spill'))) = 0 AS keep
+         FROM documents ORDER BY doc_id""",
 
     "x_histogram_eqdepth" ->
       """WITH b AS (

@@ -81,6 +81,54 @@ class EditDistJoinSpec extends SparkTestBase {
     assert(seg == band, s"segment $seg vs band $band")
   }
 
+  test("segmentJoin == naive on random corpora with random edits " +
+    "(ScalaCheck, fixed seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // base strings over a 3-letter alphabet (forces collisions), with
+    // mutated variants: substitution, insertion, deletion at random
+    // positions — then every d in 1..2 checked against the naive join
+    val baseGen = Gen.listOfN(12,
+      Gen.chooseNum(1, 14).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    def mutate(s: String, seed: Long): String = {
+      val r = new scala.util.Random(seed)
+      if (s.isEmpty) "a"
+      else r.nextInt(3) match {
+        case 0 => val i = r.nextInt(s.length) // substitute
+          s.updated(i, ('a' + r.nextInt(3)).toChar)
+        case 1 => val i = r.nextInt(s.length + 1) // insert
+          s.take(i) + ('a' + r.nextInt(3)).toChar + s.drop(i)
+        case _ => val i = r.nextInt(s.length) // delete
+          s.take(i) + s.drop(i + 1)
+      }
+    }
+    (0 until 8).foreach { trial =>
+      val base = baseGen(Gen.Parameters.default, Seed(7L + trial)).get
+      val all = base ++ base.zipWithIndex.map { case (s, i) =>
+        mutate(s, trial * 100L + i)
+      }
+      val df = all.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      for (d <- Seq(1, 2)) {
+        val seg = EditDistJoin.segmentJoin(df, "id", "s", maxDist = d)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+        val a = df.select(col("id").as("id_a"), col("s").as("s_a"))
+        val naive = a.crossJoin(
+            df.select(col("id").as("id_b"), col("s").as("s_b")))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("s_a"), col("s_b")).as("dist"))
+          .filter(col("dist") <= d)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+        assert(seg == naive,
+          s"trial=$trial d=$d missing=${naive -- seg} extra=${seg -- naive}")
+      }
+    }
+  }
+
   test("segmentJoin plans equi-joins only (no BNLJ/cartesian)") {
     val plan = EditDistJoin.segmentJoin(words, "id", "s", maxDist = 2)
       .queryExecution.executedPlan.toString
