@@ -435,4 +435,81 @@ object StreamOps {
       .transformWithState(new FunnelProcessor(steps, maxGapSec),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ---- custom state: MapState heavy hitters (transformWithState) ------
+
+  /** Misra-Gries heavy hitters on `transformWithState` with MAP state —
+    * the scale-correct storage for per-bucket counter sets: an
+    * increment is a point get+put of ONE RocksDB entry, where the
+    * [[heavyHittersStream]] (flatMapGroupsWithState) version must
+    * deserialize, mutate, and rewrite its entire k-counter map every
+    * micro-batch. The O(k) full-map sweep runs only on the
+    * Misra-Gries eviction path (a new key arriving with all k counter
+    * slots taken); the common hot-key hit touches one entry. Same
+    * deterministic guarantee as the agg/HeavyHitters batch operator:
+    * any key with global frequency > n/(k+1) survives in some bucket.
+    */
+  class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, String, HeavyHit] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var counters: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[String, Long]("counters",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("n",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(bucket: Int, rows: Iterator[String],
+        tv: TimerValues): Iterator[HeavyHit] = {
+      var n = if (total.exists()) total.get() else 0L
+      // size tracked locally per batch; k is small (counter set fits)
+      var size = counters.keys().size
+      rows.foreach { x =>
+        n += 1
+        if (counters.containsKey(x)) {
+          counters.updateValue(x, counters.getValue(x) + 1)
+        } else if (size < k) {
+          counters.updateValue(x, 1L)
+          size += 1
+        } else {
+          // eviction sweep: decrement all, drop zeros (O(k), rare)
+          val dead = List.newBuilder[String]
+          counters.iterator().foreach { case (key, c) =>
+            if (c == 1L) dead += key else counters.updateValue(key, c - 1)
+          }
+          val d = dead.result()
+          d.foreach(counters.removeKey)
+          size -= d.length
+        }
+      }
+      total.update(n)
+      counters.iterator().map { case (key, c) =>
+        HeavyHit(bucket, key, c, n)
+      }
+    }
+  }
+
+  /** [[TopKProcessor]] over a bucketed key stream. TimeMode.None — no
+    * timers, no TTL: counters live for the stream's lifetime by design
+    * (they summarize the whole history), and a time-driven mode would
+    * have the micro-batch engine scheduling empty batches just to
+    * advance the clock (measured as a busy-loop against the RocksDB
+    * checkpointer — the FunnelProcessor lesson).
+    */
+  def heavyHittersTws(keys: Dataset[String], k: Int,
+                      buckets: Int = 32): Dataset[HeavyHit] = {
+    import keys.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    keys
+      .groupByKey(s => math.floorMod(s.hashCode, buckets))
+      .transformWithState(new TopKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -331,6 +331,48 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("heavyHittersTws (MapState): same MG guarantee as the " +
+    "flatMapGroupsWithState form, point-update state") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[String]
+    val k = 3
+    val q = heavyHittersTws(mem.toDS(), k, buckets = 4)
+      .writeStream.format("memory").queryName("hhtws_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seq.fill(40)("hot") ++ Seq.fill(30)("warm") ++
+        (0 until 30).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(40)("hot") ++ Seq.fill(30)("warm") ++
+        (30 until 60).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      val latest = spark.table("hhtws_out")
+        .groupBy("bucket", "key")
+        .agg(max(struct(col("bucketN"), col("minCount"))).as("s"))
+        .select(col("key"), col("s.minCount").as("minCount"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(latest.contains("hot") && latest.contains("warm"))
+      assert(latest("hot") <= 80L && latest("warm") <= 60L)
+      assert(latest("hot") >= 80L - 200L / (k + 1))
+      val perBucket = spark.table("hhtws_out")
+        .groupBy("bucket", "bucketN").count()
+        .select("count").as[Long].collect()
+      assert(perBucket.forall(_ <= k))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("heavyHittersStream: hot keys survive across micro-batches with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
