@@ -50,6 +50,37 @@ class TablesSpec extends SparkTestBase {
     assert(joined.count() == 200) // 2 of 20 partitions survive
   }
 
+  test("malformed-record tolerance: PERMISSIVE captures bad rows, " +
+    "DROPMALFORMED filters them") {
+    val dir = java.nio.file.Files.createTempDirectory("badrec").toString
+    val f = new java.io.PrintWriter(s"$dir/data.json")
+    f.println("""{"k": 1, "v": "ok"}""")
+    f.println("""{broken json""")
+    f.println("""{"k": 3, "v": "ok2"}""")
+    f.close()
+    // (type-mismatch rows are deliberately absent: whether they land in
+    // _corrupt_record or silently null the field depends on which
+    // columns the first action parses — a null-count audit, not the
+    // corrupt channel, is the stable catch for those)
+    val schema = "k LONG, v STRING, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/data.json")
+    // json needs the corrupt column materialized before filtering on it
+    val cached = permissive.cache()
+    try {
+      assert(cached.filter(col("_corrupt_record").isNotNull).count() == 1)
+      assert(cached.filter(col("_corrupt_record").isNull).count() == 2)
+      assert(cached.filter(col("k") === 3).select("v")
+        .head().getString(0) == "ok2")
+    } finally cached.unpersist()
+    val dropped = spark.read.schema("k LONG, v STRING")
+      .option("mode", "DROPMALFORMED")
+      .json(s"$dir/data.json")
+    assert(dropped.count() == 2)
+  }
+
   test("join strategy control: hints force SMJ / shuffle-hash / " +
     "broadcast picks") {
     val big = (1 to 1000).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
