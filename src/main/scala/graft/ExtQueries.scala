@@ -89,6 +89,12 @@ object ExtQueries {
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(
           pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      // NOT persisted: measured 2.2 s as-is vs 3.5 s with .persist() —
+      // Catalyst's ReusedExchange already shares the jaccard-derivation
+      // shuffles across nodes/deg/iterations within the one plan, and a
+      // cache replaces that with block-store reads plus a slow first
+      // materialization. Persist only helps when iterations run as
+      // SEPARATE actions (the Graph.pageRank Scaladoc case).
       graft.ext.Graph.pageRank(edges, iters = 3, dampingPct = 85)
         .withColumnRenamed("node", "doc_id")
         .orderBy(col("doc_id"))
