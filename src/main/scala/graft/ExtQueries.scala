@@ -1385,6 +1385,69 @@ object ExtQueries {
           "user_id", "day")
         .orderBy(col("cohort_day"), col("day_offset"))),
 
+    // Session path analysis: top event-type sequences per session
+    // (30-min gap sessionization → per-session ordered path string →
+    // corpus path counts). The per-session array is bounded by session
+    // length; the only wide shuffle carries one row per session.
+    "x_event_paths" -> ((s, dir) => {
+      val ts = col("ts_sec")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ts, col("event_id"))
+      val sessions = Events.loadEvents(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), ts,
+          when(ts - lag(ts, 1).over(w) > 1800 ||
+               lag(ts, 1).over(w).isNull, 1).otherwise(0)
+            .as("is_new"))
+        .withColumn("sid", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions
+        .groupBy(col("user_id"), col("sid"))
+        .agg(array_sort(collect_list(
+          struct(col("ts_sec"), col("event_id"), col("event_type"))))
+          .as("evs"))
+        .select(array_join(
+          transform(col("evs"), e => e.getField("event_type")), ">")
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }),
+
+    // A/B-test analysis: users hash-split into two variants (the
+    // deterministic splitByHash assignment), purchase values compared
+    // by a pooled two-sample z-score. Every aggregate is an exact
+    // DECIMAL accumulation; mean/variance/z use only IEEE-exact basic
+    // ops (+,-,*,/ and sqrt are exactly-rounded), so the statistic is
+    // bit-identical on any engine with no rounding fudge.
+    "x_ab_test" -> ((s, dir) => {
+      val ev = Events.loadEvents(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("variant",
+          when(Sampling.bucketOf(col("user_id"), 7) < 500000L, "A")
+            .otherwise("B"))
+      val perVariant = ev.groupBy(col("variant")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("s1"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 6)))
+          .cast("double").as("s2"))
+        .select(col("variant"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)).as("variance"))
+      val a = perVariant.filter(col("variant") === "A")
+        .select(col("n").as("n_a"), col("mean").as("mean_a"),
+          col("variance").as("var_a"))
+      val b = perVariant.filter(col("variant") === "B")
+        .select(col("n").as("n_b"), col("mean").as("mean_b"),
+          col("variance").as("var_b"))
+      a.crossJoin(b).select(col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        ((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+          .as("z_score"))
+    }),
+
     // ---- co-occurrence mining ----------------------------------------
 
     // Market-basket pair support+lift: parts co-ordered within an order.
@@ -2734,6 +2797,55 @@ object ExtQueries {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.sec >= r.sec
          ORDER BY l.event_id""",
+
+    "x_event_paths" ->
+      """WITH t AS (
+           SELECT user_id, event_id, event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) AS sec
+           FROM events),
+         o AS (
+           SELECT user_id, event_id, event_type, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1
+                  ELSE 0 END AS is_new
+           FROM t
+           WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         s AS (
+           SELECT user_id, event_id, event_type, sec,
+             SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         p AS (
+           SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY sec, event_id) AS path
+           FROM s GROUP BY 1, 2)
+         SELECT path, COUNT(*) AS n_sessions FROM p
+         GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""",
+
+    "x_ab_test" -> {
+      val bucket = Sampling.bucketSql("user_id", 7)
+      s"""WITH p AS (
+            SELECT CASE WHEN $bucket < 500000 THEN 'A' ELSE 'B' END
+              AS variant, value
+            FROM events WHERE event_type = 'purchase'),
+          g AS (
+            SELECT variant, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+              CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                AS s2
+            FROM p GROUP BY 1),
+          v AS (
+            SELECT variant, n, s1 / n AS mean,
+              (s2 - s1 * s1 / n) / (n - 1) AS variance
+            FROM g)
+          SELECT a.n AS n_a, b.n AS n_b,
+            a.mean AS mean_a, b.mean AS mean_b,
+            (a.mean - b.mean)
+              / sqrt(a.variance / a.n + b.variance / b.n) AS z_score
+          FROM (SELECT * FROM v WHERE variant = 'A') a
+          CROSS JOIN (SELECT * FROM v WHERE variant = 'B') b"""
+    },
 
     "x_attribution" ->
       """WITH e AS (
