@@ -1448,6 +1448,27 @@ object ExtQueries {
           .as("z_score"))
     }),
 
+    // Event-type Markov transition matrix: P(next | current) from each
+    // user's ordered event stream — one window pass for adjacent pairs,
+    // one group-by for counts, transition probabilities as exact
+    // integer-count IEEE divisions (bit-portable, no rounding).
+    "x_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val pairs = Events.loadEvents(s, dir)
+        .select(col("user_id"), col("event_type").as("cur"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("n_trans"))
+      val totals = pairs.groupBy(col("prev"))
+        .agg(sum(col("n_trans")).as("n_from"))
+      pairs.join(broadcast(totals), Seq("prev"))
+        .select(col("prev"), col("cur"), col("n_trans"),
+          (col("n_trans").cast("double") / col("n_from")).as("p"))
+        .orderBy(col("prev"), col("cur"))
+    }),
+
     // ---- co-occurrence mining ----------------------------------------
 
     // Market-basket pair support+lift: parts co-ordered within an order.
@@ -2797,6 +2818,28 @@ object ExtQueries {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.sec >= r.sec
          ORDER BY l.event_id""",
+
+    "x_markov" ->
+      """WITH t AS (
+           SELECT user_id, event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) AS sec, event_id
+           FROM events),
+         o AS (
+           SELECT event_type AS cur,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id) AS prev
+           FROM t),
+         pairs AS (
+           SELECT prev, cur, COUNT(*) AS n_trans FROM o
+           WHERE prev IS NOT NULL GROUP BY 1, 2),
+         totals AS (
+           SELECT prev, CAST(SUM(n_trans) AS BIGINT) AS n_from
+           FROM pairs GROUP BY 1)
+         SELECT prev, cur, n_trans,
+           CAST(n_trans AS DOUBLE) / n_from AS p
+         FROM pairs JOIN totals USING (prev)
+         ORDER BY prev, cur""",
 
     "x_event_paths" ->
       """WITH t AS (
