@@ -1448,6 +1448,28 @@ object ExtQueries {
           .as("z_score"))
     }),
 
+    // Moving-average forecast baseline: per event type, each day's
+    // forecast is the trailing-7-day mean of daily totals (frame
+    // excludes the current day), plus the absolute error — the
+    // seasonal-naive baseline every forecasting pipeline starts from.
+    // Window sums are DECIMAL-exact; mean and error are IEEE divisions.
+    "x_forecast_ma" -> ((s, dir) => {
+      val daily = Events.loadEvents(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts_sec div 86400").as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("total"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .select(col("event_type"), col("day"),
+          col("total").cast("double").as("total"),
+          (sum(col("total")).over(w).cast("double") /
+            count(col("total")).over(w)).as("forecast"))
+        .filter(col("forecast").isNotNull)
+        .withColumn("abs_err", abs(col("total") - col("forecast")))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Event-type Markov transition matrix: P(next | current) from each
     // user's ordered event stream — one window pass for adjacent pairs,
     // one group-by for counts, transition probabilities as exact
@@ -2818,6 +2840,25 @@ object ExtQueries {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.sec >= r.sec
          ORDER BY l.event_id""",
+
+    "x_forecast_ma" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+           FROM events GROUP BY 1, 2),
+         f AS (
+           SELECT event_type, day, CAST(total AS DOUBLE) AS total,
+             CAST(SUM(total) OVER w AS DOUBLE)
+               / COUNT(total) OVER w AS forecast
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, total, forecast,
+           abs(total - forecast) AS abs_err
+         FROM f WHERE forecast IS NOT NULL
+         ORDER BY event_type, day""",
 
     "x_markov" ->
       """WITH t AS (
