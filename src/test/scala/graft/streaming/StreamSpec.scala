@@ -233,6 +233,62 @@ class StreamSpec extends SparkTestBase {
     }
   }
 
+  test("sessionizeTws == batch session_window on random streams " +
+    "(cross-implementation parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      (0 until 2).foreach { trial =>
+        val rnd = new scala.util.Random(1234L + trial)
+        // 7-second lattice: gaps are multiples of 7, never exactly the
+        // 1800 s gap, where the two implementations legitimately differ
+        // (SessionProcessor merges at diff == gap, session_window's
+        // strict-overlap rule does not)
+        val events = (0 until 40).map { _ =>
+          val user = 1L + rnd.nextInt(3)
+          val sec = rnd.nextInt(3085).toLong * 7
+          Event(new Timestamp(sec * 1000), user, "e", 1.0)
+        } :+ // flush: advances the watermark past every session + gap
+          Event(Timestamp.valueOf("2024-06-01 00:00:00"), 99L, "e", 1.0)
+        val mem = MemoryStream[Event]
+        val name = s"tws_parity_$trial"
+        val q = sessionizeTws(mem.toDS(), gapSec = 1800,
+          watermarkDelay = "0 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        val got = try {
+          mem.addData(events: _*)
+          q.processAllAvailable()
+          spark.table(name).filter(col("user_id") =!= 99L)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .as[(Long, Long, Long, Long)].collect().toSet
+        } finally q.stop()
+        // batch reference: the session_window aggregate on the same
+        // rows; its session_end is lastEvent + gap where the processor
+        // emits lastEvent — normalize by subtracting the gap
+        val expected = sessionAgg(
+            events.filter(_.user_id != 99L).toDS().toDF(), "30 minutes")
+          .select(col("user_id"),
+            unix_timestamp(col("session_start")).as("s"),
+            (unix_timestamp(col("session_end")) - 1800).as("e"),
+            col("n_events"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got == expected,
+          s"trial=$trial missing=${expected -- got} extra=${got -- expected}")
+      }
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("funnelStream: conversions emit on final-stage completion, " +
     "stale stages reset, state survives across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
