@@ -1568,6 +1568,29 @@ object ExtQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Round-5 curation capstone: exact dedup → blocklist → length gate
+    // → deterministic train split → shard assignment, ONE lazy plan
+    // ending in a per-shard manifest (the export-audit row a training
+    // run consumes). Every stage is the oracle-checked operator above;
+    // the composition never materializes, collects, or re-scans.
+    "x_llm_pipeline2" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val surv = Dedup.dropExactDups(docs, "doc_id", "text")
+      val clean = surv
+        .filter(TextAnalysis.vocabHits(TextAnalysis.tokens(col("text")),
+          Seq("slow", "broken", "spill")) === 0)
+        .filter(col("n_chars") >= 100 && col("n_chars") <= 2000)
+      val train = Sampling.splitByHash(clean, "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), seed = 1)
+        .filter(col("split") === "train")
+      Sampling.shardAssign(train, "doc_id", nShards = 8, seed = 2)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    }),
+
     // Blocklist scan — the word-filter curation stage (NSFW/toxicity
     // blocklists): per-doc hit count against a term list + keep flag.
     // Row-local (one scan, no shuffle); the list broadcasts as plan
@@ -3650,6 +3673,28 @@ object ExtQueries {
          SELECT w, c, COUNT(*) AS n_pairs FROM pairs
          GROUP BY 1, 2
          ORDER BY n_pairs DESC, w, c LIMIT 50""",
+
+    "x_llm_pipeline2" -> {
+      val split = Sampling.bucketSql("doc_id", 1)
+      val shard = Sampling.shardSql("doc_id", 8, 2)
+      s"""WITH keepers AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          surv AS (
+            SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+          clean AS (
+            SELECT * FROM surv
+            WHERE len(list_filter(string_split(lower(text), ' '),
+                t -> t IN ('slow', 'broken', 'spill'))) = 0
+              AND n_chars BETWEEN 100 AND 2000),
+          train AS (
+            SELECT * FROM clean WHERE $split < 800000),
+          sharded AS (
+            SELECT $shard AS shard, doc_id, n_chars FROM train)
+          SELECT shard, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          FROM sharded GROUP BY 1 ORDER BY 1"""
+    },
 
     "x_blocklist" ->
       """SELECT doc_id,
