@@ -101,6 +101,65 @@ class BehaviorSpec extends SparkTestBase {
     assert(z.toSeq == Seq(2L))
   }
 
+  test("funnel == plain-Scala reference on random event streams") {
+    val steps = Seq("A", "B", "C")
+    (0 until 6).foreach { trial =>
+      val rnd = new scala.util.Random(99L + trial)
+      val evs = (0 until 120).map { _ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(5000).toLong,
+          steps(rnd.nextInt(3)))
+      }
+      val gap = 600L
+      // reference: per user, earliest chain of steps within gap
+      val byUser = evs.groupBy(_._1)
+      val chains = byUser.values.map { rows =>
+        val t1 = rows.filter(_._3 == "A").map(_._2).minOption
+        val t2 = t1.flatMap(t => rows.filter(r => r._3 == "B" &&
+          r._2 >= t && r._2 <= t + gap).map(_._2).minOption)
+        val t3 = t2.flatMap(t => rows.filter(r => r._3 == "C" &&
+          r._2 >= t && r._2 <= t + gap).map(_._2).minOption)
+        (t1, t2, t3)
+      }.toSeq
+      val expected = Seq(chains.count(_._1.isDefined).toLong,
+        chains.count(_._2.isDefined).toLong,
+        chains.count(_._3.isDefined).toLong)
+      val got = Behavior.funnel(
+          evs.toDF("user_id", "sec", "etype"),
+          "user_id", "sec", "etype", steps, maxGapSec = gap)
+        .orderBy("stage").collect().map(_.getLong(2)).toSeq
+      assert(got == expected, s"trial=$trial got=$got expected=$expected")
+    }
+  }
+
+  test("pairSupport == plain-Scala reference on random baskets") {
+    (0 until 6).foreach { trial =>
+      val rnd = new scala.util.Random(7L + trial)
+      val rows = (0 until 150).map { _ =>
+        (rnd.nextInt(25).toLong, s"i${rnd.nextInt(10)}")
+      }
+      val baskets = rows.distinct.groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val n = baskets.size.toLong
+      val support = baskets.values.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val expected = (for {
+        items <- baskets.values
+        a <- items; b <- items if a < b
+      } yield (a, b)).groupBy(identity).view.mapValues(_.size.toLong)
+        .toMap.map { case ((a, b), c) =>
+          (a, b, c, support(a), support(b),
+            BigDecimal(c.toDouble * n / (support(a) * support(b)))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSet
+      val got = Basket.pairSupport(rows.toDF("basket", "item"),
+          "basket", "item", maxBasket = 0)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      assert(got == expected,
+        s"trial=$trial missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("skipgramPairs: window-2 pairs of a known sentence") {
     val docs = Seq("a b c d").toDF("text")
     val p = TextAnalysis.skipgramPairs(docs, "text", window = 2)
