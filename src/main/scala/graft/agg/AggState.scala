@@ -47,7 +47,7 @@ object AggState {
   /** Read-side view of a state table: totals plus the derived mean. */
   def finalized(state: DataFrame): DataFrame = {
     val keys = state.columns.filterNot(StateCols.contains)
-    state.select(keys.map(col) ++ Seq(
+    state.select(keys.toIndexedSeq.map(col) ++ Seq(
       col("s_sum").cast("double").as("total"),
       col("s_count").as("n"),
       (col("s_sum").cast("double") / col("s_count").cast("double"))

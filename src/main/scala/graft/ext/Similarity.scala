@@ -205,7 +205,7 @@ object Similarity {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
       .sortBy(_._1).zipWithIndex
-      .map { case ((_, v), i) => i.toLong -> v }
+      .map { case ((_, v), i) => i.toLong -> v }.toIndexedSeq
     (1 to iters).foldLeft(seeds) { (codebook, _) =>
       val d = codebook.head._2.size
       val means = lloydStep(emb, idCol, vecCol, codebook)
@@ -233,7 +233,7 @@ object Similarity {
     }
     emb.select(quantize(col(vecCol)).as("v"))
       .select(array_min(array(dists: _*)).getField("dist").as("d"))
-      .agg(sum(col("d"))).head.getLong(0).toDouble
+      .agg(sum(col("d"))).head().getLong(0).toDouble
   }
 
   /** IVF search over an explicit (learned) codebook — [[ivfTopK]] with
