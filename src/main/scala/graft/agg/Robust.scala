@@ -21,6 +21,10 @@ object Robust {
     * IEEE double division. Exact `percentile` buffers a group's
     * distribution in the agg buffer — the oracle/testing form; swap
     * `percentile_approx` in at 100 TB (mergeable sketch, same shape).
+    *
+    * Null contract: nulls in `valCol` are excluded from the percentile
+    * bounds, the clip counts, and the clipped sum/mean (the mean
+    * divides by the non-null count); `n_rows` still counts every row.
     */
   def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
                       pLo: Double, pHi: Double): DataFrame = {
@@ -33,6 +37,10 @@ object Robust {
         least(greatest(col(valCol), col("lo")), col("hi")))
     clipped.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
+        // mean divides by the NON-null count: null values contribute
+        // nothing to clipped_sum (least/greatest propagate null, sum
+        // skips it), so n_rows would bias the mean low under nulls
+        count(col(valCol)).as("_nv"),
         sum(when(col(valCol) < col("lo"), 1L).otherwise(0L))
           .as("n_clipped_lo"),
         sum(when(col(valCol) > col("hi"), 1L).otherwise(0L))
@@ -41,6 +49,7 @@ object Robust {
         sum(round(col("_clip"), 6).cast(DecimalType(28, 6))).cast("double")
           .as("clipped_sum"))
       .withColumn("clipped_mean",
-        col("clipped_sum") / col("n_rows").cast("double"))
+        col("clipped_sum") / col("_nv").cast("double"))
+      .drop("_nv")
   }
 }

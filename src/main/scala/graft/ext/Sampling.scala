@@ -203,6 +203,12 @@ object Sampling {
     * exponential-keys variant needs ln(u), whose libm rounding differs
     * across engines). Plans as TakeOrderedAndProject: per-partition
     * top-k, driver merges k·P candidates — no global sort.
+    *
+    * Precondition (like the other hash-keyed samplers here): `keyCol`
+    * values must be UNIQUE. Duplicate keys share the same hash-derived
+    * u and therefore the same priority, and the (_pri, keyCol)
+    * tie-break then leaves the choice among them at the k boundary
+    * engine- and partitioning-dependent.
     */
   def weightedPrioritySample(df: DataFrame, keyCol: String,
                              weightCol: String, k: Int,

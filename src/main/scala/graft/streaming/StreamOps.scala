@@ -247,11 +247,18 @@ object StreamOps {
             val closed = List.newBuilder[SessionOut]
             secs.foreach { s =>
               sessions match {
-                case cur :: rest if s - cur.lastSec <= gapSec =>
-                  sessions = cur.copy(lastSec = s, n = cur.n + 1) :: rest
-                case cur :: rest =>
+                // same merge envelope as SessionProcessor: don't let a
+                // cross-batch out-of-order event regress lastSec
+                case cur :: rest if s >= cur.start - gapSec &&
+                    s <= cur.lastSec + gapSec =>
+                  sessions = cur.copy(start = math.min(cur.start, s),
+                    lastSec = math.max(cur.lastSec, s),
+                    n = cur.n + 1) :: rest
+                case cur :: rest if s > cur.lastSec + gapSec =>
                   closed += SessionOut(user, cur.start, cur.lastSec, cur.n)
                   sessions = SessionState(s, s, 1, 0.0) :: rest
+                case _ :: _ =>
+                  closed += SessionOut(user, s, s, 1)
                 case Nil =>
                   sessions = SessionState(s, s, 1, 0.0) :: Nil
               }
@@ -267,66 +274,87 @@ object StreamOps {
 
   /** Event-time sessionizer on the `transformWithState` arbitrary-state
     * API (the successor to [flat]mapGroupsWithState): typed ValueState
-    * holds the open session, an EVENT-TIME timer registered at
-    * lastEvent + gap closes it when the watermark passes — so closed
-    * sessions emit deterministically with event time, not wall-clock
-    * silence (the flatMapGroupsWithState version above can only use
-    * processing-time timeouts for this). Requires the RocksDB state
-    * store provider (`spark.sql.streaming.stateStore.providerClass` =
+    * holds the user's OPEN sessions (plural — see below), an EVENT-TIME
+    * timer registered at the earliest lastEvent + gap closes sessions
+    * when the watermark passes them — so closed sessions emit
+    * deterministically with event time, not wall-clock silence (the
+    * flatMapGroupsWithState version above can only use processing-time
+    * timeouts for this). Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
     * `...state.RocksDBStateStoreProvider`) — the only backend
     * transformWithState supports in OSS Spark.
     *
-    * State per key is one fixed-size session struct + one timer;
-    * watermark-driven expiry bounds it by active users, the 100 TB
-    * contract for streaming state.
+    * Out-of-order contract (== built-in `session_window`): an event
+    * merges into any open session whose gap envelope
+    * [start-gap, lastSec+gap] covers it — extending start backwards
+    * and never regressing lastSec — and may BRIDGE two open sessions
+    * into one; otherwise it opens its own session. Sessions close only
+    * when the WATERMARK passes lastSec + gap, never eagerly on the
+    * arrival of a newer event — an eager close would lose merges with
+    * late-but-within-watermark events from later micro-batches.
+    *
+    * State per key is the list of open sessions + one timer. The list
+    * is bounded by the watermark horizon (a session older than the
+    * watermark by more than the gap has already been emitted), so
+    * state stays proportional to users active within the delay window,
+    * the 100 TB contract for streaming state.
     */
   class SessionProcessor(gapSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, SessionOut] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
-      TimerValues, TTLConfig, ValueState}
-    import org.apache.spark.sql.{Encoders, streaming}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
 
-    @transient private var session: ValueState[SessionState] = _
+    @transient private var sessions: ListState[SessionState] = _
 
     override def init(outputMode: OutputMode,
                       timeMode: TimeMode): Unit =
-      session = getHandle.getValueState[SessionState]("session",
+      sessions = getHandle.getListState[SessionState]("sessions",
         Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def rearm(open: List[SessionState]): Unit = {
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (open.nonEmpty)
+        getHandle.registerTimer(
+          (open.map(_.lastSec).min + gapSec) * 1000 + 1)
+    }
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[SessionOut] = {
-      val secs = rows.map(_.ts.getTime / 1000).toArray.sorted
-      val closed = List.newBuilder[SessionOut]
-      var cur = if (session.exists()) Option(session.get()) else None
-      secs.foreach { s =>
-        cur match {
-          case Some(c) if s - c.lastSec <= gapSec =>
-            cur = Some(c.copy(lastSec = s, n = c.n + 1))
-          case Some(c) =>
-            closed += SessionOut(user, c.start, c.lastSec, c.n)
-            cur = Some(SessionState(s, s, 1, 0.0))
-          case None =>
-            cur = Some(SessionState(s, s, 1, 0.0))
-        }
+      var open = sessions.get().toList
+      rows.foreach { e =>
+        val s = e.ts.getTime / 1000
+        val (hit, rest) = open.partition(c =>
+          s >= c.start - gapSec && s <= c.lastSec + gapSec)
+        val merged = SessionState(
+          (s :: hit.map(_.start)).min,
+          (s :: hit.map(_.lastSec)).max,
+          hit.map(_.n).sum + 1, 0.0)
+        open = merged :: rest
       }
-      cur.foreach { c =>
-        session.update(c)
-        // one live timer per key: re-arm at the new session end
-        getHandle.listTimers().foreach(t =>
-          getHandle.deleteTimer(t.asInstanceOf[Long]))
-        getHandle.registerTimer((c.lastSec + gapSec) * 1000 + 1)
-      }
-      closed.result().iterator
+      sessions.clear()
+      sessions.put(open.toArray)
+      rearm(open)
+      Iterator.empty
     }
 
     override def handleExpiredTimer(user: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[SessionOut] = {
-      if (session.exists()) {
-        val c = session.get()
-        session.clear()
-        Iterator(SessionOut(user, c.start, c.lastSec, c.n))
-      } else Iterator.empty
+      // emit every session the watermark has passed; keep the rest and
+      // re-arm for the earliest remaining close (ms comparison: the
+      // timer fires at (lastSec+gap)*1000+1, i.e. once the watermark
+      // is strictly past the close instant)
+      val wm = tv.getCurrentWatermarkInMs()
+      val open = sessions.get().toList
+      val (due, keep) = open.partition(c =>
+        (c.lastSec + gapSec) * 1000 < wm)
+      sessions.clear()
+      if (keep.nonEmpty) sessions.put(keep.toArray)
+      rearm(keep)
+      due.sortBy(_.start)
+        .map(c => SessionOut(user, c.start, c.lastSec, c.n)).iterator
     }
   }
 
@@ -392,9 +420,14 @@ object StreamOps {
           case Some(c) if e.event_type == steps(c.stage) &&
               sec - c.stageSec <= maxGapSec =>
             Some(FunnelState(c.stage + 1, sec, c.startSec))
+          case Some(c) if sec - c.stageSec <= maxGapSec =>
+            // in-flight cursor: unrelated events AND step-0 re-occurrences
+            // are ignored — earliest-chain semantics, matching
+            // Behavior.funnel / the x_funnel oracle
+            Some(c)
           case _ if e.event_type == steps.head =>
-            Some(FunnelState(1, sec, sec))
-          case other => other // unrelated or stale event: keep cursor
+            Some(FunnelState(1, sec, sec)) // no cursor or stale: (re)start
+          case other => other // unrelated event, stale or no cursor
         }
         next match {
           case Some(c) if c.stage == steps.length =>
@@ -479,14 +512,15 @@ object StreamOps {
           counters.updateValue(x, 1L)
           size += 1
         } else {
-          // eviction sweep: decrement all, drop zeros (O(k), rare)
-          val dead = List.newBuilder[String]
-          counters.iterator().foreach { case (key, c) =>
-            if (c == 1L) dead += key else counters.updateValue(key, c - 1)
+          // eviction sweep: decrement all, drop zeros (O(k), rare).
+          // Materialize entries first — mutating a RocksDB-backed
+          // MapState while iterating its WriteBatchWithIndex view is
+          // provider-implementation-dependent; k is small, copy is free
+          val entries = counters.iterator().toArray
+          entries.foreach { case (key, c) =>
+            if (c == 1L) { counters.removeKey(key); size -= 1 }
+            else counters.updateValue(key, c - 1)
           }
-          val d = dead.result()
-          d.foreach(counters.removeKey)
-          size -= d.length
         }
       }
       total.update(n)

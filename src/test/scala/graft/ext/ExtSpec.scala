@@ -77,7 +77,7 @@ class ExtSpec extends SparkTestBase {
       .select(split(col("text"), " ").as("toks"))
     def grams(n: Int): Seq[String] =
       t.select(Dedup.ngramsOf(col("toks"), n).as("g"))
-        .head.getSeq[String](0)
+        .head().getSeq[String](0)
     assert(grams(1) == Seq("a", "b", "c", "d"))
     assert(grams(2) == Seq("a b", "b c", "c d"))
     assert(grams(3) == Seq("a b c", "b c d"))
@@ -153,7 +153,7 @@ class ExtSpec extends SparkTestBase {
 
   test("events load: nanos as exact integer seconds") {
     val e = Events.loadEvents(spark, sf)
-    val r = e.select(min(col("ts_sec"))).head.getLong(0)
+    val r = e.select(min(col("ts_sec"))).head().getLong(0)
     // 2024-01-01 00:00 UTC epoch = 1704067200
     assert(r >= 1704067200L && r < 1704067200L + 86400L * 366)
   }

@@ -41,7 +41,7 @@ class OpsSpec extends SparkTestBase {
     val m = clean.collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
     assert(m == Map("c1" -> 1.0, "" -> 5.0))
     // invariant: totals preserved (FIXTURES A4)
-    assert(clean.agg(sum("separations")).head.getDouble(0) == 6.0)
+    assert(clean.agg(sum("separations")).head().getDouble(0) == 6.0)
   }
 
   test("A9 nonEmptyDimensions: one pass, all-null dims excluded") {
@@ -88,7 +88,7 @@ class OpsSpec extends SparkTestBase {
   test("F4 yearFromUrl: (dddd)-(dd) second group + 2000") {
     val df = Seq("x/4-admitted-patient-care-2022-23-tables-access.xlsx")
       .toDF("url").select(CleanText.yearFromUrl(col("url")).as("y"))
-    assert(df.head.getInt(0) == 2023)
+    assert(df.head().getInt(0) == 2023)
   }
 
   test("R2 pivotSum round-trips melt (property spot-check)") {

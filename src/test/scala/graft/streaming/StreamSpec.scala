@@ -60,7 +60,7 @@ class StreamSpec extends SparkTestBase {
     val emitted = sessionizeWithState(events).count()
     val totalSessions = graft.ExtQueries
       .queries("x_events_sessions")(spark, sf)
-      .agg(sum("n_sessions")).head.getLong(0)
+      .agg(sum("n_sessions")).head().getLong(0)
     val nUsers = batch.select("user_id").distinct().count()
     // every user's last session is still open (never emitted)
     assert(emitted == totalSessions - nUsers)
@@ -81,7 +81,7 @@ class StreamSpec extends SparkTestBase {
     try {
       q.processAllAvailable()
       val streamed = spark.table("file_stream_out")
-        .agg(sum("n_events")).head.getLong(0)
+        .agg(sum("n_events")).head().getLong(0)
       val batch = Events.loadEvents(spark, sf).count()
       assert(streamed == batch)
     } finally q.stop()
@@ -271,6 +271,70 @@ class StreamSpec extends SparkTestBase {
         // emits lastEvent — normalize by subtracting the gap
         val expected = sessionAgg(
             events.filter(_.user_id != 99L).toDS().toDF(), "30 minutes")
+          .select(col("user_id"),
+            unix_timestamp(col("session_start")).as("s"),
+            (unix_timestamp(col("session_end")) - 1800).as("e"),
+            col("n_events"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got == expected,
+          s"trial=$trial missing=${expected -- got} extra=${got -- expected}")
+      }
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("sessionizeTws: cross-batch OUT-OF-ORDER events within a " +
+    "nonzero watermark delay merge like batch session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      (0 until 2).foreach { trial =>
+        val rnd = new scala.util.Random(777L + trial)
+        // 7-second lattice (see the in-order parity test: avoids
+        // diff == exactly the gap, where envelope-merge and
+        // session_window's strict-overlap rule legitimately differ)
+        val events = (0 until 60).map { _ =>
+          val user = 1L + rnd.nextInt(3)
+          val sec = rnd.nextInt(3085).toLong * 7
+          Event(new Timestamp(sec * 1000), user, "e", 1.0)
+        }
+        // three micro-batches of UNSORTED events: later batches carry
+        // arbitrarily earlier timestamps — every row stays inside the
+        // 12 h watermark delay, so none may be dropped or mis-merged.
+        // This is the advisor's round-4 scenario: a late event must
+        // merge into (or bridge) open sessions without regressing
+        // lastSec or closing anything early.
+        val batches = events.grouped(20).toSeq
+        val mem = MemoryStream[Event]
+        val name = s"tws_ooo_$trial"
+        val q = sessionizeTws(mem.toDS(), gapSec = 1800,
+          watermarkDelay = "43200 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        val got = try {
+          batches.foreach { b =>
+            mem.addData(b: _*)
+            q.processAllAvailable()
+          }
+          // flush: advances the watermark past every session + gap
+          mem.addData(Event(
+            Timestamp.valueOf("2025-01-01 00:00:00"), 99L, "e", 1.0))
+          q.processAllAvailable()
+          spark.table(name).filter(col("user_id") =!= 99L)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .as[(Long, Long, Long, Long)].collect().toSet
+        } finally q.stop()
+        val expected = sessionAgg(
+            events.toDS().toDF(), "30 minutes")
           .select(col("user_id"),
             unix_timestamp(col("session_start")).as("s"),
             (unix_timestamp(col("session_end")) - 1800).as("e"),
