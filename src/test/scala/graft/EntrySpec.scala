@@ -14,12 +14,12 @@ class EntrySpec extends SparkTestBase {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("every query has an oracle except the known rows-only set") {
-    // sketch values are engine-specific by nature; everything else must
-    // stay oracle-checked — this pins against silently losing an oracle
-    val rowsOnly = Set("x_approx_sketches")
+  test("EVERY query has an oracle — no rows-only rows") {
+    // engine-specific values (sketches, approx bounds) are emitted as
+    // error-bound booleans the oracle re-derives exactly, so nothing
+    // is exempt; this pins against silently losing an oracle
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly, s"queries missing oracles: ${missing -- rowsOnly}")
+    assert(missing.isEmpty, s"queries missing oracles: $missing")
   }
 
   test("every query runs and returns rows on sf0.001") {

@@ -85,4 +85,25 @@ class IngestSpec extends SparkTestBase {
     // Table 4.1 (2 data rows x 2 states) + Table S2 (1 x 2)
     assert(rows.length == 6)
   }
+
+  test("compileWorkbooks from REAL xlsx bytes (JDK-only codec) == the " +
+    "TextWorkbook path on the same sheets") {
+    // same workbook content as the text fixture, but encoded as an
+    // actual zip+SpreadsheetML file and decoded by XlsxWorkbook — the
+    // S2 first-pass gap of rounds 1-4 (main.py:73,78) closed with no
+    // change downstream of the WorkbookDecoder seam
+    val xlsxBytes = graft.sources.XlsxWorkbook.encode(
+      graft.sources.TextWorkbook.decode(workbook.getBytes(UTF_8)))
+    object XlsxFetcher extends Fetcher {
+      def fetch(url: String): Array[Byte] = xlsxBytes
+    }
+    val url = "https://host/admitted-patient-care/2022-23/tables-access.xlsx"
+    val viaXlsx = Ingest.compileWorkbooks(spark, Seq(url), XlsxFetcher,
+      graft.sources.XlsxWorkbook)
+    val viaText = Ingest.compileWorkbooks(spark, Seq(url), FakeFetcher,
+      FakeDecoder)
+    val (a, b) = (viaXlsx.collect().toSet, viaText.collect().toSet)
+    assert(a == b, s"xlsx-only=${a -- b} text-only=${b -- a}")
+    assert(a.nonEmpty)
+  }
 }
