@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Tables
 import graft.ops.{CleanText, Reshape, Tidy}
-import graft.agg.{Charts, Profile}
+import graft.agg.{Charts, Profile, Robust}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -141,6 +141,32 @@ object SparkEntry {
     // A11 depth: the minimal report's per-column histogram (10 bins).
     "a11_histogram" -> ((s, dir) =>
       Profile.histogram(T(s, dir, "lineitem"), "l_extendedprice", 10)),
+
+    // A12 (README.md:15's box-plot visual): per-state Tukey box-plot
+    // stats — quartiles, in-fence whiskers, outlier count. Grouped over
+    // the 50-distinct quantity measure (exact percentile's agg-buffer
+    // cost is the value domain — the x_percentiles lesson).
+    "a12_boxplot" -> ((s, dir) =>
+      Robust.boxplotStats(
+        T(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity")),
+
+    // A13 (README.md:15's choropleth visual): per-state totals joined
+    // to a broadcast state→(geo, population) dim, per-capita rate.
+    "a13_choropleth" -> ((s, dir) => {
+      import s.implicits._
+      val geo = Seq(
+        ("A", -33.87, 151.21, 8166000L),
+        ("N", -37.81, 144.96, 6681000L),
+        ("R", -27.47, 153.03, 5185000L))
+        .toDF("l_returnflag", "lat", "lon", "population")
+      Charts.choroplethPrep(
+        T(s, dir, "lineitem")
+          .withColumn("separations",
+            col("l_quantity").cast(DecimalType(18, 2))),
+        "l_returnflag", "separations", geo)
+        .withColumn("separations", col("separations").cast("double"))
+    }),
 
     // R1: melt/unpivot — wide measure columns to long form, null-dropping.
     "r1_unpivot" -> ((s, dir) => {
@@ -380,6 +406,49 @@ object SparkEntry {
                 mn + (bin + 1) * ((mx - mn) / 10) AS hi,
                 COUNT(*) AS n_rows
          FROM b GROUP BY bin, mn, mx ORDER BY bin""",
+
+    "a12_boxplot" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.5) AS median,
+             quantile_cont(l_quantity, 0.75) AS q3
+           FROM lineitem GROUP BY 1),
+         f AS (
+           SELECT l_returnflag, q1, median, q3,
+             q1 - (q3 - q1) * 1.5 AS fence_lo,
+             q3 + (q3 - q1) * 1.5 AS fence_hi
+           FROM b)
+         SELECT l.l_returnflag,
+           CAST(COUNT(l.l_quantity) AS BIGINT) AS n_rows,
+           MIN(f.q1) AS q1, MIN(f.median) AS median, MIN(f.q3) AS q3,
+           MIN(CASE WHEN l.l_quantity >= f.fence_lo
+                 THEN l.l_quantity END) AS whisker_lo,
+           MAX(CASE WHEN l.l_quantity <= f.fence_hi
+                 THEN l.l_quantity END) AS whisker_hi,
+           CAST(SUM(CASE WHEN l.l_quantity < f.fence_lo
+                      OR l.l_quantity > f.fence_hi
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM lineitem l JOIN f USING (l_returnflag)
+         GROUP BY 1 ORDER BY 1""",
+
+    "a13_choropleth" ->
+      """WITH geo(l_returnflag, lat, lon, population) AS (
+           VALUES ('A', CAST(-33.87 AS DOUBLE), CAST(151.21 AS DOUBLE),
+                   CAST(8166000 AS BIGINT)),
+                  ('N', CAST(-37.81 AS DOUBLE), CAST(144.96 AS DOUBLE),
+                   CAST(6681000 AS BIGINT)),
+                  ('R', CAST(-27.47 AS DOUBLE), CAST(153.03 AS DOUBLE),
+                   CAST(5185000 AS BIGINT))),
+         t AS (
+           SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS separations
+           FROM lineitem GROUP BY 1)
+         SELECT t.l_returnflag, t.separations, geo.lat, geo.lon,
+                geo.population,
+                t.separations * 1000.0 / geo.population AS rate_per_1000
+         FROM t JOIN geo USING (l_returnflag) ORDER BY 1""",
 
     "r1_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

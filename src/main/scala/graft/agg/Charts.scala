@@ -86,4 +86,21 @@ object Charts {
     */
   def preview(df: DataFrame, orderCols: Seq[String], n: Int): DataFrame =
     df.orderBy(orderCols.map(col): _*).limit(n)
+
+  /** Choropleth prep — the README's map visual (`README.md:15`): the
+    * per-state totals (A2) enriched with a state→(lat, lon, population)
+    * lookup and a per-capita rate. The geo dim is a handful of rows, so
+    * it joins as an explicit `broadcast` — no shuffle of the fact side;
+    * at 100 TB the plan is one partial-agged group-by plus a map-side
+    * hash join. The rate is `total * 1000.0 / population` — one
+    * multiply then one divide, both exact-rounded IEEE ops, so the
+    * value is bit-identical on any IEEE engine (hash-parity contract).
+    */
+  def choroplethPrep(df: DataFrame, stateCol: String, measure: String,
+                     geo: DataFrame): DataFrame =
+    totalsBy(df, stateCol, measure)
+      .join(broadcast(geo), Seq(stateCol))
+      .withColumn("rate_per_1000",
+        col(measure) * 1000.0 / col("population"))
+      .orderBy(col(stateCol))
 }

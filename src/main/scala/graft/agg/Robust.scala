@@ -52,4 +52,44 @@ object Robust {
         col("clipped_sum") / col("_nv").cast("double"))
       .drop("_nv")
   }
+
+  /** Per-group Tukey box-plot statistics — the README's box-plot visual
+    * (`/root/reference/README.md:15`; the quartile machinery the five
+    * shipped charts in `streamlit_app.py:108-152` stop short of):
+    * quartiles, IQR fences at 1.5×IQR, whiskers as the extreme data
+    * points INSIDE the fences (Tukey's definition — not the fences
+    * themselves), and the outlier count.
+    *
+    * Same two-phase shape as [[winsorizedStats]]: a |groups|-row exact
+    * `percentile` aggregate broadcast-joins back for one row-local
+    * fence pass. Fence arithmetic is *,-,+ on doubles — exact-rounded
+    * IEEE, so bit-portable across engines (the hash-parity contract);
+    * exact `percentile` is the oracle/test form whose agg-buffer cost
+    * is the value domain, so group over low-cardinality measures (the
+    * `x_percentiles` lesson) or swap `approx_percentile` at 100 TB.
+    */
+  def boxplotStats(df: DataFrame, groupCol: String,
+                   valCol: String): DataFrame = {
+    val v = col(valCol)
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, array(0.25, 0.5, 0.75))").as("q"))
+      .select(col(groupCol),
+        element_at(col("q"), 1).as("q1"),
+        element_at(col("q"), 2).as("median"),
+        element_at(col("q"), 3).as("q3"))
+      .withColumn("fence_lo",
+        col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("fence_hi",
+        col("q3") + (col("q3") - col("q1")) * 1.5)
+    df.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(v).as("n_rows"),
+        min(col("q1")).as("q1"), min(col("median")).as("median"),
+        min(col("q3")).as("q3"),
+        min(when(v >= col("fence_lo"), v)).as("whisker_lo"),
+        max(when(v <= col("fence_hi"), v)).as("whisker_hi"),
+        sum(when(v < col("fence_lo") || v > col("fence_hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col(groupCol))
+  }
 }
