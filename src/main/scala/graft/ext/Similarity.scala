@@ -336,20 +336,25 @@ object Similarity {
     * centroids; a fixed id set keeps the operator deterministic and
     * oracle-checkable — the index structure is identical.)
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              centroidIds: Seq[Long], queryIds: Seq[Long], k: Int,
-              nprobe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cents = emb.filter(col(idCol).isin(centroidIds: _*))
+  /** The coarse-centroid table of an IVF index: `centroidIds` corpus
+    * rows as (centroid_id, quantized vector).
+    */
+  private def centroidsOf(emb: DataFrame, idCol: String, vecCol: String,
+                          centroidIds: Seq[Long]): DataFrame =
+    emb.filter(col(idCol).isin(centroidIds: _*))
       .select(col(idCol).as("centroid_id"), quantize(col(vecCol)).as("centv"))
-    // nearest-centroid assignment; applied separately to the full corpus
-    // (once) and to the tiny query subset, so the expensive corpus-wide
-    // scoring+window subtree is never planned twice by a self-join.
-    // `probes` > 1 keeps the top-n cells instead of only the nearest —
-    // the IVF nprobe knob (recall grows with the number of cells probed;
-    // cost grows as nprobe/C of the corpus per query).
-    def assign(vecs: DataFrame, probes: Int): DataFrame = vecs
+
+  /** Nearest-centroid assignment (argmax cosine, ties to the lowest
+    * centroid id): one broadcast of the C tiny centroid vectors against
+    * a scan of `vecs`. `probes` > 1 keeps the top-n cells instead of
+    * only the nearest — the IVF nprobe knob (recall grows with the
+    * number of cells probed; cost grows as nprobe/C of the corpus per
+    * query). Output: (idCol, v = quantized vector, centroid_id).
+    */
+  private def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame, probes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vecs
       .select(col(idCol), quantize(col(vecCol)).as("v"))
       .join(broadcast(cents), lit(true))
       .select(col(idCol), col("v"), col("centroid_id"),
@@ -359,6 +364,19 @@ object Similarity {
           .orderBy(col("ccos").desc, col("centroid_id"))))
       .filter(col("rk") <= probes)
       .select(col(idCol), col("v"), col("centroid_id"))
+  }
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              centroidIds: Seq[Long], queryIds: Seq[Long], k: Int,
+              nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = centroidsOf(emb, idCol, vecCol, centroidIds)
+    // assignment applied separately to the full corpus (once) and to
+    // the tiny query subset, so the expensive corpus-wide
+    // scoring+window subtree is never planned twice by a self-join
+    def assign(vecs: DataFrame, probes: Int): DataFrame =
+      assignCells(vecs, idCol, vecCol, cents, probes)
     val q = assign(emb.filter(col(idCol).isin(queryIds: _*)), nprobe)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
         col("centroid_id").as("cell"))
@@ -366,6 +384,73 @@ object Similarity {
     // query probing n cells never sees the same candidate twice.
     val c = assign(emb, 1).select(col(idCol).as("cand_id"), col("v").as("cv"),
       col("centroid_id").as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineQ(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Materialize an IVF index ON DISK with the cell id as the
+    * PARTITION KEY — the "cell id becomes a partition/bucket key"
+    * layout [[ivfTopK]]'s scaladoc promises, as a tested artifact.
+    * Writes two tables under `dir`: `<name>` (idCol, v = quantized
+    * vector) hive-partitioned by `cell`, and `<name>_centroids`
+    * (centroid_id, centv). A probe then reads ONLY its probed cells'
+    * directories — 1/C of the corpus per probed cell, enforced by the
+    * scan's partition filters rather than by post-IO filtering.
+    */
+  def saveIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                   centroidIds: Seq[Long], dir: String,
+                   name: String): Unit = {
+    val cents = centroidsOf(emb, idCol, vecCol, centroidIds)
+    graft.io.Tables.save(cents, dir, s"${name}_centroids")
+    val assigned = assignCells(emb, idCol, vecCol, cents, probes = 1)
+      .select(col(idCol), col("v"), col("centroid_id").as("cell"))
+    graft.io.Tables.savePartitioned(assigned, dir, name, Seq("cell"))
+  }
+
+  /** Search a [[saveIvfIndex]] layout: assign the (tiny) query set to
+    * its top-`nprobe` cells, collect the probed cell ids — a KB-sized
+    * driver list, the inverted-file probe plan every IVF system builds
+    * — and scan the index with `cell IN (probed)`, which Catalyst
+    * turns into STATIC PARTITION PRUNING: only the probed directories
+    * are listed or read (IvfIndexSpec asserts the scan's partition
+    * count). Results are identical to the in-memory [[ivfTopK]] on the
+    * same corpus/centroids — same assignment, same tie discipline.
+    */
+  /** The cells a query set would probe at `nprobe` — the KB-sized
+    * driver list every IVF system materializes per query batch; public
+    * so callers (and IvfIndexSpec) can reason about exactly which
+    * partitions a probe touches.
+    */
+  def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+                 dir: String, name: String, nprobe: Int): Seq[Long] = {
+    val cents = graft.io.Tables.load(queries.sparkSession, dir,
+      s"${name}_centroids")
+    assignCells(queries, idCol, vecCol, cents, nprobe)
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  def ivfTopKIndexed(queries: DataFrame, idCol: String, vecCol: String,
+                     dir: String, name: String, k: Int,
+                     nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = queries.sparkSession
+    val cents = graft.io.Tables.load(spark, dir, s"${name}_centroids")
+    val q = assignCells(queries, idCol, vecCol, cents, nprobe)
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("centroid_id").as("cell"))
+    val probed = probeCells(queries, idCol, vecCol, dir, name, nprobe)
+    val c = graft.io.Tables.load(spark, dir, name)
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol).as("cand_id"), col("v").as("cv"), col("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),

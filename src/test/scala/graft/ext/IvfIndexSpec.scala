@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.io.Tables
+
+/** The persisted, cell-partitioned IVF layout: search parity with the
+  * in-memory operator, and the probe's IO contract — only the probed
+  * cells' directories are read (static partition pruning), which is the
+  * property that makes an IVF probe cost nprobe/C of the corpus at
+  * 100 TB.
+  */
+class IvfIndexSpec extends SparkTestBase {
+
+  private val centroidIds = 10L to 17L
+  private val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+
+  test("saveIvfIndex + ivfTopKIndexed == in-memory ivfTopK, and the " +
+    "probe scan reads ONLY the probed cell partitions") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.saveIvfIndex(emb, "vec_id", "embedding", centroidIds,
+      dir, "ivf")
+
+    // on-disk layout: one hive directory per cell
+    val cellDirs = new java.io.File(s"$dir/ivf.parquet").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getName.stripPrefix("cell=").toLong).toSeq.sorted
+    assert(cellDirs.size > 1, s"expected multiple cells, got $cellDirs")
+
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+    for (nprobe <- Seq(1, 2)) {
+      val got = Similarity.ivfTopKIndexed(queries, "vec_id", "embedding",
+        dir, "ivf", k = 10, nprobe = nprobe)
+      val expected = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        centroidIds, queryIds, k = 10, nprobe = nprobe)
+      assert(got.collect().toSeq == expected.collect().toSeq,
+        s"indexed search diverged from in-memory ivfTopK at nprobe=$nprobe")
+    }
+
+    // IO contract at nprobe=1: <= one cell per query may be probed, and
+    // the pruned scan must carry partition filters and touch exactly
+    // the probed directories — not the whole index
+    val probed = Similarity.probeCells(queries, "vec_id", "embedding",
+      dir, "ivf", nprobe = 1)
+    assert(probed.size <= queryIds.size)
+    assert(probed.size < cellDirs.size,
+      "probe must not touch every cell of the index")
+    val scan = Tables.load(spark, dir, "ivf")
+      .filter(col("cell").isin(probed: _*))
+    val exec = scan.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(exec.partitionFilters.nonEmpty,
+      "cell IN (probed) must become partition filters, not a data filter")
+    // execute THIS plan object so its scan metrics populate; the hive
+    // partition column is inferred as int on load, hence the normalize
+    val gotCells = scan.collect()
+      .map(_.getAs[Number]("cell").longValue()).distinct.toSeq.sorted
+    assert(gotCells == probed, "scan surfaced rows outside probed cells")
+    assert(exec.metrics.contains("numPartitions") &&
+      exec.metrics("numPartitions").value == probed.size,
+      s"expected ${probed.size} partitions read, " +
+        s"metrics=${exec.metrics.get("numPartitions").map(_.value)}")
+  }
+}
