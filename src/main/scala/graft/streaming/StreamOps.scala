@@ -158,6 +158,93 @@ object StreamOps {
     fs.rename(tmp, path)
   }
 
+  // ---- incremental curation pipeline ----------------------------------
+
+  /** Streaming form of the curation capstone (`x_llm_pipeline2`'s
+    * stages): per micro-batch of documents — exact dedup (within the
+    * batch, then against every document already seen), near-dup dedup
+    * (within the batch via [[graft.ext.Dedup.nearDupSurvivors]], then
+    * against the seen index via
+    * [[graft.ext.Dedup.dedupAgainstIndex]] — the daily-crawl workflow:
+    * per-batch cost scales with the batch, never the corpus),
+    * blocklist + length gates, and an append of the survivors to the
+    * curated table.
+    *
+    * The seen index accumulates ALL exact-dedup survivors — including
+    * docs the near-dup stage then drops — because the batch pipeline's
+    * pairwise-greedy rule drops the higher id of EVERY verified pair,
+    * whether or not the lower side itself survived. With batches
+    * arriving in ascending id order this makes the incremental run
+    * exactly equal to the one-shot batch pipeline (StreamSpec pins
+    * it); out-of-order ids keep first-seen-wins semantics instead.
+    */
+  def curationSink(docs: DataFrame, dir: String, blocklist: Seq[String],
+                   minChars: Long, maxChars: Long, minJaccard: Double,
+                   checkpointDir: String, bands: Int = 4,
+                   rowsPerBand: Int = 2
+                  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateBatch(batch, dir, blocklist, minChars, maxChars,
+          minJaccard, bands, rowsPerBand)
+      }
+      .start()
+
+  /** One incremental curation step (the foreachBatch body, callable
+    * directly for batch backfills). Maintains `dir`/seen.parquet
+    * (doc_id, text, content_hash — the dedup index) and
+    * `dir`/curated.parquet (gated survivors, original columns).
+    */
+  def curateBatch(batch: DataFrame, dir: String, blocklist: Seq[String],
+                  minChars: Long, maxChars: Long, minJaccard: Double,
+                  bands: Int = 4, rowsPerBand: Int = 2): Unit = {
+    import graft.ext.{Dedup, TextAnalysis}
+    val spark = batch.sparkSession
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val seenPath = new org.apache.hadoop.fs.Path(s"$dir/seen.parquet")
+    val fs = seenPath.getFileSystem(hadoop)
+    val seen =
+      if (fs.exists(seenPath)) Some(spark.read.parquet(seenPath.toString))
+      else None
+
+    // exact dedup: min id per content within the batch, then drop
+    // anything whose content the corpus has already seen
+    val hashed = Dedup.dropExactDups(batch, "doc_id", "text")
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+    val exactSurv = seen match {
+      case Some(s) => hashed.join(
+        s.select(col("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      case None => hashed
+    }
+    // the join/anti-join cascade below references exactSurv repeatedly
+    // across two actions (curated + seen appends); localCheckpoint cuts
+    // the re-execution and keeps each batch's plan bounded
+    val b1 = exactSurv.localCheckpoint()
+
+    // near-dup: pairwise-greedy within the batch, then against the index
+    val withinSurv = Dedup.nearDupSurvivors(b1, "doc_id", "text",
+      minJaccard, bands, rowsPerBand)
+    val surv = seen match {
+      case Some(s) =>
+        val dropped = Dedup.dedupAgainstIndex(s, b1, "doc_id", "text",
+            minJaccard, bands, rowsPerBand)
+          .select(col("batch_id").as("doc_id")).distinct()
+        withinSurv.join(dropped, Seq("doc_id"), "left_anti")
+      case None => withinSurv
+    }
+
+    val curated = surv
+      .filter(TextAnalysis.vocabHits(TextAnalysis.tokens(col("text")),
+        blocklist) === 0)
+      .filter(col("n_chars") >= minChars && col("n_chars") <= maxChars)
+      .drop("content_hash")
+    curated.write.mode("append").parquet(s"$dir/curated.parquet")
+    b1.select(col("doc_id"), col("text"), col("content_hash"))
+      .write.mode("append").parquet(seenPath.toString)
+  }
+
   // ---- custom state: streaming heavy hitters --------------------------
 
   case class HeavyHit(bucket: Int, key: String, minCount: Long,

@@ -289,6 +289,48 @@ class StreamSpec extends SparkTestBase {
     }
   }
 
+  test("incremental curation (foreachBatch + dedupAgainstIndex) == " +
+    "the one-shot batch pipeline on the same documents") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Dedup, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    val blocklist = Seq("slow", "broken", "spill")
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+
+    // three ascending-id micro-batches (the daily-crawl arrival order
+    // under which incremental == batch exactly; see curationSink doc)
+    val batches = docs.grouped((docs.size + 2) / 3).toSeq
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val stream = mem.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = StreamOps.curationSink(stream, dir, blocklist,
+      minChars = 100, maxChars = 2000, minJaccard = 0.8,
+      checkpointDir = s"$dir/ckpt")
+    try {
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val batchDocs = graft.io.Tables.load(spark, sf, "documents")
+    val surv = Dedup.nearDupSurvivors(
+      Dedup.dropExactDups(batchDocs, "doc_id", "text"),
+      "doc_id", "text", minJaccard = 0.8)
+    val expected = surv
+      .filter(TextAnalysis.vocabHits(TextAnalysis.tokens($"text"),
+        blocklist) === 0)
+      .filter($"n_chars" >= 100 && $"n_chars" <= 2000)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    val got = spark.read.parquet(s"$dir/curated.parquet")
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(got.nonEmpty && got == expected,
+      s"missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+  }
+
   test("sessionizeTws: cross-batch OUT-OF-ORDER events within a " +
     "nonzero watermark delay merge like batch session_window") {
     implicit val sqlCtx = spark.sqlContext
