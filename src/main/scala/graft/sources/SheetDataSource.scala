@@ -21,7 +21,9 @@ import graft.ingest.{Ingest, LinkDiscovery, SheetParser}
 
 /** DataSource V2 for the reference's workbook ingest (S1–S3 as a
   * first-class Spark source): `spark.read.format("graft-sheet").load(dir)`
-  * over a directory of [[TextWorkbook]]-encoded workbooks.
+  * over a directory of workbooks — real `.xlsx` files (decoded by the
+  * JDK-only [[XlsxWorkbook]] codec) and/or [[TextWorkbook]]-encoded
+  * text stand-ins, dispatched per file by extension.
   *
   * Division of labor at scale:
   *  - the DRIVER plans: list workbooks, decode only enough of each to
@@ -82,6 +84,16 @@ private[sources] case class SheetPartition(
 
 private[sources] object SheetPlanning {
 
+  /** Decode dispatch: real `.xlsx` workbooks go through the JDK-only
+    * [[XlsxWorkbook]] codec, anything else through the [[TextWorkbook]]
+    * offline encoding — one directory may mix both.
+    */
+  def decodeWorkbook(path: String,
+                     bytes: Array[Byte]): Seq[(String, Seq[Seq[String]])] =
+    if (path.toLowerCase(java.util.Locale.ROOT).endsWith(".xlsx"))
+      XlsxWorkbook.decode(bytes)
+    else TextWorkbook.decode(bytes)
+
   def readBytes(p: Path, conf: Configuration): Array[Byte] = {
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -106,7 +118,7 @@ private[sources] object SheetPlanning {
     val parts = for {
       f <- files.toSeq
       year = LinkDiscovery.yearFromUrl(f.getName)
-      (name, grid) <- TextWorkbook.decode(readBytes(f, conf))
+      (name, grid) <- decodeWorkbook(f.getName, readBytes(f, conf))
       if Ingest.sheetNameMatches(name)
       hdrIdx <- SheetParser.headerRow(grid)
       h = SheetParser.resolveHeader(grid(hdrIdx))
@@ -194,8 +206,9 @@ private[sources] class SheetPartitionReader(
     catch { case _: NumberFormatException => null }
 
   private val rows: Iterator[InternalRow] = {
-    val grid = TextWorkbook
-      .decode(SheetPlanning.readBytes(new Path(p.path), new Configuration()))
+    val grid = SheetPlanning
+      .decodeWorkbook(p.path,
+        SheetPlanning.readBytes(new Path(p.path), new Configuration()))
       .collectFirst { case (n, g) if n == p.sheet => g }
       .getOrElse(Seq.empty)
     val byName = p.colNames.zip(p.keep).toMap

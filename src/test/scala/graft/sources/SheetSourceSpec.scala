@@ -65,6 +65,25 @@ class SheetSourceSpec extends SparkTestBase {
     assert(canon(ds) == canon(expected))
   }
 
+  test("a REAL .xlsx workbook in the directory reads identically to " +
+    "its text-encoded twin (decode dispatch by extension)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val d = Files.createTempDirectory("sheets_xlsx")
+    // same content, two encodings, two years so rows stay distinct
+    Files.writeString(d.resolve("apc-2022-23-tables-access.txt"), wb2023)
+    Files.write(d.resolve("apc-2023-24-tables-access.xlsx"),
+      XlsxWorkbook.encode(TextWorkbook.decode(wb2023.getBytes(UTF_8))))
+    val both = spark.read.format("graft-sheet").load(d.toString)
+    val years = both.groupBy($"year").count()
+      .as[(Int, Long)].collect().toMap
+    assert(years.keySet == Set(2023, 2024), years.toString)
+    assert(years(2023) == years(2024),
+      "the xlsx twin must parse to the same row count")
+    val mism = both.filter($"year" === 2023).drop("year")
+      .exceptAll(both.filter($"year" === 2024).drop("year")).count()
+    assert(mism == 0, "xlsx rows must equal the text-encoded rows")
+  }
+
   test("reference parse semantics ride through: clean_text, nan, coerce") {
     val rows = ds.filter($"year" === 2024).collect()
     assert(rows.map(_.getAs[String]("cat")).distinct.toSeq == Seq("Poisoning"),
