@@ -269,9 +269,34 @@ object Dedup {
     */
   def dedupAgainstIndex(index: DataFrame, batch: DataFrame, idCol: String,
                         textCol: String, minJaccard: Double,
-                        bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val ib = minhashBands(index, idCol, textCol, bands, rowsPerBand)
+                        bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    dedupAgainstBands(indexBandTable(index, idCol, textCol, bands,
+      rowsPerBand), index, batch, idCol, textCol, minJaccard, bands,
+      rowsPerBand)
+
+  /** The persistable band table of a dedup index: (index_id, band,
+    * band_hash) — what "computed once, persisted bucketed by
+    * (band, band_hash)" stores. Grows by appending each new batch's
+    * bands; no corpus re-scan ever.
+    */
+  def indexBandTable(index: DataFrame, idCol: String, textCol: String,
+                     bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    minhashBands(index, idCol, textCol, bands, rowsPerBand)
       .select(col(idCol).as("index_id"), col("band"), col("band_hash"))
+
+  /** [[dedupAgainstIndex]] against a PRECOMPUTED [[indexBandTable]] —
+    * the true incremental form: per-batch work is the batch's own
+    * signatures plus one equi-join against the stored band table, and
+    * index texts are touched only for collided docs (semi-join prune),
+    * so cost scales with the batch and its collisions, never with the
+    * corpus.
+    */
+  def dedupAgainstBands(indexBands: DataFrame, index: DataFrame,
+                        batch: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double, bands: Int = 4,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val ib = indexBands
+      .select(col("index_id"), col("band"), col("band_hash"))
     val bb = minhashBands(batch, idCol, textCol, bands, rowsPerBand)
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
     val cand = bb.join(ib, Seq("band", "band_hash"))

@@ -165,8 +165,9 @@ object StreamOps {
     * batch, then against every document already seen), near-dup dedup
     * (within the batch via [[graft.ext.Dedup.nearDupSurvivors]], then
     * against the seen index via
-    * [[graft.ext.Dedup.dedupAgainstIndex]] — the daily-crawl workflow:
-    * per-batch cost scales with the batch, never the corpus),
+    * [[graft.ext.Dedup.dedupAgainstBands]] over the PERSISTED band
+    * table — the daily-crawl workflow: per-batch cost scales with the
+    * batch, never the corpus),
     * blocklist + length gates, and an append of the survivors to the
     * curated table.
     *
@@ -193,8 +194,11 @@ object StreamOps {
 
   /** One incremental curation step (the foreachBatch body, callable
     * directly for batch backfills). Maintains `dir`/seen.parquet
-    * (doc_id, text, content_hash — the dedup index) and
-    * `dir`/curated.parquet (gated survivors, original columns).
+    * (doc_id, text, content_hash — the exact-dedup index, its text
+    * read only for collided docs), `dir`/seen_bands.parquet (the
+    * minhash band table, appended per batch so the near-dup index is
+    * never recomputed from corpus text), and `dir`/curated.parquet
+    * (gated survivors, original columns).
     */
   def curateBatch(batch: DataFrame, dir: String, blocklist: Seq[String],
                   minChars: Long, maxChars: Long, minJaccard: Double,
@@ -223,12 +227,17 @@ object StreamOps {
     // the re-execution and keeps each batch's plan bounded
     val b1 = exactSurv.localCheckpoint()
 
-    // near-dup: pairwise-greedy within the batch, then against the index
+    // near-dup: pairwise-greedy within the batch, then against the
+    // index through its PERSISTED band table (appended below, never
+    // recomputed from corpus text) — per-batch cost stays ∝ batch +
+    // collisions at any corpus size
+    val bandsPath = s"$dir/seen_bands.parquet"
     val withinSurv = Dedup.nearDupSurvivors(b1, "doc_id", "text",
       minJaccard, bands, rowsPerBand)
     val surv = seen match {
       case Some(s) =>
-        val dropped = Dedup.dedupAgainstIndex(s, b1, "doc_id", "text",
+        val dropped = Dedup.dedupAgainstBands(
+            spark.read.parquet(bandsPath), s, b1, "doc_id", "text",
             minJaccard, bands, rowsPerBand)
           .select(col("batch_id").as("doc_id")).distinct()
         withinSurv.join(dropped, Seq("doc_id"), "left_anti")
@@ -241,6 +250,8 @@ object StreamOps {
       .filter(col("n_chars") >= minChars && col("n_chars") <= maxChars)
       .drop("content_hash")
     curated.write.mode("append").parquet(s"$dir/curated.parquet")
+    Dedup.indexBandTable(b1, "doc_id", "text", bands, rowsPerBand)
+      .write.mode("append").parquet(bandsPath)
     b1.select(col("doc_id"), col("text"), col("content_hash"))
       .write.mode("append").parquet(seenPath.toString)
   }
