@@ -53,6 +53,18 @@ object Dashboard {
       "separations").show(10, truncate = false)
     println("== profile (A11) ==")
     Profile.profile(filtered, Seq("year", "state", "separations")).show(truncate = false)
+    println("== box plot: per-state quartiles/whiskers (A12) ==")
+    agg.Robust.boxplotStats(filtered, "state", "separations")
+      .show(10, truncate = false)
+    println("== choropleth: per-capita rate by state (A13) ==")
+    val geo = {
+      import spark.implicits._
+      Seq(("F", -33.87, 151.21, 8166000L), ("O", -37.81, 144.96, 6681000L),
+        ("P", -27.47, 153.03, 5185000L))
+        .toDF("state", "lat", "lon", "population")
+    }
+    Charts.choroplethPrep(filtered, "state", "separations", geo)
+      .show(10, truncate = false)
 
     tidy.unpersist()
     spark.stop()
