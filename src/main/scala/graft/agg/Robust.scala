@@ -32,9 +32,14 @@ object Robust {
     val bounds = df.groupBy(col(groupCol)).agg(
       expr(s"percentile($valCol, $pLo)").as("lo"),
       expr(s"percentile($valCol, $pHi)").as("hi"))
+    // NULL-SAFE clip: greatest/least SKIP nulls (they return the
+    // greatest non-null operand), so an unguarded clip would coerce a
+    // null value to `lo` and silently inflate the sum — the isNotNull
+    // gate keeps nulls null so the sum ignores them
     val clipped = df.join(broadcast(bounds), Seq(groupCol))
       .withColumn("_clip",
-        least(greatest(col(valCol), col("lo")), col("hi")))
+        when(col(valCol).isNotNull,
+          least(greatest(col(valCol), col("lo")), col("hi"))))
     clipped.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
         // mean divides by the NON-null count: null values contribute
