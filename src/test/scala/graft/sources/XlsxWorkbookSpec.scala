@@ -108,6 +108,42 @@ class XlsxWorkbookSpec extends AnyFunSuite {
     assert(got(1)._2 == Seq(Seq("notes")))
   }
 
+  test("PROPERTY: random ragged grids with gaps round-trip (30 seeded " +
+    "cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cellGen = Gen.frequency(
+      2 -> Gen.const(null: String),
+      5 -> Gen.asciiPrintableStr.map(_.take(12)),
+      2 -> Gen.choose(-1e6, 1e6).map(_.toString),
+      1 -> Gen.oneOf("&<>\"'", " leading", "trailing ", "\ttab"))
+    val rowGen = Gen.choose(0, 8).flatMap(w => Gen.listOfN(w, cellGen))
+    val gridGen = Gen.choose(0, 10).flatMap(h => Gen.listOfN(h, rowGen))
+    val sheetsGen = for {
+      n <- Gen.choose(1, 4)
+      names <- Gen.listOfN(n, Gen.alphaNumStr.map("S" + _.take(10)))
+      grids <- Gen.listOfN(n, gridGen)
+    } yield names.zipWithIndex // names must be distinct for a workbook
+      .map { case (nm, i) => s"$nm$i" }.zip(grids)
+    (0 until 30).foreach { i =>
+      val sheets = sheetsGen
+        .apply(Gen.Parameters.default, Seed(1234L + i))
+        .getOrElse(Seq.empty)
+        .map { case (n, g) => n -> g.map(_.toSeq) }
+      // the encoder skips null cells, so a row's trailing nulls,
+      // all-null rows, and the grid's trailing empty rows legitimately
+      // come back trimmed — normalize both sides to that canonical
+      // form before comparing
+      def canon(ss: Seq[(String, Seq[Seq[String]])]) = ss.map {
+        case (n, g) =>
+          val rows = g.map(r => r.reverse.dropWhile(_ == null).reverse)
+          n -> rows.reverse.dropWhile(_.isEmpty).reverse
+      }
+      val got = XlsxWorkbook.decode(XlsxWorkbook.encode(sheets))
+      assert(canon(got) == canon(sheets), s"seed ${1234L + i}")
+    }
+  }
+
   test("non-xlsx bytes fail loudly") {
     intercept[IllegalArgumentException] {
       XlsxWorkbook.decode("not a zip at all".getBytes(UTF_8))
