@@ -168,6 +168,14 @@ object ExtQueries {
       Similarity.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 6, tables = 8)),
 
+    // Multi-probe variant: the query also probes every Hamming-1
+    // bucket (Lv et al.) — higher recall at the same index, extra cost
+    // confined to the tiny query side.
+    "x_ann_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 6, tables = 8,
+        multiProbe = true)),
+
     "x_ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         centroidIds = (10L to 17L), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
@@ -1862,6 +1870,17 @@ object ExtQueries {
     * [[Similarity.signBands]] (out-of-range list index is NULL → CASE
     * falls to 0 on both engines).
     */
+  /** Query-side multi-probe bands: the home bucket plus each one-bit
+    * flip, mirroring `Similarity.signBandsMultiProbe`.
+    */
+  private def multiProbeSql(tables: Int, bits: Int, src: String): String = {
+    val flips = (0 until bits).map(j =>
+      s"SELECT vec_id, tbl, xor(bucket, CAST(${1L << j} AS BIGINT)) AS bucket FROM h")
+    s"""WITH h AS (${signBandsSql(tables, bits, src)})
+        SELECT vec_id, tbl, bucket FROM h
+        UNION ALL ${flips.mkString(" UNION ALL ")}"""
+  }
+
   private def signBandsSql(tables: Int, bits: Int, src: String): String =
     (0 until tables).map { t =>
       val bucket = (0 until bits).map(j =>
@@ -2167,6 +2186,29 @@ object ExtQueries {
           bands AS (${signBandsSql(8, 6, "embeddings")}),
           q AS (SELECT e.vec_id AS query_id, v AS qv, tbl, bucket
                 FROM e JOIN bands ON e.vec_id = bands.vec_id
+                WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+          c AS (SELECT e.vec_id AS cand_id, v AS cv, tbl, bucket
+                FROM e JOIN bands ON e.vec_id = bands.vec_id),
+          cand AS (
+            SELECT DISTINCT query_id, qv, cand_id, cv
+            FROM c JOIN q USING (tbl, bucket) WHERE query_id <> cand_id),
+          scored AS (
+            SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+            FROM cand),
+          ranked AS (
+            SELECT query_id, cand_id, cosine,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+            FROM scored)
+          SELECT query_id, cand_id, cosine, rank FROM ranked
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x_ann_lsh_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, $qvec AS v FROM embeddings),
+          bands AS (${signBandsSql(8, 6, "embeddings")}),
+          probes AS (${multiProbeSql(8, 6, "embeddings")}),
+          q AS (SELECT e.vec_id AS query_id, v AS qv, tbl, bucket
+                FROM e JOIN probes ON e.vec_id = probes.vec_id
                 WHERE e.vec_id IN (0, 1, 2, 3, 4)),
           c AS (SELECT e.vec_id AS cand_id, v AS cv, tbl, bucket
                 FROM e JOIN bands ON e.vec_id = bands.vec_id),

@@ -38,6 +38,14 @@ class AnnRecallSpec extends SparkTestBase {
     info(f"lshTopK recall@$k: 1 table x 8 bits $single%.3f, 8 tables x 6 bits $multi%.3f")
     assert(multi > single, "OR-construction must beat a single table")
     assert(multi >= 0.1, f"multi-table LSH recall collapsed: $multi%.3f")
+    val probed = recallOf(
+      Similarity.lshTopK(emb, "vec_id", "embedding", queryIds, k,
+        bits = 6, tables = 8, multiProbe = true))
+    info(f"lshTopK multi-probe recall@$k: $probed%.3f")
+    assert(probed >= multi,
+      "probing Hamming-1 buckets must never lose candidates")
+    assert(probed >= 0.5,
+      f"multi-probe recall floor (measured 0.80 at pinning): $probed%.3f")
   }
 
   test("IVF top-k recall vs brute force, and nprobe=2 never below nprobe=1") {
