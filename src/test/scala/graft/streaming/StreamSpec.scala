@@ -331,6 +331,52 @@ class StreamSpec extends SparkTestBase {
       s"missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
   }
 
+  test("incremental curation under OUT-OF-ORDER batch arrival: " +
+    "first-seen-wins invariants still hold") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Dedup, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("curation_ooo").toString
+    val blocklist = Seq("slow", "broken", "spill")
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // shuffle, then split: batches interleave id ranges arbitrarily —
+    // exact batch parity no longer applies (the contract), but the
+    // pipeline's invariants must survive any arrival order
+    val shuffled = new scala.util.Random(99).shuffle(docs)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = StreamOps.curationSink(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      dir, blocklist, minChars = 100, maxChars = 2000, minJaccard = 0.8,
+      checkpointDir = s"$dir/ckpt")
+    try {
+      shuffled.grouped((docs.size + 2) / 3).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val curated = spark.read.parquet(s"$dir/curated.parquet")
+    // (1) no two curated docs share content
+    assert(curated.groupBy(md5($"text".cast("binary"))).count()
+      .filter($"count" > 1).isEmpty, "exact duplicates in curated")
+    // (2) every curated doc passes the gates
+    assert(curated.filter($"n_chars" < 100 || $"n_chars" > 2000 ||
+      TextAnalysis.vocabHits(TextAnalysis.tokens($"text"), blocklist) > 0)
+      .isEmpty, "gated doc leaked into curated")
+    // (3) no near-dup PAIR survives within curated (order decides the
+    // winner, but never both): re-running the batch dedup must be a
+    // fixpoint
+    assert(Dedup.nearDupSurvivors(curated, "doc_id", "text",
+        minJaccard = 0.8).count() == curated.count(),
+      "a near-dup pair survived curation")
+    // (4) nothing vanished: every doc is in seen (post exact dedup)
+    val seenN = spark.read.parquet(s"$dir/seen.parquet").count()
+    val distinctContent = graft.io.Tables.load(spark, sf, "documents")
+      .select(md5($"text".cast("binary"))).distinct().count()
+    assert(seenN == distinctContent,
+      s"seen index has $seenN rows, expected $distinctContent")
+  }
+
   test("sessionizeTws: cross-batch OUT-OF-ORDER events within a " +
     "nonzero watermark delay merge like batch session_window") {
     implicit val sqlCtx = spark.sqlContext
