@@ -176,6 +176,14 @@ object ExtQueries {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 6, tables = 8,
         multiProbe = true)),
 
+    // Query-DIRECTED probing (full Lv et al.): only the 2 flips with
+    // the smallest |coordinate| margin per table — most of the
+    // multi-probe recall at a third of its probe cost.
+    "x_ann_lsh_directed" -> ((s, dir) =>
+      Similarity.lshTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 6, tables = 8,
+        multiProbe = true, maxProbes = 2)),
+
     "x_ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         centroidIds = (10L to 17L), queryIds = Seq(0L, 1L, 2L, 3L, 4L),
@@ -1870,6 +1878,36 @@ object ExtQueries {
     * [[Similarity.signBands]] (out-of-range list index is NULL → CASE
     * falls to 0 on both engines).
     */
+  /** Query-DIRECTED probe bands: the home bucket plus only the
+    * `maxProbes` flips with the smallest |coordinate| margin per
+    * table (ties to the lower bit), mirroring
+    * `Similarity.signBandsMultiProbeDirected`.
+    */
+  private def directedProbeSql(tables: Int, bits: Int, maxProbes: Int,
+                               src: String): String = {
+    val coords = (0 until tables).flatMap { t =>
+      (0 until bits).map { j =>
+        s"""SELECT vec_id, $t AS tbl, $j AS j,
+            abs(CAST(embedding[${t * bits + j + 1}] AS DOUBLE)) AS m
+            FROM $src"""
+      }
+    }.mkString(" UNION ALL ")
+    s"""WITH h AS (${signBandsSql(tables, bits, src)}),
+        coords AS ($coords),
+        rankedc AS (
+          SELECT vec_id, tbl, j,
+            row_number() OVER (PARTITION BY vec_id, tbl
+                               ORDER BY m, j) AS r
+          FROM coords),
+        flips AS (SELECT vec_id, tbl, j FROM rankedc
+                  WHERE r <= $maxProbes)
+        SELECT vec_id, tbl, bucket FROM h
+        UNION ALL
+        SELECT h.vec_id, h.tbl,
+               xor(h.bucket, CAST(1 AS BIGINT) << f.j) AS bucket
+        FROM h JOIN flips f ON h.vec_id = f.vec_id AND h.tbl = f.tbl"""
+  }
+
   /** Query-side multi-probe bands: the home bucket plus each one-bit
     * flip, mirroring `Similarity.signBandsMultiProbe`.
     */
@@ -2207,6 +2245,29 @@ object ExtQueries {
       s"""WITH e AS (SELECT vec_id, $qvec AS v FROM embeddings),
           bands AS (${signBandsSql(8, 6, "embeddings")}),
           probes AS (${multiProbeSql(8, 6, "embeddings")}),
+          q AS (SELECT e.vec_id AS query_id, v AS qv, tbl, bucket
+                FROM e JOIN probes ON e.vec_id = probes.vec_id
+                WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+          c AS (SELECT e.vec_id AS cand_id, v AS cv, tbl, bucket
+                FROM e JOIN bands ON e.vec_id = bands.vec_id),
+          cand AS (
+            SELECT DISTINCT query_id, qv, cand_id, cv
+            FROM c JOIN q USING (tbl, bucket) WHERE query_id <> cand_id),
+          scored AS (
+            SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+            FROM cand),
+          ranked AS (
+            SELECT query_id, cand_id, cosine,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+            FROM scored)
+          SELECT query_id, cand_id, cosine, rank FROM ranked
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x_ann_lsh_directed" ->
+      s"""WITH e AS (SELECT vec_id, $qvec AS v FROM embeddings),
+          bands AS (${signBandsSql(8, 6, "embeddings")}),
+          probes AS (${directedProbeSql(8, 6, 2, "embeddings")}),
           q AS (SELECT e.vec_id AS query_id, v AS qv, tbl, bucket
                 FROM e JOIN probes ON e.vec_id = probes.vec_id
                 WHERE e.vec_id IN (0, 1, 2, 3, 4)),

@@ -45,7 +45,17 @@ class AnnRecallSpec extends SparkTestBase {
     assert(probed >= multi,
       "probing Hamming-1 buckets must never lose candidates")
     assert(probed >= 0.5,
-      f"multi-probe recall floor (measured 0.80 at pinning): $probed%.3f")
+      f"multi-probe recall floor (measured 0.98 at pinning): $probed%.3f")
+    // query-directed probing: 2 smallest-margin flips instead of all 6
+    // — most of the recall at a third of the probe cost
+    val directed = recallOf(
+      Similarity.lshTopK(emb, "vec_id", "embedding", queryIds, k,
+        bits = 6, tables = 8, multiProbe = true, maxProbes = 2))
+    info(f"lshTopK DIRECTED(2) recall@$k: $directed%.3f")
+    assert(directed >= multi,
+      "directed probing must never fall below home-bucket-only")
+    assert(directed <= probed,
+      "a probe subset cannot find more than the full probe set")
   }
 
   test("IVF top-k recall vs brute force, and nprobe=2 never below nprobe=1") {
