@@ -152,6 +152,12 @@ object Bpe {
     * char segmentation folded through every merge in training order
     * (row-local; the merge list rides the plan as literals), then words
     * re-concatenated in document order.
+    *
+    * PLAN-SIZE caveat: each merge nests one more `aggregate` HOF, so
+    * the expression tree is |merges| deep — fine for the tens of
+    * merges a test vocabulary has, hostile to Catalyst at a production
+    * 32k-merge list. [[encodeDocumentsPartitioned]] is the long-list
+    * form: same semantics, constant plan size.
     */
   def encodeDocuments(df: DataFrame, idCol: String, textCol: String,
                       merges: Seq[(String, String)]): DataFrame = {
@@ -165,5 +171,54 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(flatten(array_sort(collect_list(struct(col("pos"), col("toks"))))
         .getField("toks")).as("bpe_tokens"))
+  }
+
+  /** [[encodeDocuments]] for production-sized merge lists: the merges
+    * ship ONCE per task as a broadcast-closure array and apply in a
+    * `mapPartitions` loop, so the plan is one narrow projection no
+    * matter whether the vocabulary has 60 merges or 64k. The
+    * deliberate `mapPartitions` exception to the functions-first rule:
+    * the alternative is an expression tree |merges| deep, which is the
+    * worse engine citizen. Tokenization (lowercase split, empty-word
+    * drop, left-to-right non-overlapping merge order) mirrors the
+    * expression path exactly — BpeSpec pins cross-implementation
+    * equality on real documents.
+    */
+  def encodeDocumentsPartitioned(df: DataFrame, idCol: String,
+                                 textCol: String,
+                                 merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val mergeArr = merges.toArray
+    val idIdx = 0
+    val rdd = df.select(col(idCol), col(textCol)).rdd.mapPartitions { it =>
+      def applyOne(syms: List[String], x: String, y: String): List[String] =
+        syms match {
+          case a :: b :: rest if a == x && b == y =>
+            (x + y) :: applyOne(rest, x, y)
+          case a :: rest => a :: applyOne(rest, x, y)
+          case Nil => Nil
+        }
+      it.map { row =>
+        val toks = row.getString(1)
+          .toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          .filter(_.nonEmpty)
+        val out = toks.iterator.flatMap { w =>
+          var syms = w.split("").filter(_.nonEmpty).toList
+          var i = 0
+          while (i < mergeArr.length) {
+            val (x, y) = mergeArr(i)
+            syms = applyOne(syms, x, y)
+            i += 1
+          }
+          syms
+        }.toSeq
+        org.apache.spark.sql.Row(row.get(idIdx), out)
+      }
+    }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      df.select(col(idCol)).schema.head,
+      org.apache.spark.sql.types.StructField("bpe_tokens",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType), nullable = true))))
   }
 }

@@ -157,9 +157,6 @@ object XlsxWorkbook extends WorkbookDecoder {
     acc - 1
   }
 
-  private def rowIndex(ref: String): Int =
-    ref.dropWhile(_.isLetter).toInt - 1
-
   /** One worksheet part → dense all-string grid (nulls for gaps). */
   private def parseSheet(bytes: Array[Byte],
                          shared: IndexedSeq[String]): Seq[Seq[String]] = {

@@ -178,6 +178,13 @@ object StreamOps {
     * arriving in ascending id order this makes the incremental run
     * exactly equal to the one-shot batch pipeline (StreamSpec pins
     * it); out-of-order ids keep first-seen-wins semantics instead.
+    *
+    * Delivery: the appends are AT-LEAST-ONCE under failure/restart
+    * (foreachBatch may replay a batch; parquet append is not
+    * transactional) — re-running dedup over `curated` is a fixpoint,
+    * so a replayed batch re-drops cleanly downstream, or swap the
+    * appends for an [[applyChanges]]-style atomic-swap MERGE keyed by
+    * doc_id for exactly-once tables.
     */
   def curationSink(docs: DataFrame, dir: String, blocklist: Seq[String],
                    minChars: Long, maxChars: Long, minJaccard: Double,

@@ -154,6 +154,22 @@ class BpeSpec extends SparkTestBase {
       s"expected <= half the jobs: batched=$batched sequential=$sequential")
   }
 
+  test("encodeDocumentsPartitioned == the expression-tree encode " +
+    "(cross-implementation parity on real documents)") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+      .filter($"doc_id" < 20)
+    val merges = Bpe.train(docs, "text", numMerges = 10, batchSize = 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"bpe_tokens")
+        .as[(Long, Seq[String])].collect().toMap
+    val planned = canon(Bpe.encodeDocuments(docs, "doc_id", "text", merges))
+    val parted = canon(
+      Bpe.encodeDocumentsPartitioned(docs, "doc_id", "text", merges))
+    assert(parted.keySet == planned.keySet)
+    val diff = planned.keySet.filter(k => planned(k) != parted(k))
+    assert(diff.isEmpty, s"diverging docs: ${diff.take(3)}")
+  }
+
   test("encodeDocuments: token concat reassembles the de-spaced text") {
     val docs = graft.io.Tables.load(spark, sf, "documents")
       .filter($"doc_id" < 10)
