@@ -1155,6 +1155,33 @@ object ExtQueries {
         .orderBy(col("year"), col("o_orderstatus"))
     }),
 
+    // Incremental DISTINCT-count maintenance: two disjoint slices
+    // partialized to per-group HLL sketches, union-merged, estimated —
+    // the sketch table a 100 TB rolling "distinct customers" keeps
+    // instead of re-scanning history. Sketch binaries/estimates are
+    // engine-specific, so output is the hash-checkable bound form
+    // (x_approx_sketches pattern): the exact distinct count plus a
+    // boolean asserting the merged estimate lands within 5% (lgK=12
+    // ≈ 1.6% RSE, checked at ~3 sigma); the DuckDB oracle re-derives
+    // both from exact aggregation.
+    "x_incr_distinct" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val keys = Seq("o_orderstatus")
+      val evens = graft.agg.AggState.partializeDistinct(
+        o.filter(col("o_orderkey") % 2 === 0), keys, "o_custkey")
+      val odds = graft.agg.AggState.partializeDistinct(
+        o.filter(col("o_orderkey") % 2 =!= 0), keys, "o_custkey")
+      val est = graft.agg.AggState.finalizedDistinct(
+        graft.agg.AggState.mergeDistinct(keys, evens, odds))
+      val exact = o.groupBy(col("o_orderstatus"))
+        .agg(count_distinct(col("o_custkey")).as("n_custs"))
+      exact.join(broadcast(est), keys)
+        .select(col("o_orderstatus"), col("n_custs"),
+          (abs(col("approx_distinct") - col("n_custs")).cast("double") /
+            col("n_custs") <= 0.05).as("hll_ok"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Two-phase salted aggregation: spreads a hot key over 16 reducers,
     // merges partials — result must equal the plain group-by (oracle).
     "x_skew_salted" -> ((s, dir) =>
@@ -1938,6 +1965,14 @@ object ExtQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
                 COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // Exact side of the incremental-distinct bound check: the boolean
+    // asserts the merged-HLL estimate's accuracy guarantee.
+    "x_incr_distinct" ->
+      """SELECT o_orderstatus,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                TRUE AS hll_ok
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // The booleans assert the sketch accuracy guarantees; exact
     // aggregation makes them trivially TRUE, so any sketch violating

@@ -55,4 +55,39 @@ object AggState {
       col("s_min").as("vmin"),
       col("s_max").as("vmax")): _*)
   }
+
+  // ---- distinct-count state (HLL sketches) -----------------------------
+
+  /** DISTINCT-count state: the one decomposable aggregate the
+    * (sum, count, min, max) tier can't carry — exact distinct counts
+    * don't merge (|A ∪ B| ≠ |A| + |B|), so the state is a DataSketches
+    * HLL sketch per group (`hll_sketch_agg`, a built-in since Spark
+    * 3.5): a KB-sized binary that unions losslessly. A 100 TB rolling
+    * "distinct users per day/segment" materializes one sketch per
+    * slice and answers any grouping-superset query by unioning
+    * sketches — no history re-scan, no exact distinct over the union.
+    * `lgK = 12` ≈ 1.6% relative standard error.
+    */
+  def partializeDistinct(df: DataFrame, keys: Seq[String],
+                         valCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valCol), lit(lgK)).as("s_hll"))
+
+  /** Merge distinct-count states (same keys), optionally rolling up to
+    * a coarser key set — the read path of the sketch table.
+    */
+  def mergeDistinct(keys: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "need at least one state table")
+    states.map(_.select((keys :+ "s_hll").map(col): _*))
+      .reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("s_hll")).as("s_hll"))
+  }
+
+  /** Read-side estimate of a distinct-count state table. */
+  def finalizedDistinct(state: DataFrame): DataFrame = {
+    val keys = state.columns.filterNot(_ == "s_hll")
+    state.select(keys.toIndexedSeq.map(col) :+
+      hll_sketch_estimate(col("s_hll")).as("approx_distinct"): _*)
+  }
 }

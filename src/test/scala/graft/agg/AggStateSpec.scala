@@ -42,6 +42,33 @@ class AggStateSpec extends SparkTestBase {
       s"estimate $merged too far from exact $exact")
   }
 
+  test("distinct-count state API: slice sketches merge losslessly and " +
+    "roll up to coarser keys") {
+    val o = Tables.load(spark, sf, "orders")
+      .withColumn("year", year(col("o_orderdate")))
+    val keys = Seq("year", "o_orderstatus")
+    val slices = (0 until 3).map(i => AggState.partializeDistinct(
+      o.filter(col("o_orderkey") % 3 === i), keys, "o_custkey"))
+    // merged fine-grained state == one-pass state, bit-for-bit on the
+    // estimates (sketch union is lossless)
+    val merged = AggState.finalizedDistinct(
+      AggState.mergeDistinct(keys, slices: _*))
+    val onePass = AggState.finalizedDistinct(
+      AggState.partializeDistinct(o, keys, "o_custkey"))
+    assert(merged.collect().toSet == onePass.collect().toSet)
+    // rollup: the stored fine state answers the coarser query too
+    val rolled = AggState.finalizedDistinct(AggState.mergeDistinct(
+        Seq("o_orderstatus"), AggState.mergeDistinct(keys, slices: _*)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = o.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(rolled(k) - n).toDouble / n < 0.05,
+        s"rollup estimate for $k: ${rolled(k)} vs exact $n")
+    }
+  }
+
   test("merge is associative: (a+b)+c == a+(b+c)") {
     val o = Tables.load(spark, sf, "orders")
     val keys = Seq("o_orderstatus")
