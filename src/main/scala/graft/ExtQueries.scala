@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Basket, Behavior, Bpe, Dedup, Events, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ext.{Basket, Behavior, Bpe, Dedup, Events, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
 import graft.ops.EditDistJoin
 import graft.functions.Hashing
 
@@ -77,6 +77,15 @@ object ExtQueries {
     "x_dedup_jaccard3" -> ((s, dir) =>
       Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text", n = 3,
         candidates = col("doc_id") < 150, minJaccard = 0.05, maxDf = 0)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Asymmetric partial-dup detection: containment |A∩B|/min(|A|,|B|)
+    // catches a short doc embedded in a long one (Jaccard ≈ short/long
+    // misses it). Same inverted-index pair path as jaccard.
+    "x_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
+        n = 1, candidates = col("doc_id") < 150, minContainment = 0.8,
+        maxDf = 0)
         .orderBy(col("id_a"), col("id_b"))),
 
     // PageRank over the doc-similarity graph (importance-weighted
@@ -258,6 +267,28 @@ object ExtQueries {
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           round(col("tfidf"), 6).as("tfidf"))
         .orderBy(col("doc_id"), col("token"))),
+
+    // BM25 top-10 lexical retrieval for 5 query docs: postings-join
+    // candidate generation (cost ∝ query-term posting lists, never
+    // corpus × queries), broadcast 1-row corpus stats, DECIMAL(28,9)
+    // per-term sums for order-independent engine-exact scores.
+    "x_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // top-20 and the exact-cosine vector top-20 (embeddings keyed by the
+    // same ids). The fusion is one full-outer join over two |q|·k rank
+    // lists — it never touches the corpus again.
+    "x_hybrid_rrf" -> ((s, dir) => {
+      val lex = Retrieval.bm25TopK(T(s, dir, "documents"), "doc_id",
+        "text", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 20)
+      val sem = Similarity.bruteForceTopK(T(s, dir, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 20)
+      Retrieval.rrfFuse(lex, sem, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // Vocabulary construction: top tokens by corpus frequency with dense
     // ids (tokenizer-training id assignment).
@@ -1729,6 +1760,45 @@ object ExtQueries {
 
   // ---- oracles --------------------------------------------------------
 
+  /** Shared BM25 CTE chain ending at `bmranked(query_id, cand_id, bm25,
+    * rank)` — mirrors [[graft.ext.Retrieval.bm25TopK]] op-for-op: Lucene
+    * idf, `(1.2 + 1)` / `(1 - 0.75 + …)` written as the same IEEE
+    * expression trees Spark folds, per-term DECIMAL(28,9) cast before the
+    * order-independent sum.
+    */
+  private def bm25Ctes: String =
+    """tf AS (
+         SELECT doc_id, t AS token, COUNT(*) AS tf FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+           FROM documents)
+         GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+              FROM tf GROUP BY 1),
+       stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                        CAST(SUM(dl) AS DOUBLE) AS toktotal FROM dl),
+       dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       qt AS (SELECT doc_id AS query_id, token FROM tf
+              WHERE doc_id IN (0, 1, 2, 3, 4)),
+       terms AS (
+         SELECT qt.query_id, tf.doc_id AS cand_id,
+           CAST(ln((n - CAST(df AS DOUBLE) + 0.5) /
+                   (CAST(df AS DOUBLE) + 0.5) + 1)
+             * (CAST(tf.tf AS DOUBLE) * (1.2 + 1))
+             / (CAST(tf.tf AS DOUBLE) +
+                1.2 * (1 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) /
+                  (toktotal / n)))
+             AS DECIMAL(28,9)) AS term
+         FROM qt JOIN tf USING (token) JOIN dfreq USING (token)
+              JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+         WHERE tf.doc_id <> qt.query_id),
+       bmscored AS (SELECT query_id, cand_id,
+                      CAST(SUM(term) AS DOUBLE) AS bm25
+                    FROM terms GROUP BY 1, 2),
+       bmranked AS (SELECT query_id, cand_id, bm25,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY bm25 DESC, cand_id) AS INTEGER) AS rank
+         FROM bmscored)"""
+
   /** Portable quantized-vector expression (DuckDB side). */
   private val qvec =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
@@ -2023,6 +2093,56 @@ object ExtQueries {
          FROM pairs
          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
          ORDER BY id_a, id_b""",
+
+    "x_dedup_containment" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS g
+           FROM documents WHERE doc_id < 150),
+         docs AS (SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM d),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                  COUNT(*) AS inter
+           FROM docs a JOIN docs b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+                CAST(inter AS DOUBLE) / least(na, nb) AS containment
+         FROM pairs
+         WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "x_bm25_topk" ->
+      s"""WITH $bm25Ctes
+          SELECT query_id, cand_id, bm25, rank FROM bmranked
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+          eq AS (SELECT vec_id AS query_id, $qvec AS qv FROM embeddings
+                 WHERE vec_id IN (0, 1, 2, 3, 4)),
+          ec AS (SELECT vec_id AS cand_id, $qvec AS cv FROM embeddings),
+          escored AS (
+            SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+            FROM ec CROSS JOIN eq WHERE query_id <> cand_id),
+          sem AS (SELECT query_id, cand_id, rb FROM (
+            SELECT query_id, cand_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id) AS rb
+            FROM escored) WHERE rb <= 20),
+          lex AS (SELECT query_id, cand_id, rank AS ra FROM bmranked
+                  WHERE rank <= 20),
+          fused AS (
+            SELECT coalesce(l.query_id, s.query_id) AS query_id,
+                   coalesce(l.cand_id, s.cand_id) AS cand_id,
+                   coalesce(1.0 / (60 + CAST(ra AS DOUBLE)), 0) +
+                   coalesce(1.0 / (60 + CAST(rb AS DOUBLE)), 0) AS rrf
+            FROM lex l FULL OUTER JOIN sem s
+              ON l.query_id = s.query_id AND l.cand_id = s.cand_id),
+          franked AS (SELECT query_id, cand_id, rrf,
+            CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, cand_id) AS INTEGER) AS rank
+            FROM fused)
+          SELECT query_id, cand_id, rrf, rank FROM franked
+          WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "x_pagerank" -> {
       // fixed-point longs in 1e-12 units, integer DIV everywhere —

@@ -575,13 +575,46 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    candidates: Column, minJaccard: Double,
-                   maxDf: Int = DefaultMaxBucket): DataFrame = {
+                   maxDf: Int = DefaultMaxBucket): DataFrame =
+    gramPairCounts(df.filter(candidates), idCol, textCol, n, maxDf)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+
+  /** Exact containment `|A∩B| / min(|A|,|B|)` over distinct word n-grams
+    * — the asymmetric partial-duplicate measure Jaccard misses: a short
+    * document wholly embedded in a long one scores containment 1.0 but
+    * Jaccard ≈ |short|/|long|. Same inverted-index pair generation as
+    * [[jaccardPairs]] (shared via [[gramPairCounts]]), same `maxDf` skew
+    * guard; the division is a single exactly-rounded IEEE op, so the
+    * score is bit-portable with no rounding step.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, candidates: Column, minContainment: Double,
+                       maxDf: Int = DefaultMaxBucket): DataFrame =
+    gramPairCounts(df.filter(candidates), idCol, textCol, n, maxDf)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+
+  /** Shared inverted-index pair counting: (id_a < id_b, na, nb, inter)
+    * over distinct word n-grams. Group by gram collecting (id, set-size)
+    * postings, emit each posting list's co-occurrence pairs, count pairs
+    * → intersection size. The gram subtree is planned once (a self-join
+    * would execute it twice).
+    */
+  private def gramPairCounts(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, maxDf: Int): DataFrame = {
     // tokens materialized first — see shinglesOf's perf contract. The
     // gram array feeds explode ONCE; referencing it from a second
     // expression (size) in the same projection planned as a
     // multi-second interpreted Project (HOFs have no codegen) — set
     // sizes are recovered from the exploded postings instead.
-    val withToks = df.filter(candidates)
+    val withToks = df
       .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("toks"))
     val grams = array_distinct(ngramsOf(col("toks"), n))
     val exploded = withToks
@@ -608,10 +641,5 @@ object Dedup {
         col("p.na").as("na"), col("p.nb").as("nb"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
   }
 }

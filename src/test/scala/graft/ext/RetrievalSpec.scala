@@ -1,0 +1,111 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval, RRF fusion, and containment dedup: hand-computed
+  * scores on a tiny corpus, ranking invariants, and the
+  * asymmetric-partial-dup property Jaccard misses.
+  */
+class RetrievalSpec extends SparkTestBase {
+
+  private def corpus() = {
+    import spark.implicits._
+    Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple apple durian"),
+      (2L, "banana cherry durian elderberry fig"),
+      (3L, "grape honeydew"),
+      (4L, "apple banana cherry durian elderberry fig grape honeydew kiwi lime")
+    ).toDF("doc_id", "text")
+  }
+
+  test("bm25TopK matches a hand-rolled plain-Scala BM25 on a tiny corpus") {
+    val docs = Seq(
+      0L -> Seq("apple", "banana", "cherry"),
+      1L -> Seq("apple", "apple", "durian"),
+      2L -> Seq("banana", "cherry", "durian", "elderberry", "fig"),
+      3L -> Seq("grape", "honeydew"),
+      4L -> Seq("apple", "banana", "cherry", "durian", "elderberry",
+        "fig", "grape", "honeydew", "kiwi", "lime"))
+    val n = docs.size.toDouble
+    val dl = docs.map { case (id, ts) => id -> ts.size.toDouble }.toMap
+    val avgdl = dl.values.sum / n
+    val dfm = docs.flatMap(_._2.distinct).groupBy(identity).view
+      .mapValues(_.size.toDouble).toMap
+    val (k1, b) = (1.2, 0.75)
+    def score(q: Long, c: Long): Double =
+      docs.toMap.apply(q).distinct.map { t =>
+        val tf = docs.toMap.apply(c).count(_ == t).toDouble
+        if (tf == 0) BigDecimal(0)
+        else BigDecimal(
+          math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1) *
+            (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl(c) / avgdl)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+
+    val got = Retrieval.bm25TopK(corpus(), "doc_id", "text",
+        queryIds = Seq(0L, 1L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    got.foreach { case ((q, c), s) =>
+      assert(math.abs(s - score(q, c)) < 1e-9, s"($q,$c): $s vs ${score(q, c)}")
+    }
+    // doc 4 contains every term of doc 0 but is long; doc 2 shares 2 of 3
+    // — both must appear in doc 0's top-3, ahead of the disjoint doc 3
+    val top0 = got.keys.filter(_._1 == 0L).map(_._2).toSet
+    assert(top0.contains(4L) && top0.contains(2L) && !top0.contains(3L))
+  }
+
+  test("bm25TopK: ranks are 1..k dense, self excluded, score descending") {
+    val r = Retrieval.bm25TopK(corpus(), "doc_id", "text",
+        queryIds = Seq(0L, 1L, 2L), k = 4)
+      .orderBy(col("query_id"), col("rank")).collect()
+    r.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).toSeq == (1 to rows.length))
+      assert(!rows.map(_.getLong(1)).contains(q))
+      val scores = rows.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
+  test("bm25TopK maxDf guard drops high-df terms from scoring") {
+    // query doc 2 = {banana, cherry, durian, elderberry, fig}; banana/
+    // cherry/durian have df 3 and are dropped at maxDf = 2, leaving only
+    // elderberry+fig (df 2) — so the sole candidate is doc 4, and doc 0
+    // (sharing only the dropped banana+cherry) produces no pair at all
+    val r = Retrieval.bm25TopK(corpus(), "doc_id", "text",
+        queryIds = Seq(2L), k = 10, maxDf = 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(r == Set(4L))
+  }
+
+  test("rrfFuse: both-list candidates beat single-list ones at equal rank") {
+    import spark.implicits._
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "cand_id", "rank")
+    val bdf = Seq((0L, 10L, 2), (0L, 12L, 1)).toDF("query_id", "cand_id", "rank")
+    val fused = Retrieval.rrfFuse(a, bdf, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(fused.head.getLong(1) == 10L) // in both lists → highest rrf
+    val expect10 = 1.0 / 61 + 1.0 / 62
+    assert(math.abs(fused.head.getDouble(2) - expect10) < 1e-15)
+    // single-list entries at rank 1 and 2 tie-break by cand_id
+    assert(fused.map(_.getLong(1)).toSeq == Seq(10L, 12L, 11L))
+  }
+
+  test("containmentPairs flags short-doc-inside-long that Jaccard misses") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "phi chi psi omega")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", n = 1,
+      candidates = lit(true), minContainment = 0.9, maxDf = 0).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+    assert(cont.head.getDouble(2) == 1.0)
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", n = 1,
+      candidates = lit(true), minJaccard = 0.5, maxDf = 0).collect()
+    assert(jac.isEmpty) // jaccard 3/20 = 0.15 — the asymmetric case
+  }
+}
