@@ -45,16 +45,20 @@ object Retrieval {
                queryIds: Seq[Long], k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                maxDf: Long = 0): DataFrame = {
-    // One corpus scan → (id, token, tf). Every downstream statistic (dl,
-    // df, N, avgdl) derives from this table, so the text is never
-    // re-tokenized.
+    // Postings (id, token, tf): the one corpus-sized shuffle — it IS the
+    // inverted-index build. Document length and the query term lists are
+    // deliberately NOT derived from it: both are row-local projections of
+    // the source (dl = token count, qterms = distinct tokens of 5 rows),
+    // so they cost a scan, not a shuffle, and the tf exchange is reused
+    // only where a postings aggregate is genuinely needed (dfreq).
     val tf = df
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("token"))
       .groupBy(col("id"), col("token"))
       .agg(count(lit(1)).as("tf"))
 
-    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val dl = df.select(col(idCol).as("id"),
+      size(split(lower(col(textCol)), " ")).cast("long").as("dl"))
     // N and avgdl as one broadcast row. avgdl = Σdl / N with an integer
     // numerator — exact regardless of partitioning (sums of integral
     // doubles < 2^53 are order-independent).
@@ -65,16 +69,21 @@ object Retrieval {
     val dfreq0 = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val dfreq = if (maxDf > 0) dfreq0.filter(col("df") <= maxDf) else dfreq0
 
-    val qterms = tf
-      .filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("token"))
+    val qterms = df
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"),
+        explode(array_distinct(split(lower(col(textCol)), " ")))
+          .as("token"))
 
     // Candidate generation IS the postings join: query terms × postings
-    // of that token only. Joining dfreq first keeps the maxDf guard
-    // upstream of the fan-out.
-    val terms = qterms
-      .join(dfreq, Seq("token"))
-      .join(tf, Seq("token"))
+    // of that token only, streamed map-side against two broadcast hash
+    // joins — the corpus-sized tf never reshuffles. Joining dfreq first
+    // keeps the maxDf guard upstream of the fan-out; the candidate set
+    // (∝ query-term posting lists) then meets dl, where AQE broadcasts
+    // the small side.
+    val terms = tf
+      .join(broadcast(broadcast(qterms).join(dfreq, Seq("token"))),
+        Seq("token"))
       .filter(col("id") =!= col("query_id"))
       .join(dl, Seq("id"))
       .crossJoin(broadcast(stats))
