@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Basket, Behavior, Bpe, Dedup, Events, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Events, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
 import graft.ops.EditDistJoin
 import graft.functions.Hashing
 
@@ -141,6 +141,38 @@ object ExtQueries {
       Similarity.lloydStep(T(s, dir, "embeddings"), "vec_id", "embedding",
           codebook)
         .orderBy(col("cell"), col("dim"))
+    }),
+
+    // One exact logistic-regression gradient step from w = 0 for the
+    // trainable quality classifier (σ(0) = 1/2 exactly — no
+    // transcendental in the plan, every term an integer multiple of
+    // 1/2): the lloydStep precedent — the full training loop is
+    // spec-checked against a plain-Scala reference (ClassifierSpec).
+    "x_logreg_step" -> ((s, dir) =>
+      Classifier.logregStepTable(T(s, dir, "documents"),
+          Classifier.features(col("text")),
+          labelCol = (col("lang") === "en").cast("int"),
+          w = Seq(0.0, 0.0, 0.0, 0.0), lr = 0.1)
+        .orderBy(col("feature"))),
+
+    // Per-group z-score standardization from exact integer sums:
+    // mean = Σx/n, var = (Σx² − (Σx)²/n)/n — only exactly-rounded IEEE
+    // ops (+ − × ÷ √), so z-scores are bit-portable with no rounding.
+    "x_feature_scale" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val stats = d.groupBy(col("lang")).agg(
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sq"),
+        count(lit(1)).as("n"))
+      val m = col("sx").cast("double") / col("n").cast("double")
+      val v = (col("sq").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") /
+          col("n").cast("double")) / col("n").cast("double")
+      d.join(broadcast(stats), Seq("lang"))
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          ((col("n_chars").cast("double") - m) / sqrt(v)).as("z"))
+        .orderBy(col("doc_id"))
     }),
 
     // SemDeDup: cluster-bounded semantic near-dup pruning. Fixed
@@ -1227,6 +1259,24 @@ object ExtQueries {
             sum(col("__n")).as("n_orders")))
         .orderBy(col("o_orderstatus"))),
 
+    // Salted large⋈large join: the deterministic pre-planned skew-join
+    // (AQE's runtime split, planned ahead). Result == the plain join —
+    // the invariant the oracle checks.
+    "x_skew_join" -> ((s, dir) =>
+      graft.ops.Skew.saltedJoin(
+          T(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice")),
+          T(s, dir, "orders")
+            .select(col("o_orderkey").as("l_orderkey"),
+              col("o_orderstatus")),
+          key = "l_orderkey", spreadOn = col("l_extendedprice"),
+          buckets = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderstatus"))),
+
     // Verbatim 8-token spans recurring across documents (boilerplate /
     // template detection at the substring level).
     "x_dup_spans" -> ((s, dir) =>
@@ -2114,6 +2164,52 @@ object ExtQueries {
       s"""WITH $bm25Ctes
           SELECT query_id, cand_id, bm25, rank FROM bmranked
           WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x_logreg_step" ->
+      """WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  1 AS xb,
+                  len(string_split(lower(text), ' ')) AS xt,
+                  length(text) AS xc,
+                  len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the', 'and', 'of', 'to', 'a'))) AS xs
+           FROM documents),
+         g AS (SELECT
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(xb * (0.5 - y) AS DECIMAL(28,9))) AS DOUBLE) AS gb,
+           CAST(SUM(CAST(xt * (0.5 - y) AS DECIMAL(28,9))) AS DOUBLE) AS gt,
+           CAST(SUM(CAST(xc * (0.5 - y) AS DECIMAL(28,9))) AS DOUBLE) AS gc,
+           CAST(SUM(CAST(xs * (0.5 - y) AS DECIMAL(28,9))) AS DOUBLE) AS gs
+           FROM f)
+         SELECT feature, grad, 0.0 - 0.1 * (grad / n) AS w_next FROM (
+           SELECT 'bias' AS feature, gb AS grad, n FROM g
+           UNION ALL SELECT 'n_chars', gc, n FROM g
+           UNION ALL SELECT 'n_tokens', gt, n FROM g
+           UNION ALL SELECT 'stop_hits', gs, n FROM g)
+         ORDER BY feature""",
+
+    "x_feature_scale" ->
+      """WITH s AS (
+           SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sx,
+                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sq,
+                  COUNT(*) AS n
+           FROM documents GROUP BY 1)
+         SELECT doc_id, d.lang AS lang, n_chars,
+           (CAST(n_chars AS DOUBLE) -
+              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+           sqrt((CAST(sq AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE)) AS z
+         FROM documents d JOIN s ON d.lang = s.lang
+         WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "x_skew_join" ->
+      """SELECT o_orderstatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
 
     "x_hybrid_rrf" ->
       s"""WITH $bm25Ctes,

@@ -56,4 +56,27 @@ object Skew {
     saltedGroupAgg(df, keys, spreadOn, buckets,
       phase1 = Seq(sum(col(valueCol)).as("__partial")),
       phase2 = Seq(sum(col("__partial")).as(valueCol)))
+
+  /** Salted inner equi-join for a large⋈large join with hot keys: `big`
+    * rows get a deterministic salt in [0, buckets) from `spreadOn` (a
+    * column that varies WITHIN a join key — line number, price, a
+    * secondary id), `other` is replicated once per salt value, and the
+    * join key becomes (key, salt) — so a hot key's probe rows spread over
+    * `buckets` reducers instead of piling into one, at the cost of
+    * shuffling `buckets`× the build side. Exact inner-join semantics:
+    * every (big, other) key match meets exactly once, on big's salt.
+    *
+    * AQE's skew-join (on by default) does this adaptively by splitting
+    * oversized partitions at runtime; the salted form is the
+    * deterministic pre-planned variant — for known-skewed keys, for
+    * engines without runtime re-plan, and for making replays
+    * partition-stable.
+    */
+  def saltedJoin(big: DataFrame, other: DataFrame, key: String,
+                 spreadOn: Column, buckets: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("__salt", salt(spreadOn, buckets))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
+  }
 }

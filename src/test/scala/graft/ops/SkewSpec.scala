@@ -72,4 +72,22 @@ class SkewSpec extends SparkTestBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("saltedJoin == plain inner join, including m:n key matches") {
+    import spark.implicits._
+    // hot key 1 on both sides (3×2 fan-out), plus unmatched rows each way
+    val big = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (9L, "x"))
+      .toDF("k", "bv")
+    val other = Seq((1L, 10), (1L, 20), (2L, 30), (7L, 99))
+      .toDF("k", "ov")
+    val plain = big.join(other, Seq("k"), "inner")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sorted.toSeq
+    val salted = Skew.saltedJoin(big, other, key = "k",
+        spreadOn = col("bv"), buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sorted.toSeq
+    assert(salted == plain)
+    assert(plain.size == 7) // 3·2 for key 1 + 1·1 for key 2
+  }
 }
