@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Events, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Eval, Events, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
 import graft.ops.EditDistJoin
 import graft.functions.Hashing
 
@@ -26,6 +26,18 @@ object ExtQueries {
 
   private val dsumSql = (e: String) =>
     s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Shared eval-query scoring frame over documents: en label `y`,
+    * stop-hit count `xs`, token count `xt`, and the per-mille stopword
+    * ratio `s = (xs·1000) DIV xt` — all integers, row-local.
+    */
+  private def scoreFrame(docs: DataFrame): DataFrame =
+    docs.select(
+        (col("lang") === "en").cast("int").as("y"),
+        TextAnalysis.vocabHits(split(lower(col("text")), " "),
+          Seq("the", "and", "of", "to", "a")).cast("long").as("xs"),
+        size(split(lower(col("text")), " ")).cast("long").as("xt"))
+      .withColumn("s", expr("(xs * 1000) DIV xt"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -174,6 +186,39 @@ object ExtQueries {
           ((col("n_chars").cast("double") - m) / sqrt(v)).as("z"))
         .orderBy(col("doc_id"))
     }),
+
+    // Mann-Whitney AUC of the stopword-ratio score (per-mille, integer
+    // division) against the en label: per-score-value counts + two-phase
+    // prefix sum (Eval.auc) — integer arithmetic to ONE final division,
+    // bit-portable with no rounding.
+    "x_auc" -> ((s, dir) =>
+      Eval.auc(scoreFrame(T(s, dir, "documents")), col("s"), col("y"),
+        bucketOf = c => floor(c.cast("double") / lit(100.0)).cast("long"))),
+
+    // Threshold confusion matrix for the integer-margin predictor
+    // 20·stop_hits − n_tokens > 0 (σ(m) > ½ ⟺ m > 0 — thresholding the
+    // sigmoid at 0.5 without evaluating it). Counts exact; each rate is
+    // one IEEE division.
+    "x_confusion" -> ((s, dir) =>
+      Eval.confusion(scoreFrame(T(s, dir, "documents")),
+        expr("20 * xs - xt") > 0, col("y"))),
+
+    // Reliability-diagram bins over the per-mille score: per-bin count,
+    // positives, and the single exact-division positive rate.
+    "x_calibration" -> ((s, dir) =>
+      Eval.calibrationBins(scoreFrame(T(s, dir, "documents")),
+          expr("s DIV 100"), col("y"))
+        .orderBy(col("bin"))),
+
+    // Exact triangle count on the co-purchase graph (pairs bought
+    // together in ≥2 orders): degree-ordered orientation bounds the
+    // wedge join at O(|E|^1.5) — three equi-joins, no window.
+    "x_triangles" -> ((s, dir) =>
+      graft.ext.Graph.triangleCount(
+        Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey",
+            "l_partkey", maxBasket = 0)
+          .filter(col("pair_support") >= 2)
+          .select(col("item_a").as("a"), col("item_b").as("b")))),
 
     // SemDeDup: cluster-bounded semantic near-dup pruning. Fixed
     // 8-vector codebook for determinism; the synthetic corpus has no
@@ -2202,6 +2247,76 @@ object ExtQueries {
               / CAST(n AS DOUBLE)) AS z
          FROM documents d JOIN s ON d.lang = s.lang
          WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "x_auc" ->
+      """WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  (len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the', 'and', 'of', 'to', 'a'))) * 1000)
+                    // len(string_split(lower(text), ' ')) AS s
+           FROM documents),
+         c AS (SELECT s, CAST(SUM(y) AS BIGINT) AS pos_v,
+                  CAST(SUM(1 - y) AS BIGINT) AS neg_v
+               FROM f GROUP BY 1),
+         w AS (SELECT pos_v, neg_v,
+                  COALESCE(CAST(SUM(neg_v) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS lt
+               FROM c)
+         SELECT CAST(SUM(pos_v) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_v) AS BIGINT) AS n_neg,
+           CAST(SUM(pos_v * (2 * lt + neg_v)) AS DOUBLE)
+             / CAST(2 * SUM(pos_v) * SUM(neg_v) AS DOUBLE) AS auc
+         FROM w""",
+
+    "x_confusion" ->
+      """WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  CASE WHEN 20 * len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the', 'and', 'of', 'to', 'a')))
+                    - len(string_split(lower(text), ' ')) > 0
+                    THEN 1 ELSE 0 END AS p
+           FROM documents),
+         m AS (SELECT
+           CAST(SUM(p * y) AS BIGINT) AS tp,
+           CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+           CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn,
+           CAST(SUM((1 - p) * y) AS BIGINT) AS fn
+           FROM f)
+         SELECT tp, fp, tn, fn,
+           CAST(tp + tn AS DOUBLE)
+             / CAST(tp + fp + tn + fn AS DOUBLE) AS accuracy,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall
+         FROM m""",
+
+    "x_calibration" ->
+      """WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  (len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the', 'and', 'of', 'to', 'a'))) * 1000)
+                    // len(string_split(lower(text), ' ')) AS s
+           FROM documents)
+         SELECT s // 100 AS bin, COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+         FROM f GROUP BY 1 ORDER BY 1""",
+
+    "x_triangles" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         p AS (SELECT a.i AS u, b.i AS v, COUNT(*) AS c
+               FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+               GROUP BY 1, 2),
+         e AS (SELECT u, v FROM p WHERE c >= 2),
+         nn AS (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes
+                FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)),
+         ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+         SELECT n_nodes, n_edges, n_triangles FROM nn, ne, nt""",
 
     "x_skew_join" ->
       """SELECT o_orderstatus,

@@ -65,4 +65,58 @@ object Graph {
     }.select(col("src").as("node"),
       (col("pr").cast("double") / lit(Scale.toDouble)).as("pagerank"))
   }
+
+  /** Exact triangle count over an UNDIRECTED edge list (`a`, `b`; either
+    * orientation, duplicates and self-loops tolerated — canonicalized
+    * internally). Degree-ordered orientation: each edge is directed from
+    * its lower endpoint in the (degree, id) total order, so every
+    * out-neighborhood is O(√|E|) and the wedge join emits O(|E|^1.5)
+    * candidates — the standard distributed bound — instead of Σ deg²
+    * from star hubs. Every triangle then has exactly one apex with both
+    * out-edges, and its closing edge appears in exactly one orientation
+    * (lower order → higher), so the count is three equi-joins, no
+    * window, no cross product, each triangle counted once.
+    *
+    * Output: one row `(n_nodes, n_edges, n_triangles)` — all exact
+    * longs, engine-portable by construction.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient u→v iff (d(u), u) < (d(v), v); carry the out-endpoint's
+    // order key so wedges can canonicalize without re-joining degrees
+    val withDeg = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"),
+      when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
+    // wedges at each apex: unordered out-neighbor pairs, canonicalized
+    // by the same (degree, id) order the orientation used — the closing
+    // edge, if present, is oriented exactly x→y
+    val w1 = oriented.select(col("src"), col("dst").as("x"),
+      col("ddst").as("dx"))
+    val w2 = oriented.select(col("src"), col("dst").as("y"),
+      col("ddst").as("dy"))
+    val wedges = w1.join(w2, Seq("src"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("x").as("src"), col("y").as("dst"))
+    val tri = wedges.join(oriented.select(col("src"), col("dst")),
+      Seq("src", "dst"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = canon.agg(count(lit(1)).as("n_edges"))
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(nNodes))
+      .crossJoin(broadcast(nEdges))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Eval metrics vs hand computation: Mann-Whitney AUC with ties (and
+  * its bucketed two-phase prefix form vs the trivial single-bucket
+  * form), boundary AUCs, confusion-matrix rates, calibration bins.
+  */
+class EvalSpec extends SparkTestBase {
+
+  test("auc matches the hand-computed Mann-Whitney value with ties") {
+    import spark.implicits._
+    // scores: pos {3, 2, 2}, neg {1, 2, 0}
+    // pairs pos>neg: 3>{1,2,0}=3, 2>{1,0}=2 (×2 pos) → 7; ties: 2==2 ×2
+    // AUC = (7 + 2/2) / 9 = 8/9
+    val df = Seq((3, 1), (2, 1), (2, 1), (1, 0), (2, 0), (0, 0))
+      .toDF("s", "y")
+    val r = Eval.auc(df, col("s"), col("y")).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 8.0 / 9.0)
+  }
+
+  test("bucketed two-phase prefix == single-bucket form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((rnd.nextInt(40), rnd.nextInt(2)))
+    val df = rows.toDF("s", "y").repartition(8)
+    val plain = Eval.auc(df, col("s"), col("y")).collect()(0).getDouble(2)
+    val bucketed = Eval.auc(df, col("s"), col("y"),
+        bucketOf = c => floor(c.cast("double") / 10.0).cast("long"))
+      .collect()(0).getDouble(2)
+    assert(plain == bucketed)
+    // cross-check against the O(n²) definition
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val num = pos.flatMap(p => neg.map(n =>
+      if (p > n) 2L else if (p == n) 1L else 0L)).sum
+    assert(plain == num.toDouble / (2.0 * pos.size * neg.size))
+  }
+
+  test("auc is 1 for perfect separation, 0 for perfectly inverted") {
+    import spark.implicits._
+    val perfect = Seq((10, 1), (9, 1), (2, 0), (1, 0)).toDF("s", "y")
+    assert(Eval.auc(perfect, col("s"), col("y"))
+      .collect()(0).getDouble(2) == 1.0)
+    val inverted = Seq((1, 1), (2, 1), (9, 0), (10, 0)).toDF("s", "y")
+    assert(Eval.auc(inverted, col("s"), col("y"))
+      .collect()(0).getDouble(2) == 0.0)
+  }
+
+  test("confusion matrix counts and rates") {
+    import spark.implicits._
+    // (pred, label): tp=2, fp=1, tn=3, fn=1
+    val df = Seq((1, 1), (1, 1), (1, 0), (0, 0), (0, 0), (0, 0), (0, 1))
+      .toDF("p", "y")
+    val r = Eval.confusion(df, col("p") === 1, col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 1L, 3L, 1L)))
+    assert(r.getDouble(4) == 5.0 / 7.0) // accuracy
+    assert(r.getDouble(5) == 2.0 / 3.0) // precision
+    assert(r.getDouble(6) == 2.0 / 3.0) // recall
+  }
+
+  test("calibration bins: per-bin counts and exact positive rate") {
+    import spark.implicits._
+    val df = Seq((5, 0), (15, 1), (17, 0), (25, 1), (27, 1), (29, 1))
+      .toDF("s", "y")
+    val got = Eval.calibrationBins(df, expr("s DIV 10"), col("y"))
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 1L, 0L, 0.0), (1L, 2L, 1L, 0.5),
+      (2L, 3L, 3L, 1.0)))
+  }
+}

@@ -54,4 +54,46 @@ class GraphSpec extends SparkTestBase {
       .collect().map(_.getDouble(1))
     out.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9))
   }
+
+  private def tri(edges: (Long, Long)*): (Long, Long, Long) = {
+    import spark.implicits._
+    val r = Graph.triangleCount(edges.toDF("a", "b")).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangleCount: K4 has 4 triangles; path has none") {
+    assert(tri((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) == ((4L, 6L, 4L)))
+    assert(tri((1L, 2L), (2L, 3L), (3L, 4L)) == ((4L, 3L, 0L)))
+  }
+
+  test("triangleCount canonicalizes dups, reversals, and self-loops") {
+    // one true triangle, each edge also present reversed/duplicated,
+    // plus a self-loop that must be dropped
+    assert(tri((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (1L, 3L), (2L, 2L)) == ((3L, 3L, 1L)))
+  }
+
+  test("triangleCount on a star plus one closing edge (skew shape)") {
+    // hub 0 connected to 6 leaves; only leaves 1-2 are also adjacent:
+    // exactly one triangle regardless of the hub's degree
+    val star = (1L to 6L).map(l => (0L, l)) :+ (1L, 2L)
+    assert(tri(star: _*) == ((7L, 7L, 1L)))
+  }
+
+  test("triangleCount matches the brute-force count on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rnd.nextInt(15).toLong,
+      rnd.nextInt(15).toLong))
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val adj = canon.toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val expected = (for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if adj((i, j)) && adj((j, k)) && adj((i, k))
+    } yield 1).size.toLong
+    val got = tri(edges: _*)
+    assert(got == ((nodes.size.toLong, canon.size.toLong, expected)))
+  }
 }
