@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Eval, Events, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Dsir, Eval, Events, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
 import graft.ops.EditDistJoin
 import graft.functions.Hashing
 
@@ -33,6 +33,7 @@ object ExtQueries {
     */
   private def scoreFrame(docs: DataFrame): DataFrame =
     docs.select(
+        col("doc_id"),
         (col("lang") === "en").cast("int").as("y"),
         TextAnalysis.vocabHits(split(lower(col("text")), " "),
           Seq("the", "and", "of", "to", "a")).cast("long").as("xs"),
@@ -209,6 +210,41 @@ object ExtQueries {
       Eval.calibrationBins(scoreFrame(T(s, dir, "documents")),
           expr("s DIV 100"), col("y"))
         .orderBy(col("bin"))),
+
+    // DSIR importance selection (Xie et al. 2023): hashed unigram+bigram
+    // model (256 broadcast buckets, Laplace-smoothed target/raw
+    // log-ratio pinned to DECIMAL(28,9)), per-doc decimal-exact weight
+    // sum, top-50 by weight — the data-selection step of a pretraining
+    // pipeline, scan-shaped at corpus scale.
+    "x_dsir" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val model = Dsir.importanceModel(docs, "text",
+        col("lang") === "en", buckets = 256)
+      Dsir.selectTopK(
+        Dsir.importanceScores(docs, "doc_id", "text", model,
+          buckets = 256), "doc_id", 50)
+    }),
+
+    // PSI drift monitor between even- and odd-doc_id halves of the
+    // score distribution: per-bin smoothed (p−q)·ln(p/q) terms.
+    "x_psi" -> ((s, dir) =>
+      Eval.psiBins(scoreFrame(T(s, dir, "documents")),
+          expr("s DIV 100"), expr("doc_id % 2 = 0"))
+        .orderBy(col("bin"))),
+
+    // Mutual information between the binned stopword-ratio feature and
+    // the en label — the feature-selection score for the classifier.
+    "x_feature_mi" -> ((s, dir) =>
+      Eval.mutualInformation(scoreFrame(T(s, dir, "documents")),
+        expr("s DIV 100"), col("y"))),
+
+    // Pearson χ² of independence for the same feature/label pair — the
+    // transcendental-free score (exact integer inputs, exactly-rounded
+    // IEEE per-cell terms, decimal-pinned sum); zero-observed cells
+    // contribute their expected mass via the marginal×marginal grid.
+    "x_chi2" -> ((s, dir) =>
+      Eval.chiSquared(scoreFrame(T(s, dir, "documents")),
+        expr("s DIV 100"), col("y"))),
 
     // Exact triangle count on the co-purchase graph (pairs bought
     // together in ≥2 orders): degree-ordered orientation bounds the
@@ -2301,6 +2337,118 @@ object ExtQueries {
            CAST(SUM(y) AS BIGINT) AS n_pos,
            CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
          FROM f GROUP BY 1 ORDER BY 1""",
+
+    "x_dsir" -> {
+      val h = Hashing.hash64Sql("g", 41)
+      s"""WITH toks AS (
+           SELECT doc_id, lang, CAST(i AS INTEGER) AS pos, l[i] AS t
+           FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS l
+                 FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+         grams AS (
+           SELECT doc_id, lang, t AS g FROM toks
+           UNION ALL
+           SELECT a.doc_id, a.lang, a.t || ' ' || b.t AS g
+           FROM toks a JOIN toks b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         h AS (SELECT doc_id, lang, $h % 256 AS b FROM grams),
+         m AS (SELECT b,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ct,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM h GROUP BY 1),
+         tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+             CAST(SUM(c) AS BIGINT) AS n FROM m),
+         model AS (SELECT b,
+             CAST(ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE))
+               / (CAST(c - ct + 1 AS DOUBLE)
+                  / CAST(n - nt + 256 AS DOUBLE)))
+               AS DECIMAL(28, 9)) AS lr
+           FROM m, tot),
+         scores AS (SELECT doc_id, COUNT(*) AS n_ngrams,
+             CAST(SUM(lr) AS DOUBLE) AS weight
+           FROM h JOIN model USING (b) GROUP BY 1)
+         SELECT doc_id, n_ngrams, weight FROM scores
+         ORDER BY weight DESC, doc_id LIMIT 50"""
+    },
+
+    "x_psi" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  (len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the', 'and', 'of', 'to', 'a'))) * 1000)
+                    // len(string_split(lower(text), ' ')) AS s
+           FROM documents),
+         c AS (SELECT s // 100 AS bin,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_cur
+           FROM f GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+             CAST(SUM(n_cur) AS BIGINT) AS tc,
+             CAST(COUNT(*) AS BIGINT) AS nb FROM c)
+         SELECT bin, n_ref, n_cur,
+           CAST(CAST(
+             ((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE))
+              - (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE)))
+             * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + nb AS DOUBLE))
+                / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + nb AS DOUBLE)))
+             AS DECIMAL(28, 9)) AS DOUBLE) AS psi_term
+         FROM c, t ORDER BY bin""",
+
+    "x_feature_mi" ->
+      """WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  (len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the', 'and', 'of', 'to', 'a'))) * 1000)
+                    // len(string_split(lower(text), ' ')) AS s
+           FROM documents),
+         j AS (SELECT s // 100 AS x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+           FROM f GROUP BY 1, 2),
+         mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM j GROUP BY 1),
+         my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM j GROUP BY 1),
+         t AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells FROM j)
+         SELECT n, n_cells,
+           CAST(SUM(CAST(
+             (CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE))
+                / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+             AS DECIMAL(28, 9))) AS DOUBLE) AS mi
+         FROM j JOIN mx USING (x) JOIN my USING (y), t
+         GROUP BY n, n_cells""",
+
+    "x_chi2" ->
+      """WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  (len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the', 'and', 'of', 'to', 'a'))) * 1000)
+                    // len(string_split(lower(text), ' ')) AS s
+           FROM documents),
+         j AS (SELECT s // 100 AS x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+           FROM f GROUP BY 1, 2),
+         mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM j GROUP BY 1),
+         my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM j GROUP BY 1),
+         t AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM j),
+         cells AS (SELECT mx.x AS x, my.y AS y, cx, cy,
+             COALESCE(cxy, 0) AS o
+           FROM mx CROSS JOIN my
+           LEFT JOIN j ON j.x = mx.x AND j.y = my.y)
+         SELECT n,
+           CAST((SELECT COUNT(*) - 1 FROM mx)
+             * (SELECT COUNT(*) - 1 FROM my) AS BIGINT) AS dof,
+           CAST(SUM(CAST(
+             (CAST(o AS DOUBLE)
+               - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+               - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             AS DECIMAL(28, 9))) AS DOUBLE) AS chi2
+         FROM cells, t GROUP BY n""",
 
     "x_triangles" ->
       """WITH bi AS (

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Hashing
+
+/** Data Selection via Importance Resampling (Xie et al., 2023) — the
+  * published recipe for picking pretraining documents that "look like" a
+  * target corpus: estimate token-level importance weights under a
+  * hashed bag-of-ngrams model, score every raw document by its summed
+  * log-likelihood ratio, and resample toward the high-weight tail.
+  *
+  * Spark-first shape: one explode + two conditional aggregates build the
+  * B-bucket hashed model (B is a parameter, e.g. 1024 — the model is a
+  * BROADCAST table no matter how large the corpus); per-document scoring
+  * is explode → bucket → broadcast-join → decimal-sum — scan-shaped,
+  * no shuffle wider than the per-doc aggregation, so the whole selector
+  * runs at corpus scale with a model that never grows past B rows.
+  *
+  * Determinism contract: the only transcendental is the per-BUCKET
+  * `ln(p_target/p_raw)`, computed once per bucket and pinned to
+  * DECIMAL(28,9) (the [[TextAnalysis.unigramLogProb]] convention);
+  * per-document sums are decimal-exact and order-independent. Bucket
+  * ids come from [[Hashing.hash64]] (md5-derived, engine-portable —
+  * never Spark's xxhash).
+  */
+object Dsir {
+
+  /** Hashed-ngram importance model: one row per bucket with Laplace-
+    * smoothed target/raw probabilities and the DECIMAL(28,9)-pinned
+    * log-ratio. `targetCol` is a boolean marking target-domain rows
+    * inside `df` (the DSIR setup scores RAW docs against a target
+    * sample carried in the same frame). Token stream is unigram +
+    * bigram (the paper's default), hashed into `buckets` ids.
+    */
+  def importanceModel(df: DataFrame, textCol: String, targetCol: Column,
+                      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val hashed = ngramBuckets(df, textCol, buckets)
+      .withColumn("__t", targetCol.cast("int"))
+    hashed
+      .groupBy(col("__b"))
+      .agg(sum(col("__t").cast("long")).as("__ct"),
+        count(lit(1)).as("__c"))
+      .crossJoin(broadcast(hashed.agg(
+        sum(col("__t").cast("long")).as("__nt"),
+        count(lit(1)).as("__n"))))
+      .select(col("__b").as("bucket"), col("__ct").as("n_target"),
+        (col("__c") - col("__ct")).as("n_raw"),
+        // Laplace +1 over B buckets: exact integer ratios into ln
+        log(((col("__ct") + lit(1L)).cast("double") /
+            (col("__nt") + lit(buckets.toLong)).cast("double")) /
+          ((col("__c") - col("__ct") + lit(1L)).cast("double") /
+            (col("__n") - col("__nt") + lit(buckets.toLong))
+              .cast("double")))
+          .cast(DecimalType(28, 9)).as("log_ratio"))
+  }
+
+  /** Per-document importance score: Σ over the doc's hashed ngrams of
+    * the model's log-ratio — decimal-exact, order-independent. Output:
+    * (idCol, n_ngrams, weight DOUBLE). Model rides as a broadcast join
+    * (B rows); unseen buckets contribute nothing (inner join — they
+    * cannot occur when the model was fit on a superset of the scored
+    * corpus, the DSIR setup).
+    */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+                       model: DataFrame, buckets: Int = 1024): DataFrame =
+    ngramBuckets(df, textCol, buckets)
+      .join(broadcast(model.select(col("bucket").as("__b"),
+        col("log_ratio"))), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(col("log_ratio")).cast("double").as("weight"))
+
+  /** Top-k selection by importance weight (the resampling step's
+    * deterministic top-quantile variant): global TakeOrderedAndProject
+    * on (weight desc, id) — no full sort materialized. For true
+    * Gumbel-top-k resampling compose with
+    * [[Sampling.weightedPrioritySample]] instead.
+    */
+  def selectTopK(scores: DataFrame, idCol: String, k: Int): DataFrame =
+    scores.orderBy(col("weight").desc, col(idCol)).limit(k)
+
+  /** Row-per-ngram frame: doc columns + `__b` (hashed bucket id of each
+    * unigram and adjacent bigram). Row-local: tokenize once, build the
+    * bigram list with a slice+zip (no self-join), explode the unioned
+    * list. Kept internal-shaped (leading `__`) but public for specs.
+    */
+  def ngramBuckets(df: DataFrame, textCol: String,
+                   buckets: Int): DataFrame = {
+    val withToks = df.withColumn("__toks",
+      split(lower(col(textCol)), " "))
+    val grams = concat(
+      col("__toks"),
+      zip_with(
+        slice(col("__toks"), lit(1),
+          greatest(size(col("__toks")) - 1, lit(0))),
+        slice(col("__toks"), lit(2),
+          greatest(size(col("__toks")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)))
+    withToks
+      .withColumn("__g", explode(grams))
+      .withColumn("__b", pmod(Hashing.hash64(col("__g"), seed = 41),
+        lit(buckets.toLong)))
+      .drop("__toks", "__g")
+  }
+}

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Classifier/ranker evaluation over Dataset-scale predictions — the
   * measurement side of [[Classifier]]'s quality filter: rank-based AUC,
@@ -113,4 +114,100 @@ object Eval {
       .select(col("bin"), col("n"), col("n_pos"),
         (col("n_pos").cast("double") / col("n").cast("double"))
           .as("pos_rate"))
+
+  /** Population Stability Index terms between a reference slice
+    * (`isRefCol` true) and the rest, over a row-local integer bin:
+    * per-bin `(bin, n_ref, n_cur, psi_term)` with
+    * `psi_term = (p−q)·ln(p/q)`, Laplace-smoothed over the observed
+    * bins (`p = (n_ref_b+1)/(N_ref+B)`), so empty-on-one-side bins are
+    * finite. The standard drift monitor for a score distribution
+    * (PSI > 0.2 ⇒ investigate); Σ of the terms is the index.
+    *
+    * One group-by over (bin) + broadcast totals; p and q are exact
+    * integer-ratio divisions, and the product with the transcendental
+    * `ln` is pinned to DECIMAL(28,9) — the engine-portability
+    * convention for log terms.
+    */
+  def psiBins(df: DataFrame, binCol: Column,
+              isRefCol: Column): DataFrame = {
+    val r = isRefCol.cast("long")
+    val counts = df.groupBy(binCol.as("bin"))
+      .agg(sum(r).as("n_ref"), sum(lit(1L) - r).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"), count(lit(1)).as("__nb"))
+    val p = (col("n_ref") + lit(1L)).cast("double") /
+      (col("__tr") + col("__nb")).cast("double")
+    val q = (col("n_cur") + lit(1L)).cast("double") /
+      (col("__tc") + col("__nb")).cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        ((p - q) * log(p / q)).cast(DecimalType(28, 9)).cast("double")
+          .as("psi_term"))
+  }
+
+  /** Mutual information (nats) between two discrete columns — the
+    * feature-selection score for a binned feature against a label:
+    * `MI = Σ_xy p_xy·ln(p_xy·N² / (c_x·c_y·N))` with every ratio an
+    * exact integer division and each cell's term DECIMAL(28,9)-pinned
+    * before the order-independent sum. Returns one row
+    * `(n, n_cells, mi)`.
+    *
+    * The joint table is the only corpus-wide aggregate; marginals are
+    * re-grouped FROM it (|X|·|Y| rows), so everything after the first
+    * group-by is broadcast-sized.
+    */
+  /** Pearson χ² test of independence between two discrete columns —
+    * the transcendental-FREE sibling of [[mutualInformation]] (no log
+    * anywhere, so no rounding convention is even needed: every per-cell
+    * term is exactly-rounded IEEE arithmetic on exact integer inputs,
+    * pinned to DECIMAL(28,9) only to make the cell sum
+    * order-independent). Zero-observed cells contribute their full
+    * expected mass — the cell grid is enumerated as marginal×marginal
+    * (broadcast-sized after the one corpus group-by), not read off the
+    * joint table, which would silently drop them. Returns one row
+    * `(n, dof, chi2)`.
+    */
+  def chiSquared(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val joint = df.groupBy(xCol.as("__x"), yCol.as("__y"))
+      .agg(count(lit(1)).as("__cxy"))
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__cxy")).as("__cx"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("__cxy")).as("__cy"))
+    val n = joint.agg(sum(col("__cxy")).as("__n"))
+    val o = coalesce(col("__cxy"), lit(0L)).cast("double")
+    val e = col("__cx").cast("double") * col("__cy").cast("double") /
+      col("__n").cast("double")
+    broadcast(mx).crossJoin(broadcast(my))
+      .join(joint, Seq("__x", "__y"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("__n"), col("__x"), col("__y"),
+        ((o - e) * (o - e) / e).cast(DecimalType(28, 9)).as("__t"))
+      .groupBy(col("__n"))
+      .agg(
+        ((countDistinct(col("__x")) - 1) *
+          (countDistinct(col("__y")) - 1)).as("dof"),
+        sum(col("__t")).cast("double").as("chi2"))
+      .select(col("__n").as("n"), col("dof"), col("chi2"))
+  }
+
+  def mutualInformation(df: DataFrame, xCol: Column,
+                        yCol: Column): DataFrame = {
+    val joint = df.groupBy(xCol.as("__x"), yCol.as("__y"))
+      .agg(count(lit(1)).as("__cxy"))
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__cxy")).as("__cx"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("__cxy")).as("__cy"))
+    val n = joint.agg(sum(col("__cxy")).as("__n"),
+      count(lit(1)).as("n_cells"))
+    joint
+      .join(broadcast(mx), Seq("__x"))
+      .join(broadcast(my), Seq("__y"))
+      .crossJoin(broadcast(n))
+      .select(col("__n"), col("n_cells"),
+        ((col("__cxy").cast("double") / col("__n").cast("double")) *
+          log((col("__cxy").cast("double") * col("__n").cast("double")) /
+            (col("__cx").cast("double") * col("__cy").cast("double"))))
+          .cast(DecimalType(28, 9)).as("__term"))
+      .groupBy(col("__n"), col("n_cells"))
+      .agg(sum(col("__term")).cast("double").as("mi"))
+      .select(col("__n").as("n"), col("n_cells"), col("mi"))
+  }
 }

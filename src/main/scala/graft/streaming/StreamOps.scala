@@ -263,6 +263,54 @@ object StreamOps {
       .write.mode("append").parquet(seenPath.toString)
   }
 
+  // ---- distribution drift monitoring ----------------------------------
+
+  /** Per-micro-batch PSI drift monitor: each batch's `binCol`
+    * distribution is scored against a STATIC reference distribution
+    * (`ref`/`refBinCol` — e.g. the training-time score histogram) via
+    * [[graft.ext.Eval.psiBins]], and one summary row
+    * `(batch_id, n_rows, psi, alarm)` is appended to `outDir` — the
+    * production guardrail for a deployed quality classifier: when the
+    * live score distribution drifts past `alarmAt` (0.2 is the
+    * customary threshold), downstream gating decisions are stale.
+    *
+    * The reference should be a small aggregated frame (bins, not raw
+    * rows) or pre-persisted: it is re-read every micro-batch.
+    */
+  def driftSink(stream: DataFrame, binCol: org.apache.spark.sql.Column,
+                ref: DataFrame, refBinCol: org.apache.spark.sql.Column,
+                alarmAt: Double, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        driftBatch(batch, binCol, ref, refBinCol, alarmAt, id)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
+  /** One drift evaluation (the foreachBatch body, callable directly):
+    * union the reference (flagged) with the batch, run the smoothed
+    * per-bin PSI terms, fold to one `(batch_id, n_rows, psi, alarm)`
+    * row. The bin tables are tiny; the only corpus-sized work is the
+    * batch's own bin group-by inside psiBins.
+    */
+  def driftBatch(batch: DataFrame, binCol: org.apache.spark.sql.Column,
+                 ref: DataFrame, refBinCol: org.apache.spark.sql.Column,
+                 alarmAt: Double, batchId: Long): DataFrame = {
+    val union = ref.select(refBinCol.cast("long").as("__bin"))
+      .withColumn("__r", lit(true))
+      .unionByName(batch.select(binCol.cast("long").as("__bin"))
+        .withColumn("__r", lit(false)))
+    graft.ext.Eval.psiBins(union, col("__bin"), col("__r"))
+      .agg(sum(col("n_cur")).as("n_rows"),
+        sum(col("psi_term")).as("psi"))
+      .select(lit(batchId).as("batch_id"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("psi"), lit(0.0)).as("psi"),
+        (coalesce(col("psi"), lit(0.0)) > alarmAt).as("alarm"))
+  }
+
   // ---- custom state: streaming heavy hitters --------------------------
 
   case class HeavyHit(bucket: Int, key: String, minCount: Long,

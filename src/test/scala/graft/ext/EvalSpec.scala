@@ -72,4 +72,63 @@ class EvalSpec extends SparkTestBase {
     assert(got.toSeq == Seq((0L, 1L, 0L, 0.0), (1L, 2L, 1L, 0.5),
       (2L, 3L, 3L, 1.0)))
   }
+
+  test("psi terms are exactly 0 for identical halves, positive on shift") {
+    import spark.implicits._
+    // each bin has equal ref/cur counts → p == q → term exactly 0.0
+    val same = Seq((0, true), (0, false), (1, true), (1, false),
+      (1, true), (1, false)).toDF("b", "r")
+    val z = Eval.psiBins(same, col("b"), col("r")).collect()
+    assert(z.forall(_.getDouble(3) == 0.0))
+    // ref mass in bin 0, cur mass in bin 1 → both terms positive
+    val shifted = (Seq.fill(20)((0, true)) ++ Seq.fill(2)((1, true)) ++
+      Seq.fill(2)((0, false)) ++ Seq.fill(20)((1, false))).toDF("b", "r")
+    val terms = Eval.psiBins(shifted, col("b"), col("r"))
+      .collect().map(_.getDouble(3))
+    assert(terms.forall(_ > 0) && terms.sum > 0.2,
+      s"shift should trip the 0.2 alarm: ${terms.toSeq}")
+  }
+
+  test("mutual information: 0 for independence, ln 2 for identity") {
+    import spark.implicits._
+    // exactly independent joint: every (x, y) cell has the same count
+    // → every ratio is 1 → every term ln(1) = 0 exactly
+    val indep = (for { x <- 0 to 1; y <- 0 to 1; _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val r0 = Eval.mutualInformation(indep, col("x"), col("y")).collect()(0)
+    assert(r0.getLong(0) == 20 && r0.getLong(1) == 4)
+    assert(r0.getDouble(2) == 0.0)
+    // y == x, uniform two values → MI = ln 2, up to the per-cell
+    // DECIMAL(28,9) pin (2 cells × round(0.5·ln2, 9))
+    val ident = (for { x <- 0 to 1; _ <- 1 to 6 } yield (x, x))
+      .toDF("x", "y")
+    val mi = Eval.mutualInformation(ident, col("x"), col("y"))
+      .collect()(0).getDouble(2)
+    val expected = 2.0 * BigDecimal(0.5 * math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mi == expected, s"$mi vs $expected")
+  }
+
+  test("chi-squared: 0 at independence; hand value incl. a zero cell") {
+    import spark.implicits._
+    val indep = (for { x <- 0 to 1; y <- 0 to 1; _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val r0 = Eval.chiSquared(indep, col("x"), col("y")).collect()(0)
+    assert(r0.getLong(0) == 20 && r0.getLong(1) == 1)
+    assert(r0.getDouble(2) == 0.0)
+    // joint: (0,0)=4, (0,1)=2, (1,0)=3, (1,1)=0 — the zero-observed
+    // cell must contribute E(1,1) = 3·2/9
+    val rows = Seq.fill(4)((0, 0)) ++ Seq.fill(2)((0, 1)) ++
+      Seq.fill(3)((1, 0))
+    val r = Eval.chiSquared(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect()(0)
+    assert(r.getLong(0) == 9 && r.getLong(1) == 1)
+    val cells = Seq((4.0, 6.0 * 7 / 9), (2.0, 6.0 * 2 / 9),
+      (3.0, 3.0 * 7 / 9), (0.0, 3.0 * 2 / 9))
+    val expected = cells.map { case (o, e) =>
+      BigDecimal((o - e) * (o - e) / e)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(r.getDouble(2) == expected, s"${r.getDouble(2)} vs $expected")
+  }
 }

@@ -617,4 +617,29 @@ class StreamSpec extends SparkTestBase {
       assert(perBucket.forall(_ <= k))
     } finally q.stop()
   }
+
+  test("driftSink: in-distribution batch is quiet, shifted batch alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    // reference: scores spread evenly over bins 0-4
+    val ref = (0 until 100).map(i => i % 5).toDF("bin")
+    val mem = MemoryStream[Int]
+    val q = driftSink(mem.toDF().withColumnRenamed("value", "bin"),
+      col("bin"), ref, col("bin"), alarmAt = 0.2,
+      outDir = s"$tmp/out", checkpointDir = s"$tmp/ckpt")
+    try {
+      mem.addData(0 until 50 map (_ % 5): _*) // same shape as reference
+      q.processAllAvailable()
+      mem.addData(Seq.fill(50)(4): _*) // all mass in one bin
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out")
+        .orderBy("batch_id")
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(out.length == 2)
+      assert(out(0)._1 == 50 && !out(0)._3,
+        s"uniform batch should not alarm: ${out.toSeq}")
+      assert(out(1)._1 == 50 && out(1)._3 && out(1)._2 > 0.2,
+        s"shifted batch should alarm: ${out.toSeq}")
+    } finally q.stop()
+  }
 }
