@@ -138,6 +138,21 @@ object ExtQueries {
       Similarity.nearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
         maxId = 300L, threshold = 0.3)),
 
+    // Leakage-free 80/20 split: near-dup clusters (minhash candidate
+    // components) land whole in one split — the decontamination
+    // guarantee; the split decision hashes the cluster REP, not the id.
+    "x_split_leakfree" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Sampling.leakFreeSplit(docs.select(col("doc_id")), "doc_id",
+          Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+            bands = 4, rowsPerBand = 2, maxBucket = 0),
+          Seq("train" -> 0.8, "test" -> 0.2), seed = 0)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"))
+        .orderBy(col("split"))
+    }),
+
     // ---- similarity search -------------------------------------------
 
     // One k-means training step from a deterministic 8-vector codebook:
@@ -2193,6 +2208,30 @@ object ExtQueries {
     "x_dedup_pipeline" -> dedupPipelineOracle,
 
     "x_dedup_clusters" -> clustersOracle,
+
+    "x_split_leakfree" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          comp AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src),
+          r AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          a AS (
+            SELECT rep,
+              CASE WHEN ${Sampling.bucketSql("rep", 0)} < 800000
+                THEN 'train' ELSE 'test' END AS split
+            FROM r)
+          SELECT split, COUNT(*) AS n_docs,
+            CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters
+          FROM a GROUP BY 1 ORDER BY 1""",
 
     "x_events_sliding" ->
       s"""SELECT window_start, event_type, COUNT(*) AS n_events,

@@ -49,6 +49,31 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Cluster-aware (leakage-free) split: every row whose id belongs to
+    * the same near-dup cluster (connected component of `pairs`, columns
+    * `id_a`/`id_b`) lands in the same split — the decontamination
+    * guarantee for train/test splits over a corpus with known
+    * near-duplicates: a doc's twin must not leak into eval. Each id's
+    * cluster representative is its component label (singletons:
+    * themselves) and the [[splitByHash]] decision is keyed on the REP,
+    * not the id. Output: `df` + (`rep`, `split`).
+    *
+    * Scale: the component table is |clustered docs|-sized — typically a
+    * small fraction of the corpus — and the rep join is the only
+    * shuffle beyond what [[graft.ext.Dedup.connectedComponents]]
+    * already does; the split decision itself stays row-local.
+    */
+  def leakFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    splits: Seq[(String, Double)],
+                    seed: Int = 0): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val withRep = df.join(comps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    splitByHash(withRep, "rep", splits, seed)
+  }
+
   /** Stratified sample: a per-stratum keep fraction (e.g. downsample
     * over-represented languages, keep all of a rare one) — the corpus
     * rebalancing step of dataset curation. The keep decision is the

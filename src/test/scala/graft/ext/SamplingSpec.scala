@@ -123,4 +123,24 @@ class SamplingSpec extends SparkTestBase {
     val counts = v.map(_.getLong(1)).toSeq
     assert(counts == counts.sorted.reverse, "descending counts")
   }
+
+  test("leakFreeSplit keeps clusters together; singletons match splitByHash") {
+    val ids = (1L to 200L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakFreeSplit(ids, "id", pairs,
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // whole cluster on one side, keyed by its min-label rep
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size == 1)
+    assert(out(10L)._2 == out(11L)._2 && out(10L)._1 == 10L)
+    // singletons: rep is the id and the split is plain splitByHash
+    val plain = Sampling.splitByHash((20L to 200L).toDF("rep"), "rep",
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (20L to 200L).foreach(i =>
+      assert(out(i) == ((i, plain(i))), s"singleton $i"))
+    assert(out.values.map(_._2).toSet == Set("train", "test"))
+  }
 }
