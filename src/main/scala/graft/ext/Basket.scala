@@ -36,9 +36,13 @@ object Basket {
                   maxBasket: Int = 1000): DataFrame = {
     val grouped = df.groupBy(col(basketCol).as("b"))
       .agg(sort_array(collect_set(col(itemCol))).as("items"))
+    // referenced by the pair emission, the item supports, AND the
+    // basket total — without a materialization barrier each reference
+    // re-runs the collect_set aggregation over the source (measured 3×
+    // the basket-build cost); the lazy checkpoint computes it once
     val baskets =
-      if (maxBasket > 0) grouped.filter(size(col("items")) <= maxBasket)
-      else grouped
+      (if (maxBasket > 0) grouped.filter(size(col("items")) <= maxBasket)
+       else grouped).localCheckpoint(false)
     // sorted array -> nested transform emits each pair once with
     // item_a < item_b by construction (indexes j < k)
     val pairs = baskets

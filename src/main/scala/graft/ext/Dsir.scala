@@ -40,13 +40,19 @@ object Dsir {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val hashed = ngramBuckets(df, textCol, buckets)
       .withColumn("__t", targetCol.cast("int"))
-    hashed
+    // corpus totals re-aggregate the B-row bucket table, not the gram
+    // stream; the lazy checkpoint materializes those ≤B rows once, so
+    // the model is ONE pass over the corpus (without it, the two
+    // references to `counts` inline the gram aggregation twice)
+    val counts = hashed
       .groupBy(col("__b"))
       .agg(sum(col("__t").cast("long")).as("__ct"),
         count(lit(1)).as("__c"))
-      .crossJoin(broadcast(hashed.agg(
-        sum(col("__t").cast("long")).as("__nt"),
-        count(lit(1)).as("__n"))))
+      .localCheckpoint(false)
+    counts
+      .crossJoin(broadcast(counts.agg(
+        sum(col("__ct")).as("__nt"),
+        sum(col("__c")).as("__n"))))
       .select(col("__b").as("bucket"), col("__ct").as("n_target"),
         (col("__c") - col("__ct")).as("n_raw"),
         // Laplace +1 over B buckets: exact integer ratios into ln

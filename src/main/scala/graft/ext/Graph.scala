@@ -81,13 +81,22 @@ object Graph {
     * longs, engine-portable by construction.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
+    // canon/deg/oriented are each referenced 3+ times downstream
+    // (wedge sides, closing-edge probe, node/edge counts); without a
+    // materialization barrier Catalyst inlines the whole upstream
+    // subtree per reference (measured: 88 copies of the source scan
+    // for a co-purchase edge build). Lazy local checkpoints compute
+    // each ONCE at first action and cut the lineage — the
+    // connectedComponents convention for multi-reference graph state.
     val canon = edges
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(false)
     val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)
     // orient u→v iff (d(u), u) < (d(v), v); carry the out-endpoint's
     // order key so wedges can canonicalize without re-joining degrees
     val withDeg = canon
@@ -99,6 +108,7 @@ object Graph {
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"),
       when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint(false)
     // wedges at each apex: unordered out-neighbor pairs, canonicalized
     // by the same (degree, id) order the orientation used — the closing
     // edge, if present, is oriented exactly x→y
