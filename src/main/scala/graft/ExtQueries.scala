@@ -1181,6 +1181,25 @@ object ExtQueries {
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
         .orderBy(col("z_block"))),
 
+    // Zone-map audit — the data-skipping layer over ZOrder: rows fall
+    // into 16 contiguous zones of z-value rank (the stand-in for
+    // "files" under the z-ordered layout; rank distributed via sorted
+    // zipWithIndex, no single-partition window) and each zone reports
+    // min/max spans for BOTH interleaved dimensions — the per-file
+    // stats ZoneMap.skipScan prunes with, tight in x AND y exactly
+    // because the layout is z-ordered. ZoneMapSpec proves the physical
+    // leg (real files, inputFiles shrink, row-exact pruned scans);
+    // this query oracle-checks the zone/stat arithmetic itself.
+    "x_zonemap" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).cast("int").as("x"),
+          (col("l_suppkey") % 256).cast("int").as("y"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+      graft.io.ZoneMap.zoneAudit(li,
+        graft.ops.ZOrder.zvalue(col("x"), col("y"), 8), col("tie"),
+        nZones = 16, audit = Seq("x" -> col("x"), "y" -> col("y")))
+    }),
+
     // ---- sampling (corpus rebalancing / fixed-size draws) -------------
 
     // Shard-assignment balance audit: hash-sharded export layout with
@@ -3850,6 +3869,28 @@ object ExtQueries {
           FROM documents JOIN fracs USING (source)
           WHERE CAST($bucket AS DOUBLE) < frac * 1000000
           ORDER BY doc_id"""
+    },
+
+    "x_zonemap" -> {
+      val zexpr = (0 until 8).map { j =>
+        s"(((x >> $j) & 1) * ${1L << (2 * j)} + " +
+          s"((y >> $j) & 1) * ${1L << (2 * j + 1)})"
+      }.mkString(" + ")
+      s"""WITH t AS (
+            SELECT CAST(l_partkey % 256 AS INTEGER) AS x,
+                   CAST(l_suppkey % 256 AS INTEGER) AS y,
+                   l_orderkey * 10 + l_linenumber AS tie
+            FROM lineitem),
+          z AS (SELECT x, y, tie, ($zexpr) AS zval FROM t),
+          r AS (
+            SELECT x, y,
+              CAST(((row_number() OVER (ORDER BY zval, tie) - 1) * 16)
+                // (COUNT(*) OVER ()) AS INTEGER) AS zone
+            FROM z)
+          SELECT zone, COUNT(*) AS n_rows,
+                 MIN(x) AS x_min, MAX(x) AS x_max,
+                 MIN(y) AS y_min, MAX(y) AS y_max
+          FROM r GROUP BY 1 ORDER BY 1"""
     },
 
     "x_shard_audit" -> {

@@ -1,0 +1,123 @@
+package graft.io
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ZoneMapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 64x64 (x, y) grid — every (x, y) combination once, so both
+  // dimensions are uniform and layout is the only variable.
+  private def grid() =
+    spark.range(64L * 64L)
+      .select((col("id") / 64).cast("int").as("x"),
+        (col("id") % 64).cast("int").as("y"),
+        col("id").as("payload"))
+
+  test("manifest matches per-file truth; skipScan reads fewer files, " +
+      "same rows as the full filter") {
+    val dir = java.nio.file.Files.createTempDirectory("zm").toString
+    grid().repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(dir)
+
+    val manifest = ZoneMap.buildManifest(spark, dir, Seq("x", "y"))
+      .cache()
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    assert(manifest.count() == nFiles)
+    // zone stats must bound every row of their own file
+    val bad = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("x").as("tmin"), max("x").as("tmax"))
+      .join(manifest, "file")
+      .filter(col("tmin") =!= col("x__min") || col("tmax") =!= col("x__max"))
+    assert(bad.count() == 0)
+
+    // x in [10, 13] lives in one-ish range partition of eight
+    val pruned = ZoneMap.prunedFiles(manifest, "x", 10, 13)
+    assert(pruned.nonEmpty && pruned.size < nFiles,
+      s"expected real pruning, got ${pruned.size} of $nFiles files")
+
+    val viaSkip = ZoneMap.skipScan(spark, dir, manifest, "x", 10, 13)
+    assert(viaSkip.inputFiles.length == pruned.size)
+    val full = spark.read.parquet(dir)
+      .filter(col("x") >= 10 && col("x") <= 13)
+    assert(viaSkip.select("x", "y", "payload").sort("payload").collect()
+      .toSeq == full.select("x", "y", "payload").sort("payload").collect()
+      .toSeq)
+  }
+
+  test("z-order layout prunes on BOTH dimensions; a linear x-sort " +
+      "prunes only x") {
+    val dirX = java.nio.file.Files.createTempDirectory("zmx").toString
+    val dirZ = java.nio.file.Files.createTempDirectory("zmz").toString
+    grid().repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(dirX)
+    graft.ops.ZOrder.clusterByZ(grid(), "x", "y", bits = 6,
+        numPartitions = 8)
+      .write.mode("overwrite").parquet(dirZ)
+
+    val mx = ZoneMap.buildManifest(spark, dirX, Seq("x", "y"))
+    val mz = ZoneMap.buildManifest(spark, dirZ, Seq("x", "y"))
+    val nx = spark.read.parquet(dirX).inputFiles.length
+    val nz = spark.read.parquet(dirZ).inputFiles.length
+
+    // y-range predicate: the x-sorted layout cannot prune (every file
+    // spans all of y); the z-ordered layout must skip files
+    val yPrunedX = ZoneMap.prunedFiles(mx, "y", 0, 7)
+    val yPrunedZ = ZoneMap.prunedFiles(mz, "y", 0, 7)
+    assert(yPrunedX.size == nx, "x-sorted layout unexpectedly pruned on y")
+    assert(yPrunedZ.size < nz,
+      s"z-order layout failed to prune on y: ${yPrunedZ.size} of $nz")
+    // and x still prunes under z-order too
+    assert(ZoneMap.prunedFiles(mz, "x", 0, 7).size < nz)
+
+    // pruned scans stay row-exact on both layouts
+    val exact = grid().filter(col("y") <= 7).count()
+    assert(ZoneMap.skipScan(spark, dirZ, mz, "y", 0, 7).count() == exact)
+    assert(ZoneMap.skipScan(spark, dirX, mx, "y", 0, 7).count() == exact)
+  }
+
+  test("fully-pruned predicate yields an empty frame with the table " +
+      "schema, no file reads") {
+    val dir = java.nio.file.Files.createTempDirectory("zme").toString
+    grid().coalesce(2).write.mode("overwrite").parquet(dir)
+    val m = ZoneMap.buildManifest(spark, dir, Seq("x"))
+    val out = ZoneMap.skipScan(spark, dir, m, "x", 1000, 2000)
+    assert(out.inputFiles.isEmpty || out.count() == 0)
+    assert(out.schema.fieldNames.toSet == Set("x", "y", "payload"))
+    assert(out.count() == 0)
+  }
+
+  test("null zones are kept conservatively") {
+    val dir = java.nio.file.Files.createTempDirectory("zmn").toString
+    Seq((Some(1), "a"), (None, "b"), (Some(5), "c"))
+      .toDF("v", "tag").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val m = ZoneMap.buildManifest(spark, dir, Seq("v"))
+    assert(m.select("v__nulls").as[Long].head() == 1L)
+    // file intersects [0, 10] -> kept; rows with null v drop at the
+    // row-level re-filter
+    assert(ZoneMap.skipScan(spark, dir, m, "v", 0, 10).count() == 2)
+  }
+
+  test("zoneAudit: z-value zones are tight in both dimensions, " +
+      "x-sorted zones span all of y") {
+    val g = grid()
+    val zAudit = ZoneMap.zoneAudit(g,
+      graft.ops.ZOrder.zvalue(col("x"), col("y"), 6), col("payload"),
+      nZones = 16, audit = Seq("x" -> col("x"), "y" -> col("y")))
+      .collect()
+    val xAudit = ZoneMap.zoneAudit(g, col("x"), col("payload"),
+      nZones = 16, audit = Seq("x" -> col("x"), "y" -> col("y")))
+      .collect()
+    def meanSpan(rows: Array[org.apache.spark.sql.Row], c: String) =
+      rows.map(r => r.getAs[Int](s"${c}_max") - r.getAs[Int](s"${c}_min"))
+        .sum.toDouble / rows.length
+    // x-sorted: x spans tiny, y spans the full 0..63
+    assert(meanSpan(xAudit, "y") == 63.0)
+    // z-order: each 256-row zone is a 16x16 tile -> span 15 in BOTH
+    assert(meanSpan(zAudit, "x") <= 16.0)
+    assert(meanSpan(zAudit, "y") <= 16.0)
+    assert(zAudit.map(_.getAs[Long]("n_rows")).sum == 64L * 64L)
+  }
+}
