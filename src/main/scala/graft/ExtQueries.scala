@@ -1032,6 +1032,61 @@ object ExtQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Mergeable-sketch rollup — the pre-aggregated distinct-count
+    // pattern a 100 TB deployment persists: per-year DataSketches HLL
+    // partials (binary, re-mergeable — unlike approx_count_distinct's
+    // final estimate, these can roll up across ANY later grouping or
+    // time range without rescanning the fact table), then
+    // hll_union_agg folds the |years| partials into the corpus
+    // estimate. Output is the hash-checkable bound form: per-year
+    // exact counts plus booleans asserting (a) each partial's estimate
+    // and (b) the merged estimate land within 15% of exact (lgK=12 is
+    // ~1.6% rsd, so the bound is ~9 sigma). The oracle re-derives the
+    // booleans from exact aggregation alone.
+    "x_sketch_rollup" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+      val perYear = o.groupBy(col("yr")).agg(
+        hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
+        count_distinct(col("o_custkey")).as("n_custs"))
+      val merged = perYear.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_total"))
+      val exactTotal = o.agg(
+        count_distinct(col("o_custkey")).as("n_total"))
+      perYear
+        .crossJoin(broadcast(merged))
+        .crossJoin(broadcast(exactTotal))
+        .select(col("yr"), col("n_custs"),
+          (abs(hll_sketch_estimate(col("sk")) - col("n_custs"))
+            .cast("double") / col("n_custs") <= 0.15).as("yr_ok"),
+          (abs(col("est_total") - col("n_total")).cast("double") /
+            col("n_total") <= 0.15).as("merge_ok"))
+        .orderBy(col("yr"))
+    }),
+
+    // Entity resolution, equality tier — the scale path for golden
+    // records: normalize each part name to its sorted distinct token
+    // set (one codegen'd row-local expression), BLOCK on that
+    // signature (a hash group-by — no pair enumeration, no quadratic
+    // term anywhere), and emit one canonical record per entity: min
+    // key as cluster id, member/brand counts, price aggregate. The
+    // fuzzy tier (jaccardPairs/simhash + connectedComponents) exists
+    // for corpora with real typos; on equality matching its transitive
+    // closure IS these groups, at strictly higher cost.
+    "x_entity_resolution" -> ((s, dir) =>
+      T(s, dir, "part")
+        .withColumn("entity_key",
+          array_join(array_sort(array_distinct(
+            split(lower(col("p_name")), " "))), " "))
+        .groupBy(col("entity_key"))
+        .agg(min(col("p_partkey")).as("cluster_id"),
+          count(lit(1)).as("n_members"),
+          count_distinct(col("p_brand")).as("n_brands"),
+          sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double")
+            .as("total_price"))
+        .orderBy(col("cluster_id"))),
+
     // As-of join: each purchase enriched with the user's latest
     // signup at-or-before it (right side deduped to one row per
     // (user, sec) for determinism).
@@ -1244,6 +1299,15 @@ object ExtQueries {
       Sampling.domainMix(T(s, dir, "documents"), "doc_id", "source",
           targets = Seq("src0" -> 0.4, "src1" -> 0.3,
             "src2" -> 0.2, "src3" -> 0.1), seed = 5)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Temperature mixture at α = 0.5: every domain downsampled toward
+    // the smallest by sqrt(n_min/n_d) — exactly-rounded IEEE ops only,
+    // so the keep set is bit-portable and row-exact against the oracle.
+    "x_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(T(s, dir, "documents"), "doc_id", "source",
+          alpha = 0.5, seed = 7)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
@@ -2217,6 +2281,28 @@ object ExtQueries {
                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
                 TRUE AS cd_ok, TRUE AS p50_ok
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // Booleans assert the sketch + merge accuracy bounds; exact
+    // aggregation makes them trivially TRUE.
+    "x_sketch_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                TRUE AS yr_ok, TRUE AS merge_ok
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "x_entity_resolution" ->
+      """WITH t AS (
+           SELECT p_partkey, p_brand, p_retailprice,
+             array_to_string(list_sort(list_distinct(
+               string_split(lower(p_name), ' '))), ' ') AS entity_key
+           FROM part)
+         SELECT entity_key,
+                MIN(p_partkey) AS cluster_id,
+                COUNT(*) AS n_members,
+                CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+                CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM t GROUP BY entity_key ORDER BY cluster_id""",
 
     "x_dedup_minhash" -> minhashOracle,
 
@@ -3865,6 +3951,21 @@ object ExtQueries {
           fracs AS (
             SELECT source, LEAST(1.0, w * scale / n) AS frac
             FROM counts CROSS JOIN s)
+          SELECT doc_id, source, lang, n_chars
+          FROM documents JOIN fracs USING (source)
+          WHERE CAST($bucket AS DOUBLE) < frac * 1000000
+          ORDER BY doc_id"""
+    },
+
+    "x_temperature_mix" -> {
+      val bucket = Sampling.bucketSql("doc_id", 7)
+      s"""WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM documents GROUP BY source),
+          m AS (SELECT MIN(n) AS nmin FROM counts),
+          fracs AS (
+            SELECT source, sqrt(nmin / n) AS frac
+            FROM counts CROSS JOIN m)
           SELECT doc_id, source, lang, n_chars
           FROM documents JOIN fracs USING (source)
           WHERE CAST($bucket AS DOUBLE) < frac * 1000000

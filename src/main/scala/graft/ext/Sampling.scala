@@ -173,6 +173,44 @@ object Sampling {
       .drop("__frac")
   }
 
+  /** Temperature-flattened domain mixture — the multilingual-training
+    * reweighting (w_d ∝ n_d^α): α = 1 keeps the natural mixture, α = 0
+    * forces uniform, and the customary α ∈ [0.2, 0.7] lifts
+    * low-resource domains without the overfitting a full upsample of
+    * them causes. No-upsampling closed form: the most-constrained
+    * domain is the SMALLEST (its n_d/w_d ∝ n_d^(1−α) is minimal), so
+    * keep_d = (n_min/n_d)^(1−α) — the smallest domain survives whole
+    * and larger domains downsample toward it.
+    *
+    * Same scale shape as [[domainMix]]: a |domains|-row broadcast of
+    * fractions, row-local hash-bucket keep decisions, deterministic
+    * and partitioning-invariant. At α = 0.5 the fraction is
+    * `sqrt(n_min/n_d)` — two exactly-rounded IEEE ops, bit-portable to
+    * any engine (used by the oracle-checked query); other α go through
+    * `pow`, which is 1-ulp-correct only, so cross-engine bit parity at
+    * the keep boundary is not guaranteed (fine in production, where
+    * the boundary rows are arbitrary anyway).
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, domainCol: String,
+                     alpha: Double, seed: Int = 0): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1], got $alpha")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin") / col("__n")
+    val frac =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, lit(1.0 - alpha))
+    val fracs = counts.crossJoin(broadcast(nmin))
+      .select(col(domainCol), frac.as("__frac"))
+    df.join(broadcast(fracs), Seq(domainCol))
+      .filter(bucketOf(col(keyCol), seed).cast("double") <
+        col("__frac") * Buckets)
+      .drop("__frac")
+  }
+
   /** Deterministic negative sampling for contrastive training data:
     * `k` pseudo-random candidate ids per anchor, derived by hashing
     * (anchor, draw-index) into the dense id domain [0, max(id)] —

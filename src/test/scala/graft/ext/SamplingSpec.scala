@@ -98,6 +98,33 @@ class SamplingSpec extends SparkTestBase {
     assert(again == mixed.select("id").as[Long].collect().toSet)
   }
 
+  test("temperatureMix: alpha=1 keeps all, alpha=0 flattens to the " +
+      "smallest domain, alpha=0.5 lands between; partitioning-invariant") {
+    val rows = (0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "domain")
+    def kept(alpha: Double) =
+      Sampling.temperatureMix(df, "id", "domain", alpha, seed = 3)
+        .groupBy("domain").count().as[(String, Long)].collect().toMap
+    val k1 = kept(1.0)
+    assert(k1 == Map("big" -> 900L, "small" -> 100L), k1.toString)
+    // alpha=0: quota = n_min for every domain (uniform); hash sampling
+    // scatters around 100 for big, small keeps all
+    val k0 = kept(0.0)
+    assert(k0("small") == 100L, k0.toString)
+    assert(math.abs(k0("big") - 100L) <= 35, k0.toString)
+    // alpha=0.5: big quota = sqrt(100/900)*900 = 300
+    val kHalf = kept(0.5)
+    assert(kHalf("small") == 100L, kHalf.toString)
+    assert(math.abs(kHalf("big") - 300L) <= 55, kHalf.toString)
+    // deterministic under repartitioning
+    val a = Sampling.temperatureMix(df, "id", "domain", 0.5, seed = 3)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(df.repartition(7), "id", "domain",
+      0.5, seed = 3).select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("shardAssign: stable, in-range, partitioning-invariant, roughly balanced") {
     val ids = (0L until 1000L).toDF("id")
     val a = Sampling.shardAssign(ids, "id", nShards = 8, seed = 1)
