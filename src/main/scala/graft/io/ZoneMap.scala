@@ -77,6 +77,83 @@ object ZoneMap {
       .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
+  /** Per-file Bloom filters — the POINT-lookup complement to min/max
+    * zones: a range zone on a high-cardinality, layout-uncorrelated
+    * column (a uuid, a user id under hash layout) spans the whole
+    * domain in every file and prunes nothing, while a Bloom filter
+    * answers "could this file contain key k?" with `fpp` false
+    * positives and no false negatives (Delta's bloom index, Iceberg
+    * puffin files — same idea). One manifest row per file, the filter
+    * as a binary column; sized for the file's rows, not the table's.
+    */
+  def buildBloomManifest(spark: SparkSession, path: String,
+                         colName: String, expectedPerFile: Long = 100000L,
+                         bitsPerKey: Long = 10L): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        org.apache.spark.sql.graft.BloomFilterFns
+          .bloom_filter_agg(col(colName), expectedPerFile,
+            expectedPerFile * bitsPerKey)
+          .as(s"${colName}__bloom"))
+  }
+
+  /** Files whose Bloom filter admits `key` — the candidate set for an
+    * equality predicate. No false negatives: every file truly holding
+    * the key is returned; ~fpp of the others tag along and are
+    * discarded by the row-level re-filter in [[bloomSkipScan]].
+    * Driver-side probe over the collected manifest (same O(|files|)
+    * design point as [[prunedFiles]]); the serialized filters are the
+    * standard `spark.util.sketch.BloomFilter` stream format.
+    */
+  def bloomPrunedFiles(manifest: DataFrame, colName: String,
+                       key: Long): Seq[String] =
+    manifest.select(col("file"), col(s"${colName}__bloom"))
+      .collect().toSeq
+      .filter { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        bytes != null && org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(key)
+      }
+      .map(_.getString(0))
+
+  /** Equality scan through the Bloom manifest: read only admitted
+    * files, re-filter for exactness. */
+  def bloomSkipScan(spark: SparkSession, path: String, manifest: DataFrame,
+                    colName: String, key: Long): DataFrame = {
+    val files = bloomPrunedFiles(manifest, colName, key)
+    val full = spark.read.parquet(path)
+    if (files.isEmpty) full.limit(0)
+    else spark.read.schema(full.schema).parquet(files: _*)
+      .filter(col(colName) === lit(key))
+  }
+
+  /** Incremental manifest maintenance — the production append path: a
+    * new batch of files lands, only THEY are scanned, and their rows
+    * join the existing manifest (which is never rebuilt). Files
+    * already present in `existing` are skipped, so the call is
+    * idempotent under retries.
+    */
+  def updateManifest(spark: SparkSession, path: String,
+                     existing: DataFrame, cols: Seq[String]): DataFrame = {
+    val known = existing.select(col("file")).collect()
+      .map(_.getString(0)).toSet
+    val all = spark.read.parquet(path).inputFiles
+    val fresh = all.filterNot(known)
+    if (fresh.isEmpty) existing
+    else {
+      val df = spark.read.parquet(fresh: _*)
+      val aggs = cols.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
+      }
+      existing.unionByName(
+        df.groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("n_rows"), aggs: _*))
+    }
+  }
+
   /** Zone-overlap audit for a layout WITHOUT writing files: assign rows
     * to `nZones` contiguous zones of `orderCol`'s sort order (rank
     * ranges, made total by `tieCol`), then per zone report each audited

@@ -100,6 +100,57 @@ class ZoneMapSpec extends SparkTestBase {
     assert(ZoneMap.skipScan(spark, dir, m, "v", 0, 10).count() == 2)
   }
 
+  test("bloom manifest prunes equality lookups range zones cannot; " +
+      "no false negatives") {
+    val dir = java.nio.file.Files.createTempDirectory("zmb").toString
+    // payload hash-scattered across files: every file spans the whole
+    // payload range, so min/max zones prune NOTHING for payload
+    grid().repartition(8, col("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    val zones = ZoneMap.buildManifest(spark, dir, Seq("payload"))
+    assert(ZoneMap.prunedFiles(zones, "payload", 777L, 777L)
+      .size == nFiles, "hash layout should defeat range zones")
+
+    val blooms = ZoneMap.buildBloomManifest(spark, dir, "payload",
+      expectedPerFile = 1024L)
+    // each key lives in exactly one file; bloom must admit few files
+    for (key <- Seq(0L, 777L, 4095L)) {
+      val admitted = ZoneMap.bloomPrunedFiles(blooms, "payload", key)
+      assert(admitted.nonEmpty && admitted.size <= nFiles / 2,
+        s"key $key admitted ${admitted.size} of $nFiles files")
+      val hit = ZoneMap.bloomSkipScan(spark, dir, blooms, "payload", key)
+        .collect()
+      assert(hit.length == 1 && hit.head.getAs[Long]("payload") == key)
+    }
+    // absent key: no row survives the re-filter regardless of fpp
+    assert(ZoneMap.bloomSkipScan(spark, dir, blooms, "payload", 999999L)
+      .count() == 0)
+  }
+
+  test("updateManifest scans only new files and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("zmu").toString
+    grid().filter(col("x") < 32).repartitionByRange(4, col("x"))
+      .sortWithinPartitions("x").write.mode("overwrite").parquet(dir)
+    val m1 = ZoneMap.buildManifest(spark, dir, Seq("x")).cache()
+    val n1 = m1.count()
+    // append a second batch of files
+    grid().filter(col("x") >= 32).repartitionByRange(4, col("x"))
+      .sortWithinPartitions("x").write.mode("append").parquet(dir)
+    val m2 = ZoneMap.updateManifest(spark, dir, m1, Seq("x")).cache()
+    assert(m2.count() == spark.read.parquet(dir).inputFiles.length)
+    assert(m2.count() > n1)
+    // matches a from-scratch rebuild, and a second update is a no-op
+    val rebuilt = ZoneMap.buildManifest(spark, dir, Seq("x"))
+    assert(m2.sort("file").collect().toSeq ==
+      rebuilt.sort("file").collect().toSeq)
+    assert(ZoneMap.updateManifest(spark, dir, m2, Seq("x"))
+      .count() == m2.count())
+    // the updated manifest still prunes correctly across both batches
+    val pruned = ZoneMap.prunedFiles(m2, "x", 0, 7)
+    assert(pruned.nonEmpty && pruned.size < m2.count())
+  }
+
   test("zoneAudit: z-value zones are tight in both dimensions, " +
       "x-sorted zones span all of y") {
     val g = grid()
