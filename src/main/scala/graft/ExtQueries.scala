@@ -1046,9 +1046,13 @@ object ExtQueries {
     "x_sketch_rollup" -> ((s, dir) => {
       val o = T(s, dir, "orders")
         .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+      // referenced twice (result rows + the union-merge); without a
+      // barrier each reference re-scans orders — the multi-reference
+      // inlining lesson. The checkpoint is |years| rows of sketches.
       val perYear = o.groupBy(col("yr")).agg(
         hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
         count_distinct(col("o_custkey")).as("n_custs"))
+        .localCheckpoint(false)
       val merged = perYear.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
           .as("est_total"))

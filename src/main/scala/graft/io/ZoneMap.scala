@@ -102,21 +102,32 @@ object ZoneMap {
     * equality predicate. No false negatives: every file truly holding
     * the key is returned; ~fpp of the others tag along and are
     * discarded by the row-level re-filter in [[bloomSkipScan]].
-    * Driver-side probe over the collected manifest (same O(|files|)
-    * design point as [[prunedFiles]]); the serialized filters are the
-    * standard `spark.util.sketch.BloomFilter` stream format.
+    *
+    * Scale contract — unlike the min/max manifest (KBs per row), bloom
+    * rows carry the filter bytes (~125 KB at 100 k keys × 10 bits), so
+    * a 100 TB / 800 k-file bloom manifest is ~100 GB: NOT
+    * driver-collectable. The probe therefore runs as a DISTRIBUTED
+    * filter over the manifest and only the matching file PATHS come
+    * back (at 1 % fpp that is ~fpp·|files| paths plus true hits). The
+    * probe is a Scala UDF by necessity: the codegen'd
+    * `BloomFilterMightContain` requires a foldable (plan-constant)
+    * filter and here the filter is the per-row data — and the UDF runs
+    * |files| times per lookup, never per data row, so it is manifest-
+    * scale work, not corpus-scale. Serialized format is the standard
+    * `spark.util.sketch.BloomFilter` stream.
     */
   def bloomPrunedFiles(manifest: DataFrame, colName: String,
-                       key: Long): Seq[String] =
-    manifest.select(col("file"), col(s"${colName}__bloom"))
-      .collect().toSeq
-      .filter { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        bytes != null && org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-          .mightContainLong(key)
-      }
-      .map(_.getString(0))
+                       key: Long): Seq[String] = {
+    val probe = udf { bytes: Array[Byte] =>
+      bytes != null && org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(key)
+    }
+    manifest
+      .filter(probe(col(s"${colName}__bloom")))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+  }
 
   /** Equality scan through the Bloom manifest: read only admitted
     * files, re-filter for exactness. */
