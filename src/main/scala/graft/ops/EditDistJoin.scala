@@ -154,6 +154,53 @@ object EditDistJoin {
     verified(candidates.unionByName(shortPairs), maxDist, minDist)
   }
 
+  /** [[segmentJoin]] lifted to the DISTINCT value domain — the form
+    * that survives duplicated strings. The row-level join verifies the
+    * same (value_a, value_b) combination n_a·n_b times and enumerates
+    * C(n_v, 2) identical-string candidates per value only to discard
+    * them when `minDist ≥ 1`; with heavy duplication (a part-name
+    * domain of 64 values over 20 k rows, or any production catalog)
+    * that is almost all of the work. Here the segment machinery runs
+    * once per distinct VALUE (the string is its own id — `<` is
+    * lexicographic, which is all the pairing needs), the value-pair
+    * relation — bounded by |values|², usually broadcast-sized — maps
+    * back to row ids by two equi-joins, and identical-value row pairs
+    * are emitted directly from the duplicate groups when `minDist = 0`
+    * (they ARE the output there, never candidates to verify). Output
+    * contract identical to [[segmentJoin]]: (id_a < id_b, dist),
+    * each pair once.
+    */
+  def segmentJoinDistinct(df: DataFrame, idCol: String, strCol: String,
+                          maxDist: Int, minDist: Int = 0): DataFrame = {
+    val rows = df.select(col(idCol).as("__rid"), col(strCol).as("__rs"))
+    val vals = rows.select(col("__rs").as("v")).distinct()
+    val valPairs = segmentJoin(vals, "v", "v", maxDist, math.max(minDist, 1))
+      .select(col("id_a").as("__va"), col("id_b").as("__vb"), col("dist"))
+    val expanded = valPairs
+      .join(rows.select(col("__rid").as("__ida"), col("__rs").as("__va")),
+        Seq("__va"))
+      .join(rows.select(col("__rid").as("__idb"), col("__rs").as("__vb")),
+        Seq("__vb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("dist"))
+    if (minDist > 0) expanded
+    else {
+      // dist-0 pairs: all row pairs inside each duplicated value —
+      // grouped C(n,2) emission (the Basket pattern), never verified
+      val dups = rows
+        .groupBy(col("__rs"))
+        .agg(sort_array(collect_list(col("__rid"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(filter(
+          flatten(transform(col("ids"), a => transform(col("ids"), b =>
+            struct(a.as("id_a"), b.as("id_b"))))),
+          p => p.getField("id_a") < p.getField("id_b"))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          lit(0).as("dist"))
+      expanded.unionByName(dups)
+    }
+  }
+
   private def verified(pairs: DataFrame, maxDist: Int,
                        minDist: Int): DataFrame =
     pairs

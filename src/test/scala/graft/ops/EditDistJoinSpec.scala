@@ -129,6 +129,33 @@ class EditDistJoinSpec extends SparkTestBase {
     }
   }
 
+  test("segmentJoinDistinct == segmentJoin under heavy duplication, " +
+      "minDist 0 and 1") {
+    // 6 distinct strings, each in 5-25 copies — the duplicated-domain
+    // shape the distinct form exists for
+    val vals = Seq("abcab", "abcaa", "bbcab", "cab", "cabb", "aaaaa")
+    val r = new scala.util.Random(42)
+    val rows = vals.flatMap(v =>
+      (0 until 5 + r.nextInt(21)).map(_ => v))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = rows.toDF("id", "s").repartition(5)
+    for (minD <- Seq(0, 1); d <- Seq(1, 2)) {
+      val byValue = EditDistJoin.segmentJoinDistinct(df, "id", "s",
+          maxDist = d, minDist = minD)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+        .toSet
+      val byRow = EditDistJoin.segmentJoin(df, "id", "s",
+          maxDist = d, minDist = minD)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+        .toSet
+      assert(byValue == byRow,
+        s"minD=$minD d=$d missing=${byRow -- byValue} " +
+          s"extra=${byValue -- byRow}")
+      assert(byValue.size == byValue.map(t => (t._1, t._2)).size,
+        "each pair must appear once")
+    }
+  }
+
   test("segmentJoin plans equi-joins only (no BNLJ/cartesian)") {
     val plan = EditDistJoin.segmentJoin(words, "id", "s", maxDist = 2)
       .queryExecution.executedPlan.toString
