@@ -28,4 +28,32 @@ class EntrySpec extends SparkTestBase {
     }.keys
     assert(empty.isEmpty, s"empty results: $empty")
   }
+
+  test("plan audit: file-scan count stays bounded per query " +
+      "(multi-reference inlining guard)") {
+    // Catalyst inlines a subtree once per reference and runtime
+    // exchange reuse does not always collapse the copies — the
+    // triangle-count regression put 88 copies of the source scan in
+    // one plan before its localCheckpoint barriers. This pins every
+    // registered query below a generous scan budget so that class of
+    // blowup can never land silently again.
+    val budget = 12
+    // statically-high plans whose copies are PROVEN to collapse at
+    // runtime: x_pagerank's iteration references share the edge
+    // derivation via ReusedExchange (measured round 4 — a persist was
+    // SLOWER than the reuse; 2 shuffles/iteration at runtime)
+    val allowed = Map("x_pagerank" -> 24)
+    val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (n, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        n -> "Scan parquet".r.findAllIn(plan).size
+    }
+    info("top scan counts: " + counts.sortBy(-_._2).take(8)
+      .map { case (n, c) => s"$n=$c" }.mkString(", "))
+    val over = counts.filter { case (n, c) =>
+      c > allowed.getOrElse(n, budget)
+    }
+    assert(over.isEmpty,
+      s"scan blowup (> budget copies): ${over.mkString(", ")}")
+  }
 }
