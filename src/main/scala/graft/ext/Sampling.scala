@@ -158,10 +158,13 @@ object Sampling {
     val wCol = targets.foldLeft(lit(null).cast("double")) {
       case (acc, (d, w)) => when(col(domainCol) === d, lit(w)).otherwise(acc)
     }
+    // referenced twice (the scale bound and the fractions); the barrier
+    // keeps the corpus group-by to ONE pass — |domains| rows
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).cast("double").as("__n"))
       .withColumn("__w", wCol)
       .filter(col("__w").isNotNull)
+      .localCheckpoint(false)
     val scale = counts.agg(min(col("__n") / col("__w")).as("__scale"))
     val fracs = counts.crossJoin(broadcast(scale))
       .select(col(domainCol),
@@ -195,8 +198,11 @@ object Sampling {
                      alpha: Double, seed: Int = 0): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0,
       s"alpha must be in [0, 1], got $alpha")
+    // referenced twice (the min and the fractions); the barrier keeps
+    // the corpus group-by to ONE pass — the checkpoint is |domains| rows
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint(false)
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val ratio = col("__nmin") / col("__n")
     val frac =

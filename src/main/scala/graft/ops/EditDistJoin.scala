@@ -173,7 +173,11 @@ object EditDistJoin {
   def segmentJoinDistinct(df: DataFrame, idCol: String, strCol: String,
                           maxDist: Int, minDist: Int = 0): DataFrame = {
     val rows = df.select(col(idCol).as("__rid"), col(strCol).as("__rs"))
+    // segmentJoin references its input 4× (segments, probe, two
+    // short-string legs); without a barrier each reference re-runs the
+    // DISTINCT shuffle. The checkpoint is |values| rows.
     val vals = rows.select(col("__rs").as("v")).distinct()
+      .localCheckpoint(false)
     val valPairs = segmentJoin(vals, "v", "v", maxDist, math.max(minDist, 1))
       .select(col("id_a").as("__va"), col("id_b").as("__vb"), col("dist"))
     val expanded = valPairs
