@@ -165,6 +165,42 @@ object ZoneMap {
     }
   }
 
+  /** Streaming ingestion with a live zone map — the production append
+    * path end to end: each micro-batch's rows land as new parquet
+    * files under `dataDir`, then [[updateManifest]] scans ONLY those
+    * new files and the refreshed manifest replaces `manifestPath`
+    * (materialized before the overwrite — never write a lazy plan over
+    * its own input). Readers [[skipScan]] against the manifest at any
+    * time; a file that landed between manifest refreshes is at worst
+    * absent from it, and the refresh is idempotent (file names key the
+    * delta), so a retried batch cannot double-count. Exactly-once for
+    * the data files comes from the stream's own checkpoint.
+    */
+  def manifestSink(stream: DataFrame, dataDir: String,
+                   manifestPath: String, cols: Seq[String],
+                   checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        manifestBatch(batch, dataDir, manifestPath, cols)
+      }
+      .start()
+
+  /** One append + manifest refresh (the foreachBatch body, callable
+    * directly for batch backfills). */
+  def manifestBatch(batch: DataFrame, dataDir: String,
+                    manifestPath: String, cols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    batch.write.mode("append").parquet(dataDir)
+    val existing =
+      try spark.read.parquet(manifestPath)
+      catch { case _: Exception => buildManifest(spark, dataDir, cols).limit(0) }
+    val updated = updateManifest(spark, dataDir, existing, cols)
+      .localCheckpoint(true) // materialize BEFORE overwriting the input
+    updated.write.mode("overwrite").parquet(manifestPath)
+  }
+
   /** Zone-overlap audit for a layout WITHOUT writing files: assign rows
     * to `nZones` contiguous zones of `orderCol`'s sort order (rank
     * ranges, made total by `tieCol`), then per zone report each audited

@@ -151,6 +151,38 @@ class ZoneMapSpec extends SparkTestBase {
     assert(pruned.nonEmpty && pruned.size < m2.count())
   }
 
+  test("manifestSink: streaming appends keep the manifest current " +
+      "and pruning-correct across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dataDir = java.nio.file.Files.createTempDirectory("zms-d").toString
+    val mPath = java.nio.file.Files.createTempDirectory("zms-m").toString + "/manifest"
+    val ckpt = java.nio.file.Files.createTempDirectory("zms-c").toString
+    val mem = MemoryStream[(Int, Long)]
+    val q = ZoneMap.manifestSink(
+      mem.toDF().toDF("x", "payload"), dataDir, mPath, Seq("x"), ckpt)
+    try {
+      mem.addData((1, 10L), (2, 20L), (3, 30L))
+      q.processAllAvailable()
+      mem.addData((100, 40L), (101, 50L))
+      q.processAllAvailable()
+      val manifest = spark.read.parquet(mPath)
+      // manifest covers every landed file, equals a from-scratch build
+      assert(manifest.count() ==
+        spark.read.parquet(dataDir).inputFiles.length)
+      val rebuilt = ZoneMap.buildManifest(spark, dataDir, Seq("x"))
+      assert(manifest.sort("file").collect().toSeq ==
+        rebuilt.sort("file").collect().toSeq)
+      // pruned read: x in [100, 200] must skip batch-1 files yet see
+      // every batch-2 row
+      val hit = ZoneMap.skipScan(spark, dataDir, manifest, "x", 100, 200)
+      assert(hit.count() == 2)
+      assert(hit.inputFiles.length <
+        spark.read.parquet(dataDir).inputFiles.length)
+    } finally q.stop()
+  }
+
   test("zoneAudit: z-value zones are tight in both dimensions, " +
       "x-sorted zones span all of y") {
     val g = grid()
