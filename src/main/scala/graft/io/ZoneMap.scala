@@ -170,11 +170,18 @@ object ZoneMap {
     * files under `dataDir`, then [[updateManifest]] scans ONLY those
     * new files and the refreshed manifest replaces `manifestPath`
     * (materialized before the overwrite — never write a lazy plan over
-    * its own input). Readers [[skipScan]] against the manifest at any
-    * time; a file that landed between manifest refreshes is at worst
-    * absent from it, and the refresh is idempotent (file names key the
-    * delta), so a retried batch cannot double-count. Exactly-once for
+    * its own input). The refresh is idempotent (file names key the
+    * delta), so a retried batch cannot double-count; exactly-once for
     * the data files comes from the stream's own checkpoint.
+    *
+    * Reader contract: a parquet overwrite is NOT reader-atomic — a
+    * reader racing the replace can observe a partial manifest, and a
+    * manifest missing files makes [[skipScan]] silently drop their
+    * rows (zones prove absence only when the file is listed). Readers
+    * must snapshot the manifest between refreshes (read it once, reuse
+    * the frame), or the manifest belongs in a transactional table
+    * format that supplies the atomic swap — the single-writer,
+    * snapshot-reader contract of every log-structured metadata store.
     */
   def manifestSink(stream: DataFrame, dataDir: String,
                    manifestPath: String, cols: Seq[String],
