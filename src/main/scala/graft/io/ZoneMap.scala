@@ -144,22 +144,34 @@ object ZoneMap {
     * new batch of files lands, only THEY are scanned, and their rows
     * join the existing manifest (which is never rebuilt). Files
     * already present in `existing` are skipped, so the call is
-    * idempotent under retries.
+    * idempotent under retries; files the table no longer contains
+    * (compaction, vacuum) are DROPPED from the manifest — a stale
+    * entry is not merely wasted, [[skipScan]] would hand the deleted
+    * path to the reader and fail the scan.
     */
   def updateManifest(spark: SparkSession, path: String,
                      existing: DataFrame, cols: Seq[String]): DataFrame = {
     val known = existing.select(col("file")).collect()
       .map(_.getString(0)).toSet
     val all = spark.read.parquet(path).inputFiles
+    val live = all.toSet
+    val kept =
+      if (known.subsetOf(live)) existing
+      else {
+        // semi-join, not a giant IN-list: |files| can be 10^5-10^6
+        import spark.implicits._
+        existing.join(broadcast(all.toSeq.toDF("file")), Seq("file"),
+          "left_semi")
+      }
     val fresh = all.filterNot(known)
-    if (fresh.isEmpty) existing
+    if (fresh.isEmpty) kept
     else {
       val df = spark.read.parquet(fresh: _*)
       val aggs = cols.flatMap { c =>
         Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
       }
-      existing.unionByName(
+      kept.unionByName(
         df.groupBy(input_file_name().as("file"))
           .agg(count(lit(1)).as("n_rows"), aggs: _*))
     }

@@ -151,6 +151,30 @@ class ZoneMapSpec extends SparkTestBase {
     assert(pruned.nonEmpty && pruned.size < m2.count())
   }
 
+  test("updateManifest drops entries for files compaction deleted; " +
+      "skipScan stays readable through the full lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("zmc").toString
+    grid().repartitionByRange(6, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(dir)
+    val m1 = ZoneMap.buildManifest(spark, dir, Seq("x"))
+      .localCheckpoint(true)
+    // compact rewrites the table into fewer files: every m1 entry is
+    // now a deleted path
+    Tables.compact(spark, dir, numFiles = 2)
+    val m2 = ZoneMap.updateManifest(spark, dir, m1, Seq("x"))
+      .localCheckpoint(true)
+    val liveFiles = spark.read.parquet(dir).inputFiles.toSet
+    assert(m2.select("file").collect().map(_.getString(0)).toSet ==
+      liveFiles, "manifest must track exactly the live files")
+    val rebuilt = ZoneMap.buildManifest(spark, dir, Seq("x"))
+    assert(m2.sort("file").collect().toSeq ==
+      rebuilt.sort("file").collect().toSeq)
+    // a pruned read through the refreshed manifest still returns the
+    // right rows (and does not touch deleted paths)
+    assert(ZoneMap.skipScan(spark, dir, m2, "x", 0, 7).count() ==
+      grid().filter(col("x") <= 7).count())
+  }
+
   test("manifestSink: streaming appends keep the manifest current " +
       "and pruning-correct across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
