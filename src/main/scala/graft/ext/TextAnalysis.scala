@@ -173,11 +173,13 @@ object TextAnalysis {
     *
     * Returns (id_a, id_b, cosine) for pairs with cosine >= minCosine.
     *
-    * The postings self-join plans the weight subtree twice (Spark
-    * self-joins re-execute shared subtrees); a production pipeline
-    * materializes the tf-idf table once (checkpoint/table) and joins
-    * that — the operator takes the recompute here to stay a pure lazy
-    * plan for the oracle. Measured 0.9 s at sf0.1.
+    * The quantized-weight table is referenced three times (norms and
+    * both postings sides) and its token-frequency parent twice; a lazy
+    * `localCheckpoint` on each materializes the weight derivation ONCE
+    * (the multi-reference-subtree convention — lazy checkpoints keep
+    * the plan action-free and oracle-deterministic). Measured 1.0 s →
+    * 0.41 s at sf0.1; at corpus scale the checkpoint doubles as the
+    * materialized tf-idf table a production pipeline would persist.
     */
   def tfidfSimilarPairs(df: DataFrame, idCol: String, textCol: String,
                         minCosine: Double,
@@ -187,6 +189,7 @@ object TextAnalysis {
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val wq = tf.join(dfreq, Seq("token"))
       .filter(if (maxDf > 0) col("df") <= maxDf else lit(true))
@@ -194,6 +197,7 @@ object TextAnalysis {
       .select(col(idCol), col("token"),
         round(col("tf") * round(log(col("nd") / col("df")), 9) * 1e6)
           .cast("long").as("wq"))
+      .localCheckpoint(false)
     val norms = wq.groupBy(col(idCol))
       .agg(sum(col("wq").cast(DecimalType(38, 0)) * col("wq"))
         .cast("double").as("norm2"))
