@@ -299,8 +299,12 @@ object Dedup {
       .select(col("index_id"), col("band"), col("band_hash"))
     val bb = minhashBands(batch, idCol, textCol, bands, rowsPerBand)
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
+    // referenced three times (both semi-join prunes + the verify join);
+    // without a barrier each reference re-derives BOTH band tables —
+    // the checkpoint is the collided-pair list, ∝ collisions
     val cand = bb.join(ib, Seq("band", "band_hash"))
       .select(col("batch_id"), col("index_id")).distinct()
+      .localCheckpoint(false)
     def gramSets(df: DataFrame, ids: DataFrame, as: String) = df
       .join(ids, Seq(idCol), "left_semi")
       .select(col(idCol).as(as),
