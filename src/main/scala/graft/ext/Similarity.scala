@@ -369,6 +369,10 @@ object Similarity {
         lit(0L), (acc, d) => acc + d)
       struct(dist.as("dist"), lit(cell).as("cell"))
     }
+    // referenced three times (both pair sides + the survivor anti-join);
+    // the |codebook| distance evaluations per row are the dominant
+    // compute, so materialize the assignment ONCE (lazy checkpoint)
+    // rather than re-running it per reference
     val assigned = emb
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("v"))
       .select(col("__id"), col("v"),
@@ -376,6 +380,7 @@ object Similarity {
         // norm once per VECTOR, not per pair — cuts the pair-stage
         // dot products 3x; sqrt here equals sqrt-at-pair-time exactly
         sqrt(dotQ(col("v"), col("v"))).as("nrm"))
+      .localCheckpoint(false)
     val a = assigned.select(col("cell"), col("__id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col("__id").as("id_b"),
