@@ -471,7 +471,10 @@ object Dedup {
       s"recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
     val width = SimhashBits / bands
     val mask = (1L << width) - 1
-    val sigs = simhashTable(df, idCol, textCol)
+    // both pair sides descend from the signature table; the 60-wide
+    // HOF signature computation is the dominant compute and the
+    // checkpoint is (id, long) — materialize once, not per side
+    val sigs = simhashTable(df, idCol, textCol).localCheckpoint(false)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width).bitwiseAND(mask).as("band_val"))
