@@ -239,10 +239,14 @@ object Dedup {
     // scales with |candidates|, not |docs|
     val candDocs = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
+    // both verification sides read the gram sets; the barrier keeps the
+    // (interpreted-HOF) shingle computation to one pass over the
+    // candidate docs instead of one per side
     val gramSets = df
       .join(candDocs, Seq(idCol), "left_semi")
       .select(col(idCol).as("gid"), split(lower(col(textCol)), " ").as("toks"))
       .select(col("gid"), array_distinct(shinglesOf(col("toks"))).as("g"))
+      .localCheckpoint(false)
     val verified = cand
       .join(gramSets.select(col("gid").as("id_a"), col("g").as("ga")), Seq("id_a"))
       .join(gramSets.select(col("gid").as("id_b"), col("g").as("gb")), Seq("id_b"))
