@@ -189,18 +189,16 @@ object EditDistJoin {
         greatest(col("__ida"), col("__idb")).as("id_b"), col("dist"))
     if (minDist > 0) expanded
     else {
-      // dist-0 pairs: all row pairs inside each duplicated value —
-      // grouped C(n,2) emission (the Basket pattern), never verified
-      val dups = rows
-        .groupBy(col("__rs"))
-        .agg(sort_array(collect_list(col("__rid"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(filter(
-          flatten(transform(col("ids"), a => transform(col("ids"), b =>
-            struct(a.as("id_a"), b.as("id_b"))))),
-          p => p.getField("id_a") < p.getField("id_b"))).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-          lit(0).as("dist"))
+      // dist-0 pairs: all row pairs inside each duplicated value, via a
+      // value-keyed self-equi-join — C(n,2) output is inherent (these
+      // ARE the result rows), but the join spreads a hot value's pairs
+      // across tasks (AQE skew-split), where a grouped array emission
+      // would build all of them inside ONE row
+      val dups = rows.select(col("__rs"), col("__rid").as("id_a"))
+        .join(rows.select(col("__rs"), col("__rid").as("id_b")),
+          Seq("__rs"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).as("dist"))
       expanded.unionByName(dups)
     }
   }
