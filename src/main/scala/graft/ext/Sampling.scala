@@ -199,8 +199,12 @@ object Sampling {
     require(alpha >= 0.0 && alpha <= 1.0,
       s"alpha must be in [0, 1], got $alpha")
     // referenced twice (the min and the fractions); the barrier keeps
-    // the corpus group-by to ONE pass — the checkpoint is |domains| rows
-    val counts = df.groupBy(col(domainCol))
+    // the corpus group-by to ONE pass — the checkpoint is |domains| rows.
+    // Null domains are dropped (the fraction equi-join cannot match
+    // them anyway) and excluded from n_min, so an unlabeled slice can
+    // never become the bottleneck every labeled domain shrinks toward
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
       .agg(count(lit(1)).cast("double").as("__n"))
       .localCheckpoint(false)
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
