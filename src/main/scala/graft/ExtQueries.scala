@@ -1306,6 +1306,15 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Poisson bootstrap: 16 deterministic replicate means of the order
+    // totalprice in one pass — the distributed CI recipe (per-row
+    // Poisson(1) weights from integer-threshold inverse-CDF draws, no
+    // float at any decision boundary, DECIMAL-exact weighted sums).
+    "x_bootstrap" -> ((s, dir) =>
+      Sampling.poissonBootstrap(T(s, dir, "orders"), "o_orderkey",
+          "o_totalprice", replicates = 16, seed = 13)
+        .orderBy(col("replicate"))),
+
     // Temperature mixture at α = 0.5: every domain downsampled toward
     // the smallest by sqrt(n_min/n_d) — exactly-rounded IEEE ops only,
     // so the keep set is bit-portable and row-exact against the oracle.
@@ -3965,6 +3974,31 @@ object ExtQueries {
           FROM documents JOIN fracs USING (source)
           WHERE CAST($bucket AS DOUBLE) < frac * 1000000
           ORDER BY doc_id"""
+    },
+
+    "x_bootstrap" -> {
+      val h = Hashing.hash64Sql(
+        "CAST(o_orderkey AS VARCHAR) || '#' || CAST(j AS VARCHAR)", 13)
+      s"""WITH r AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(unnest(range(16)) AS INTEGER) AS j
+            FROM orders),
+          w AS (
+            SELECT j AS replicate, o_totalprice,
+              CASE WHEN ($h) % 1000000 < 367879 THEN 0
+                   WHEN ($h) % 1000000 < 735758 THEN 1
+                   WHEN ($h) % 1000000 < 919698 THEN 2
+                   WHEN ($h) % 1000000 < 981011 THEN 3
+                   WHEN ($h) % 1000000 < 996340 THEN 4
+                   WHEN ($h) % 1000000 < 999405 THEN 5
+                   WHEN ($h) % 1000000 < 999850 THEN 6
+                   WHEN ($h) % 1000000 < 999956 THEN 7
+                   ELSE 8 END AS w
+            FROM r)
+          SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+                 CAST(SUM(CAST(w * o_totalprice AS DECIMAL(28,6)))
+                   AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS boot_mean
+          FROM w GROUP BY 1 ORDER BY 1"""
     },
 
     "x_temperature_mix" -> {

@@ -307,4 +307,59 @@ object Sampling {
   /** SQL fragment computing the same bucket in DuckDB. */
   def bucketSql(expr: String, seed: Int): String =
     s"${Hashing.hash64Sql(s"CAST($expr AS VARCHAR)", seed)} % $Buckets"
+
+  /** Poisson(1) CDF thresholds scaled to the [0, 1e6) bucket grid —
+    * PLAN-TIME integer literals, so the inverse-CDF draw below is pure
+    * integer comparison: identical in any engine, no floating point at
+    * the decision boundary. floor(1e6 · P(X ≤ k)) for k = 0..7; draws
+    * cap at 8 (P(X > 8) ≈ 1e-6, one bucket value).
+    */
+  private[ext] val PoissonCdfBuckets: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L,
+      996340L, 999405L, 999850L, 999956L)
+
+  /** Poisson bootstrap — confidence intervals at corpus scale in ONE
+    * pass (Chamandy et al., "Estimating uncertainty for massive data
+    * streams", Google 2012; the standard trick behind distributed
+    * bootstrap): instead of drawing n rows with replacement per
+    * replicate (impossible distributed — it needs global coordination),
+    * each row enters replicate j with an independent Poisson(1) weight,
+    * which converges to the multinomial bootstrap for large n. Weights
+    * are DETERMINISTIC: the inverse CDF applied to the row's hash
+    * bucket for (key, replicate) — reproducible across engines,
+    * partitionings, and reruns like every sampler here, and the
+    * integer-threshold comparison has no float boundary.
+    *
+    * Output: one row per replicate with the effective sample size and
+    * the weighted mean (DECIMAL-exact sums, one IEEE division). Plan:
+    * explode over `replicates` ints → weight projection → partial-
+    * aggregated group-by — the shuffle carries `replicates` × partials,
+    * never data; CPU cost is `replicates` integer comparisons per row.
+    * Replicate-mean quantiles give the CI; the caller computes them
+    * over the tiny output table.
+    */
+  def poissonBootstrap(df: DataFrame, keyCol: String, valCol: String,
+                       replicates: Int, seed: Int = 0): DataFrame = {
+    require(replicates >= 1, s"replicates must be >= 1, got $replicates")
+    import org.apache.spark.sql.types.DecimalType
+    val u = pmod(Hashing.hash64(
+      concat(col(keyCol).cast("string"), lit("#"),
+        col("replicate").cast("string")), seed), lit(Buckets))
+    // descending fold so the outermost branch tests the SMALLEST
+    // threshold: w = min k with u < P(X <= k), capped at 8
+    val w = PoissonCdfBuckets.zipWithIndex.reverse
+      .foldLeft(lit(PoissonCdfBuckets.size): Column) {
+        case (acc, (thr, k)) => when(u < thr, k).otherwise(acc)
+      }
+    df.select(col(keyCol), col(valCol))
+      .withColumn("replicate",
+        explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__w", w)
+      .groupBy(col("replicate"))
+      .agg(sum(col("__w").cast("long")).as("n_eff"),
+        sum((col("__w") * col(valCol)).cast(DecimalType(28, 6)))
+          .cast("double").as("__ws"))
+      .select(col("replicate"), col("n_eff"),
+        (col("__ws") / col("n_eff").cast("double")).as("boot_mean"))
+  }
 }

@@ -125,6 +125,33 @@ class SamplingSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("poissonBootstrap: replicate means bracket the true mean, " +
+      "n_eff ~ n, deterministic under repartitioning") {
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "v")
+    val trueMean = (0 until n).map(_ % 100).sum.toDouble / n
+    val boot = Sampling.poissonBootstrap(df, "id", "v",
+      replicates = 32, seed = 5).collect()
+    assert(boot.length == 32)
+    val means = boot.map(_.getAs[Double]("boot_mean"))
+    // each replicate's mean is a bootstrap draw: all within a few
+    // standard errors (sd(v)/sqrt(n) ~ 0.65), and they straddle truth
+    assert(means.forall(m => math.abs(m - trueMean) < 4.0),
+      s"wild replicate mean: ${means.mkString(",")} vs $trueMean")
+    assert(means.exists(_ < trueMean) && means.exists(_ > trueMean),
+      "replicates should straddle the true mean")
+    // Poisson(1) weights: E[n_eff] = n, sd ~ sqrt(n) ~ 45
+    val neffs = boot.map(_.getAs[Long]("n_eff"))
+    assert(neffs.forall(e => math.abs(e - n) < 200), neffs.mkString(","))
+    // partitioning-invariant and rerun-stable
+    val again = Sampling.poissonBootstrap(df.repartition(7), "id", "v",
+      replicates = 32, seed = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == boot.map(r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("shardAssign: stable, in-range, partitioning-invariant, roughly balanced") {
     val ids = (0L until 1000L).toDF("id")
     val a = Sampling.shardAssign(ids, "id", nShards = 8, seed = 1)
