@@ -405,6 +405,32 @@ object ExtQueries {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
         .orderBy(col("query_id"), col("rank"))),
 
+    // Retrieval eval: per-query reciprocal rank of the first RELEVANT
+    // hit in the BM25 top-10 (relevance = same source label as the
+    // query doc — the standard weak-label eval when no judgments
+    // exist). rr = 1/rank is one exact IEEE division; queries with no
+    // relevant hit in the cutoff score 0. The mean of this column is
+    // MRR@10; emitting per-query rows keeps the oracle row-exact and
+    // the diagnosis per-query.
+    "x_retrieval_mrr" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val results = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+      val lbl = docs.select(col("doc_id"), col("source"))
+      val firstRel = results
+        .join(lbl.select(col("doc_id").as("query_id"),
+          col("source").as("qsrc")), Seq("query_id"))
+        .join(lbl.select(col("doc_id").as("cand_id"),
+          col("source").as("csrc")), Seq("cand_id"))
+        .filter(col("qsrc") === col("csrc"))
+        .groupBy(col("query_id")).agg(min(col("rank")).as("first_rel"))
+      results.select(col("query_id")).distinct()
+        .join(firstRel, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("rr"))
+        .orderBy(col("query_id"))
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     // top-20 and the exact-cosine vector top-20 (embeddings keyed by the
     // same ids). The fusion is one full-outer join over two |q|·k rank
@@ -2408,6 +2434,23 @@ object ExtQueries {
       s"""WITH $bm25Ctes
           SELECT query_id, cand_id, bm25, rank FROM bmranked
           WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "x_retrieval_mrr" ->
+      s"""WITH $bm25Ctes,
+          res AS (
+            SELECT query_id, cand_id, rank FROM bmranked
+            WHERE rank <= 10),
+          lbl AS (SELECT doc_id, source FROM documents),
+          fr AS (
+            SELECT r.query_id, MIN(r.rank) AS first_rel
+            FROM res r
+            JOIN lbl q ON q.doc_id = r.query_id
+            JOIN lbl c ON c.doc_id = r.cand_id
+            WHERE q.source = c.source
+            GROUP BY 1),
+          qs AS (SELECT DISTINCT query_id FROM res)
+          SELECT query_id, COALESCE(1.0 / first_rel, 0.0) AS rr
+          FROM qs LEFT JOIN fr USING (query_id) ORDER BY query_id""",
 
     "x_logreg_step" ->
       """WITH f AS (
