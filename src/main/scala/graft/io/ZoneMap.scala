@@ -46,8 +46,9 @@ object ZoneMap {
   /** Files whose [min, max] zone for `colName` intersects [lo, hi] —
     * the candidate set a range predicate must read. A file is skipped
     * only when its zone PROVES no row matches (max < lo or min > hi);
-    * all-null zones (min/max null) are kept conservatively unless the
-    * file holds no non-null values and the predicate needs one.
+    * all-null zones (min/max null) are always kept — the row-level
+    * re-filter in [[skipScan]] discards their rows, so conservatism
+    * costs IO, never correctness.
     * Driver-side O(|files|), the manifest's design point.
     */
   def prunedFiles(manifest: DataFrame, colName: String,
