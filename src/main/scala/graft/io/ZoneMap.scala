@@ -26,21 +26,73 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMap {
 
+  /** Canonical form for file paths so manifest keys compare equal
+    * across the two ways Spark spells them: `input_file_name()` emits
+    * the percent-ENCODED URI (`.../dir%20x/part-...`) while
+    * `DataFrame.inputFiles` emits the decoded `Path.toString` form
+    * (`.../dir x/part-...`). Without one canonical form, a table path
+    * containing a space (or any URI-special character) makes every
+    * manifest entry look stale in [[updateManifest]] — forcing a full
+    * rescan per refresh — and [[skipScan]] would hand percent-encoded
+    * paths to a reader that treats `%20` as literal characters.
+    * Round-tripping through `java.net.URI` → `hadoop.fs.Path` decodes
+    * the escaping; both spellings converge on the decoded form.
+    */
+  private[io] def normPath(s: String): String = {
+    val p =
+      try {
+        val u = new java.net.URI(s)
+        if (u.getScheme != null) new org.apache.hadoop.fs.Path(u)
+        else new org.apache.hadoop.fs.Path(s)
+      } catch {
+        case _: Exception => new org.apache.hadoop.fs.Path(s)
+      }
+    p.toString
+  }
+
+  /** [[normPath]] as a column op — applied AFTER the per-file groupBy,
+    * so it runs once per manifest row (|files| times), never per data
+    * row. A UDF is fine at manifest scale. */
+  private def normFileCol(df: DataFrame): DataFrame = {
+    val norm = udf(normPath _)
+    df.withColumn("file", norm(col("file")))
+  }
+
   /** Per-file zone statistics for `cols` over the parquet table at
     * `path`: one manifest row per physical file with row count and each
     * column's min / max / null count. One full scan, partial-aggregated
     * by `input_file_name` — no shuffle wider than |files| rows.
+    *
+    * ZERO-ROW files (a filter that drained a partition still writes a
+    * file) produce no aggregate row, so the stats are left-joined onto
+    * the file LISTING: empty files land with `n_rows = 0` and null
+    * zones. Without this they would be invisible to the manifest and
+    * [[updateManifest]] would re-detect them as "fresh" on every
+    * refresh forever; with it, [[prunedFiles]] skips them outright —
+    * zero rows is the one zone that proves absence for EVERY predicate.
     */
   def buildManifest(spark: SparkSession, path: String,
                     cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to map")
     val df = spark.read.parquet(path)
+    statsOverListing(df, cols)
+  }
+
+  /** Stats agg ⟕ file listing (both |files|-scale). See [[buildManifest]]
+    * on why the listing, not the agg, defines the row set. */
+  private def statsOverListing(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
     }
-    df.groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val agg = normFileCol(
+      df.groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"), aggs: _*))
+    val listing = df.inputFiles.map(normPath).toSeq.toDF("file")
+    listing.join(broadcast(agg), Seq("file"), "left")
+      .na.fill(0L, "n_rows" +: cols.map(c => s"${c}__nulls"))
   }
 
   /** Files whose [min, max] zone for `colName` intersects [lo, hi] —
@@ -56,8 +108,8 @@ object ZoneMap {
     val mn = col(s"${colName}__min")
     val mx = col(s"${colName}__max")
     manifest
-      .filter(mn.isNull || mx.isNull ||
-        !(mx < lit(lo) || mn > lit(hi)))
+      .filter(col("n_rows") > 0 &&
+        (mn.isNull || mx.isNull || !(mx < lit(lo) || mn > lit(hi))))
       .select(col("file"))
       .collect().map(_.getString(0)).toSeq
   }
@@ -91,12 +143,20 @@ object ZoneMap {
                          colName: String, expectedPerFile: Long = 100000L,
                          bitsPerKey: Long = 10L): DataFrame = {
     val df = spark.read.parquet(path)
-    df.groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"),
-        org.apache.spark.sql.graft.BloomFilterFns
-          .bloom_filter_agg(col(colName), expectedPerFile,
-            expectedPerFile * bitsPerKey)
-          .as(s"${colName}__bloom"))
+    val spark2 = df.sparkSession
+    import spark2.implicits._
+    val agg = normFileCol(
+      df.groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          org.apache.spark.sql.graft.BloomFilterFns
+            .bloom_filter_agg(col(colName), expectedPerFile,
+              expectedPerFile * bitsPerKey)
+            .as(s"${colName}__bloom")))
+    // empty files land with a null bloom (the probe rejects null) —
+    // same listing-defines-the-rows contract as buildManifest
+    df.inputFiles.map(normPath).toSeq.toDF("file")
+      .join(broadcast(agg), Seq("file"), "left")
+      .na.fill(0L, Seq("n_rows"))
   }
 
   /** Files whose Bloom filter admits `key` — the candidate set for an
@@ -154,7 +214,11 @@ object ZoneMap {
                      existing: DataFrame, cols: Seq[String]): DataFrame = {
     val known = existing.select(col("file")).collect()
       .map(_.getString(0)).toSet
-    val all = spark.read.parquet(path).inputFiles
+    // both sides through normPath: manifest keys come from
+    // input_file_name() (URI-encoded), inputFiles from Path.toString
+    // (decoded) — see normPath for why comparing them raw forces a
+    // full rescan on any path with a URI-special character
+    val all = spark.read.parquet(path).inputFiles.map(normPath)
     val live = all.toSet
     val kept =
       if (known.subsetOf(live)) existing
@@ -166,16 +230,8 @@ object ZoneMap {
       }
     val fresh = all.filterNot(known)
     if (fresh.isEmpty) kept
-    else {
-      val df = spark.read.parquet(fresh: _*)
-      val aggs = cols.flatMap { c =>
-        Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
-      }
-      kept.unionByName(
-        df.groupBy(input_file_name().as("file"))
-          .agg(count(lit(1)).as("n_rows"), aggs: _*))
-    }
+    else kept.unionByName(
+      statsOverListing(spark.read.parquet(fresh: _*), cols))
   }
 
   /** Streaming ingestion with a live zone map — the production append
@@ -187,14 +243,15 @@ object ZoneMap {
     * delta), so a retried batch cannot double-count; exactly-once for
     * the data files comes from the stream's own checkpoint.
     *
-    * Reader contract: a parquet overwrite is NOT reader-atomic — a
-    * reader racing the replace can observe a partial manifest, and a
-    * manifest missing files makes [[skipScan]] silently drop their
-    * rows (zones prove absence only when the file is listed). Readers
-    * must snapshot the manifest between refreshes (read it once, reuse
-    * the frame), or the manifest belongs in a transactional table
-    * format that supplies the atomic swap — the single-writer,
-    * snapshot-reader contract of every log-structured metadata store.
+    * Reader contract: refreshes are READER-ATOMIC. Each refresh writes
+    * a complete new snapshot under `manifestPath/v<N>/` and only then
+    * commits it with an atomic marker create (see [[commitManifest]]);
+    * [[readManifest]] resolves the highest committed marker. A reader
+    * racing a refresh sees either the old snapshot or the new one —
+    * never a torn mix (the failure that would make [[skipScan]]
+    * silently drop rows, because zones prove absence only for files
+    * the manifest lists). This is the Delta-log pattern: versioned
+    * immutable snapshots plus an atomic commit record.
     */
   def manifestSink(stream: DataFrame, dataDir: String,
                    manifestPath: String, cols: Seq[String],
@@ -208,17 +265,107 @@ object ZoneMap {
       .start()
 
   /** One append + manifest refresh (the foreachBatch body, callable
-    * directly for batch backfills). */
+    * directly for batch backfills). The refresh never touches the
+    * previous snapshot — the new version's plan may lazily read the
+    * old version's parquet while writing its own directory — so no
+    * materialization barrier is needed before the commit. */
   def manifestBatch(batch: DataFrame, dataDir: String,
                     manifestPath: String, cols: Seq[String]): Unit = {
     val spark = batch.sparkSession
     batch.write.mode("append").parquet(dataDir)
-    val existing =
-      try spark.read.parquet(manifestPath)
-      catch { case _: Exception => buildManifest(spark, dataDir, cols).limit(0) }
-    val updated = updateManifest(spark, dataDir, existing, cols)
-      .localCheckpoint(true) // materialize BEFORE overwriting the input
-    updated.write.mode("overwrite").parquet(manifestPath)
+    val existing = currentManifestVersion(spark, manifestPath) match {
+      case Some(_) => readManifest(spark, manifestPath)
+      case None    => buildManifest(spark, dataDir, cols).limit(0)
+    }
+    commitManifest(updateManifest(spark, dataDir, existing, cols),
+      manifestPath)
+  }
+
+  // ---- versioned manifest store (atomic swap) -----------------------
+  //
+  // Layout under `manifestPath`:
+  //   v0/ v1/ ... vN/        immutable parquet snapshots
+  //   _versions/<%020d>      zero-byte-ish commit markers, one per
+  //                          committed snapshot
+  // A snapshot becomes visible ONLY when its marker exists, and marker
+  // creation (`FileSystem.create(overwrite = false)`) is a single
+  // atomic metadata operation on HDFS / local disk and a conditional
+  // PUT on object stores. Readers list markers and take the max, so a
+  // half-written snapshot directory (no marker yet) is invisible and a
+  // torn read is impossible by construction. Single-writer is enforced
+  // by the same call: a concurrent writer racing to the same version
+  // number fails the create instead of corrupting state.
+
+  private val VersionsDir = "_versions"
+
+  private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed manifest version under `manifestPath`, if any.
+    * Driver-side listing of the marker directory — O(versions), and
+    * [[vacuumManifest]] bounds that. */
+  def currentManifestVersion(spark: SparkSession,
+                             manifestPath: String): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(manifestPath, VersionsDir)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Snapshot-read the current committed manifest. The returned frame
+    * is pinned to one version directory, so it stays self-consistent
+    * however many refreshes commit while it is in use. */
+  def readManifest(spark: SparkSession, manifestPath: String): DataFrame = {
+    val v = currentManifestVersion(spark, manifestPath).getOrElse {
+      throw new java.io.FileNotFoundException(
+        s"no committed manifest version under $manifestPath")
+    }
+    spark.read.parquet(s"$manifestPath/v$v")
+  }
+
+  /** Commit `manifest` as the next version: write the full snapshot to
+    * `v<next>/`, then atomically create its marker. Returns the
+    * committed version. Until the marker lands, readers keep resolving
+    * the previous version; after it lands, they resolve this one —
+    * there is no in-between. */
+  def commitManifest(manifest: DataFrame, manifestPath: String): Long = {
+    val spark = manifest.sparkSession
+    val next = currentManifestVersion(spark, manifestPath)
+      .getOrElse(-1L) + 1L
+    manifest.write.mode("overwrite").parquet(s"$manifestPath/v$next")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$manifestPath/$VersionsDir", f"$next%020d")
+    val fs = fsFor(spark, marker)
+    // overwrite = false: the atomic claim of this version number
+    val out = fs.create(marker, false)
+    try out.write(s"v$next".getBytes("UTF-8")) finally out.close()
+    next
+  }
+
+  /** Drop all but the newest `keep` committed snapshots (markers
+    * first, then data — a crash between the two leaves only invisible
+    * orphan directories, cleaned on the next vacuum). Bounds the
+    * store at O(keep) snapshots; `keep >= 2` preserves one superseded
+    * snapshot for still-running readers. */
+  def vacuumManifest(spark: SparkSession, manifestPath: String,
+                     keep: Int = 2): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val dir = new org.apache.hadoop.fs.Path(manifestPath, VersionsDir)
+    val fs = fsFor(spark, dir)
+    if (fs.exists(dir)) {
+      val vs = fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .toSeq.sorted
+      vs.dropRight(keep).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, f"$v%020d"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$manifestPath/v$v"), true)
+      }
+    }
   }
 
   /** Zone-overlap audit for a layout WITHOUT writing files: assign rows

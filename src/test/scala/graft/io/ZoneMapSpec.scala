@@ -24,13 +24,16 @@ class ZoneMapSpec extends SparkTestBase {
       .cache()
     val nFiles = spark.read.parquet(dir).inputFiles.length
     assert(manifest.count() == nFiles)
-    // zone stats must bound every row of their own file
-    val bad = spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
+    // zone stats must bound every row of their own file (truth keys
+    // normalized like the manifest's, so the join actually matches)
+    val norm = udf(ZoneMap.normPath _)
+    val truth = spark.read.parquet(dir)
+      .groupBy(norm(input_file_name()).as("file"))
       .agg(min("x").as("tmin"), max("x").as("tmax"))
-      .join(manifest, "file")
-      .filter(col("tmin") =!= col("x__min") || col("tmax") =!= col("x__max"))
-    assert(bad.count() == 0)
+    val joined = truth.join(manifest, "file")
+    assert(joined.count() == nFiles, "every truth row must join a manifest row")
+    assert(joined.filter(col("tmin") =!= col("x__min") ||
+      col("tmax") =!= col("x__max")).count() == 0)
 
     // x in [10, 13] lives in one-ish range partition of eight
     val pruned = ZoneMap.prunedFiles(manifest, "x", 10, 13)
@@ -128,6 +131,27 @@ class ZoneMapSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("zero-row files: listed with n_rows=0, pruned for every " +
+      "predicate, never re-detected as fresh") {
+    val dir = java.nio.file.Files.createTempDirectory("zmz0").toString
+    grid().filter(col("x") < 8).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    // a drained filter still writes a schema-only file
+    grid().limit(0).coalesce(1).write.mode("append").parquet(dir)
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    assert(nFiles == 2, s"expected data file + empty file, got $nFiles")
+    val m = ZoneMap.buildManifest(spark, dir, Seq("x"))
+      .localCheckpoint(true)
+    assert(m.count() == nFiles)
+    assert(m.filter(col("n_rows") === 0).count() == 1)
+    // zero rows proves absence for EVERY predicate
+    assert(ZoneMap.prunedFiles(m, "x", -1000, 1000).size == 1)
+    // the empty file is known, so a no-op refresh returns the same frame
+    assert(ZoneMap.updateManifest(spark, dir, m, Seq("x")) eq m)
+    assert(ZoneMap.skipScan(spark, dir, m, "x", 0, 7).count() ==
+      grid().filter(col("x") <= 7).count())
+  }
+
   test("updateManifest scans only new files and is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("zmu").toString
     grid().filter(col("x") < 32).repartitionByRange(4, col("x"))
@@ -163,7 +187,8 @@ class ZoneMapSpec extends SparkTestBase {
     Tables.compact(spark, dir, numFiles = 2)
     val m2 = ZoneMap.updateManifest(spark, dir, m1, Seq("x"))
       .localCheckpoint(true)
-    val liveFiles = spark.read.parquet(dir).inputFiles.toSet
+    val liveFiles = spark.read.parquet(dir).inputFiles
+      .map(ZoneMap.normPath).toSet
     assert(m2.select("file").collect().map(_.getString(0)).toSet ==
       liveFiles, "manifest must track exactly the live files")
     val rebuilt = ZoneMap.buildManifest(spark, dir, Seq("x"))
@@ -191,7 +216,7 @@ class ZoneMapSpec extends SparkTestBase {
       q.processAllAvailable()
       mem.addData((100, 40L), (101, 50L))
       q.processAllAvailable()
-      val manifest = spark.read.parquet(mPath)
+      val manifest = ZoneMap.readManifest(spark, mPath)
       // manifest covers every landed file, equals a from-scratch build
       assert(manifest.count() ==
         spark.read.parquet(dataDir).inputFiles.length)
@@ -204,7 +229,86 @@ class ZoneMapSpec extends SparkTestBase {
       assert(hit.count() == 2)
       assert(hit.inputFiles.length <
         spark.read.parquet(dataDir).inputFiles.length)
+      // two micro-batches -> two committed versions, monotonic
+      assert(ZoneMap.currentManifestVersion(spark, mPath).contains(1L))
     } finally q.stop()
+  }
+
+  test("manifest commits are reader-atomic: a half-written snapshot " +
+      "is invisible until its marker lands; snapshots are immutable") {
+    val dataDir = java.nio.file.Files.createTempDirectory("zma-d").toString
+    val mPath = java.nio.file.Files.createTempDirectory("zma-m").toString +
+      "/manifest"
+    grid().filter(col("x") < 32).coalesce(2)
+      .write.mode("overwrite").parquet(dataDir)
+    val v0 = ZoneMap.commitManifest(
+      ZoneMap.buildManifest(spark, dataDir, Seq("x")), mPath)
+    assert(v0 == 0L)
+    val snap0 = ZoneMap.readManifest(spark, mPath).collect().toSeq
+
+    // simulate a refresh that crashed mid-write: new data lands and a
+    // partial v1 snapshot directory exists, but no marker was created
+    grid().filter(col("x") >= 32).coalesce(2)
+      .write.mode("append").parquet(dataDir)
+    spark.range(1).toDF("garbage")
+      .write.mode("overwrite").parquet(s"$mPath/v1")
+    // a racing reader resolves v0, complete and untorn
+    assert(ZoneMap.currentManifestVersion(spark, mPath).contains(0L))
+    assert(ZoneMap.readManifest(spark, mPath).collect().toSeq == snap0)
+    // pruning through the visible snapshot never silently drops rows
+    // from files it lists (the new files are re-filtered at row level
+    // only after a refresh commits them)
+    assert(ZoneMap.skipScan(spark, dataDir,
+      ZoneMap.readManifest(spark, mPath), "x", 0, 7).count() ==
+      grid().filter(col("x") <= 7).count())
+
+    // the retried refresh overwrites the orphan dir and commits
+    val pinnedOld = ZoneMap.readManifest(spark, mPath)
+    val v1 = ZoneMap.commitManifest(
+      ZoneMap.updateManifest(spark, dataDir, pinnedOld, Seq("x")), mPath)
+    assert(v1 == 1L)
+    val m1 = ZoneMap.readManifest(spark, mPath)
+    assert(m1.count() == spark.read.parquet(dataDir).inputFiles.length)
+    assert(m1.sort("file").collect().toSeq ==
+      ZoneMap.buildManifest(spark, dataDir, Seq("x"))
+        .sort("file").collect().toSeq)
+    // snapshot isolation: the frame pinned before the commit still
+    // reads the OLD version's rows (immutable snapshot dirs)
+    assert(pinnedOld.collect().toSeq == snap0)
+
+    // vacuum drops superseded snapshots but keeps the current one
+    ZoneMap.vacuumManifest(spark, mPath, keep = 1)
+    assert(ZoneMap.currentManifestVersion(spark, mPath).contains(1L))
+    assert(!new java.io.File(s"$mPath/v0").exists())
+    assert(ZoneMap.readManifest(spark, mPath).sort("file").collect()
+      .toSeq == m1.sort("file").collect().toSeq)
+  }
+
+  test("paths with URI-special characters: manifest keys match " +
+      "inputFiles, updateManifest stays incremental, skipScan opens " +
+      "the files") {
+    val base = java.nio.file.Files.createTempDirectory("zm sp").toString
+    val dir = s"$base/table with space"
+    grid().filter(col("x") < 32).repartitionByRange(4, col("x"))
+      .sortWithinPartitions("x").write.mode("overwrite").parquet(dir)
+    val m1 = ZoneMap.buildManifest(spark, dir, Seq("x"))
+      .localCheckpoint(true)
+    // manifest keys must equal the normalized inputFiles spelling —
+    // raw input_file_name() would disagree on every path here
+    assert(m1.select("file").collect().map(_.getString(0)).toSet ==
+      spark.read.parquet(dir).inputFiles.map(ZoneMap.normPath).toSet)
+    // no-op refresh returns the SAME frame (reference equality): the
+    // stale-key bug would silently force a full rescan instead
+    assert(ZoneMap.updateManifest(spark, dir, m1, Seq("x")) eq m1)
+    // append, refresh incrementally, prune row-exactly through it
+    grid().filter(col("x") >= 32).repartitionByRange(4, col("x"))
+      .sortWithinPartitions("x").write.mode("append").parquet(dir)
+    val m2 = ZoneMap.updateManifest(spark, dir, m1, Seq("x"))
+    assert(m2.count() == spark.read.parquet(dir).inputFiles.length)
+    val pruned = ZoneMap.skipScan(spark, dir, m2, "x", 40, 47)
+    assert(pruned.inputFiles.length < m2.count())
+    assert(pruned.count() ==
+      grid().filter(col("x") >= 40 && col("x") <= 47).count())
   }
 
   test("zoneAudit: z-value zones are tight in both dimensions, " +
