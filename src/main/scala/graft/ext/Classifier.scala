@@ -24,9 +24,8 @@ import org.apache.spark.sql.types.DecimalType
 object Classifier {
 
   /** Row-local integer feature columns for a document text column —
-    * cheap, codegen'd, shuffle-free: token count, char count, stopword
-    * hits, mean-token-length proxy (chars per token, scaled ×10 and
-    * floored to stay integral).
+    * cheap, codegen'd, shuffle-free: bias, token count, char count,
+    * stopword hits.
     */
   def features(textCol: Column): Seq[(String, Column)] = {
     val toks = split(lower(textCol), " ")
@@ -82,6 +81,10 @@ object Classifier {
         sum(x.cast("long") * x.cast("long")).as(s"__q$j"))
     } :+ count(lit(1)).as("__n")
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // count is 0 (not null) on an empty frame; the sums WOULD be null —
+    // check before any getLong unboxes one into an NPE
+    require(r.getLong(2 * feats.size) > 0,
+      "fitScaler needs at least one row")
     val n = r.getLong(2 * feats.size).toDouble
     feats.indices.map { j =>
       val sx = r.getLong(2 * j).toDouble

@@ -40,14 +40,34 @@ object Eval {
     * e.g. `floor(score)`, `score DIV 100` — sized so one bucket's
     * distinct scores fit a task. Correctness does not depend on the
     * bucket granularity, only the window sizes do.
+    *
+    * When `bucketOf` is omitted, buckets are derived from the data:
+    * 255 `percentile_approx` boundaries over the DISTINCT-score table
+    * (the quantity that actually bounds the window), broadcast back,
+    * and `bucket = #{boundaries ≤ score}` — order-preserving because
+    * the boundary set is fixed, and equi-depth by construction, so no
+    * partition-free window ever sees more than ~|distinct|/256 scores
+    * regardless of the score distribution. The default requires a
+    * numeric score column (percentile_approx); pass an explicit
+    * `bucketOf` for non-numeric orderable scores.
     */
   def auc(df: DataFrame, scoreCol: Column, labelCol: Column,
-          bucketOf: Column => Column = identity): DataFrame = {
-    val counts = df
+          bucketOf: Column => Column = null): DataFrame = {
+    val grouped = df
       .groupBy(scoreCol.as("__s"))
       .agg(sum(labelCol.cast("long")).as("__pos"),
         sum(lit(1L) - labelCol.cast("long")).as("__neg"))
-      .withColumn("__b", bucketOf(col("__s")))
+    val counts =
+      if (bucketOf != null) grouped.withColumn("__b", bucketOf(col("__s")))
+      else {
+        val fracs = array((1 until 256).map(i => lit(i / 256.0)): _*)
+        val bounds = grouped.agg(
+          percentile_approx(col("__s"), fracs, lit(10000)).as("__bounds"))
+        grouped.crossJoin(broadcast(bounds))
+          .withColumn("__b", aggregate(col("__bounds"), lit(0),
+            (acc, b) => acc + when(b <= col("__s"), 1).otherwise(0)))
+          .drop("__bounds")
+      }
     // phase 1: negatives strictly below within this score's bucket
     val intra = Window.partitionBy(col("__b")).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -80,24 +100,30 @@ object Eval {
     * Pair with an integer-margin predictor (`margin > 0`) to keep the
     * whole plan transcendental-free — σ(m) > ½ ⟺ m > 0, so
     * thresholding the sigmoid at 0.5 never needs the sigmoid.
+    *
+    * Degenerate inputs stay finite and non-null: a predictor that never
+    * fires (tp+fp = 0), an all-negative label column (tp+fn = 0), or an
+    * empty frame all emit 0.0 for the affected rate instead of null —
+    * downstream gating logic never sees a null to propagate.
     */
   def confusion(df: DataFrame, predCol: Column,
                 labelCol: Column): DataFrame = {
     val y = labelCol.cast("int")
     val p = predCol.cast("int")
+    def rate(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
     df.agg(
-        sum((p * y).cast("long")).as("tp"),
-        sum((p * (lit(1) - y)).cast("long")).as("fp"),
-        sum(((lit(1) - p) * (lit(1) - y)).cast("long")).as("tn"),
-        sum(((lit(1) - p) * y).cast("long")).as("fn"))
+        coalesce(sum((p * y).cast("long")), lit(0L)).as("tp"),
+        coalesce(sum((p * (lit(1) - y)).cast("long")), lit(0L)).as("fp"),
+        coalesce(sum(((lit(1) - p) * (lit(1) - y)).cast("long")), lit(0L))
+          .as("tn"),
+        coalesce(sum(((lit(1) - p) * y).cast("long")), lit(0L)).as("fn"))
       .select(col("tp"), col("fp"), col("tn"), col("fn"),
-        ((col("tp") + col("tn")).cast("double") /
-          (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"))
-          .as("accuracy"),
-        (col("tp").cast("double") /
-          (col("tp") + col("fp")).cast("double")).as("precision"),
-        (col("tp").cast("double") /
-          (col("tp") + col("fn")).cast("double")).as("recall"))
+        rate(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("tn") + col("fn")).as("accuracy"),
+        rate(col("tp"), col("tp") + col("fp")).as("precision"),
+        rate(col("tp"), col("tp") + col("fn")).as("recall"))
   }
 
   /** Reliability-diagram bins: group rows by an integer score bin

@@ -21,22 +21,41 @@ class EvalSpec extends SparkTestBase {
     assert(r.getDouble(2) == 8.0 / 9.0)
   }
 
-  test("bucketed two-phase prefix == single-bucket form") {
+  test("default quantile buckets == explicit buckets == single bucket") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val rows = Seq.fill(500)((rnd.nextInt(40), rnd.nextInt(2)))
     val df = rows.toDF("s", "y").repartition(8)
-    val plain = Eval.auc(df, col("s"), col("y")).collect()(0).getDouble(2)
+    val plain = Eval.auc(df, col("s"), col("y"), bucketOf = _ => lit(0L))
+      .collect()(0).getDouble(2)
     val bucketed = Eval.auc(df, col("s"), col("y"),
         bucketOf = c => floor(c.cast("double") / 10.0).cast("long"))
       .collect()(0).getDouble(2)
-    assert(plain == bucketed)
+    val default = Eval.auc(df, col("s"), col("y")).collect()(0).getDouble(2)
+    assert(plain == bucketed && plain == default)
     // cross-check against the O(n²) definition
     val pos = rows.filter(_._2 == 1).map(_._1)
     val neg = rows.filter(_._2 == 0).map(_._1)
     val num = pos.flatMap(p => neg.map(n =>
       if (p > n) 2L else if (p == n) 1L else 0L)).sum
     assert(plain == num.toDouble / (2.0 * pos.size * neg.size))
+  }
+
+  test("default auc plan has no partition-free window over raw scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = Seq.tabulate(100)(i => (i * 7 % 41, i % 2)).toDF("s", "y")
+    val plan = Eval.auc(df, col("s"), col("y"))
+      .queryExecution.optimizedPlan
+    val free = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(free.nonEmpty, "expected the bucket-totals prefix window")
+    // every partition-free window must order by the derived bucket id
+    // (≤256 distinct values), never by the raw score column
+    free.foreach { w =>
+      val ordRefs = w.orderSpec.flatMap(_.references.toSeq).map(_.name)
+      assert(ordRefs.nonEmpty && ordRefs.forall(_ == "__b"),
+        s"partition-free window orders by $ordRefs, not the bucket id")
+    }
   }
 
   test("auc is 1 for perfect separation, 0 for perfectly inverted") {
@@ -60,6 +79,23 @@ class EvalSpec extends SparkTestBase {
     assert(r.getDouble(4) == 5.0 / 7.0) // accuracy
     assert(r.getDouble(5) == 2.0 / 3.0) // precision
     assert(r.getDouble(6) == 2.0 / 3.0) // recall
+  }
+
+  test("confusion degenerate inputs emit 0.0, never null") {
+    import spark.implicits._
+    // predictor never fires → tp+fp = 0 → precision 0.0 (not null);
+    // labels all negative → tp+fn = 0 → recall 0.0 (not null)
+    val silent = Seq((0, 0), (0, 0), (0, 0)).toDF("p", "y")
+    val r = Eval.confusion(silent, col("p") === 1, col("y")).collect()(0)
+    assert(!r.anyNull)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 0.0 &&
+      r.getDouble(6) == 0.0)
+    // empty frame → all counts 0, all rates 0.0
+    val e = Eval.confusion(silent.filter(lit(false)), col("p") === 1,
+      col("y")).collect()(0)
+    assert(!e.anyNull)
+    assert((0 to 3).forall(e.getLong(_) == 0L) &&
+      (4 to 6).forall(e.getDouble(_) == 0.0))
   }
 
   test("calibration bins: per-bin counts and exact positive rate") {
