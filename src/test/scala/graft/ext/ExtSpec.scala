@@ -151,11 +151,48 @@ class ExtSpec extends SparkTestBase {
     assert(fp(0) == fp(1) && fp(0) != fp(2))
   }
 
-  test("events load: nanos as exact integer seconds") {
+  test("events load: ts_sec is exact epoch seconds whatever the file unit") {
     val e = Events.loadEvents(spark, sf)
     val r = e.select(min(col("ts_sec"))).head().getLong(0)
     // 2024-01-01 00:00 UTC epoch = 1704067200
     assert(r >= 1704067200L && r < 1704067200L + 86400L * 366)
+  }
+
+  test("events unit guard: loadEvents agrees with the native timestamp read") {
+    // Cross-check the footer-driven normalization against Spark's own
+    // logical-type interpretation of the same file, so a testdata
+    // regeneration that changes the physical unit fails loudly here
+    // instead of silently scaling every window (the round-6 incident).
+    val ours = Events.loadEvents(spark, sf)
+      .agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val native =
+      try Some(spark.read.parquet(s"$sf/events.parquet"))
+      catch { case _: Exception => None } // e.g. unannotated TIMESTAMP(NANOS)
+    native match {
+      case None =>
+        // inference rejects the file: only the raw-nanos contract applies
+        assert(Events.tsNanosFactor(spark, sf) == 1L)
+      case Some(df) =>
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        val tsCol = df.schema("ts").dataType match {
+          case TimestampType => unix_micros(col("ts"))
+          case TimestampNTZType =>
+            // NTZ→LTZ cast applies the session zone; the agg below is
+            // built under a pinned-UTC session so the comparison is
+            // tz-free (epoch-of-naive, DuckDB semantics)
+            unix_micros(col("ts").cast(TimestampType))
+          case other => fail(s"unexpected native ts type $other")
+        }
+        val prevTz = spark.conf.get("spark.sql.session.timeZone")
+        try {
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
+          val theirs = df.agg(min(tsCol), max(tsCol)).head()
+          assert(ours.getLong(0) == theirs.getLong(0) &&
+                 ours.getLong(1) == theirs.getLong(1),
+            s"unit drift: loadEvents ts_us [${ours.getLong(0)}, ${ours.getLong(1)}] " +
+              s"vs native [${theirs.getLong(0)}, ${theirs.getLong(1)}]")
+        } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    }
   }
 
   test("unigramLogProb: all-distinct corpus scores ln(N) per token") {

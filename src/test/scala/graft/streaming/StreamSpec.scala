@@ -73,8 +73,11 @@ class StreamSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = Events.loadEvents(spark, sf).drop("ts_sec", "ts_us").schema
+    // the raw stream read sees the file's native INT64 unit; apply the
+    // same footer-derived normalization loadEvents uses
+    val toNanos = Events.tsNanosFactor(spark, sf)
     val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr(s"ts * ${toNanos}L div 1000")))
     val q = tumblingAgg(stream)
       .writeStream.format("memory").queryName("file_stream_out")
       .outputMode("complete").start()
