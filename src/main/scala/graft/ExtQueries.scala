@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Dsir, Eval, Events, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Dsir, Eval, Events, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
 import graft.ops.EditDistJoin
 import graft.functions.Hashing
 
@@ -476,6 +476,62 @@ object ExtQueries {
           (length(col("content")) % 480 + 1).as("height"),
           (length(col("content")) % 10 + 1).as("n_frames"))
         .orderBy(col("doc_id"))),
+
+    // REAL decode path: each doc_id becomes an actual binary-PPM (P6)
+    // image — deterministic dims/pixels so the oracle can predict them in
+    // closed form — then width/height/pixel sums and the 4×4
+    // nearest-neighbor resize are read back by PARSING the payload bytes
+    // (Multimodal.PpmCodec), not from the generation parameters. Encode →
+    // decode → featurize is one narrow mapPartitions chain over the scan:
+    // no shuffle touches media bytes, matching the 100 TB plan.
+    "x_mm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 31 + 2).toInt
+          val h = (id % 17 + 2).toInt
+          Multimodal.MediaRow(id, Multimodal.PpmCodec.Mime,
+            Multimodal.PpmCodec.encode(w, h,
+              i => ((id * 31 + i * 7) % 256).toInt))
+        })
+      media.mapPartitions(_.map { r =>
+        val meta = Multimodal.PpmCodec.decodeImage(r)
+        val small = Multimodal.PpmCodec.resize(r, 4, 4)
+        (r.media_id, meta.width, meta.height,
+          Multimodal.PpmCodec.pixelSum(r),
+          Multimodal.PpmCodec.pixelSum(small))
+      }).toDF("doc_id", "width", "height", "pixel_sum", "resized_sum")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Concatenated-P6 "video": frame count and sizes come from walking
+    // the real headers (PpmCodec.frames), then cross-checked against the
+    // oracle's closed-form header lengths.
+    "x_mm_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (id % 5 + 1).toInt
+          val w = (id % 7 + 2).toInt
+          val h = (id % 5 + 2).toInt
+          val frame = Multimodal.PpmCodec.encode(w, h,
+            i => ((id + i) % 256).toInt)
+          val buf = new Array[Byte](frame.length * n)
+          var k = 0
+          while (k < n) {
+            System.arraycopy(frame, 0, buf, k * frame.length, frame.length)
+            k += 1
+          }
+          Multimodal.MediaRow(id, Multimodal.PpmCodec.Mime, buf)
+        })
+      media.mapPartitions(_.map { r =>
+        val fs = Multimodal.PpmCodec.frames(r).toArray
+        val frameBytes =
+          if (fs.length > 1) fs(1).offset_bytes else r.content.length.toLong
+        (r.media_id, fs.length, frameBytes, r.content.length.toLong)
+      }).toDF("doc_id", "n_frames", "frame_bytes", "total_bytes")
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- joins (beyond-reference; broadcast + semi/anti) --------------
 
@@ -3301,6 +3357,57 @@ object ExtQueries {
            CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
            CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
            CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
+         FROM documents ORDER BY doc_id""",
+
+    // Closed-form prediction of what the REAL P6 parse must read back:
+    // dims from the generator, pixel sums by enumerating the raster
+    // (pixel i = (doc_id*31 + i*7) % 256), and the 4x4 nearest-neighbor
+    // resample via the same floor source mapping the codec uses
+    // (src = out*in/4, integer division).
+    "x_mm_decode" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(doc_id % 31 + 2 AS INTEGER) AS width,
+                  CAST(doc_id % 17 + 2 AS INTEGER) AS height
+           FROM documents),
+         px AS (
+           SELECT doc_id, width, height,
+                  unnest(range(0, CAST(3*width*height AS BIGINT))) AS i
+           FROM dims),
+         fullsum AS (
+           SELECT doc_id, width, height,
+                  SUM((doc_id*31 + i*7) % 256) AS pixel_sum
+           FROM px GROUP BY 1, 2, 3),
+         rz AS (
+           SELECT doc_id, width, height, unnest(range(0, 48)) AS j
+           FROM dims),
+         rsum AS (
+           SELECT doc_id,
+                  SUM((doc_id*31 +
+                       (3*(((j // 12) * height // 4) * width
+                           + ((j // 3) % 4) * width // 4)
+                        + j % 3) * 7) % 256) AS resized_sum
+           FROM rz GROUP BY 1)
+         SELECT f.doc_id, f.width, f.height,
+                CAST(f.pixel_sum AS BIGINT) AS pixel_sum,
+                CAST(r.resized_sum AS BIGINT) AS resized_sum
+         FROM fullsum f JOIN rsum r USING (doc_id)
+         ORDER BY f.doc_id""",
+
+    // Header length is 'P6\n' + w + ' ' + h + '\n' + '255\n' = 9 + the
+    // dims' digit counts; each frame is header + 3wh raster bytes.
+    "x_mm_frames" ->
+      """SELECT doc_id,
+           CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames,
+           CAST(9 + length(CAST(doc_id % 7 + 2 AS VARCHAR))
+                  + length(CAST(doc_id % 5 + 2 AS VARCHAR))
+                  + 3*(doc_id % 7 + 2)*(doc_id % 5 + 2) AS BIGINT)
+             AS frame_bytes,
+           CAST((doc_id % 5 + 1) *
+                (9 + length(CAST(doc_id % 7 + 2 AS VARCHAR))
+                   + length(CAST(doc_id % 5 + 2 AS VARCHAR))
+                   + 3*(doc_id % 7 + 2)*(doc_id % 5 + 2)) AS BIGINT)
+             AS total_bytes
          FROM documents ORDER BY doc_id""",
 
     "x_join_broadcast" ->

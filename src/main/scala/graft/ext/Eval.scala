@@ -35,31 +35,56 @@ object Eval {
     * — so `auc = num2/den2` is a single exactly-rounded IEEE division:
     * bit-portable, no rounding fudge.
     *
+    * Rows with a NULL score are EXCLUDED up front (they have no rank
+    * position in the Mann-Whitney order), so both overloads agree on
+    * the input population regardless of how a bucket function would
+    * have mapped NULL.
+    *
     * `bucketOf(score)` must be a deterministic, ORDER-PRESERVING
     * coarsening of the score (`s₁ < s₂ ⇒ bucket(s₁) ≤ bucket(s₂)`) —
     * e.g. `floor(score)`, `score DIV 100` — sized so one bucket's
     * distinct scores fit a task. Correctness does not depend on the
     * bucket granularity, only the window sizes do.
     *
-    * When `bucketOf` is omitted, buckets are derived from the data:
+    * The no-`bucketOf` overload derives buckets from the data:
     * 255 `percentile_approx` boundaries over the DISTINCT-score table
     * (the quantity that actually bounds the window), broadcast back,
     * and `bucket = #{boundaries ≤ score}` — order-preserving because
-    * the boundary set is fixed, and equi-depth by construction, so no
-    * partition-free window ever sees more than ~|distinct|/256 scores
-    * regardless of the score distribution. The default requires a
-    * numeric score column (percentile_approx); pass an explicit
-    * `bucketOf` for non-numeric orderable scores.
+    * the boundary set is fixed, and equi-depth by construction, so the
+    * partitioned intra-bucket window sees ~|distinct|/256 scores per
+    * bucket regardless of the score distribution (the partition-free
+    * prefix window sees only the ≤256-row bucket-totals table). The
+    * default requires a numeric score column (percentile_approx); use
+    * the explicit-`bucketOf` overload for non-numeric orderable
+    * scores. Scale note: deriving the boundaries reads the
+    * distinct-score aggregate a second time (bounds subtree + join
+    * left side); Spark's ReuseExchange usually dedupes the shuffle but
+    * the map-side scan can run twice — pass an explicit `bucketOf` to
+    * guarantee a single pass when the input scan is the dominant cost.
+    */
+  def auc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame =
+    aucImpl(df, scoreCol, labelCol, None)
+
+  /** See [[auc]]; `bucketOf` supplies the order-preserving score
+    * coarsening explicitly (required for non-numeric score columns).
+    * A `bucketOf` that maps a non-NULL score to NULL would silently
+    * drop that score's rows at the bucket join — NULL scores
+    * themselves are already excluded before bucketing.
     */
   def auc(df: DataFrame, scoreCol: Column, labelCol: Column,
-          bucketOf: Column => Column = null): DataFrame = {
+          bucketOf: Column => Column): DataFrame =
+    aucImpl(df, scoreCol, labelCol, Some(bucketOf))
+
+  private def aucImpl(df: DataFrame, scoreCol: Column, labelCol: Column,
+                      bucketOf: Option[Column => Column]): DataFrame = {
     val grouped = df
+      .filter(scoreCol.isNotNull)
       .groupBy(scoreCol.as("__s"))
       .agg(sum(labelCol.cast("long")).as("__pos"),
         sum(lit(1L) - labelCol.cast("long")).as("__neg"))
-    val counts =
-      if (bucketOf != null) grouped.withColumn("__b", bucketOf(col("__s")))
-      else {
+    val counts = bucketOf match {
+      case Some(f) => grouped.withColumn("__b", f(col("__s")))
+      case None =>
         val fracs = array((1 until 256).map(i => lit(i / 256.0)): _*)
         val bounds = grouped.agg(
           percentile_approx(col("__s"), fracs, lit(10000)).as("__bounds"))
@@ -67,7 +92,7 @@ object Eval {
           .withColumn("__b", aggregate(col("__bounds"), lit(0),
             (acc, b) => acc + when(b <= col("__s"), 1).otherwise(0)))
           .drop("__bounds")
-      }
+    }
     // phase 1: negatives strictly below within this score's bucket
     val intra = Window.partitionBy(col("__b")).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)

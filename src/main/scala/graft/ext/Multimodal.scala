@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * extraction / resize / frame-sample run as partition-local functions
   * over those bytes.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
-  * [[StubCodec]] derives deterministic fake dimensions/features from the
-  * bytes. The Spark-side plumbing — schema, encoders, partition-local
-  * batching, feature column shape (`Array[Float]`, ready for
-  * [[Similarity]] ops) — is real and tested. Swapping in a real codec
-  * touches only [[StubCodec]].
+  * Two codecs sit behind the mime dispatch:
+  *   - [[PpmCodec]] is a REAL decoder for binary PPM (`P6`) images —
+  *     pure-JDK header parse (whitespace/comments per the netpbm spec),
+  *     pixel access, nearest-neighbor resize, and concatenated-frame
+  *     walking for the video stand-in. Everything it reports (width,
+  *     height, maxval, pixel sums, resampled pixels) comes from parsing
+  *     actual payload bytes.
+  *   - [[StubCodec]] remains the fallback for mime types this container
+  *     has no library for (JPEG/PNG/ffmpeg): deterministic fake
+  *     dimensions/features from the bytes, real partition-local
+  *     plumbing. Swapping in a real codec touches only the dispatch.
   *
   * Scale notes: media bytes never pass through a shuffle here — decode is
   * a narrow `mapPartitions` directly over the scan, so the 100 TB plan is
@@ -78,6 +83,146 @@ object Multimodal {
     }
   }
 
+  /** Real binary-PPM (`P6`) codec in pure JDK — no image library needed.
+    * Format (netpbm spec): ASCII header `P6 <width> <height> <maxval>`
+    * with any whitespace between tokens and `#`-to-newline comments,
+    * one whitespace byte after maxval, then `3·width·height` raw RGB
+    * bytes. Every accessor parses the actual bytes; nothing is
+    * simulated.
+    */
+  object PpmCodec {
+    val Mime = "image/x-portable-pixmap"
+
+    /** Serialize a P6 image whose flat RGB byte `i` (row-major,
+      * interleaved channels) is `pixel(i) & 0xff`.
+      */
+    def encode(width: Int, height: Int, pixel: Int => Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+      val n = 3 * width * height
+      val out = new Array[Byte](header.length + n)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = 0
+      while (i < n) { out(header.length + i) = (pixel(i) & 0xff).toByte; i += 1 }
+      out
+    }
+
+    /** Parse one P6 header starting at `off`:
+      * `(width, height, maxval, pixelStart)`.
+      */
+    private[ext] def parseHeader(b: Array[Byte], off: Int): (Int, Int, Int, Int) = {
+      require(b.length >= off + 2 && b(off) == 'P' && b(off + 1) == '6',
+        s"not a P6 ppm at offset $off")
+      var p = off + 2
+      def skipWs(): Unit = {
+        var going = true
+        while (going && p < b.length) {
+          val c = b(p)
+          if (c == '#') { while (p < b.length && b(p) != '\n') p += 1 }
+          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') p += 1
+          else going = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        require(p < b.length && b(p) >= '0' && b(p) <= '9',
+          s"expected digit at offset $p")
+        var v = 0
+        while (p < b.length && b(p) >= '0' && b(p) <= '9') {
+          v = v * 10 + (b(p) - '0'); p += 1
+        }
+        v
+      }
+      val w = readInt(); val h = readInt(); val mv = readInt()
+      p += 1 // exactly one whitespace byte separates maxval from raster
+      require(b.length >= p + 3 * w * h,
+        s"truncated raster: need ${3 * w * h} bytes at $p, have ${b.length - p}")
+      (w, h, mv, p)
+    }
+
+    def decodeImage(r: MediaRow): ImageMeta = {
+      val (w, h, _, _) = parseHeader(r.content, 0)
+      ImageMeta(r.media_id, w, h, 3, r.content.length.toLong)
+    }
+
+    /** Exact sum of all raster bytes (unsigned) — integer, so oracle
+      * comparisons are hash-stable.
+      */
+    def pixelSum(r: MediaRow): Long = {
+      val (w, h, _, start) = parseHeader(r.content, 0)
+      var s = 0L; var i = start; val end = start + 3 * w * h
+      while (i < end) { s += (r.content(i) & 0xff); i += 1 }
+      s
+    }
+
+    /** Nearest-neighbor resample to `targetW`×`targetH` (floor source
+      * mapping: `src = out·inDim / outDim`), re-encoded as a valid P6
+      * payload. Works for down- and up-scaling.
+      */
+    def resize(r: MediaRow, targetW: Int, targetH: Int): MediaRow = {
+      require(targetW > 0 && targetH > 0,
+        s"target dimensions must be positive, got ${targetW}x$targetH")
+      val (w, h, _, start) = parseHeader(r.content, 0)
+      val out = encode(targetW, targetH, { j =>
+        val c = j % 3
+        val px = j / 3
+        val outX = px % targetW
+        val outY = px / targetW
+        val srcX = outX * w / targetW
+        val srcY = outY * h / targetH
+        r.content(start + 3 * (srcY * w + srcX) + c) & 0xff
+      })
+      MediaRow(r.media_id, r.mime, out)
+    }
+
+    /** Real per-channel feature vector: mean R, G, B and luminance
+      * mean/min/max (all normalized to [0,1]) + width/height scaled —
+      * an 8-float embedding shaped for [[Similarity]] ops.
+      */
+    def featurize(r: MediaRow, dim: Int = 8): MediaFeature = {
+      val (w, h, _, start) = parseHeader(r.content, 0)
+      val nPx = w * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var lumMin = 255.0f; var lumMax = 0.0f
+      var p = 0
+      while (p < nPx) {
+        val i = start + 3 * p
+        val rr = r.content(i) & 0xff
+        val gg = r.content(i + 1) & 0xff
+        val bb = r.content(i + 2) & 0xff
+        sr += rr; sg += gg; sb += bb
+        val lum = (0.299f * rr + 0.587f * gg + 0.114f * bb)
+        if (lum < lumMin) lumMin = lum
+        if (lum > lumMax) lumMax = lum
+        p += 1
+      }
+      val full = Array[Float](
+        sr.toFloat / nPx / 255f, sg.toFloat / nPx / 255f,
+        sb.toFloat / nPx / 255f,
+        (0.299f * sr + 0.587f * sg + 0.114f * sb) / nPx / 255f,
+        lumMin / 255f, lumMax / 255f,
+        w / 4096f, h / 4096f)
+      MediaFeature(r.media_id, java.util.Arrays.copyOf(full, dim))
+    }
+
+    /** Walk a payload of CONCATENATED P6 frames (the video stand-in):
+      * parse each header, step over its raster, repeat. Offsets come
+      * from real parsing, not stride arithmetic.
+      */
+    def frames(r: MediaRow): Iterator[Frame] = new Iterator[Frame] {
+      private var off = 0
+      private var idx = 0
+      def hasNext: Boolean = off < r.content.length
+      def next(): Frame = {
+        val (w, h, _, start) = parseHeader(r.content, off)
+        val f = Frame(r.media_id, idx, off.toLong)
+        off = start + 3 * w * h
+        idx += 1
+        f
+      }
+    }
+  }
+
   /** Attach a binary content column to any table (here: utf-8 bytes of a
     * text column — the stand-in for reading real media files).
     */
@@ -90,31 +235,49 @@ object Multimodal {
 
   /** Decode: partition-local, no shuffle — mapPartitions keeps the codec
     * init (expensive for real codecs) once per partition, not per row.
+    * Mime dispatch: PPM payloads get the real [[PpmCodec]]; anything
+    * else falls back to [[StubCodec]].
     */
   def decodeImages(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real impl: initialize codec here, once per partition
-      it.map(StubCodec.decodeImage)
+      it.map { r =>
+        if (r.mime == PpmCodec.Mime) PpmCodec.decodeImage(r)
+        else StubCodec.decodeImage(r)
+      }
     }
   }
 
   def featurize(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(StubCodec.featurize(_, dim)))
+    media.mapPartitions(_.map { r =>
+      if (r.mime == PpmCodec.Mime) PpmCodec.featurize(r, dim)
+      else StubCodec.featurize(r, dim)
+    })
   }
 
+  /** Frame sampling. PPM "videos" (concatenated frames) are walked by
+    * real header parsing and `stride` is ignored; other payloads use the
+    * stub's byte-stride stand-in.
+    */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.flatMap(StubCodec.sampleFrames(_, stride)))
+    media.mapPartitions(_.flatMap { r =>
+      if (r.mime == PpmCodec.Mime) PpmCodec.frames(r)
+      else StubCodec.sampleFrames(r, stride)
+    })
   }
 
-  /** Resize every payload toward a target resolution (stub downsample);
-    * output rows are smaller MediaRows — run this before any shuffle so
-    * the wire carries resized bytes.
+  /** Resize every payload toward a target resolution (real resample for
+    * PPM, stub downsample otherwise); output rows are smaller MediaRows —
+    * run this before any shuffle so the wire carries resized bytes.
     */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(StubCodec.resize(_, targetW, targetH)))
+    media.mapPartitions(_.map { r =>
+      if (r.mime == PpmCodec.Mime) PpmCodec.resize(r, targetW, targetH)
+      else StubCodec.resize(r, targetW, targetH)
+    })
   }
 }

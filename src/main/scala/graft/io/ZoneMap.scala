@@ -52,7 +52,11 @@ object ZoneMap {
 
   /** [[normPath]] as a column op — applied AFTER the per-file groupBy,
     * so it runs once per manifest row (|files| times), never per data
-    * row. A UDF is fine at manifest scale. */
+    * row. A UDF is fine at manifest scale. Deliberately NOT the built-in
+    * `url_decode`: that implements form decoding, which turns a literal
+    * `+` in a path into a space, and nothing built-in reproduces
+    * hadoop Path normalization (scheme handling, `//` collapse) — the
+    * UDF is the only semantics-preserving spelling. */
   private def normFileCol(df: DataFrame): DataFrame = {
     val norm = udf(normPath _)
     df.withColumn("file", norm(col("file")))

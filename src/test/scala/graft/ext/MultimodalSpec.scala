@@ -48,6 +48,66 @@ class MultimodalSpec extends SparkTestBase {
     assert(byId == again)
   }
 
+  test("PpmCodec: encode/decode round-trips real header and raster bytes") {
+    import Multimodal.PpmCodec
+    val img = MediaRow(7L, PpmCodec.Mime,
+      PpmCodec.encode(5, 3, i => (i * 11) % 256))
+    val meta = PpmCodec.decodeImage(img)
+    assert(meta.width == 5 && meta.height == 3 && meta.channels == 3)
+    assert(PpmCodec.pixelSum(img) == (0 until 45).map(i => (i * 11) % 256).sum)
+    // header with comments and extra whitespace still parses (netpbm spec)
+    val noisy = ("P6\n# a comment\n  5\t3\n# more\n255\n").getBytes("US-ASCII") ++
+      img.content.drop(img.content.length - 45)
+    val (w, h, mv, _) = PpmCodec.parseHeader(noisy, 0)
+    assert((w, h, mv) == (5, 3, 255))
+    intercept[IllegalArgumentException] {
+      PpmCodec.decodeImage(MediaRow(0L, PpmCodec.Mime, "P5\n1 1\n255\n".getBytes))
+    }
+  }
+
+  test("PpmCodec: nearest-neighbor resize resamples actual pixels") {
+    import Multimodal.PpmCodec
+    // 2x2 image with distinct per-pixel colors; upscale to 4x4 must
+    // replicate each source pixel into a 2x2 block (floor mapping).
+    val img = MediaRow(1L, PpmCodec.Mime,
+      PpmCodec.encode(2, 2, i => i * 10))
+    val big = PpmCodec.resize(img, 4, 4)
+    val meta = PpmCodec.decodeImage(big)
+    assert(meta.width == 4 && meta.height == 4)
+    val (_, _, _, s0) = PpmCodec.parseHeader(img.content, 0)
+    val (_, _, _, s1) = PpmCodec.parseHeader(big.content, 0)
+    def px(b: Array[Byte], start: Int, w: Int, x: Int, y: Int): Seq[Int] =
+      (0 until 3).map(c => b(start + 3 * (y * w + x) + c) & 0xff)
+    for (x <- 0 until 4; y <- 0 until 4)
+      assert(px(big.content, s1, 4, x, y) ==
+        px(img.content, s0, 2, x * 2 / 4, y * 2 / 4))
+  }
+
+  test("PpmCodec: concatenated frames walked by real header parsing") {
+    import Multimodal.PpmCodec
+    val frame = PpmCodec.encode(3, 2, i => i)
+    val video = MediaRow(9L, PpmCodec.Mime,
+      frame ++ frame ++ frame)
+    val fs = PpmCodec.frames(video).toSeq
+    assert(fs.map(_.frame_idx) == Seq(0, 1, 2))
+    assert(fs.map(_.offset_bytes) ==
+      Seq(0L, frame.length.toLong, 2L * frame.length))
+  }
+
+  test("mime dispatch: PPM media flows through the generic API for real") {
+    import Multimodal.PpmCodec
+    val ppm = spark.createDataset(Seq(
+      MediaRow(0L, PpmCodec.Mime, PpmCodec.encode(8, 4, i => i % 256)),
+      MediaRow(1L, PpmCodec.Mime, PpmCodec.encode(6, 6, i => (i * 3) % 256))))
+    val metas = decodeImages(ppm).collect().sortBy(_.media_id)
+    assert(metas.map(m => (m.width, m.height)).toSeq == Seq((8, 4), (6, 6)))
+    val feats = featurize(ppm).collect()
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(_.feature.forall(v => v >= 0f && v <= 1f)))
+    val small = resize(ppm, 2, 2).collect()
+    assert(small.forall(r => PpmCodec.decodeImage(r).width == 2))
+  }
+
   test("sampleFrames: stride covers the payload") {
     val frames = sampleFrames(media, stride = 100).collect()
     val byDoc = frames.groupBy(_.media_id)
