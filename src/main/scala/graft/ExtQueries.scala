@@ -533,6 +533,33 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Real AUDIO decode: each doc_id becomes an actual RIFF/WAVE 16-bit
+    // PCM payload (deterministic samples), and everything reported —
+    // rate/channels/sample count from the fmt/data chunk walk, abs-sum /
+    // max-amplitude / zero-crossings from the decoded samples — is read
+    // back by parsing the bytes. Same narrow no-shuffle shape as
+    // x_mm_decode.
+    "x_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val sr = (8000 + (id % 3) * 4000).toInt
+          val ch = (id % 2 + 1).toInt
+          val n = (id % 50 + 20).toInt
+          Multimodal.MediaRow(id, Multimodal.WavCodec.Mime,
+            Multimodal.WavCodec.encode(sr, ch, n,
+              i => ((id * 7 + i * 13) % 4096 - 2048).toInt))
+        })
+      media.mapPartitions(_.map { r =>
+        val m = Multimodal.WavCodec.decodeAudio(r)
+        val (absSum, maxAbs, zc) = Multimodal.WavCodec.signalStats(r)
+        (r.media_id, m.sample_rate, m.channels, m.n_samples,
+          absSum, maxAbs, zc)
+      }).toDF("doc_id", "sample_rate", "channels", "n_samples",
+        "abs_sum", "max_abs", "zero_crossings")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- joins (beyond-reference; broadcast + semi/anti) --------------
 
     "x_join_broadcast" -> ((s, dir) => {
@@ -3409,6 +3436,44 @@ object ExtQueries {
                    + 3*(doc_id % 7 + 2)*(doc_id % 5 + 2)) AS BIGINT)
              AS total_bytes
          FROM documents ORDER BY doc_id""",
+
+    // Samples are s_i = (doc_id*7 + i*13) % 4096 - 2048 over the
+    // interleaved stream; zero crossings pair consecutive samples via
+    // lag(), matching the codec's sign-flip walk.
+    "x_wav_decode" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+                  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+                  CAST(doc_id % 50 + 20 AS BIGINT) AS n_samples
+           FROM documents),
+         sm AS (
+           SELECT doc_id, sample_rate, channels, n_samples,
+                  unnest(range(0, n_samples * channels)) AS i
+           FROM dims),
+         vals AS (
+           SELECT doc_id, sample_rate, channels, n_samples, i,
+                  (doc_id*7 + i*13) % 4096 - 2048 AS v
+           FROM sm),
+         stats AS (
+           SELECT doc_id, sample_rate, channels, n_samples,
+                  SUM(ABS(v)) AS abs_sum, MAX(ABS(v)) AS max_abs
+           FROM vals GROUP BY 1, 2, 3, 4),
+         zc AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN prev IS NOT NULL AND
+                            ((prev < 0 AND v >= 0) OR (prev >= 0 AND v < 0))
+                      THEN 1 ELSE 0 END) AS zero_crossings
+           FROM (SELECT doc_id, v,
+                        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                 FROM vals)
+           GROUP BY 1)
+         SELECT s.doc_id, s.sample_rate, s.channels, s.n_samples,
+                CAST(s.abs_sum AS BIGINT) AS abs_sum,
+                CAST(s.max_abs AS INTEGER) AS max_abs,
+                CAST(z.zero_crossings AS BIGINT) AS zero_crossings
+         FROM stats s JOIN zc z USING (doc_id)
+         ORDER BY s.doc_id""",
 
     "x_join_broadcast" ->
       s"""SELECT n_name, ${dsumSql("o_totalprice")} AS revenue,

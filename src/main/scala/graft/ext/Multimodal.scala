@@ -37,6 +37,9 @@ object Multimodal {
 
   case class Frame(media_id: Long, frame_idx: Int, offset_bytes: Long)
 
+  case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+                       bits_per_sample: Int, n_samples: Long)
+
   /** The codec boundary. Every function is deterministic in the payload
     * bytes so tests and oracles are stable; replace with a real decoder
     * (JPEG/PNG/ffmpeg) without touching any Spark plumbing.
@@ -221,6 +224,119 @@ object Multimodal {
         f
       }
     }
+  }
+
+  /** Real WAV (RIFF/PCM) codec in pure JDK — the audio sibling of
+    * [[PpmCodec]]. Canonical layout: `RIFF <size> WAVE`, a `fmt ` chunk
+    * (PCM tag, channels, sample rate, block align, bits/sample), then a
+    * `data` chunk of little-endian PCM frames. The parser walks chunks
+    * by their declared sizes (skipping unknown ones, e.g. `LIST`), so
+    * it reads real files, not just its own output.
+    */
+  object WavCodec {
+    val Mime = "audio/wav"
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def tag(b: Array[Byte], o: Int, t: String): Unit = {
+      var i = 0; while (i < 4) { b(o + i) = t.charAt(i).toByte; i += 1 }
+    }
+
+    /** Serialize mono/stereo 16-bit PCM; `sample(i)` yields the i-th
+      * interleaved sample value (clamped to the signed-16 range).
+      */
+    def encode(sampleRate: Int, channels: Int, nSamples: Int,
+               sample: Int => Int): Array[Byte] = {
+      require(channels == 1 || channels == 2, s"channels: $channels")
+      val dataBytes = 2 * nSamples * channels
+      val out = new Array[Byte](44 + dataBytes)
+      tag(out, 0, "RIFF"); putLe32(out, 4, 36 + dataBytes); tag(out, 8, "WAVE")
+      tag(out, 12, "fmt "); putLe32(out, 16, 16)
+      putLe16(out, 20, 1) // PCM
+      putLe16(out, 22, channels)
+      putLe32(out, 24, sampleRate)
+      putLe32(out, 28, sampleRate * channels * 2) // byte rate
+      putLe16(out, 32, channels * 2)              // block align
+      putLe16(out, 34, 16)                        // bits per sample
+      tag(out, 36, "data"); putLe32(out, 40, dataBytes)
+      var i = 0
+      while (i < nSamples * channels) {
+        val v = math.max(-32768, math.min(32767, sample(i)))
+        putLe16(out, 44 + 2 * i, v & 0xffff)
+        i += 1
+      }
+      out
+    }
+
+    /** Chunk walk: `(fmtOffset, dataOffset, dataBytes)`. */
+    private def findChunks(b: Array[Byte]): (Int, Int, Int) = {
+      require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E', "not a RIFF/WAVE payload")
+      var p = 12; var fmt = -1; var data = -1; var dataLen = 0
+      while (p + 8 <= b.length && (fmt < 0 || data < 0)) {
+        val id = new String(b, p, 4, "US-ASCII")
+        val len = le32(b, p + 4)
+        if (id == "fmt ") fmt = p + 8
+        else if (id == "data") { data = p + 8; dataLen = len }
+        p += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(fmt >= 0 && data >= 0, "missing fmt or data chunk")
+      require(data + dataLen <= b.length, "truncated data chunk")
+      (fmt, data, dataLen)
+    }
+
+    def decodeAudio(r: MediaRow): AudioMeta = {
+      val (fmt, _, dataLen) = findChunks(r.content)
+      val channels = le16(r.content, fmt + 2)
+      val rate = le32(r.content, fmt + 4)
+      val bits = le16(r.content, fmt + 14)
+      require(le16(r.content, fmt) == 1 && bits == 16,
+        "only 16-bit PCM supported")
+      AudioMeta(r.media_id, rate, channels, bits,
+        dataLen.toLong / (2L * channels))
+    }
+
+    /** Exact integer signal stats from the decoded samples:
+      * `(absSum, maxAbs, zeroCrossings)` over the interleaved stream —
+      * the kind of quantities an audio-quality filter gates on, and all
+      * integers so an oracle can predict them in closed form.
+      */
+    def signalStats(r: MediaRow): (Long, Int, Long) = {
+      val (_, data, dataLen) = findChunks(r.content)
+      var absSum = 0L; var maxAbs = 0; var zc = 0L
+      var prev = 0; var first = true
+      var o = data
+      val end = data + dataLen
+      while (o + 1 < end) {
+        val v = (le16(r.content, o) << 16) >> 16 // sign-extend
+        val a = math.abs(v)
+        absSum += a
+        if (a > maxAbs) maxAbs = a
+        if (!first && ((prev < 0 && v >= 0) || (prev >= 0 && v < 0))) zc += 1
+        prev = v; first = false
+        o += 2
+      }
+      (absSum, maxAbs, zc)
+    }
+  }
+
+  /** Decode WAV metadata: partition-local, same shape as
+    * [[decodeImages]].
+    */
+  def decodeAudios(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(WavCodec.decodeAudio))
   }
 
   /** Attach a binary content column to any table (here: utf-8 bytes of a

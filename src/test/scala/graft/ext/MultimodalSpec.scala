@@ -108,6 +108,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(small.forall(r => PpmCodec.decodeImage(r).width == 2))
   }
 
+  test("WavCodec: encode/decode round-trips real RIFF chunks and PCM") {
+    import Multimodal.WavCodec
+    val vals = Array(0, 100, -100, 32767, -32768, 5, -5, 0)
+    val wav = MediaRow(3L, WavCodec.Mime,
+      WavCodec.encode(16000, 1, vals.length, vals(_)))
+    val m = WavCodec.decodeAudio(wav)
+    assert(m.sample_rate == 16000 && m.channels == 1 &&
+      m.bits_per_sample == 16 && m.n_samples == vals.length)
+    val (absSum, maxAbs, zc) = WavCodec.signalStats(wav)
+    assert(absSum == vals.map(v => math.abs(v.toLong)).sum)
+    assert(maxAbs == 32768)
+    // sign flips (>=0 vs <0): 0,100 | 100,-100 X | -100,32767 X |
+    // 32767,-32768 X | -32768,5 X | 5,-5 X | -5,0 X -> 6
+    assert(zc == 6)
+    // stereo: data chunk carries interleaved frames, n_samples is per
+    // channel
+    val st = MediaRow(4L, WavCodec.Mime, WavCodec.encode(8000, 2, 10, _ => 7))
+    assert(WavCodec.decodeAudio(st).n_samples == 10)
+    intercept[IllegalArgumentException] {
+      WavCodec.decodeAudio(MediaRow(0L, WavCodec.Mime, "nope".getBytes))
+    }
+  }
+
+  test("WavCodec: chunk walk skips unknown chunks (reads real files)") {
+    import Multimodal.WavCodec
+    val base = WavCodec.encode(8000, 1, 4, i => i * 10)
+    // splice a LIST chunk between fmt and data, fixing the RIFF size
+    val fmtEnd = 12 + 8 + 16
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = base.take(fmtEnd) ++ listChunk ++ base.drop(fmtEnd)
+    val m = WavCodec.decodeAudio(MediaRow(5L, WavCodec.Mime, spliced))
+    assert(m.sample_rate == 8000 && m.n_samples == 4)
+    val (absSum, _, _) = WavCodec.signalStats(MediaRow(5L, WavCodec.Mime, spliced))
+    assert(absSum == 0 + 10 + 20 + 30)
+  }
+
+  test("decodeAudios: distributed WAV metadata decode") {
+    import Multimodal.WavCodec
+    val ds = spark.createDataset(Seq(
+      MediaRow(0L, WavCodec.Mime, WavCodec.encode(8000, 1, 16, i => i)),
+      MediaRow(1L, WavCodec.Mime, WavCodec.encode(44100, 2, 32, i => -i))))
+    val metas = decodeAudios(ds).collect().sortBy(_.media_id)
+    assert(metas.map(m => (m.sample_rate, m.channels, m.n_samples)).toSeq ==
+      Seq((8000, 1, 16L), (44100, 2, 32L)))
+  }
+
   test("sampleFrames: stride covers the payload") {
     val frames = sampleFrames(media, stride = 100).collect()
     val byDoc = frames.groupBy(_.media_id)
