@@ -137,6 +137,64 @@ object StreamOps {
       }
       .start()
 
+  /** EXACTLY-ONCE append sink for plain parquet: each micro-batch
+    * lands as a hive partition `batch_id=<epoch>` under `tablePath`,
+    * committed by a staging-write + ATOMIC RENAME, with the partition
+    * directory itself as the commit marker. foreachBatch is
+    * at-least-once under failure/restart — the epoch id is the
+    * idempotence key:
+    *
+    *   - crash AFTER rename, BEFORE checkpoint commit → restart
+    *     replays the same batch id, the marker directory exists, the
+    *     replay is SKIPPED — no duplicate rows;
+    *   - crash MID-STAGING → the leftover `_staging_<id>` directory is
+    *     invisible to readers (underscore-prefixed paths are ignored
+    *     by the parquet source) and the replay overwrites it;
+    *   - rename is atomic on HDFS-like filesystems, so readers never
+    *     observe a partial partition — they see the batch entirely or
+    *     not at all.
+    *
+    * Readers get provenance for free: `batch_id` surfaces as a
+    * partition column, so "reprocess everything since epoch N" is a
+    * partition-pruned scan. At 100 TB the per-batch cost is one write
+    * of the micro-batch plus two namenode ops (no table rewrite —
+    * contrast [[applyChanges]], which merges the full base); small
+    * batch files accrete, so pair with [[graft.io.Tables.compact]] on
+    * a maintenance schedule.
+    */
+  def exactlyOnceAppendSink(stream: DataFrame, tablePath: String,
+                            checkpointDir: String
+                           ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitBatchOnce(batch, tablePath, id); ()
+      }
+      .start()
+
+  /** One idempotent batch commit (the foreachBatch body, callable
+    * directly): returns true if this call committed `batch` under
+    * `tablePath/batch_id=<batchId>`, false if that epoch was already
+    * committed (replay) — in which case the table is untouched.
+    */
+  def commitBatchOnce(batch: DataFrame, tablePath: String,
+                      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(hadoop)
+    val committed = new org.apache.hadoop.fs.Path(table, s"batch_id=$batchId")
+    if (fs.exists(committed)) false
+    else {
+      val staging = new org.apache.hadoop.fs.Path(table, s"_staging_$batchId")
+      batch.write.mode("overwrite").parquet(staging.toString)
+      // rename is the commit point; a concurrent committer losing the
+      // race leaves `committed` in place and this attempt cleans up
+      if (fs.rename(staging, committed)) true
+      else { fs.delete(staging, true); false }
+    }
+  }
+
   /** One CDC batch against the parquet table at `tablePath` (the
     * foreachBatch body, callable directly for batch backfills).
     */
@@ -183,8 +241,9 @@ object StreamOps {
     * (foreachBatch may replay a batch; parquet append is not
     * transactional) — re-running dedup over `curated` is a fixpoint,
     * so a replayed batch re-drops cleanly downstream, or swap the
-    * appends for an [[applyChanges]]-style atomic-swap MERGE keyed by
-    * doc_id for exactly-once tables.
+    * appends for [[commitBatchOnce]] (epoch-keyed atomic partition
+    * commits) or an [[applyChanges]]-style MERGE keyed by doc_id for
+    * exactly-once tables.
     */
   def curationSink(docs: DataFrame, dir: String, blocklist: Seq[String],
                    minChars: Long, maxChars: Long, minJaccard: Double,

@@ -39,6 +39,41 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("exactlyOnceAppendSink: batch replay commits nothing twice") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("eo_table").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("eo_ckpt").toString
+    val mem = MemoryStream[Event]
+    val q = exactlyOnceAppendSink(mem.toDF(), table, ckpt)
+    try {
+      mem.addData(Event(ts(1), 1L, "a", 1.0), Event(ts(2), 2L, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts(3), 3L, "c", 3.0))
+      q.processAllAvailable()
+      val tbl = spark.read.parquet(table)
+      assert(tbl.count() == 3)
+      // batch_id surfaces as a partition column (provenance) and prunes
+      assert(tbl.schema.fieldNames.contains("batch_id"))
+      assert(tbl.filter($"batch_id" === 1).count() == 1)
+
+      // simulate foreachBatch replay after a crash-before-checkpoint:
+      // re-deliver an ALREADY COMMITTED epoch with different data
+      val replay = Seq(Event(ts(9), 9L, "dup", 9.0)).toDF()
+      assert(!StreamOps.commitBatchOnce(replay, table, batchId = 0))
+      assert(spark.read.parquet(table).count() == 3)
+      assert(spark.read.parquet(table)
+        .filter($"event_type" === "dup").count() == 0)
+      // a NEW epoch commits normally
+      assert(StreamOps.commitBatchOnce(replay, table, batchId = 7))
+      assert(spark.read.parquet(table).count() == 4)
+      // leftover staging dirs are invisible to readers
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(table, "_staging_99"))
+      assert(spark.read.parquet(table).count() == 4)
+    } finally q.stop()
+  }
+
   test("sessionAgg (session_window) groups by 30-min gaps per user") {
     // batch-mode execution of the same streaming transformation
     val events = Seq(
