@@ -372,6 +372,66 @@ object ZoneMap {
     }
   }
 
+  /** Read a SPECIFIC committed manifest version — the time-travel
+    * entry point. Fails loudly if the version was never committed or
+    * has been vacuumed (a pinned reader that outlives `keep` snapshots
+    * should fail, not silently read the wrong file list).
+    */
+  def readManifestAt(spark: SparkSession, manifestPath: String,
+                     version: Long): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$manifestPath/$VersionsDir", f"$version%020d")
+    if (!fsFor(spark, marker).exists(marker))
+      throw new java.io.FileNotFoundException(
+        s"manifest version $version not committed (or vacuumed) under " +
+          manifestPath)
+    spark.read.parquet(s"$manifestPath/v$version")
+  }
+
+  /** TIME TRAVEL over plain parquet: scan the table AS OF manifest
+    * `version` — only the files that version's manifest lists, however
+    * many files have been appended to the directory since. The
+    * manifest's file list IS the snapshot (the same contract Delta /
+    * Iceberg implement with their metadata logs): because data files
+    * are immutable-once-written and the manifest is committed
+    * atomically, every version's file list describes a consistent
+    * table state forever.
+    *
+    * The file list is collected driver-side — |files| paths, the same
+    * scale the planner's own file index holds; the scan itself is a
+    * normal pruned parquet read (column pruning / predicate pushdown
+    * intact). Pair with [[vacuumManifest]]`(keep)` for how far back
+    * travel reaches.
+    */
+  def scanAsOf(spark: SparkSession, manifestPath: String,
+               version: Long): DataFrame = {
+    val files = readManifestAt(spark, manifestPath, version)
+      .select(col("file")).collect().map(_.getString(0))
+    require(files.nonEmpty, s"manifest v$version lists no files")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** File-level diff between two committed versions: one row per
+    * changed file, `(file, change)` with change ∈ {added, removed} —
+    * the incremental-processing primitive ("process only files added
+    * since the version I last saw", Delta-CDF-style but at file
+    * granularity). |files|-scale anti-joins on the manifest frames;
+    * no data files are touched.
+    */
+  def manifestDiff(spark: SparkSession, manifestPath: String,
+                   fromVersion: Long, toVersion: Long): DataFrame = {
+    val from = readManifestAt(spark, manifestPath, fromVersion)
+      .select(col("file"))
+    val to = readManifestAt(spark, manifestPath, toVersion)
+      .select(col("file"))
+    to.join(from, Seq("file"), "left_anti")
+      .withColumn("change", lit("added"))
+      .unionByName(
+        from.join(to, Seq("file"), "left_anti")
+          .withColumn("change", lit("removed")))
+      .orderBy(col("file"))
+  }
+
   /** Zone-overlap audit for a layout WITHOUT writing files: assign rows
     * to `nZones` contiguous zones of `orderCol`'s sort order (rank
     * ranges, made total by `tieCol`), then per zone report each audited

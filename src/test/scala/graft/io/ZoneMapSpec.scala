@@ -284,6 +284,51 @@ class ZoneMapSpec extends SparkTestBase {
       .toSeq == m1.sort("file").collect().toSeq)
   }
 
+  test("time travel: scanAsOf pins a version's file list; manifestDiff " +
+      "names the files added since") {
+    val dataDir = java.nio.file.Files.createTempDirectory("tt-d").toString
+    val mPath = java.nio.file.Files.createTempDirectory("tt-m").toString +
+      "/manifest"
+    // v0: first half of the table
+    grid().filter(col("x") < 32).coalesce(2)
+      .write.mode("overwrite").parquet(dataDir)
+    val v0 = ZoneMap.commitManifest(
+      ZoneMap.buildManifest(spark, dataDir, Seq("x")), mPath)
+    // v1: append the second half, refresh, commit
+    grid().filter(col("x") >= 32).coalesce(3)
+      .write.mode("append").parquet(dataDir)
+    val v1 = ZoneMap.commitManifest(
+      ZoneMap.updateManifest(spark, dataDir,
+        ZoneMap.readManifestAt(spark, mPath, v0), Seq("x")), mPath)
+
+    // AS OF v0 the table is the pre-append state, although the
+    // directory now holds both halves
+    assert(ZoneMap.scanAsOf(spark, mPath, v0).count() ==
+      grid().filter(col("x") < 32).count())
+    assert(ZoneMap.scanAsOf(spark, mPath, v1).count() == grid().count())
+    // the snapshot read still prunes/pushes down like any parquet scan
+    assert(ZoneMap.scanAsOf(spark, mPath, v0)
+      .filter(col("x") === 5).count() ==
+      grid().filter(col("x") === 5).count())
+
+    // the diff is exactly the appended files
+    val diff = ZoneMap.manifestDiff(spark, mPath, v0, v1).collect()
+    assert(diff.forall(_.getString(1) == "added"))
+    val v0Files = ZoneMap.readManifestAt(spark, mPath, v0)
+      .select("file").collect().map(_.getString(0)).toSet
+    val v1Files = ZoneMap.readManifestAt(spark, mPath, v1)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(diff.map(_.getString(0)).toSet == v1Files -- v0Files)
+    assert(ZoneMap.manifestDiff(spark, mPath, v0, v0).count() == 0)
+
+    // a vacuumed version fails loudly, not wrong-silently
+    ZoneMap.vacuumManifest(spark, mPath, keep = 1)
+    intercept[java.io.FileNotFoundException] {
+      ZoneMap.scanAsOf(spark, mPath, v0)
+    }
+    assert(ZoneMap.scanAsOf(spark, mPath, v1).count() == grid().count())
+  }
+
   test("paths with URI-special characters: manifest keys match " +
       "inputFiles, updateManifest stays incremental, skipScan opens " +
       "the files") {
