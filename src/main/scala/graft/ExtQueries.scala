@@ -463,6 +463,33 @@ object ExtQueries {
         .orderBy(col("token"))
     }),
 
+    // Per-GROUP exact heavy hitters in one pass + candidate recount: the
+    // native Misra-Gries aggregate (TypedImperativeAggregate, O(k) state
+    // per group per task, mergeable partials) proposes <= k candidates
+    // per language; every token with true freq > N_lang/(k+1) is
+    // guaranteed present, so recounting ONLY candidate rows (broadcast
+    // semi-join, partial-agg) and filtering cnt*(k+1) > N_lang yields
+    // the provably-exact per-group heavy set. Shuffled bytes: k counters
+    // per group + candidate rows, never the token stream.
+    "x_mg_heavy_per_group" -> ((s, dir) => {
+      val k = 64
+      val toks = T(s, dir, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), " "))
+          .as("token"))
+      val cands = toks.groupBy(col("lang"))
+        .agg(graft.functions.native_fns.mg_sketch(col("token"), k).as("sk"))
+        .select(col("lang"), explode(map_keys(col("sk"))).as("token"))
+      val counts = toks
+        .join(broadcast(cands), Seq("lang", "token"), "left_semi")
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      val totals = toks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("__total"))
+      counts.join(totals, Seq("lang"))
+        .filter(col("n") * (k + 1) > col("__total"))
+        .select(col("lang"), col("token"), col("n"))
+        .orderBy(col("lang"), col("token"))
+    }),
+
     // ---- multimodal (binary column plumbing; decode is stubbed) -------
 
     "x_mm_features" -> ((s, dir) =>
@@ -3385,6 +3412,20 @@ object ExtQueries {
            CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
            CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""",
+
+    // The sketch is only a candidate proposer; the final filter is an
+    // exact count vs an exact per-group total, so plain SQL is the
+    // oracle (same construction as x_heavy_hitters, per group).
+    "x_mg_heavy_per_group" ->
+      """WITH toks AS (
+           SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+           FROM documents),
+         tot AS (SELECT lang, COUNT(*) AS n_total FROM toks GROUP BY 1),
+         cnt AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+         SELECT c.lang, c.token, c.n
+         FROM cnt c JOIN tot t USING (lang)
+         WHERE c.n * 65 > t.n_total
+         ORDER BY c.lang, c.token""",
 
     // Closed-form prediction of what the REAL P6 parse must read back:
     // dims from the generator, pixel sums by enumerating the raster

@@ -41,4 +41,11 @@ object native_fns {
     */
   def might_contain(bloom: Column, key: Column): Column =
     org.apache.spark.sql.graft.BloomFilterFns.might_contain(bloom, key)
+
+  /** Misra-Gries heavy-hitter sketch aggregate (TypedImperativeAggregate,
+    * O(k) state, mergeable): `map<string,bigint>` of ≤ k candidates,
+    * complete for true frequency > N/(k+1).
+    */
+  def mg_sketch(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.MisraGriesAgg.mg_sketch(c, k)
 }
