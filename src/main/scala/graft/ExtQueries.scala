@@ -476,14 +476,22 @@ object ExtQueries {
       val toks = T(s, dir, "documents")
         .select(col("lang"), explode(split(lower(col("text")), " "))
           .as("token"))
-      val cands = toks.groupBy(col("lang"))
-        .agg(graft.functions.native_fns.mg_sketch(col("token"), k).as("sk"))
+      // sketch AND per-group total from ONE aggregate pass; the only
+      // other stream scan is the candidate recount (unavoidable - it
+      // is what makes the answer exact)
+      // |langs| rows of (sketch, total); referenced twice below, so a
+      // lazy barrier stops Catalyst inlining the stream aggregate per
+      // reference (the multi-reference materialization lesson)
+      val sketched = toks.groupBy(col("lang"))
+        .agg(graft.functions.native_fns.mg_sketch(col("token"), k).as("sk"),
+          count(lit(1)).as("__total"))
+        .localCheckpoint(false)
+      val cands = sketched
         .select(col("lang"), explode(map_keys(col("sk"))).as("token"))
       val counts = toks
         .join(broadcast(cands), Seq("lang", "token"), "left_semi")
         .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
-      val totals = toks.groupBy(col("lang"))
-        .agg(count(lit(1)).as("__total"))
+      val totals = sketched.select(col("lang"), col("__total"))
       counts.join(totals, Seq("lang"))
         .filter(col("n") * (k + 1) > col("__total"))
         .select(col("lang"), col("token"), col("n"))
