@@ -322,6 +322,69 @@ object StreamOps {
       .write.mode("append").parquet(seenPath.toString)
   }
 
+  /** The capstone composition: an exactly-once STREAMING TABLE with
+    * snapshot isolation and time travel on plain parquet. Each
+    * micro-batch (a) lands atomically via [[commitBatchOnce]] (replays
+    * skipped), then (b) refreshes the zone-map manifest incrementally
+    * (only the new partition's files are scanned) and commits it as
+    * the next manifest version via
+    * [[graft.io.ZoneMap.commitManifest]] — so every epoch becomes a
+    * pinned, immutable snapshot:
+    *
+    *   - readers on `ZoneMap.readManifest` see whole epochs or
+    *     nothing (reader-atomic versioned store);
+    *   - `ZoneMap.scanAsOf(manifest, v)` time-travels to any retained
+    *     epoch boundary;
+    *   - `ZoneMap.skipScan` prunes by the manifest's zones;
+    *   - a crash between data commit and manifest commit self-heals:
+    *     the replayed epoch skips the data write (marker exists) and
+    *     retries only the manifest refresh, which is incremental and
+    *     idempotent (updateManifest scans only files the manifest
+    *     lacks).
+    *
+    * Per-epoch cost: micro-batch write + stats scan of the NEW files
+    * only + a |files|-row manifest snapshot write. This is the
+    * Delta/Iceberg transaction-log contract assembled from the
+    * engine's own parts.
+    */
+  def exactlyOnceTableSink(stream: DataFrame, tablePath: String,
+                           manifestPath: String, zoneCols: Seq[String],
+                           checkpointDir: String
+                          ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitTableEpoch(batch, tablePath, manifestPath, zoneCols, id); ()
+      }
+      .start()
+
+  /** One table epoch (the foreachBatch body, callable directly):
+    * data commit (idempotent) + incremental manifest refresh + manifest
+    * version commit. Returns the committed manifest version, or None if
+    * the epoch was a pure replay (data already committed AND the
+    * manifest already covers its files).
+    */
+  def commitTableEpoch(batch: DataFrame, tablePath: String,
+                       manifestPath: String, zoneCols: Seq[String],
+                       batchId: Long): Option[Long] = {
+    import graft.io.ZoneMap
+    val spark = batch.sparkSession
+    commitBatchOnce(batch, tablePath, batchId)
+    // refresh regardless of whether THIS call wrote the data: a prior
+    // attempt may have crashed between data and manifest commits
+    val prior =
+      ZoneMap.currentManifestVersion(spark, manifestPath)
+        .map(_ => ZoneMap.readManifest(spark, manifestPath))
+    val refreshed = prior match {
+      case Some(m) =>
+        val next = ZoneMap.updateManifest(spark, tablePath, m, zoneCols)
+        if (next eq m) None else Some(next) // no-op refresh = pure replay
+      case None =>
+        Some(ZoneMap.buildManifest(spark, tablePath, zoneCols))
+    }
+    refreshed.map(ZoneMap.commitManifest(_, manifestPath))
+  }
+
   // ---- distribution drift monitoring ----------------------------------
 
   /** Per-micro-batch PSI drift monitor: each batch's `binCol`

@@ -74,6 +74,53 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("exactlyOnceTableSink: every epoch is a time-travelable snapshot; " +
+      "replays and data/manifest crash gaps self-heal") {
+    import graft.io.ZoneMap
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("eot_t").toString
+    val mPath = java.nio.file.Files.createTempDirectory("eot_m").toString +
+      "/manifest"
+    val ckpt = java.nio.file.Files.createTempDirectory("eot_c").toString
+    val mem = MemoryStream[Event]
+    val q = exactlyOnceTableSink(mem.toDF(), table, mPath,
+      Seq("user_id"), ckpt)
+    try {
+      mem.addData(Event(ts(1), 1L, "a", 1.0), Event(ts(2), 2L, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts(3), 30L, "c", 3.0))
+      q.processAllAvailable()
+      // two epochs -> two committed manifest versions, each a snapshot
+      assert(ZoneMap.currentManifestVersion(spark, mPath).contains(1L))
+      assert(ZoneMap.scanAsOf(spark, mPath, 0L).count() == 2)
+      assert(ZoneMap.scanAsOf(spark, mPath, 1L).count() == 3)
+      // zone pruning through the current manifest
+      assert(ZoneMap.skipScan(spark, table,
+        ZoneMap.readManifest(spark, mPath), "user_id", 25L, 35L)
+        .count() == 1)
+
+      // pure replay: same epoch id, different payload -> no data, no
+      // new manifest version
+      val replay = Seq(Event(ts(9), 9L, "dup", 9.0)).toDF()
+      assert(StreamOps.commitTableEpoch(replay, table, mPath,
+        Seq("user_id"), batchId = 0L).isEmpty)
+      assert(ZoneMap.currentManifestVersion(spark, mPath).contains(1L))
+      assert(spark.read.parquet(table).count() == 3)
+
+      // crash BETWEEN data and manifest commits: data for epoch 7
+      // landed, manifest didn't. The epoch retry skips the data write
+      // and heals the manifest incrementally.
+      assert(StreamOps.commitBatchOnce(replay, table, 7L))
+      assert(ZoneMap.currentManifestVersion(spark, mPath).contains(1L))
+      val healed = StreamOps.commitTableEpoch(replay, table, mPath,
+        Seq("user_id"), batchId = 7L)
+      assert(healed.contains(2L))
+      assert(ZoneMap.scanAsOf(spark, mPath, 2L).count() == 4)
+      // earlier snapshots still read their own epoch boundaries
+      assert(ZoneMap.scanAsOf(spark, mPath, 0L).count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionAgg (session_window) groups by 30-min gaps per user") {
     // batch-mode execution of the same streaming transformation
     val events = Seq(
