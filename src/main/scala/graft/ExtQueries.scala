@@ -463,6 +463,27 @@ object ExtQueries {
         .orderBy(col("token"))
     }),
 
+    // The incremental-rollup monoid state itself, oracle-checked: build
+    // over one partition split, build over the complement, MERGE — must
+    // equal a plain GROUP BY of the whole table (the identity that makes
+    // refresh-from-new-files-only sound). DECIMAL accumulation keeps the
+    // merge order-independent; doubles only at the output boundary.
+    "x_rollup_state_merge" -> ((s, dir) => {
+      import graft.agg.IncrementalRollup
+      val li = T(s, dir, "lineitem")
+      val dims = Seq("l_returnflag"); val ms = Seq("l_quantity", "l_extendedprice")
+      val a = IncrementalRollup.build(li.filter(col("l_orderkey") % 2 === 0), dims, ms)
+      val b = IncrementalRollup.build(li.filter(col("l_orderkey") % 2 =!= 0), dims, ms)
+      IncrementalRollup.withAverages(
+          IncrementalRollup.merge(a, b, dims, ms), ms)
+        .select(col("l_returnflag"),
+          col("l_quantity_sum").cast("double").as("qty_sum"),
+          col("l_extendedprice_sum").cast("double").as("price_sum"),
+          col("n_rows"),
+          col("l_quantity_avg").as("qty_avg"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Per-GROUP exact heavy hitters in one pass + candidate recount: the
     // native Misra-Gries aggregate (TypedImperativeAggregate, O(k) state
     // per group per task, mergeable partials) proposes <= k candidates
@@ -3420,6 +3441,16 @@ object ExtQueries {
            CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
            CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames
          FROM documents ORDER BY doc_id""",
+
+    "x_rollup_state_merge" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_sum,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS qty_avg
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // The sketch is only a candidate proposer; the final filter is an
     // exact count vs an exact per-group total, so plain SQL is the
