@@ -702,6 +702,25 @@ object ExtQueries {
         .orderBy(col("status"), col("day"))
     }),
 
+    // Holt linear-trend smoothing — the sequential per-key recurrence
+    // class (each output depends on the previous OUTPUT, inexpressible
+    // as a window): per-status daily revenue folded through the
+    // level/trend recurrence by the higher-order `aggregate` (one
+    // shuffle to gather each series, one row-local fold, no iterative
+    // jobs). Dyadic α/β and in-order IEEE ops make every smoothed value
+    // bit-identical to the oracle's recursive CTE.
+    "x_holt_smooth" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      graft.ext.Forecast.holtLinear(daily, Seq("status"), "day",
+          "revenue", alpha = 0.5, beta = 0.25)
+        .orderBy(col("status"), col("day"))
+    }),
+
     // ---- grouping sets / percentiles (beyond-reference OLAP breadth) --
 
     "x_rollup" -> ((s, dir) =>
@@ -2168,8 +2187,156 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_names"),
           array_join(array_sort(collect_list(col("c_name"))), "|")
             .as("names"))
-        .orderBy(col("c_mktsegment"), col("c_nationkey")))
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))),
+
+    // ---- copy-on-write table mutations (io/Cow over the versioned
+    // manifest store) ---------------------------------------------------
+
+    // Row-level DELETE, copy-on-write: the part table lands as a 4-file
+    // manifest-tracked table, `DELETE WHERE p_size < 15` rewrites ONLY
+    // files containing matching rows (new parquet + next manifest
+    // version; old files stay for time travel), and the post-delete
+    // snapshot aggregates to exactly "WHERE NOT (p_size < 15)" — which
+    // is the oracle. CowSpec pins the physical side (untouched files
+    // keep their paths, pre-delete version still serves deleted rows);
+    // this query oracle-checks the visible table state.
+    "x_cow_delete" -> ((s, dir) =>
+      withCowTable(s, dir, "part", Seq("p_partkey", "p_size")) {
+        (data, man) =>
+          graft.io.Cow.deleteWhere(s, data, man, col("p_size") < 15)
+          graft.io.ZoneMap.scanAsOf(s, man,
+              graft.io.ZoneMap.currentManifestVersion(s, man).get)
+            .groupBy(col("p_brand"))
+            .agg(count(lit(1)).as("n_parts"),
+              sum(col("p_size").cast("long")).as("size_sum"),
+              sum(col("p_retailprice").cast(DecimalType(18, 2)))
+                .cast("double").as("price_sum"))
+            .orderBy(col("p_brand"))
+      }),
+
+    // Row-level UPDATE, copy-on-write: small parts get +100 size (the
+    // assignment reads the PREDICATE column — proving set-expressions
+    // evaluate against the pre-update row), untouched files never
+    // rewritten. The post-update snapshot equals the CASE expression
+    // the oracle states; integer arithmetic, exact across engines.
+    "x_cow_update" -> ((s, dir) =>
+      withCowTable(s, dir, "part", Seq("p_partkey", "p_size")) {
+        (data, man) =>
+          graft.io.Cow.updateWhere(s, data, man, col("p_size") < 15,
+            Map("p_size" -> (col("p_size") + 100)))
+          graft.io.ZoneMap.scanAsOf(s, man,
+              graft.io.ZoneMap.currentManifestVersion(s, man).get)
+            .groupBy(col("p_brand"))
+            .agg(count(lit(1)).as("n_parts"),
+              sum(col("p_size").cast("long")).as("size_sum"),
+              min(col("p_size")).as("min_size"))
+            .orderBy(col("p_brand"))
+      }),
+
+    // ---- privacy risk audits ------------------------------------------
+
+    // k-anonymity: every (segment, nation) equivalence class of the
+    // customer table with its size and the re-identifiability flag
+    // (class smaller than k = 10), plus the one-row corpus gate.
+    "x_k_anonymity" -> ((s, dir) =>
+      graft.ext.Privacy.kAnonymity(T(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), k = 10)
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))),
+
+    "x_k_anon_summary" -> ((s, dir) =>
+      graft.ext.Privacy.kAnonymitySummary(T(s, dir, "customer"),
+        Seq("c_mktsegment", "c_nationkey"), k = 10)),
+
+    // l-diversity: a class can be k-anonymous yet expose its sensitive
+    // attribute when all members share one value — per-class distinct
+    // count of the sensitive column (here: nation as the sensitive
+    // attribute of a segment-level release).
+    "x_l_diversity" -> ((s, dir) =>
+      graft.ext.Privacy.lDiversity(T(s, dir, "customer"),
+          Seq("c_mktsegment"), "c_nationkey", l = 3)
+        .orderBy(col("c_mktsegment"))),
+
+    // ---- corpus coverage ----------------------------------------------
+
+    // Vocabulary coverage curve: what fraction of all token occurrences
+    // the top-k tokens cover, at the standard checkpoints — the
+    // tokenizer-budget planning curve (Zipf head mass). Corpus counts
+    // are one group-by; the curve itself lives on the top-500 rows
+    // (driver-bounded by construction, like a codebook), so the global
+    // rank window is over 500 rows, never the vocabulary.
+    "x_vocab_coverage" -> ((s, dir) => {
+      // |vocab|-row count table referenced twice (total + top) — lazy
+      // barrier so the corpus scan runs once, not per reference
+      val counts = T(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val total = counts.agg(sum(col("n")).as("__total"))
+      val top = counts.orderBy(col("n").desc, col("token")).limit(500)
+      val w = Window.orderBy(col("n").desc, col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("token"))))
+        .withColumn("cum_n", sum(col("n")).over(w))
+      ranked.filter(col("rank").isin(1, 2, 3, 5, 10, 20, 50, 100, 250, 500))
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("cum_n"),
+          (col("cum_n").cast("double") / col("__total")).as("coverage"))
+        .orderBy(col("rank"))
+    }),
+
+    // ---- training-batch construction ----------------------------------
+
+    // Length-bucketed batches: docs bucketed by n_chars edge list, then
+    // packed into 32-doc batches in doc_id order within each bucket via
+    // the two-phase distributed prefix rank (no per-bucket global
+    // window). Per-batch audit: size, id span, length span — the
+    // padding-waste planning table.
+    "x_length_batches" -> ((s, dir) =>
+      TextAnalysis.lengthBatches(T(s, dir, "documents"), "doc_id",
+          "n_chars", bucketBounds = Seq(200L, 500L, 1000L),
+          batchSize = 32)
+        .groupBy(col("len_bucket"), col("batch_idx"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+          min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+        .orderBy(col("len_bucket"), col("batch_idx")))
   )
+
+  /** COW query fixture: copy table `name` into a fresh manifest-tracked
+    * temp table (4 range-partitioned files), run `body(dataDir,
+    * manifestPath)`, materialize its result, clean the temp dir up.
+    * The eager localCheckpoint is what lets the backing files vanish
+    * while the returned frame stays usable.
+    */
+  private def withCowTable(s: SparkSession, dir: String, name: String,
+                           statsCols: Seq[String])(
+      body: (String, String) => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft_cow_$name").toString
+    try {
+      val data = s"$tmp/data"; val man = s"$tmp/manifest"
+      T(s, dir, name)
+        .repartitionByRange(4, col(statsCols.head))
+        .write.parquet(data)
+      graft.io.ZoneMap.commitManifest(
+        graft.io.ZoneMap.buildManifest(s, data, statsCols), man)
+      body(data, man).localCheckpoint(true)
+    } finally deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(p: String): Unit = {
+    import java.nio.file.{Files, Paths, Path}
+    val root = Paths.get(p)
+    if (Files.exists(root)) {
+      val stream = Files.walk(root)
+      try {
+        stream.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      } finally stream.close()
+    }
+  }
 
   // ---- oracles --------------------------------------------------------
 
@@ -4938,6 +5105,129 @@ object ExtQueries {
            string_agg(c_name, '|' ORDER BY c_name) AS names
          FROM customer
          WHERE c_nationkey IN (1, 2)
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // COW DELETE: the visible snapshot after `DELETE WHERE p_size < 15`
+    // is, by SQL delete semantics, exactly the complement.
+    "x_cow_delete" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_sum
+         FROM part WHERE NOT (p_size < 15)
+         GROUP BY 1 ORDER BY 1""",
+
+    // COW UPDATE: snapshot equals the CASE projection of the original.
+    "x_cow_update" ->
+      """WITH u AS (
+           SELECT p_brand,
+             CASE WHEN p_size < 15 THEN p_size + 100 ELSE p_size END
+               AS p_size
+           FROM part)
+         SELECT p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum,
+           MIN(p_size) AS min_size
+         FROM u GROUP BY 1 ORDER BY 1""",
+
+    // Holt recurrence as a recursive CTE walking each status series in
+    // rn order — the same IEEE ops in the same order as the Spark fold,
+    // so level/trend/fit hash-match bit-exactly.
+    "x_holt_smooth" ->
+      """WITH RECURSIVE daily AS (
+           SELECT o_orderstatus AS status,
+             CAST(epoch(date_trunc('second', CAST(o_orderdate AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+           FROM orders GROUP BY 1, 2),
+         idx AS (
+           SELECT status, day, revenue,
+             CAST(row_number() OVER (PARTITION BY status ORDER BY day)
+               AS BIGINT) AS rn
+           FROM daily),
+         rec AS (
+           SELECT status, rn, day, revenue,
+             revenue AS level, CAST(0.0 AS DOUBLE) AS trend,
+             CAST(NULL AS DOUBLE) AS fit
+           FROM idx WHERE rn = 1
+           UNION ALL
+           SELECT d.status, d.rn, d.day, d.revenue,
+             0.5 * d.revenue + 0.5 * (r.level + r.trend) AS level,
+             0.25 * ((0.5 * d.revenue + 0.5 * (r.level + r.trend))
+               - r.level) + 0.75 * r.trend AS trend,
+             r.level + r.trend AS fit
+           FROM rec r JOIN idx d ON d.status = r.status
+             AND d.rn = r.rn + 1)
+         SELECT status, day, revenue, level, trend, fit
+         FROM rec ORDER BY status, day""",
+
+    "x_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_rows,
+           COUNT(*) < 10 AS at_risk
+         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_k_anon_summary" ->
+      """WITH c AS (
+           SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_rows
+           FROM customer GROUP BY 1, 2)
+         SELECT COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN n_rows < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_rows < 10 THEN n_rows ELSE 0 END)
+             AS BIGINT) AS n_risky_rows,
+           MIN(n_rows) AS min_class_size
+         FROM c""",
+
+    "x_l_diversity" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT c_nationkey) >= 3 AS diverse
+         FROM customer GROUP BY 1 ORDER BY 1""",
+
+    // Coverage curve: head mass of the token frequency distribution at
+    // the standard rank checkpoints; total order (n DESC, token) makes
+    // the top-500 cut and the running sum deterministic.
+    "x_vocab_coverage" ->
+      """WITH counts AS (
+           SELECT t.token, COUNT(*) AS n
+           FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(token)
+           GROUP BY 1),
+         total AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM counts),
+         ranked AS (
+           SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+               AS rank,
+             CAST(SUM(n) OVER (ORDER BY n DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n
+           FROM counts)
+         SELECT rank, cum_n,
+           CAST(cum_n AS DOUBLE) / tot AS coverage
+         FROM ranked, total
+         WHERE rank IN (1, 2, 3, 5, 10, 20, 50, 100, 250, 500)
+         ORDER BY rank""",
+
+    // Length-bucketed batches: per-bucket doc_id-ordered rank packs 32
+    // docs per batch; the per-batch audit is order-free aggregation.
+    "x_length_batches" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars AS len,
+             CAST(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END
+               + CASE WHEN n_chars > 500 THEN 1 ELSE 0 END
+               + CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END AS BIGINT)
+               AS len_bucket
+           FROM documents),
+         r AS (
+           SELECT doc_id, len, len_bucket,
+             CAST(row_number() OVER (PARTITION BY len_bucket
+               ORDER BY doc_id) - 1 AS BIGINT) AS rnk
+           FROM b)
+         SELECT len_bucket, rnk // 32 AS batch_idx,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           MIN(len) AS min_len, MAX(len) AS max_len
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy risk measurement over quasi-identifiers — the re-identification
+  * audit a curation pipeline runs before releasing a training corpus
+  * carrying user-derived records (complements [[TextAnalysis.piiScan]]:
+  * PII scanning finds direct identifiers inside text, these find
+  * IMPLICIT identification through attribute combinations).
+  *
+  * Both are single `groupBy(quasi-identifiers)` passes — partial
+  * aggregation map-side, |equivalence classes| rows after the shuffle,
+  * no row-level state. At 100 TB the class table is the small output;
+  * the only care needed is QI-combination skew (a dominant class is
+  * one hot group — AQE handles it, and the aggregate is just counts).
+  */
+object Privacy {
+
+  /** k-anonymity audit: every combination of `qiCols` (an equivalence
+    * class) with its row count and an `at_risk` flag — a class smaller
+    * than `k` means those rows are re-identifiable within the release
+    * (Sweeney's k-anonymity: each record must be indistinguishable
+    * from at least k−1 others on the quasi-identifiers).
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
+
+  /** l-diversity audit: per equivalence class, the number of DISTINCT
+    * values of `sensitiveCol` — a class can be k-anonymous yet leak the
+    * sensitive attribute outright when every member shares one value
+    * (Machanavajjhala et al.); `diverse` requires at least `l` distinct
+    * sensitive values. Exact distinct per group (two-level aggregate);
+    * swap in an HLL sketch when classes are huge and ±2 % suffices.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
+  /** Corpus-level k-anonymity summary: one row —
+    * (n_classes, n_risky_classes, n_rows, n_risky_rows, min_class_size)
+    * — the go/no-go gate number. Derived from [[kAnonymity]]'s class
+    * table, so it costs one extra aggregate over |classes| rows.
+    */
+  def kAnonymitySummary(df: DataFrame, qiCols: Seq[String],
+                        k: Long): DataFrame =
+    kAnonymity(df, qiCols, k).agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("at_risk"), 1L).otherwise(0L)).as("n_risky_classes"),
+      sum(col("n_rows")).as("n_rows"),
+      sum(when(col("at_risk"), col("n_rows")).otherwise(0L))
+        .as("n_risky_rows"),
+      min(col("n_rows")).as("min_class_size"))
+}

@@ -665,4 +665,58 @@ object TextAnalysis {
         (col("__off") / budget).cast("long").as("seq_id"),
         (col("__off") % budget).as("seq_offset"))
   }
+
+  /** Length-bucketed batch construction — the training-loader trick
+    * that cuts padding waste: documents land in a length bucket
+    * (`bucketBounds` are the inclusive upper edges; the last bucket is
+    * open-ended), and within each bucket are packed into fixed-size
+    * batches in ascending `idCol` order, so every batch holds
+    * similar-length sequences and pads only to its own bucket's edge.
+    * Returns (id, len, len_bucket, batch_idx, batch_pos).
+    *
+    * The per-bucket rank is the [[packSequences]] two-phase prefix sum
+    * (counts per (bucket, coarse id range) → running offsets over the
+    * tiny range table → within-range `row_number`), NOT a
+    * `Window.partitionBy(len_bucket)` — with a handful of buckets that
+    * window funnels 1/|buckets| of the corpus through single tasks;
+    * here every partition does bounded work and the only global window
+    * runs over |buckets| × |ranges| rows.
+    */
+  def lengthBatches(df: DataFrame, idCol: String, lenCol: String,
+                    bucketBounds: Seq[Long], batchSize: Int,
+                    idBucketWidth: Long = 1000L): DataFrame = {
+    require(bucketBounds.nonEmpty, "need at least one bucket bound")
+    require(bucketBounds == bucketBounds.sorted && bucketBounds.distinct
+      .lengthCompare(bucketBounds.size) == 0,
+      "bucketBounds must be strictly increasing")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(idBucketWidth >= 1,
+      s"idBucketWidth must be >= 1, got $idBucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    // row-local bucket id: number of bounds strictly below len
+    val lenBucket = bucketBounds.map(b =>
+      when(col(lenCol) > b, 1L).otherwise(0L)).reduce(_ + _)
+    val based = df.select(col(idCol), col(lenCol).cast("long").as("len"),
+      lenBucket.as("len_bucket"),
+      (col(idCol).cast("long") / idBucketWidth).cast("long").as("__coarse"))
+    // phase 1: per-(bucket, coarse) counts -> exclusive running offsets
+    // within each bucket; |buckets| x |coarse ranges| rows, broadcastable
+    val offsets = based.groupBy(col("len_bucket"), col("__coarse"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.partitionBy(col("len_bucket")).orderBy(col("__coarse"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    // phase 2: within-(bucket, coarse) rank + offset = global per-bucket
+    // rank; batch index and position fall out arithmetically
+    val wr = Window.partitionBy(col("len_bucket"), col("__coarse"))
+      .orderBy(col(idCol))
+    based.join(broadcast(offsets), Seq("len_bucket", "__coarse"))
+      .withColumn("__rank",
+        col("__off") + row_number().over(wr).cast("long") - 1L)
+      .select(col(idCol), col("len"), col("len_bucket"),
+        (col("__rank") / batchSize).cast("long").as("batch_idx"),
+        (col("__rank") % batchSize).as("batch_pos"))
+  }
 }

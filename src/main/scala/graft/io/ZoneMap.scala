@@ -99,6 +99,19 @@ object ZoneMap {
       .na.fill(0L, "n_rows" +: cols.map(c => s"${c}__nulls"))
   }
 
+  /** Manifest rows for an EXPLICIT file list — the write-side stats
+    * path: a writer that just produced `files` (an append batch, a
+    * copy-on-write rewrite) derives their manifest rows by scanning
+    * only those files, never the table. Same row contract as
+    * [[buildManifest]] (listing defines the rows, zero-row files
+    * included).
+    */
+  def manifestForFiles(spark: SparkSession, files: Seq[String],
+                       cols: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "manifestForFiles needs at least one file")
+    statsOverListing(spark.read.parquet(files: _*), cols)
+  }
+
   /** Files whose [min, max] zone for `colName` intersects [lo, hi] —
     * the candidate set a range predicate must read. A file is skipped
     * only when its zone PROVES no row matches (max < lo or min > hi);
