@@ -17,14 +17,21 @@ object QBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     for (n <- names) {
+      // build time covers query CONSTRUCTION — lazily-planned queries
+      // spend ~0 here, but fixture-style queries (the COW mutations)
+      // do their table work eagerly inside the builder, and this is the
+      // only place that cost is visible (Bench medians time the
+      // post-construction count of an already-materialized result)
+      val t0b = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, sfDir)
+      val build = (System.nanoTime() - t0b) / 1e9
       val t0w = System.nanoTime()
       df.count()
       val warm = (System.nanoTime() - t0w) / 1e9
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"QBENCH $n warm=$warm%.3f median=${ts(1)}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      println(f"QBENCH $n build=$build%.3f warm=$warm%.3f median=${ts(1)}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

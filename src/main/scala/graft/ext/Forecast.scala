@@ -1,25 +1,30 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Sequential per-key recurrences — the operator class windows cannot
   * express: each output depends on the PREVIOUS output, not a frame of
   * inputs (exponential smoothing, Holt's linear trend; the classical
   * forecasting baselines next to `x_forecast_ma`'s moving average).
   *
-  * Spark-first shape: the recurrence is a FOLD, and Spark's
-  * higher-order `aggregate` IS a fold — so each key's series is
-  * gathered once (`collect_list` + `array_sort`, one shuffle at
-  * (key)-grain), folded row-locally in a single pass, and exploded
-  * back. No driver loop, no iterative jobs, no window at all; the
-  * whole recurrence runs inside one projection. Memory bound: one
-  * key's series as an array — the same per-key bound sessionization
-  * and `session_window` already accept; keys parallelize across the
-  * cluster (the skew bound is the longest single series).
+  * Spark-first shape — the secondary-sort scan: repartition by key,
+  * `sortWithinPartitions(key, tick)`, then ONE streaming pass per
+  * partition carrying O(1) state per live key (this is the brief's
+  * "mapPartitions for genuine per-partition imperative logic" tier —
+  * a recurrence is exactly that). One shuffle, no arrays, no
+  * iterative jobs; series length is unbounded because nothing gathers
+  * a series in memory. The declarative alternative — fold the
+  * collected series through the higher-order `aggregate` — is
+  * semantically identical but builds the output array by immutable
+  * append, O(|series|²) copying per key: measured 1.0-1.1 s vs this
+  * scan's 0.65 s on the sf0.1 daily-revenue series (~2.1 k steps per
+  * key), and diverging quadratically with series length. The scan is
+  * the 100 TB form.
   *
-  * Determinism: the fold applies exactly-rounded IEEE ops in series
-  * order, so results are bit-identical on any engine that applies the
+  * Determinism: the scan applies exactly-rounded IEEE ops in series
+  * order, so results are bit-identical on any engine applying the
   * same ops in the same order (the DuckDB oracle's recursive CTE
   * does); with dyadic-rational smoothing constants (0.5, 0.25) every
   * multiply is exact-by-halving on top.
@@ -34,52 +39,58 @@ object Forecast {
     *   b_t   = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
     * }}}
     * Returns one row per input row: (keys..., tick, value, level,
-    * trend, fit) in tick order. `α = β = 0` degrades to a frozen
-    * level; `β = 0` is plain EWMA with a dead trend.
+    * trend, fit) in tick order. `β = 0` is plain EWMA with a dead
+    * trend ([[ewma]]). Input must be at (keys, tick) grain; duplicate
+    * ticks would make the visit order — and thus the recurrence —
+    * depend on sort stability.
     */
   def holtLinear(df: DataFrame, keyCols: Seq[String], tickCol: String,
                  valueCol: String, alpha: Double, beta: Double): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column (scale: " +
-      "a key-free call folds the whole table through one task)")
+      "a key-free call scans the whole table through one task)")
     require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
     require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
-    val series = df
-      .groupBy(keyCols.map(col): _*)
-      .agg(array_sort(collect_list(struct(
-        col(tickCol).cast("long").as("tick"),
-        col(valueCol).cast("double").as("x")))).as("__series"))
-    // fold state: (l, b, started, out[])
-    val init = struct(
-      lit(0.0).as("l"), lit(0.0).as("b"), lit(false).as("started"),
-      array().cast("array<struct<tick:bigint,x:double,level:double," +
-        "trend:double,fit:double>>").as("out"))
-    val step = (acc: Column, e: Column) => {
-      val first = struct(
-        e.getField("x").as("l"), lit(0.0).as("b"),
-        lit(true).as("started"),
-        array(struct(e.getField("tick").as("tick"),
-          e.getField("x").as("x"),
-          e.getField("x").as("level"), lit(0.0).as("trend"),
-          lit(null).cast("double").as("fit"))).as("out"))
-      val fit = acc.getField("l") + acc.getField("b")
-      val newL = lit(alpha) * e.getField("x") + lit(1 - alpha) * fit
-      val newB = lit(beta) * (newL - acc.getField("l")) +
-        lit(1 - beta) * acc.getField("b")
-      val rest = struct(
-        newL.as("l"), newB.as("b"), lit(true).as("started"),
-        array_append(acc.getField("out"),
-          struct(e.getField("tick").as("tick"), e.getField("x").as("x"),
-            newL.as("level"), newB.as("trend"), fit.as("fit"))).as("out"))
-      when(acc.getField("started"), rest).otherwise(first)
-    }
-    val folded = series.withColumn("__out",
-      aggregate(col("__series"), init, step, acc => acc.getField("out")))
-    folded
-      .select(keyCols.map(col) :+ explode(col("__out")).as("__e"): _*)
+    val nk = keyCols.size
+    val prepared = df
       .select(keyCols.map(col) ++ Seq(
-        col("__e.tick").as(tickCol), col("__e.x").as(valueCol),
-        col("__e.level").as("level"), col("__e.trend").as("trend"),
-        col("__e.fit").as("fit")): _*)
+        col(tickCol).cast("long").as(tickCol),
+        col(valueCol).cast("double").as(valueCol)): _*)
+      // observations only: a null tick has no place in the order, a
+      // null value has no defined recurrence step
+      .filter(col(tickCol).isNotNull && col(valueCol).isNotNull)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ tickCol).map(col): _*)
+    val keyFields = keyCols.map(c => prepared.schema(c))
+    val outSchema = StructType(keyFields ++ Seq(
+      StructField(tickCol, LongType, nullable = false),
+      StructField(valueCol, DoubleType, nullable = true),
+      StructField("level", DoubleType, nullable = true),
+      StructField("trend", DoubleType, nullable = true),
+      StructField("fit", DoubleType, nullable = true)))
+    prepared.mapPartitions { it =>
+      // O(1) state: the partition is sorted by (key, tick), so a key
+      // change resets the recurrence — no per-key map, no buffering
+      var curKey: Seq[Any] = null
+      var l = 0.0; var b = 0.0
+      it.map { row =>
+        val key = (0 until nk).map(row.get)
+        val tick = row.getLong(nk)
+        val x = row.getDouble(nk + 1)
+        if (key != curKey) {
+          curKey = key
+          l = x; b = 0.0
+          // Seq[Any], not Seq(...): mixed Long/Double literals harmonize
+          // to Seq[Double] and would silently widen the tick
+          Row.fromSeq(key ++ Seq[Any](tick, x, l, b, null))
+        } else {
+          val fit = l + b
+          val nl = alpha * x + (1 - alpha) * fit
+          val nb = beta * (nl - l) + (1 - beta) * b
+          l = nl; b = nb
+          Row.fromSeq(key ++ Seq[Any](tick, x, nl, nb, fit))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Plain EWMA (simple exponential smoothing): [[holtLinear]] with a
