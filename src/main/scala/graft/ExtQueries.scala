@@ -721,6 +721,32 @@ object ExtQueries {
         .orderBy(col("status"), col("day"))
     }),
 
+    // CUSUM changepoint detection — the drift a mean-shift hides from
+    // per-day z-scores: per-status daily revenue against the series'
+    // own mean (DECIMAL-derived, order-free), slack and threshold as
+    // dyadic fractions of it, recurrence via the same secondary-sort
+    // scan as x_holt_smooth. Alarmed days only, plus the one-sided
+    // statistics themselves.
+    "x_cusum" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .as("total_dec"))
+        .withColumn("revenue", col("total_dec").cast("double"))
+      val stats = daily.groupBy(col("status"))
+        .agg((sum(col("total_dec")).cast("double") /
+          count(lit(1))).as("target"))
+      val withParams = daily.join(broadcast(stats), Seq("status"))
+        .withColumn("slack", col("target") * lit(0.0625))
+        .withColumn("h", col("target") * lit(0.5))
+      graft.ext.Forecast.cusum(withParams, Seq("status"), "day",
+          "revenue", "target", "slack", "h")
+        .filter(col("alarm"))
+        .orderBy(col("status"), col("day"))
+    }),
+
     // ---- grouping sets / percentiles (beyond-reference OLAP breadth) --
 
     "x_rollup" -> ((s, dir) =>
@@ -5160,6 +5186,46 @@ object ExtQueries {
              AND d.rn = r.rn + 1)
          SELECT status, day, revenue, level, trend, fit
          FROM rec ORDER BY status, day""",
+
+    // CUSUM as a recursive CTE: same left-associated IEEE arithmetic in
+    // the same series order, greatest(0, ·) == max(0, ·).
+    "x_cusum" ->
+      """WITH RECURSIVE daily AS (
+           SELECT o_orderstatus AS status,
+             CAST(epoch(date_trunc('second', CAST(o_orderdate AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+           FROM orders GROUP BY 1, 2),
+         stats AS (
+           SELECT status,
+             CAST(SUM(total_dec) AS DOUBLE) / COUNT(*) AS target
+           FROM daily GROUP BY 1),
+         idx AS (
+           SELECT d.status, CAST(d.total_dec AS DOUBLE) AS revenue,
+             d.day, s.target, s.target * 0.0625 AS slack,
+             s.target * 0.5 AS h,
+             CAST(row_number() OVER (PARTITION BY d.status ORDER BY d.day)
+               AS BIGINT) AS rn
+           FROM daily d JOIN stats s ON d.status = s.status),
+         rec AS (
+           SELECT status, rn, day, revenue, target, slack, h,
+             greatest(0.0, revenue - target - slack) AS cusum_pos,
+             greatest(0.0, target - revenue - slack) AS cusum_neg
+           FROM idx WHERE rn = 1
+           UNION ALL
+           SELECT i.status, i.rn, i.day, i.revenue, i.target, i.slack,
+             i.h,
+             greatest(0.0, r.cusum_pos + (i.revenue - i.target - i.slack))
+               AS cusum_pos,
+             greatest(0.0, r.cusum_neg + (i.target - i.revenue - i.slack))
+               AS cusum_neg
+           FROM rec r JOIN idx i ON i.status = r.status
+             AND i.rn = r.rn + 1)
+         SELECT status, day, revenue, cusum_pos, cusum_neg,
+           TRUE AS alarm
+         FROM rec
+         WHERE cusum_pos > h OR cusum_neg > h
+         ORDER BY status, day""",
 
     "x_k_anonymity" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_rows,

@@ -102,4 +102,61 @@ object Forecast {
     holtLinear(df, keyCols, tickCol, valueCol, alpha, beta = 0.0)
       .drop("trend")
       .withColumnRenamed("level", "ewma")
+
+  /** Tabular CUSUM changepoint detection per key (Page 1954):
+    * {{{
+    *   S⁺_t = max(0, S⁺_{t-1} + (x_t - target - slack))
+    *   S⁻_t = max(0, S⁻_{t-1} + (target - x_t - slack))
+    *   alarm_t = S⁺_t > h  ∨  S⁻_t > h
+    * }}}
+    * — the sequential drift detector a mean-shift hides from
+    * point-in-time z-scores (each day can stay within bounds while the
+    * cumulative excess grows without limit). `targetCol` / `slackCol` /
+    * `thresholdCol` ride the rows so callers supply per-key baselines
+    * (typically a reference-period mean and fractions of it); same
+    * secondary-sort scan, O(1) state, same bit-portability argument as
+    * [[holtLinear]].
+    * Returns (keys..., tick, value, cusum_pos, cusum_neg, alarm).
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], tickCol: String,
+            valueCol: String, targetCol: String, slackCol: String,
+            thresholdCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val nk = keyCols.size
+    val prepared = df
+      .select(keyCols.map(col) ++ Seq(
+        col(tickCol).cast("long").as(tickCol),
+        col(valueCol).cast("double").as(valueCol),
+        col(targetCol).cast("double").as(targetCol),
+        col(slackCol).cast("double").as(slackCol),
+        col(thresholdCol).cast("double").as(thresholdCol)): _*)
+      .filter(col(tickCol).isNotNull && col(valueCol).isNotNull &&
+        col(targetCol).isNotNull && col(slackCol).isNotNull &&
+        col(thresholdCol).isNotNull)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ tickCol).map(col): _*)
+    val keyFields = keyCols.map(c => prepared.schema(c))
+    val outSchema = StructType(keyFields ++ Seq(
+      StructField(tickCol, LongType, nullable = false),
+      StructField(valueCol, DoubleType, nullable = true),
+      StructField("cusum_pos", DoubleType, nullable = false),
+      StructField("cusum_neg", DoubleType, nullable = false),
+      StructField("alarm", BooleanType, nullable = false)))
+    prepared.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var sp = 0.0; var sn = 0.0
+      it.map { row =>
+        val key = (0 until nk).map(row.get)
+        val tick = row.getLong(nk)
+        val x = row.getDouble(nk + 1)
+        val target = row.getDouble(nk + 2)
+        val slack = row.getDouble(nk + 3)
+        val h = row.getDouble(nk + 4)
+        if (key != curKey) { curKey = key; sp = 0.0; sn = 0.0 }
+        sp = math.max(0.0, sp + (x - target - slack))
+        sn = math.max(0.0, sn + (target - x - slack))
+        Row.fromSeq(key ++ Seq[Any](tick, x, sp, sn, sp > h || sn > h))
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -68,6 +68,47 @@ class ForecastSpec extends SparkTestBase {
     assert(out == Seq((8.0, None), (6.0, Some(8.0)), (6.0, Some(6.0))))
   }
 
+  test("cusum: hand-computed one-sided statistics and alarm") {
+    // target 10, slack 1, h 3; xs: 10, 12, 13, 9
+    // sp: max(0,0+(10-10-1))=0; 0+(12-11)=1; 1+(13-11)=3; max(0,3+(9-11))=1
+    // sn: 0+(10-10-1)→0; (10-12-1)→0; →0; 10-9-1=0→0
+    val df = Seq(1L -> 10.0, 2L -> 12.0, 3L -> 13.0, 4L -> 9.0)
+      .map { case (t, x) => ("k", t, x, 10.0, 1.0, 3.0) }
+      .toDF("k", "t", "x", "target", "slack", "h")
+    val out = Forecast.cusum(df, Seq("k"), "t", "x", "target", "slack", "h")
+      .orderBy("t").select("cusum_pos", "cusum_neg", "alarm")
+      .as[(Double, Double, Boolean)].collect().toSeq
+    assert(out == Seq((0.0, 0.0, false), (1.0, 0.0, false),
+      (3.0, 0.0, false), (1.0, 0.0, false)))
+  }
+
+  test("cusum: detects a mean shift a per-point gate misses") {
+    // 50 days at target, then 50 days at target + half-slack-above-slack
+    // drift: each day only +2 over target (under any 3σ-style gate), but
+    // the cumulative sum grows to alarm
+    val xs = (Seq.fill(50)(100.0) ++ Seq.fill(50)(102.0)).zipWithIndex
+    val df = xs.map { case (x, i) =>
+      ("k", i.toLong, x, 100.0, 1.0, 10.0) }
+      .toDF("k", "t", "x", "target", "slack", "h")
+    val alarms = Forecast.cusum(df, Seq("k"), "t", "x",
+        "target", "slack", "h")
+      .filter(col("alarm")).select("t").as[Long].collect().sorted
+    assert(alarms.nonEmpty)
+    assert(alarms.head >= 50) // nothing alarms during the in-control half
+    // once drifted past h/(delta-slack) days, every later day alarms
+    assert(alarms.toSeq == (alarms.head to 99L))
+  }
+
+  test("cusum: state resets per key") {
+    val df = Seq(("a", 1L, 200.0), ("a", 2L, 200.0), ("b", 1L, 100.0))
+      .map { case (k, t, x) => (k, t, x, 100.0, 1.0, 50.0) }
+      .toDF("k", "t", "x", "target", "slack", "h")
+    val out = Forecast.cusum(df, Seq("k"), "t", "x", "target", "slack", "h")
+      .orderBy("k", "t").select("k", "cusum_pos")
+      .as[(String, Double)].collect().toSeq
+    assert(out == Seq(("a", 99.0), ("a", 198.0), ("b", 0.0)))
+  }
+
   test("result is partitioning-invariant") {
     val df = (0 until 100).map(i => (s"k${i % 3}", i.toLong, i * 1.5))
       .toDF("k", "t", "x")
