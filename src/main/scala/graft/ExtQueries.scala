@@ -405,6 +405,27 @@ object ExtQueries {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
         .orderBy(col("query_id"), col("rank"))),
 
+    // BM25 through the PERSISTED bucket-partitioned inverted index:
+    // identical answer to x_bm25_topk (shared scoring chain), but the
+    // postings/dfreq scans carry static partition filters for the
+    // query terms' buckets — the IO shape that makes retrieval cost
+    // posting lists, not the corpus, at 100 TB. Index built into a
+    // temp dir at query construction (the backfill path); same oracle
+    // SQL as the in-memory form because the answer IS the same.
+    "x_bm25_indexed" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_text_idx").toString
+      try {
+        Retrieval.saveTextIndex(docs, "doc_id", "text", tmp, nBuckets = 16)
+        Retrieval.bm25TopKIndexed(
+            docs.filter(col("doc_id").isin(0L, 1L, 2L, 3L, 4L)),
+            "doc_id", "text", tmp, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    }),
+
     // Retrieval eval: per-query reciprocal rank of the first RELEVANT
     // hit in the BM25 top-10 (relevance = same source label as the
     // query doc — the standard weak-label eval when no judgments
@@ -2763,6 +2784,13 @@ object ExtQueries {
          ORDER BY id_a, id_b""",
 
     "x_bm25_topk" ->
+      s"""WITH $bm25Ctes
+          SELECT query_id, cand_id, bm25, rank FROM bmranked
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // same oracle as x_bm25_topk: the persisted-index path must return
+    // the identical ranking or the index layout lost postings
+    "x_bm25_indexed" ->
       s"""WITH $bm25Ctes
           SELECT query_id, cand_id, bm25, rank FROM bmranked
           WHERE rank <= 10 ORDER BY query_id, rank""",

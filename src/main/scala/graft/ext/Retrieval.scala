@@ -75,12 +75,23 @@ object Retrieval {
         explode(array_distinct(split(lower(col(textCol)), " ")))
           .as("token"))
 
-    // Candidate generation IS the postings join: query terms × postings
-    // of that token only, streamed map-side against two broadcast hash
-    // joins — the corpus-sized tf never reshuffles. Joining dfreq first
-    // keeps the maxDf guard upstream of the fan-out; the candidate set
-    // (∝ query-term posting lists) then meets dl, where AQE broadcasts
-    // the small side.
+    scoreBm25(tf, dfreq, dl, stats, qterms, k, k1, b)
+  }
+
+  /** The BM25 scoring chain shared by the in-memory and persisted-index
+    * paths — shared code is what makes [[bm25TopKIndexed]] == [[bm25TopK]]
+    * by construction, not by coincidence.
+    *
+    * Candidate generation IS the postings join: query terms × postings
+    * of that token only, streamed map-side against two broadcast hash
+    * joins — the corpus-sized tf never reshuffles. Joining dfreq first
+    * keeps the maxDf guard upstream of the fan-out; the candidate set
+    * (∝ query-term posting lists) then meets dl, where AQE broadcasts
+    * the small side.
+    */
+  private def scoreBm25(tf: DataFrame, dfreq: DataFrame, dl: DataFrame,
+                        stats: DataFrame, qterms: DataFrame,
+                        k: Int, k1: Double, b: Double): DataFrame = {
     val terms = tf
       .join(broadcast(broadcast(qterms).join(dfreq, Seq("token"))),
         Seq("token"))
@@ -105,6 +116,105 @@ object Retrieval {
     scored
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
+  }
+
+  /** Persist the inverted index, hive-partitioned BY TOKEN-HASH BUCKET —
+    * the layout that makes a query read posting lists, not the corpus:
+    * a query's terms map to a handful of buckets, and the scan plans
+    * with static partition filters touching ONLY those directories
+    * (the [[Similarity.saveIvfIndex]] contract, applied to text).
+    *
+    * Layout under `indexDir`:
+    *   postings.parquet/bucket=<b>/   (token, id, tf)
+    *   dfreq.parquet/bucket=<b>/      (token, df)   — per-token document
+    *                                  frequency, precomputed so queries
+    *                                  never re-aggregate postings
+    *   doclen.parquet                 (id, dl)
+    *   stats.parquet                  (n, toktotal, n_buckets) — 1 row;
+    *                                  n_buckets rides with the index so
+    *                                  queries hash consistently
+    *
+    * One corpus scan builds everything (tf → dfreq are one chain).
+    * At 100 TB: postings partition count = `nBuckets` (size it so one
+    * bucket ≈ a few hundred MB); a production refresh appends per-batch
+    * postings and re-merges — the rebuild here is the backfill path.
+    */
+  def saveTextIndex(df: DataFrame, idCol: String, textCol: String,
+                    indexDir: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(graft.functions.Hashing.hash64(col("token"), 0),
+          lit(nBuckets.toLong)))
+      // one chain feeds postings AND dfreq; barrier so the corpus
+      // aggregate runs once, not once per sink
+      .localCheckpoint(false)
+    tf.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/postings.parquet")
+    tf.groupBy(col("token"), col("bucket"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/dfreq.parquet")
+    df.select(col(idCol).as("id"),
+        size(split(lower(col(textCol)), " ")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/doclen.parquet")
+    df.agg(count(lit(1)).cast("double").as("n"),
+        sum(size(split(lower(col(textCol)), " ")).cast("long"))
+          .cast("double").as("toktotal"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$indexDir/stats.parquet")
+  }
+
+  /** The buckets a query set touches — driver-side, |distinct query
+    * terms| hashes (the [[Similarity.probeCells]] analogue); public so
+    * the IO-contract spec and monitoring can see what a query will
+    * read. */
+  def queryBuckets(queries: DataFrame, idCol: String, textCol: String,
+                   nBuckets: Int): Seq[Long] =
+    queries
+      .select(explode(array_distinct(split(lower(col(textCol)), " ")))
+        .as("token"))
+      .select(pmod(graft.functions.Hashing.hash64(col("token"), 0),
+        lit(nBuckets.toLong)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+
+  /** BM25 top-k against the PERSISTED index: identical scores and ranks
+    * to [[bm25TopK]] over the same corpus (same scoring chain), but the
+    * postings and dfreq scans carry static partition filters for the
+    * query terms' buckets — IO ∝ the touched buckets, never the index.
+    * `queries` supplies (idCol, textCol) rows exactly like the
+    * in-memory path's query selection.
+    */
+  def bm25TopKIndexed(queries: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      maxDf: Long = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val statsRaw = spark.read.parquet(s"$indexDir/stats.parquet")
+    val nBuckets = statsRaw.select(col("n_buckets"))
+      .head().getInt(0)
+    val stats = statsRaw.select(col("n").as("__n"),
+      col("toktotal").as("__toktotal"))
+    val buckets = queryBuckets(queries, idCol, textCol, nBuckets)
+    val postings = spark.read.parquet(s"$indexDir/postings.parquet")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("id"), col("token"), col("tf"))
+    val dfreq0 = spark.read.parquet(s"$indexDir/dfreq.parquet")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("token"), col("df"))
+    val dfreq = if (maxDf > 0) dfreq0.filter(col("df") <= maxDf) else dfreq0
+    val dl = spark.read.parquet(s"$indexDir/doclen.parquet")
+    val qterms = queries
+      .select(col(idCol).as("query_id"),
+        explode(array_distinct(split(lower(col(textCol)), " ")))
+          .as("token"))
+    scoreBm25(postings, dfreq, dl, stats, qterms, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack et al.) of two rankings, each with

@@ -108,4 +108,43 @@ class RetrievalSpec extends SparkTestBase {
       candidates = lit(true), minJaccard = 0.5, maxDf = 0).collect()
     assert(jac.isEmpty) // jaccard 3/20 = 0.15 — the asymmetric case
   }
+
+  test("persisted text index: bm25TopKIndexed == bm25TopK, and the " +
+    "postings scan reads ONLY the query terms' bucket partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("text_idx").toString
+    Retrieval.saveTextIndex(docs, "doc_id", "text", dir, nBuckets = 16)
+
+    val queryIds = Seq(0L, 1L, 2L)
+    val queries = docs.filter(col("doc_id").isin(queryIds: _*))
+    val got = Retrieval.bm25TopKIndexed(queries, "doc_id", "text", dir,
+        k = 10, maxDf = 50)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = Retrieval.bm25TopK(docs, "doc_id", "text", queryIds,
+        k = 10, maxDf = 50)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == want, "indexed BM25 diverged from the in-memory path")
+
+    // IO contract: a single SHORT query touches few buckets, the scan
+    // carries partition filters, and partitions read == touched buckets
+    val one = spark.createDataFrame(Seq((99999L, "spark shuffle")))
+      .toDF("doc_id", "text")
+    val buckets = Retrieval.queryBuckets(one, "doc_id", "text", 16)
+    assert(buckets.size <= 2)
+    val totalBuckets = new java.io.File(s"$dir/postings.parquet")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(buckets.size < totalBuckets)
+    val pruned = spark.read.parquet(s"$dir/postings.parquet")
+      .filter(col("bucket").isin(buckets: _*))
+    val exec = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(exec.partitionFilters.nonEmpty,
+      "bucket IN (...) must plan as partition filters")
+    pruned.collect()
+    assert(exec.metrics("numPartitions").value == buckets.size)
+    // and the pruned-scan query still answers correctly
+    val hits = Retrieval.bm25TopKIndexed(one, "doc_id", "text", dir, k = 5)
+    assert(hits.count() > 0)
+  }
 }
