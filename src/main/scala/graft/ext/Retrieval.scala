@@ -124,26 +124,58 @@ object Retrieval {
     * with static partition filters touching ONLY those directories
     * (the [[Similarity.saveIvfIndex]] contract, applied to text).
     *
-    * Layout under `indexDir`:
-    *   postings.parquet/bucket=<b>/   (token, id, tf)
-    *   dfreq.parquet/bucket=<b>/      (token, df)   — per-token document
-    *                                  frequency, precomputed so queries
-    *                                  never re-aggregate postings
-    *   doclen.parquet                 (id, dl)
-    *   stats.parquet                  (n, toktotal, n_buckets) — 1 row;
-    *                                  n_buckets rides with the index so
-    *                                  queries hash consistently
+    * Layout under `indexDir` — SEGMENTED, the Lucene model:
+    *   postings.parquet/seg=<s>/bucket=<b>/   (token, id, tf)
+    *   dfreq.parquet/seg=<s>/bucket=<b>/      (token, df) per segment —
+    *                                precomputed so queries never
+    *                                re-aggregate postings; cross-segment
+    *                                df is an additive merge at read time
+    *   doclen.parquet/seg=<s>/                (id, dl)
+    *   stats.parquet/seg=<s>/                 (n, toktotal, n_buckets)
     *
-    * One corpus scan builds everything (tf → dfreq are one chain).
-    * At 100 TB: postings partition count = `nBuckets` (size it so one
-    * bucket ≈ a few hundred MB); a production refresh appends per-batch
-    * postings and re-merges — the rebuild here is the backfill path.
+    * [[saveTextIndex]] writes segment 0 (the backfill path);
+    * [[appendTextIndex]] adds a new batch as the NEXT segment, touching
+    * nothing already written — per-refresh cost ∝ the batch. Queries
+    * read every segment's buckets for their terms (bucket partition
+    * pruning applies within each segment) and merge the per-segment
+    * document frequencies and corpus stats additively, which is exact
+    * because df and (n, toktotal) are sums. Contract: a document id
+    * lives in exactly ONE segment (append-only corpus; re-ingesting a
+    * doc would double-count its postings — dedup upstream).
+    *
+    * One corpus scan builds a segment (tf → dfreq are one chain).
+    * At 100 TB: size `nBuckets` so one bucket ≈ a few hundred MB;
+    * compact segments periodically by rebuilding (the same trade
+    * Lucene makes with merges).
     */
   def saveTextIndex(df: DataFrame, idCol: String, textCol: String,
                     indexDir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val spark = df.sparkSession
-    import spark.implicits._
+    writeSegment(df, idCol, textCol, indexDir, nBuckets, seg = 0L,
+      overwrite = true)
+  }
+
+  /** Append `newDocs` as the next segment of an existing index: only
+    * the batch is scanned, only new `seg=` directories are written —
+    * the [[graft.io.ZoneMap.updateManifest]] pattern for text. The
+    * batch hashes with the index's own `n_buckets` (read from stats),
+    * so bucket pruning stays consistent across segments. */
+  def appendTextIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                      indexDir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val stats = spark.read.parquet(s"$indexDir/stats.parquet")
+    val nBuckets = stats.select(col("n_buckets")).head().getInt(0)
+    // hive partition inference types seg as int; normalize
+    val nextSeg = stats.agg(max(col("seg"))).head()
+      .getAs[Number](0).longValue() + 1L
+    writeSegment(newDocs, idCol, textCol, indexDir, nBuckets, nextSeg,
+      overwrite = false)
+  }
+
+  private def writeSegment(df: DataFrame, idCol: String, textCol: String,
+                           indexDir: String, nBuckets: Int, seg: Long,
+                           overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
     val tf = df
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("token"))
@@ -152,23 +184,28 @@ object Retrieval {
       .withColumn("bucket",
         pmod(graft.functions.Hashing.hash64(col("token"), 0),
           lit(nBuckets.toLong)))
+      .withColumn("seg", lit(seg))
       // one chain feeds postings AND dfreq; barrier so the corpus
       // aggregate runs once, not once per sink
       .localCheckpoint(false)
-    tf.write.mode("overwrite").partitionBy("bucket")
+    tf.write.mode(mode).partitionBy("seg", "bucket")
       .parquet(s"$indexDir/postings.parquet")
-    tf.groupBy(col("token"), col("bucket"))
+    tf.groupBy(col("token"), col("bucket"), col("seg"))
       .agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode(mode).partitionBy("seg", "bucket")
       .parquet(s"$indexDir/dfreq.parquet")
     df.select(col(idCol).as("id"),
         size(split(lower(col(textCol)), " ")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$indexDir/doclen.parquet")
+      .withColumn("seg", lit(seg))
+      .write.mode(mode).partitionBy("seg")
+      .parquet(s"$indexDir/doclen.parquet")
     df.agg(count(lit(1)).cast("double").as("n"),
         sum(size(split(lower(col(textCol)), " ")).cast("long"))
           .cast("double").as("toktotal"))
       .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$indexDir/stats.parquet")
+      .withColumn("seg", lit(seg))
+      .write.mode(mode).partitionBy("seg")
+      .parquet(s"$indexDir/stats.parquet")
   }
 
   /** The buckets a query set touches — driver-side, |distinct query
@@ -197,19 +234,29 @@ object Retrieval {
                       maxDf: Long = 0): DataFrame = {
     val spark = queries.sparkSession
     val statsRaw = spark.read.parquet(s"$indexDir/stats.parquet")
-    val nBuckets = statsRaw.select(col("n_buckets"))
-      .head().getInt(0)
-    val stats = statsRaw.select(col("n").as("__n"),
-      col("toktotal").as("__toktotal"))
+    val bucketCounts = statsRaw.select(col("n_buckets")).distinct()
+      .collect().map(_.getInt(0))
+    require(bucketCounts.length == 1,
+      s"segments disagree on n_buckets (${bucketCounts.toSeq}) — " +
+        "the index is corrupt, rebuild it")
+    val nBuckets = bucketCounts.head
+    // corpus stats merge additively across segments (sums of integral
+    // doubles < 2^53 — exact, order-free)
+    val stats = statsRaw.agg(sum(col("n")).as("__n"),
+      sum(col("toktotal")).as("__toktotal"))
     val buckets = queryBuckets(queries, idCol, textCol, nBuckets)
     val postings = spark.read.parquet(s"$indexDir/postings.parquet")
       .filter(col("bucket").isin(buckets: _*))
       .select(col("id"), col("token"), col("tf"))
+    // per-segment document frequencies are partial counts of disjoint
+    // doc sets — corpus df is their sum; the merge runs over the pruned
+    // buckets only (|terms in touched buckets| × |segments| rows)
     val dfreq0 = spark.read.parquet(s"$indexDir/dfreq.parquet")
       .filter(col("bucket").isin(buckets: _*))
-      .select(col("token"), col("df"))
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
     val dfreq = if (maxDf > 0) dfreq0.filter(col("df") <= maxDf) else dfreq0
     val dl = spark.read.parquet(s"$indexDir/doclen.parquet")
+      .select(col("id"), col("dl"))
     val qterms = queries
       .select(col(idCol).as("query_id"),
         explode(array_distinct(split(lower(col(textCol)), " ")))

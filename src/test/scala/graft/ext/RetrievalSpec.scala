@@ -132,7 +132,7 @@ class RetrievalSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     val buckets = Retrieval.queryBuckets(one, "doc_id", "text", 16)
     assert(buckets.size <= 2)
-    val totalBuckets = new java.io.File(s"$dir/postings.parquet")
+    val totalBuckets = new java.io.File(s"$dir/postings.parquet/seg=0")
       .listFiles().count(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(buckets.size < totalBuckets)
     val pruned = spark.read.parquet(s"$dir/postings.parquet")
@@ -146,5 +146,32 @@ class RetrievalSpec extends SparkTestBase {
     // and the pruned-scan query still answers correctly
     val hits = Retrieval.bm25TopKIndexed(one, "doc_id", "text", dir, k = 5)
     assert(hits.count() > 0)
+  }
+
+  test("appendTextIndex: incremental segments == one-shot rebuild, " +
+    "bit-exactly") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val whole = java.nio.file.Files.createTempDirectory("ti_whole").toString
+    val seg = java.nio.file.Files.createTempDirectory("ti_seg").toString
+    Retrieval.saveTextIndex(docs, "doc_id", "text", whole, nBuckets = 16)
+    Retrieval.saveTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", seg, nBuckets = 16)
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", seg)
+
+    val queries = docs.filter(col("doc_id").isin(0L, 1L, 2L))
+    val a = Retrieval.bm25TopKIndexed(queries, "doc_id", "text", whole,
+      k = 10).orderBy("query_id", "rank").collect().toSeq
+    val b = Retrieval.bm25TopKIndexed(queries, "doc_id", "text", seg,
+      k = 10).orderBy("query_id", "rank").collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "segmented index diverged from the one-shot rebuild")
+
+    // two segment directories actually exist (the append touched only
+    // its own seg=1 tree)
+    val segs = new java.io.File(s"$seg/postings.parquet").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(_.getName).sorted.toSeq
+    assert(segs == Seq("seg=0", "seg=1"))
   }
 }
