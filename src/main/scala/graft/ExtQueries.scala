@@ -1453,6 +1453,74 @@ object ExtQueries {
           col("valid_to"), col("is_current"))
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
 
+    // SCD2 point-in-time lookup: high-value events resolved against the
+    // validity intervals of each user's state history — the
+    // feature-store correctness join ("what was the state WHEN the
+    // event happened", never the current state). Equi-join on user +
+    // interval containment filter; fan-out bounded by a user's interval
+    // count, which SCD2 construction already bounds by their change
+    // count.
+    "x_scd2_lookup" -> ((s, dir) => {
+      val ev = Events.loadEvents(s, dir)
+      val dim = graft.ops.Scd2.buildHistory(
+        ev.select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("event_type")),
+        key = "user_id", orderCol = "ts_sec", tieCol = "event_id",
+        trackedCol = "event_type")
+      val facts = ev.filter(col("value") > 90.0)
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("value"))
+      facts.join(dim, Seq("user_id"))
+        .filter(col("valid_from") <= col("ts_sec") &&
+          (col("valid_to").isNull || col("ts_sec") < col("valid_to")))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("value"), col("event_type").as("state_at_event"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Field-level survivorship (golden-record completion): per customer,
+    // each output field follows its own rule — latest order status by
+    // (day, orderkey) recency, first-ever priority, DECIMAL-exact spend
+    // total. max_by/min_by on a single composed ordering integer keeps
+    // the rule deterministic and oracle-portable (arg_max/arg_min).
+    "x_survivorship" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+        .withColumn("ord",
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            * lit(10000000L) + col("o_orderkey"))
+      o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          max_by(col("o_orderstatus"), col("ord")).as("latest_status"),
+          min_by(col("o_orderpriority"), col("ord")).as("first_priority"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("total_spend"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Time-weighted average (TWAP): each observation weighted by how
+    // long it was current (lead(ts) − ts within the user's stream; the
+    // last observation has no duration and drops out) — the correct
+    // mean for irregularly-sampled state, where the plain mean
+    // overweights bursts. DECIMAL value×duration products keep the
+    // weighted sums order-free; one IEEE division at the end.
+    "x_twap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      Events.loadEvents(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          col("value"))
+        .withColumn("dur",
+          (lead(col("ts_sec"), 1).over(w) - col("ts_sec")))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("dur")).as("span_sec"),
+          (sum(col("value").cast(DecimalType(18, 6)) * col("dur"))
+            .cast("double") /
+            sum(col("dur")).cast("double")).as("twap"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- layout / data skipping ---------------------------------------
 
     // Z-order layout audit: interleave (l_partkey%256, l_suppkey%256)
@@ -4435,6 +4503,74 @@ object ExtQueries {
          SELECT user_id, event_type, valid_from, valid_to,
                 valid_to IS NULL AS is_current
          FROM chained ORDER BY user_id, valid_from, event_type""",
+
+    // SCD2 lookup: same interval-derivation CTEs as x_scd2, then the
+    // containment join per high-value event.
+    "x_scd2_lookup" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, value,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, event_type, sec,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY sec, event_id)
+                  IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+           FROM e),
+         numbered AS (
+           SELECT *, SUM(chg) OVER
+             (PARTITION BY user_id ORDER BY sec, event_id
+              ROWS UNBOUNDED PRECEDING) AS run
+           FROM marked),
+         runs AS (
+           SELECT user_id, run, MIN(event_type) AS event_type,
+                  MIN(sec) AS valid_from
+           FROM numbered GROUP BY 1, 2),
+         chained AS (
+           SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+               AS valid_to
+           FROM runs),
+         facts AS (
+           SELECT user_id, event_id, sec, value FROM e
+           WHERE value > 90.0)
+         SELECT f.user_id, f.event_id, f.sec AS ts_sec, f.value,
+           c.event_type AS state_at_event
+         FROM facts f JOIN chained c ON f.user_id = c.user_id
+           AND c.valid_from <= f.sec
+           AND (c.valid_to IS NULL OR f.sec < c.valid_to)
+         ORDER BY f.user_id, f.event_id""",
+
+    "x_survivorship" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderstatus, o_orderpriority, o_totalprice,
+             (CAST(epoch(date_trunc('second', CAST(o_orderdate AS TIMESTAMP)))
+                AS BIGINT) // 86400) * 10000000 + o_orderkey AS ord
+           FROM orders)
+         SELECT o_custkey, COUNT(*) AS n_orders,
+           arg_max(o_orderstatus, ord) AS latest_status,
+           arg_min(o_orderpriority, ord) AS first_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spend
+         FROM o GROUP BY 1 ORDER BY 1""",
+
+    "x_twap" ->
+      """WITH t AS (
+           SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec,
+             value
+           FROM events),
+         d AS (
+           SELECT user_id, ts_sec, value,
+             lead(ts_sec) OVER (PARTITION BY user_id
+               ORDER BY ts_sec, event_id) - ts_sec AS dur
+           FROM t)
+         SELECT user_id, COUNT(*) AS n_obs,
+           CAST(SUM(dur) AS BIGINT) AS span_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * dur) AS DOUBLE)
+             / CAST(SUM(dur) AS DOUBLE) AS twap
+         FROM d WHERE dur IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
 
     "x_zorder" -> {
       val zexpr = (0 until 8).map { j =>
