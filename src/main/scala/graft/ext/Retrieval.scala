@@ -151,8 +151,12 @@ object Retrieval {
   def saveTextIndex(df: DataFrame, idCol: String, textCol: String,
                     indexDir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    writeSegment(df, idCol, textCol, indexDir, nBuckets, seg = 0L,
-      overwrite = true)
+    // backfill owns the directory: clear any previous index + markers
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    writeSegment(df, idCol, textCol, indexDir, nBuckets, seg = 0L)
   }
 
   /** Append `newDocs` as the next segment of an existing index: only
@@ -163,19 +167,60 @@ object Retrieval {
   def appendTextIndex(newDocs: DataFrame, idCol: String, textCol: String,
                       indexDir: String): Unit = {
     val spark = newDocs.sparkSession
-    val stats = spark.read.parquet(s"$indexDir/stats.parquet")
-    val nBuckets = stats.select(col("n_buckets")).head().getInt(0)
-    // hive partition inference types seg as int; normalize
-    val nextSeg = stats.agg(max(col("seg"))).head()
-      .getAs[Number](0).longValue() + 1L
-    writeSegment(newDocs, idCol, textCol, indexDir, nBuckets, nextSeg,
-      overwrite = false)
+    val committed = committedSegments(spark, indexDir)
+    require(committed.nonEmpty,
+      s"no committed segments under $indexDir — saveTextIndex first")
+    val nBuckets = readNBuckets(spark, indexDir, committed)
+    appendTextIndexAs(newDocs, idCol, textCol, indexDir, nBuckets,
+      seg = committed.max + 1L)
   }
 
+  /** Append a batch as an EXPLICIT segment id — the exactly-once form:
+    * if `seg` is already committed the call is a no-op, so a replayed
+    * micro-batch (same epoch, same or different data) indexes nothing
+    * twice; a crashed half-written attempt is invisible (no marker)
+    * and the retry overwrites its leftovers. This is the
+    * [[graft.streaming.StreamOps]] epoch-commit idiom applied to the
+    * index. */
+  def appendTextIndexAs(newDocs: DataFrame, idCol: String, textCol: String,
+                        indexDir: String, nBuckets: Int, seg: Long): Unit = {
+    val spark = newDocs.sparkSession
+    if (committedSegments(spark, indexDir).contains(seg)) return
+    writeSegment(newDocs, idCol, textCol, indexDir, nBuckets, seg)
+  }
+
+  /** Committed segment ids — markers under `indexDir/_segments/`,
+    * created atomically AFTER a segment's four tables land. Readers
+    * resolve the index as the union of committed segments only, so a
+    * torn write is invisible by construction (the
+    * [[graft.io.ZoneMap.commitManifest]] reader-atomicity contract). */
+  def committedSegments(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(indexDir, "_segments")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .toSeq.sorted
+  }
+
+  private def readNBuckets(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, committed: Seq[Long]): Int = {
+    val counts = spark.read.parquet(s"$indexDir/stats.parquet")
+      .filter(col("seg").isin(committed: _*))
+      .select(col("n_buckets")).distinct().collect().map(_.getInt(0))
+    require(counts.length == 1,
+      s"segments disagree on n_buckets (${counts.toSeq}) — " +
+        "the index is corrupt, rebuild it")
+    counts.head
+  }
+
+  /** One segment's four tables, each into its own `seg=` directory with
+    * per-directory overwrite (idempotent under retries), then the
+    * atomic marker commit. */
   private def writeSegment(df: DataFrame, idCol: String, textCol: String,
-                           indexDir: String, nBuckets: Int, seg: Long,
-                           overwrite: Boolean): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
+                           indexDir: String, nBuckets: Int, seg: Long): Unit = {
+    val spark = df.sparkSession
     val tf = df
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("token"))
@@ -184,28 +229,28 @@ object Retrieval {
       .withColumn("bucket",
         pmod(graft.functions.Hashing.hash64(col("token"), 0),
           lit(nBuckets.toLong)))
-      .withColumn("seg", lit(seg))
       // one chain feeds postings AND dfreq; barrier so the corpus
       // aggregate runs once, not once per sink
       .localCheckpoint(false)
-    tf.write.mode(mode).partitionBy("seg", "bucket")
-      .parquet(s"$indexDir/postings.parquet")
-    tf.groupBy(col("token"), col("bucket"), col("seg"))
+    tf.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/postings.parquet/seg=$seg")
+    tf.groupBy(col("token"), col("bucket"))
       .agg(count(lit(1)).as("df"))
-      .write.mode(mode).partitionBy("seg", "bucket")
-      .parquet(s"$indexDir/dfreq.parquet")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/dfreq.parquet/seg=$seg")
     df.select(col(idCol).as("id"),
         size(split(lower(col(textCol)), " ")).cast("long").as("dl"))
-      .withColumn("seg", lit(seg))
-      .write.mode(mode).partitionBy("seg")
-      .parquet(s"$indexDir/doclen.parquet")
+      .write.mode("overwrite").parquet(s"$indexDir/doclen.parquet/seg=$seg")
     df.agg(count(lit(1)).cast("double").as("n"),
         sum(size(split(lower(col(textCol)), " ")).cast("long"))
           .cast("double").as("toktotal"))
       .withColumn("n_buckets", lit(nBuckets))
-      .withColumn("seg", lit(seg))
-      .write.mode(mode).partitionBy("seg")
-      .parquet(s"$indexDir/stats.parquet")
+      .write.mode("overwrite").parquet(s"$indexDir/stats.parquet/seg=$seg")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexDir/_segments", f"$seg%020d")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, false) // atomic claim of this segment id
+    try out.write(s"seg=$seg".getBytes("UTF-8")) finally out.close()
   }
 
   /** The buckets a query set touches — driver-side, |distinct query
@@ -233,29 +278,33 @@ object Retrieval {
                       k1: Double = 1.2, b: Double = 0.75,
                       maxDf: Long = 0): DataFrame = {
     val spark = queries.sparkSession
-    val statsRaw = spark.read.parquet(s"$indexDir/stats.parquet")
-    val bucketCounts = statsRaw.select(col("n_buckets")).distinct()
-      .collect().map(_.getInt(0))
-    require(bucketCounts.length == 1,
-      s"segments disagree on n_buckets (${bucketCounts.toSeq}) — " +
-        "the index is corrupt, rebuild it")
-    val nBuckets = bucketCounts.head
+    // the index IS the committed segments: a torn or in-flight segment
+    // (no marker) never reaches any scan below — seg is a partition
+    // column, so the filter prunes its directories statically
+    val committed = committedSegments(spark, indexDir)
+    require(committed.nonEmpty,
+      s"no committed segments under $indexDir")
+    val nBuckets = readNBuckets(spark, indexDir, committed)
     // corpus stats merge additively across segments (sums of integral
     // doubles < 2^53 — exact, order-free)
-    val stats = statsRaw.agg(sum(col("n")).as("__n"),
-      sum(col("toktotal")).as("__toktotal"))
+    val stats = spark.read.parquet(s"$indexDir/stats.parquet")
+      .filter(col("seg").isin(committed: _*))
+      .agg(sum(col("n")).as("__n"), sum(col("toktotal")).as("__toktotal"))
     val buckets = queryBuckets(queries, idCol, textCol, nBuckets)
     val postings = spark.read.parquet(s"$indexDir/postings.parquet")
-      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("seg").isin(committed: _*) &&
+        col("bucket").isin(buckets: _*))
       .select(col("id"), col("token"), col("tf"))
     // per-segment document frequencies are partial counts of disjoint
     // doc sets — corpus df is their sum; the merge runs over the pruned
     // buckets only (|terms in touched buckets| × |segments| rows)
     val dfreq0 = spark.read.parquet(s"$indexDir/dfreq.parquet")
-      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("seg").isin(committed: _*) &&
+        col("bucket").isin(buckets: _*))
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
     val dfreq = if (maxDf > 0) dfreq0.filter(col("df") <= maxDf) else dfreq0
     val dl = spark.read.parquet(s"$indexDir/doclen.parquet")
+      .filter(col("seg").isin(committed: _*))
       .select(col("id"), col("dl"))
     val qterms = queries
       .select(col(idCol).as("query_id"),

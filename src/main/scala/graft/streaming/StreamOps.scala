@@ -821,4 +821,44 @@ object StreamOps {
       .transformWithState(new TopKProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ---- live inverted text index ---------------------------------------
+
+  /** LIVE search index: each micro-batch of documents lands as one
+    * committed segment of the bucket-partitioned inverted index
+    * ([[graft.ext.Retrieval.saveTextIndex]] layout), exactly once —
+    * the segment id is the epoch (`segBase + batch_id`), and
+    * [[graft.ext.Retrieval.appendTextIndexAs]] makes a replayed epoch
+    * a no-op while readers only ever resolve committed segments, so
+    * queries racing the stream see each batch atomically or not at
+    * all. Per-batch cost ∝ the batch (one scan → postings/dfreq/
+    * doclen/stats for that segment alone).
+    *
+    * `segBase` keeps streaming epochs disjoint from backfill segment
+    * ids (a backfilled corpus occupies small integers); it must stay
+    * constant across restarts — the checkpoint replays the same
+    * batch ids, and idempotence is keyed on `segBase + batch_id`.
+    * Segment count grows with epochs; compact by periodic rebuild
+    * (the Lucene merge trade) when p99 query fan-out matters.
+    */
+  def textIndexSink(docs: DataFrame, idCol: String, textCol: String,
+                    indexDir: String, checkpointDir: String,
+                    nBuckets: Int = 64, segBase: Long = 1000000L
+                   ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        textIndexBatch(batch, idCol, textCol, indexDir, nBuckets,
+          segBase + id)
+      }
+      .start()
+
+  /** One index-maintenance step (the foreachBatch body, callable
+    * directly): append the batch as committed segment `seg`, skipping
+    * entirely if that segment already committed (replay). */
+  def textIndexBatch(batch: DataFrame, idCol: String, textCol: String,
+                     indexDir: String, nBuckets: Int, seg: Long): Unit =
+    if (!batch.isEmpty)
+      graft.ext.Retrieval.appendTextIndexAs(batch, idCol, textCol,
+        indexDir, nBuckets, seg)
 }

@@ -374,6 +374,63 @@ class StreamSpec extends SparkTestBase {
     }
   }
 
+  test("textIndexSink: live segments == one-shot index; replayed epoch " +
+    "commits nothing; uncommitted segment invisible to queries") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Retrieval
+    val live = java.nio.file.Files.createTempDirectory("ti_live").toString
+    val whole = java.nio.file.Files.createTempDirectory("ti_batch").toString
+    val docsDf = graft.io.Tables.load(spark, sf, "documents")
+    val docs = docsDf.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // first batch seeds the index layout so the sink can hash
+    // consistently from batch 0
+    Retrieval.saveTextIndex(
+      spark.createDataFrame(Seq.empty[(Long, String)])
+        .toDF("doc_id", "text"),
+      "doc_id", "text", live, nBuckets = 16)
+    val q = StreamOps.textIndexSink(stream, "doc_id", "text", live,
+      checkpointDir = s"$live/../ti_ckpt_${System.nanoTime()}",
+      nBuckets = 16)
+    try {
+      docs.grouped((docs.size + 1) / 2).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    Retrieval.saveTextIndex(docsDf, "doc_id", "text", whole, nBuckets = 16)
+    val queries = docsDf.filter($"doc_id".isin(0L, 1L, 2L))
+    val a = Retrieval.bm25TopKIndexed(queries, "doc_id", "text", live,
+      k = 10).orderBy("query_id", "rank").collect().toSeq
+    val b = Retrieval.bm25TopKIndexed(queries, "doc_id", "text", whole,
+      k = 10).orderBy("query_id", "rank").collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "live-streamed index diverged from the one-shot rebuild")
+
+    // replayed epoch: same seg id, different data — must be a no-op
+    val segsBefore = Retrieval.committedSegments(spark, live)
+    StreamOps.textIndexBatch(
+      spark.createDataFrame(Seq((424242L, "spark spark spark")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", live, nBuckets = 16,
+      seg = segsBefore.filter(_ >= 1000000L).head)
+    assert(Retrieval.committedSegments(spark, live) == segsBefore)
+    val replayed = Retrieval.bm25TopKIndexed(queries, "doc_id", "text",
+      live, k = 10).orderBy("query_id", "rank").collect().toSeq
+    assert(replayed == a, "replayed epoch changed the index")
+
+    // a torn segment (directories, no marker) is invisible
+    val segDir = new java.io.File(s"$live/postings.parquet/seg=999999999")
+    segDir.mkdirs()
+    val torn = Retrieval.bm25TopKIndexed(queries, "doc_id", "text",
+      live, k = 10).orderBy("query_id", "rank").collect().toSeq
+    assert(torn == a, "uncommitted segment leaked into a query")
+  }
+
   test("incremental curation (foreachBatch + dedupAgainstIndex) == " +
     "the one-shot batch pipeline on the same documents") {
     implicit val sqlCtx = spark.sqlContext
