@@ -211,6 +211,15 @@ object ExtQueries {
       Eval.auc(scoreFrame(T(s, dir, "documents")), col("s"), col("y"),
         bucketOf = c => floor(c.cast("double") / lit(100.0)).cast("long"))),
 
+    // Precision-recall curve: one operating point per distinct score,
+    // exact integer tp/fp/fn via the same two-phase bucketed prefix
+    // sum as x_auc (cumulative-from-above = total − strictly-below, so
+    // no descending window); one IEEE division per rate.
+    "x_pr_curve" -> ((s, dir) =>
+      Eval.prCurve(scoreFrame(T(s, dir, "documents")), col("s"), col("y"),
+          bucketOf = c => floor(c.cast("double") / lit(100.0)).cast("long"))
+        .orderBy(col("threshold"))),
+
     // Threshold confusion matrix for the integer-margin predictor
     // 20·stop_hits − n_tokens > 0 (σ(m) > ½ ⟺ m > 0 — thresholding the
     // sigmoid at 0.5 without evaluating it). Counts exact; each rate is
@@ -2938,6 +2947,36 @@ object ExtQueries {
            CAST(SUM(pos_v * (2 * lt + neg_v)) AS DOUBLE)
              / CAST(2 * SUM(pos_v) * SUM(neg_v) AS DOUBLE) AS auc
          FROM w""",
+
+    "x_pr_curve" ->
+      """WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  (len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the', 'and', 'of', 'to', 'a'))) * 1000)
+                    // len(string_split(lower(text), ' ')) AS s
+           FROM documents),
+         c AS (SELECT s, CAST(SUM(y) AS BIGINT) AS pos_v,
+                  CAST(SUM(1 - y) AS BIGINT) AS neg_v
+               FROM f GROUP BY 1),
+         tot AS (SELECT CAST(SUM(pos_v) AS BIGINT) AS tpos,
+                        CAST(SUM(neg_v) AS BIGINT) AS tneg FROM c),
+         w AS (SELECT s, pos_v, neg_v,
+                  COALESCE(CAST(SUM(pos_v) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS ltpos,
+                  COALESCE(CAST(SUM(neg_v) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS ltneg
+               FROM c)
+         SELECT s AS threshold,
+           tpos - ltpos AS tp, tneg - ltneg AS fp, ltpos AS fn,
+           CAST(tpos - ltpos AS DOUBLE)
+             / CAST((tpos - ltpos) + (tneg - ltneg) AS DOUBLE)
+             AS "precision",
+           CASE WHEN tpos = 0 THEN 0.0
+                ELSE CAST(tpos - ltpos AS DOUBLE) / CAST(tpos AS DOUBLE)
+           END AS recall
+         FROM w, tot ORDER BY threshold""",
 
     "x_confusion" ->
       """WITH f AS (

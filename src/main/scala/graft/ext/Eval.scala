@@ -75,14 +75,19 @@ object Eval {
           bucketOf: Column => Column): DataFrame =
     aucImpl(df, scoreCol, labelCol, Some(bucketOf))
 
-  private def aucImpl(df: DataFrame, scoreCol: Column, labelCol: Column,
-                      bucketOf: Option[Column => Column]): DataFrame = {
-    val grouped = df
-      .filter(scoreCol.isNotNull)
+  /** One row per DISTINCT non-null score: (__s, __pos, __neg). */
+  private def scoreCounts(df: DataFrame, scoreCol: Column,
+                          labelCol: Column): DataFrame =
+    df.filter(scoreCol.isNotNull)
       .groupBy(scoreCol.as("__s"))
       .agg(sum(labelCol.cast("long")).as("__pos"),
         sum(lit(1L) - labelCol.cast("long")).as("__neg"))
-    val counts = bucketOf match {
+
+  /** Attach the order-preserving bucket id `__b` (caller-supplied or
+    * equi-depth derived — see [[auc]]'s scaling notes). */
+  private def bucketScores(grouped: DataFrame,
+                           bucketOf: Option[Column => Column]): DataFrame =
+    bucketOf match {
       case Some(f) => grouped.withColumn("__b", f(col("__s")))
       case None =>
         val fracs = array((1 until 256).map(i => lit(i / 256.0)): _*)
@@ -93,29 +98,88 @@ object Eval {
             (acc, b) => acc + when(b <= col("__s"), 1).otherwise(0)))
           .drop("__bounds")
     }
-    // phase 1: negatives strictly below within this score's bucket
+
+  /** Two-phase strictly-below prefix sums of `cols` over score order:
+    * intra-bucket window (partitioned by `__b`) + bucket-totals prefix
+    * (the only partition-free window, one row per bucket). Adds
+    * `__lt_<col>` per requested column. */
+  private def strictlyBelow(counts: DataFrame,
+                            cols: Seq[String]): DataFrame = {
     val intra = Window.partitionBy(col("__b")).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // phase 2: whole-bucket negative totals, prefix over buckets
-    // (one row per bucket — the only partition-free window)
     val interW = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketNeg = counts.groupBy(col("__b"))
-      .agg(sum(col("__neg")).as("__bneg"))
-      .withColumn("__below", coalesce(sum(col("__bneg")).over(interW),
-        lit(0L)))
-      .drop("__bneg")
-    counts
-      .join(bucketNeg, Seq("__b"))
-      .withColumn("__lt",
-        col("__below") + coalesce(sum(col("__neg")).over(intra), lit(0L)))
+    val aggs = cols.map(c => sum(col(c)).as(s"__bt_$c"))
+    val bucketTotals0 = counts.groupBy(col("__b"))
+      .agg(aggs.head, aggs.tail: _*)
+    val bucketTotals = cols.foldLeft(bucketTotals0) { (d, c) =>
+      d.withColumn(s"__below_$c",
+        coalesce(sum(col(s"__bt_$c")).over(interW), lit(0L)))
+    }.drop(cols.map(c => s"__bt_$c"): _*)
+    val joined = counts.join(bucketTotals, Seq("__b"))
+    cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"__lt_$c",
+        col(s"__below_$c") + coalesce(sum(col(c)).over(intra), lit(0L)))
+    }
+  }
+
+  private def aucImpl(df: DataFrame, scoreCol: Column, labelCol: Column,
+                      bucketOf: Option[Column => Column]): DataFrame = {
+    val counts = bucketScores(scoreCounts(df, scoreCol, labelCol), bucketOf)
+    strictlyBelow(counts, Seq("__neg"))
       .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
-        sum(col("__pos") * (lit(2L) * col("__lt") + col("__neg")))
+        sum(col("__pos") * (lit(2L) * col("__lt___neg") + col("__neg")))
           .as("__num2"))
       .select(col("n_pos"), col("n_neg"),
         (col("__num2").cast("double") /
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
           .as("auc"))
+  }
+
+  /** Precision-recall curve: one row per DISTINCT score value s,
+    * evaluating the classifier "predict positive ⟺ score ≥ s" —
+    * `(threshold, tp, fp, fn, precision, recall)`, exact integer
+    * counts and one IEEE division per rate. tp+fp ≥ 1 at every emitted
+    * threshold (the threshold's own rows score ≥ it), so precision
+    * never divides by zero; recall emits 0.0 when the frame has no
+    * positives at all.
+    *
+    * Same scale machinery as [[auc]]: per-score compression first
+    * (|distinct| rows, not |rows|), then the two-phase bucketed prefix
+    * sum — cumulative-from-above counts are `total − strictly-below`,
+    * so no descending window and no second sort; the only
+    * partition-free window is over the ≤256-row bucket-totals table.
+    * NULL scores are excluded (no threshold to stand at), exactly as
+    * in [[auc]].
+    */
+  def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column)
+      : DataFrame = prCurveImpl(df, scoreCol, labelCol, None)
+
+  /** See [[prCurve]]; explicit order-preserving bucket function (the
+    * [[auc]] overload contract). */
+  def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column,
+              bucketOf: Column => Column): DataFrame =
+    prCurveImpl(df, scoreCol, labelCol, Some(bucketOf))
+
+  private def prCurveImpl(df: DataFrame, scoreCol: Column,
+                          labelCol: Column,
+                          bucketOf: Option[Column => Column]): DataFrame = {
+    val counts = bucketScores(scoreCounts(df, scoreCol, labelCol), bucketOf)
+      .localCheckpoint(false) // referenced by totals AND the curve
+    val totals = counts.agg(sum(col("__pos")).as("__tpos"),
+      sum(col("__neg")).as("__tneg"))
+    strictlyBelow(counts, Seq("__pos", "__neg"))
+      .crossJoin(broadcast(totals))
+      .select(col("__s").as("threshold"),
+        (col("__tpos") - col("__lt___pos")).as("tp"),
+        (col("__tneg") - col("__lt___neg")).as("fp"),
+        col("__lt___pos").as("fn"))
+      .withColumn("precision",
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double")))
   }
 
   /** Confusion matrix + exact-division summary for a boolean predictor

@@ -167,4 +167,40 @@ class EvalSpec extends SparkTestBase {
     }.sum.toDouble
     assert(r.getDouble(2) == expected, s"${r.getDouble(2)} vs $expected")
   }
+
+  test("prCurve: hand-computed operating points, incl. tied scores") {
+    import spark.implicits._
+    // scores: 1(y=0), 2(y=1), 2(y=0), 3(y=1) — thresholds 1, 2, 3
+    val df = Seq((1L, 0), (2L, 1), (2L, 0), (3L, 1)).toDF("s", "y")
+    val out = Eval.prCurve(df, col("s"), col("y")).orderBy("threshold")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      // threshold, tp, fp, fn, precision, recall
+      (1L, 2L, 2L, 0L, 0.5, 1.0),
+      (2L, 2L, 1L, 0L, 2.0 / 3.0, 1.0),
+      (3L, 1L, 0L, 1L, 1.0, 0.5)))
+  }
+
+  test("prCurve: bucketed == default-bucketed; consistent with auc") {
+    import spark.implicits._
+    val df = (0 until 500).map { i =>
+      val s = (i * 37) % 101
+      (s.toLong, if (s + (i % 7) > 55) 1 else 0)
+    }.toDF("s", "y")
+    val a = Eval.prCurve(df, col("s"), col("y")).orderBy("threshold")
+      .collect().toSeq
+    val b = Eval.prCurve(df, col("s"), col("y"),
+        bucketOf = c => (c / 10).cast("long"))
+      .orderBy("threshold").collect().toSeq
+    assert(a == b)
+    // the refactor-shared machinery: auc still matches its O(n²) def
+    val rows = df.as[(Long, Int)].collect()
+    val pairs = for {
+      (sp, yp) <- rows if yp == 1
+      (sn, yn) <- rows if yn == 0
+    } yield if (sp > sn) 1.0 else if (sp == sn) 0.5 else 0.0
+    val want = pairs.sum / pairs.size
+    val got = Eval.auc(df, col("s"), col("y")).head().getDouble(2)
+    assert(math.abs(got - want) < 1e-12)
+  }
 }
