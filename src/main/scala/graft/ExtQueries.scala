@@ -619,6 +619,45 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual image dedup: every doc gets a real P6 payload from one
+    // of 50 patterns (odd ids carry a one-pixel edit), the REAL decode
+    // path computes the 64-bit average-hash (8x8 nearest-neighbor
+    // luminance vs integer mean — no division, bit-portable), and
+    // near-duplicate hash pairs come from the 4x16-bit band equi-join
+    // (pigeonhole-lossless to Hamming 3) + popcount verify. The oracle
+    // re-derives every hash in closed-form integer arithmetic from the
+    // generator formula and replays the identical band join.
+    "x_mm_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val seed = (id % 50).toInt
+          // block parity, NOT id parity: id%50 and id%2 are correlated
+          // (50 is even), which would give every seed a single variant
+          val noisy = ((id / 50) % 2).toInt
+          // dims >= 9 so the edited pixel (0,0) downsamples to exactly
+          // one of the 64 cells — the edit stays within Hamming ~1
+          val w = seed % 13 + 9
+          val h = seed % 11 + 9
+          Multimodal.MediaRow(id, Multimodal.PpmCodec.Mime,
+            Multimodal.PpmCodec.encode(w, h, i =>
+              if (noisy == 1 && i == 2) 255 else (seed * 31 + i * 7) % 256))
+        })
+      // hash table feeds both the dup groups and the pair join — lazy
+      // barrier so decode+hash runs once
+      val hashes = Multimodal.imageHashes(media).localCheckpoint(false)
+      val groups = hashes.groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("min_doc"))
+      Multimodal.hashNearDupPairs(hashes, maxHamming = 3)
+        .join(groups.select(col("ahash").as("ahash_a"),
+          col("n_images").as("n_a")), Seq("ahash_a"))
+        .join(groups.select(col("ahash").as("ahash_b"),
+          col("n_images").as("n_b")), Seq("ahash_b"))
+        .select(col("ahash_a"), col("ahash_b"), col("hamming"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("ahash_a"), col("ahash_b"))
+    }),
+
     // Real AUDIO decode: each doc_id becomes an actual RIFF/WAVE 16-bit
     // PCM payload (deterministic samples), and everything reported —
     // rate/channels/sample count from the fmt/data chunk walk, abs-sum /
@@ -3844,6 +3883,71 @@ object ExtQueries {
                    + 3*(doc_id % 7 + 2)*(doc_id % 5 + 2)) AS BIGINT)
              AS total_bytes
          FROM documents ORDER BY doc_id""",
+
+    // aHash re-derived in closed-form integer arithmetic: per distinct
+    // (seed, noisy) variant, 64 cells map to source pixels by the
+    // nearest-neighbor floor rule, luminance = 299R+587G+114B off the
+    // generator formula, bit set iff lum*64 > total (no division), and
+    // the band join + popcount replay the Spark pair generation.
+    "x_mm_phash" ->
+      """WITH variants AS (
+           SELECT DISTINCT CAST(doc_id % 50 AS BIGINT) AS seed,
+                  CAST((doc_id // 50) % 2 AS BIGINT) AS noisy
+           FROM documents),
+         dims AS (
+           SELECT seed, noisy, seed % 13 + 9 AS w, seed % 11 + 9 AS h
+           FROM variants),
+         cells AS (
+           SELECT seed, noisy, c,
+             (((c // 8) * h) // 8) * w + ((c % 8) * w) // 8 AS p
+           FROM dims, generate_series(0, 63) t(c)),
+         lums AS (
+           SELECT seed, noisy, c,
+             299 * ((seed * 31 + (3 * p) * 7) % 256)
+           + 587 * ((seed * 31 + (3 * p + 1) * 7) % 256)
+           + 114 * (CASE WHEN noisy = 1 AND p = 0 THEN 255
+                    ELSE (seed * 31 + (3 * p + 2) * 7) % 256 END) AS lum
+           FROM cells),
+         tot AS (
+           SELECT seed, noisy, SUM(lum) AS total FROM lums GROUP BY 1, 2),
+         hashes AS (
+           SELECT l.seed, l.noisy,
+             CAST(SUM(CASE WHEN l.lum * 64 <= t.total THEN 0
+                  WHEN l.c = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                  ELSE (CAST(1 AS BIGINT) << l.c) END) AS BIGINT)
+               AS ahash
+           FROM lums l JOIN tot t ON l.seed = t.seed AND l.noisy = t.noisy
+           GROUP BY 1, 2),
+         perdoc AS (
+           SELECT d.doc_id, h.ahash
+           FROM documents d JOIN hashes h
+             ON d.doc_id % 50 = h.seed
+             AND (d.doc_id // 50) % 2 = h.noisy),
+         groups AS (
+           SELECT ahash, COUNT(*) AS n_images, MIN(doc_id) AS min_doc
+           FROM perdoc GROUP BY 1),
+         dh AS (SELECT DISTINCT ahash FROM hashes),
+         bands AS (
+           SELECT ahash, j, (ahash >> (16 * j)) & 65535 AS band
+           FROM dh, generate_series(0, 3) s(j)),
+         cand AS (
+           SELECT DISTINCT a.ahash AS ahash_a, b.ahash AS ahash_b
+           FROM bands a JOIN bands b ON a.j = b.j AND a.band = b.band
+           WHERE ROW((a.ahash >> 48) & 65535, (a.ahash >> 32) & 65535,
+                     (a.ahash >> 16) & 65535, a.ahash & 65535)
+               < ROW((b.ahash >> 48) & 65535, (b.ahash >> 32) & 65535,
+                     (b.ahash >> 16) & 65535, b.ahash & 65535)),
+         pairs AS (
+           SELECT ahash_a, ahash_b,
+             CAST(bit_count(xor(ahash_a, ahash_b)) AS INTEGER) AS hamming
+           FROM cand)
+         SELECT p.ahash_a, p.ahash_b, p.hamming,
+           ga.n_images AS n_a, gb.n_images AS n_b
+         FROM pairs p
+           JOIN groups ga ON p.ahash_a = ga.ahash
+           JOIN groups gb ON p.ahash_b = gb.ahash
+         WHERE p.hamming <= 3
+         ORDER BY p.ahash_a, p.ahash_b""",
 
     // Samples are s_i = (doc_id*7 + i*13) % 4096 - 2048 over the
     // interleaved stream; zero crossings pair consecutive samples via

@@ -208,6 +208,42 @@ object Multimodal {
       MediaFeature(r.media_id, java.util.Arrays.copyOf(full, dim))
     }
 
+    /** 64-bit average hash (aHash) — the classic perceptual image
+      * fingerprint: nearest-neighbor downsample to 8×8 (the
+      * [[resize]] floor mapping, inlined), integer luminance
+      * `299·R + 587·G + 114·B` per cell, bit c set iff cell c's
+      * luminance exceeds the 64-cell mean. The threshold compares
+      * `lum·64 > total` — integer-exact, no division, so the hash is
+      * bit-portable across engines (the DuckDB oracle re-derives it
+      * with the same arithmetic). Visually-identical images collide;
+      * small edits flip few bits, so Hamming distance is the
+      * near-dup metric (pair via 16-bit bands — pigeonhole: 4 bands
+      * guarantee recall at Hamming ≤ 3).
+      */
+    def aHash64(r: MediaRow): Long = {
+      val (w, h, _, start) = parseHeader(r.content, 0)
+      val lums = new Array[Long](64)
+      var total = 0L
+      var c = 0
+      while (c < 64) {
+        val srcX = (c % 8) * w / 8
+        val srcY = (c / 8) * h / 8
+        val i = start + 3 * (srcY * w + srcX)
+        val lum = 299L * (r.content(i) & 0xff) +
+          587L * (r.content(i + 1) & 0xff) +
+          114L * (r.content(i + 2) & 0xff)
+        lums(c) = lum; total += lum
+        c += 1
+      }
+      var hash = 0L
+      c = 0
+      while (c < 64) {
+        if (lums(c) * 64L > total) hash |= (1L << c)
+        c += 1
+      }
+      hash
+    }
+
     /** Walk a payload of CONCATENATED P6 frames (the video stand-in):
       * parse each header, step over its raster, repeat. Offsets come
       * from real parsing, not stride arithmetic.
@@ -337,6 +373,55 @@ object Multimodal {
   def decodeAudios(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(WavCodec.decodeAudio))
+  }
+
+  /** Perceptual hashes for a media set: (media_id, ahash) via
+    * [[PpmCodec.aHash64]] — partition-local decode+hash, no shuffle
+    * touches media bytes; downstream dedup works on 8-byte hashes.
+    */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => (r.media_id, PpmCodec.aHash64(r))))
+      .toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate HASH pairs by Hamming distance over the 64-bit
+    * perceptual hash — the image twin of `Dedup.simhashBandPairs`:
+    * each distinct hash splits into four 16-bit bands; a pair within
+    * Hamming ≤ 3 differs in ≤ 3 bit positions and therefore shares at
+    * least one exact band (pigeonhole over 4 bands), so the band
+    * equi-join is a lossless candidate generator and only candidates
+    * pay the popcount verify. Works on the DISTINCT hash domain —
+    * image-count duplication multiplies group size, never pair work.
+    * Returns (ahash_a, ahash_b, hamming), a < b by unsigned band
+    * order, hamming ≤ `maxHamming`.
+    */
+  def hashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall only to Hamming 3, got $maxHamming")
+    val spark = hashes.sparkSession
+    val distinctH = hashes.select(col("ahash")).distinct()
+    val bands = distinctH.select(col("ahash"),
+      explode(array((0 until 4).map(j => struct(
+        lit(j).as("band_idx"),
+        shiftright(col("ahash"), 16 * j).bitwiseAND(lit(65535L))
+          .as("band_val"))): _*)).as("b"))
+      .select(col("ahash"), col("b.band_idx"), col("b.band_val"))
+    val a = bands.select(col("ahash").as("ahash_a"), col("band_idx"),
+      col("band_val"))
+    val b = bands.select(col("ahash").as("ahash_b"), col("band_idx"),
+      col("band_val"))
+    // unsigned order via band tuple comparison (top band first) so the
+    // pair orientation is engine-portable even when bit 63 is set
+    def bandsOf(c: org.apache.spark.sql.Column) = struct(
+      (3 to 0 by -1).map(j =>
+        shiftright(c, 16 * j).bitwiseAND(lit(65535L)).as(s"b$j")): _*)
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(bandsOf(col("ahash_a")) < bandsOf(col("ahash_b")))
+      .select(col("ahash_a"), col("ahash_b")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ahash_a").bitwiseXOR(col("ahash_b"))))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Attach a binary content column to any table (here: utf-8 bytes of a

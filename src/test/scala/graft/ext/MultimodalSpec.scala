@@ -155,6 +155,71 @@ class MultimodalSpec extends SparkTestBase {
       Seq((8000, 1, 16L), (44100, 2, 32L)))
   }
 
+  test("aHash64: identical rasters collide whatever the encoding noise; " +
+    "flat image hashes to 0") {
+    import Multimodal.{MediaRow, PpmCodec}
+    val px = (i: Int) => (i * 37 + 11) % 256
+    val a = MediaRow(1L, PpmCodec.Mime, PpmCodec.encode(20, 12, px))
+    // same raster, different header spelling (comment injected)
+    val enc = PpmCodec.encode(20, 12, px)
+    val withComment = ("P6\n# a comment\n20 12\n255\n".getBytes("ISO-8859-1") ++
+      enc.drop(enc.indexOfSlice("255\n".getBytes("ISO-8859-1")) + 4))
+    val b = MediaRow(2L, PpmCodec.Mime, withComment)
+    assert(PpmCodec.aHash64(a) == PpmCodec.aHash64(b))
+    // constant image: no cell exceeds the mean, hash is exactly 0
+    val flat = MediaRow(3L, PpmCodec.Mime, PpmCodec.encode(8, 8, _ => 128))
+    assert(PpmCodec.aHash64(flat) == 0L)
+  }
+
+  test("aHash64: a small edit flips few bits; unrelated images flip many") {
+    import Multimodal.{MediaRow, PpmCodec}
+    val base = (i: Int) => (i * 37 + 11) % 256
+    val a = PpmCodec.aHash64(
+      MediaRow(1L, PpmCodec.Mime, PpmCodec.encode(24, 24, base)))
+    val edited = PpmCodec.aHash64(MediaRow(2L, PpmCodec.Mime,
+      PpmCodec.encode(24, 24, i => if (i < 3) 255 else base(i))))
+    val other = PpmCodec.aHash64(MediaRow(3L, PpmCodec.Mime,
+      PpmCodec.encode(24, 24, i => (i * 151 + 77) % 256)))
+    val dEdit = java.lang.Long.bitCount(a ^ edited)
+    val dOther = java.lang.Long.bitCount(a ^ other)
+    assert(dEdit <= 3, s"one-pixel edit flipped $dEdit bits")
+    assert(dOther > dEdit, s"unrelated image only $dOther bits away")
+  }
+
+  test("hashNearDupPairs == brute-force Hamming pairs (band recall)") {
+    import spark.implicits._
+    import Multimodal.{MediaRow, PpmCodec}
+    // 30 images: 10 patterns x (original, one-pixel edit, heavy edit)
+    val media = (0 until 30).map { k =>
+      val seed = k % 10
+      val variant = k / 10
+      val px = (i: Int) => variant match {
+        case 0 => (seed * 31 + i * 7) % 256
+        case 1 => if (i < 3) 255 else (seed * 31 + i * 7) % 256
+        case _ => (seed * 57 + i * 13) % 256
+      }
+      MediaRow(k.toLong, PpmCodec.Mime, PpmCodec.encode(16, 10, px))
+    }
+    val hashes = Multimodal.imageHashes(
+      spark.createDataset(media))
+    val got = Multimodal.hashNearDupPairs(hashes, maxHamming = 3)
+      .select("ahash_a", "ahash_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the distinct hash domain
+    def bandKey(h: Long) = ((h >> 48) & 0xffffL, (h >> 32) & 0xffffL,
+      (h >> 16) & 0xffffL, h & 0xffffL)
+    val ord = implicitly[Ordering[(Long, Long, Long, Long)]]
+    val dh = media.map(PpmCodec.aHash64).distinct
+    val want = (for {
+      x <- dh; y <- dh
+      if ord.lt(bandKey(x), bandKey(y))
+      d = java.lang.Long.bitCount(x ^ y)
+      if d <= 3
+    } yield (x, y, d)).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "expected at least one planted near-dup pair")
+  }
+
   test("sampleFrames: stride covers the payload") {
     val frames = sampleFrames(media, stride = 100).collect()
     val byDoc = frames.groupBy(_.media_id)
