@@ -822,6 +822,64 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- custom state: streaming CUSUM drift detection ------------------
+
+  case class CusumState(sp: Double, sn: Double)
+  case class CusumOut(user_id: Long, sec: Long, value: Double,
+                      cusum_pos: Double, cusum_neg: Double, alarm: Boolean)
+
+  /** Streaming CUSUM (`graft.ext.Forecast.cusum`'s recurrence carried
+    * ACROSS micro-batches): per-key (S⁺, S⁻) in a ValueState, events
+    * sorted by time within each batch before stepping the recurrence —
+    * the sequential per-key scan, resumed from the state store instead
+    * of a partition iterator. Emits one row per event (Append).
+    *
+    * Ordering contract: exact parity with the batch operator requires
+    * events to arrive in time order ACROSS batches (the in-order
+    * arrival contract [[curationSink]] documents); a late event steps
+    * the recurrence at arrival position, not event position — bound it
+    * with the source's watermark if late data matters.
+    */
+  class CusumProcessor(target: Double, slack: Double, threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, CusumOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum",
+        Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CusumOut] = {
+      var cur = if (st.exists()) st.get() else CusumState(0.0, 0.0)
+      val out = rows.toArray.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+        val x = e.value
+        val sp = math.max(0.0, cur.sp + (x - target - slack))
+        val sn = math.max(0.0, cur.sn + (target - x - slack))
+        cur = CusumState(sp, sn)
+        CusumOut(user, e.ts.getTime / 1000, x, sp, sn,
+          sp > threshold || sn > threshold)
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Wire [[CusumProcessor]] over a stream of [[Event]]s keyed by user. */
+  def cusumStream(events: Dataset[Event], target: Double, slack: Double,
+                  threshold: Double): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor(target, slack, threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- live inverted text index ---------------------------------------
 
   /** LIVE search index: each micro-batch of documents lands as one

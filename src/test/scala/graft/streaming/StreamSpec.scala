@@ -374,6 +374,53 @@ class StreamSpec extends SparkTestBase {
     }
   }
 
+  test("cusumStream: cross-batch recurrence == batch cusum bit-exactly " +
+    "under in-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ck = java.nio.file.Files.createTempDirectory("cusum_ck").toString
+    val mem = MemoryStream[Event]
+    val q = StreamOps.cusumStream(mem.toDS(), target = 10.0, slack = 1.0,
+        threshold = 5.0)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .start()
+    // two users, drifting values, three in-order micro-batches — the
+    // recurrence must carry (sp, sn) across the batch boundary
+    val evs = (0 until 12).map { i =>
+      Event(ts(i), (i % 2 + 1).toLong, "m", 10.0 + (i % 5))
+    }
+    try {
+      evs.grouped(4).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val got = spark.table("cusum_out")
+      .select("user_id", "sec", "cusum_pos", "cusum_neg", "alarm")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+    val batch = graft.ext.Forecast.cusum(
+      evs.map(e => (e.user_id, e.ts.getTime / 1000, e.value,
+        10.0, 1.0, 5.0))
+        .toDF("user_id", "sec", "value", "target", "slack", "h"),
+      Seq("user_id"), "sec", "value", "target", "slack", "h")
+      .select("user_id", "sec", "cusum_pos", "cusum_neg", "alarm")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+    assert(got == batch,
+      s"stream diverged: missing=${(batch -- got).take(3)} " +
+        s"extra=${(got -- batch).take(3)}")
+    assert(got.exists(_._5), "expected at least one alarm in the drift")
+  }
+
   test("textIndexSink: live segments == one-shot index; replayed epoch " +
     "commits nothing; uncommitted segment invisible to queries") {
     implicit val sqlCtx = spark.sqlContext
