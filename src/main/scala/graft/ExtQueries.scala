@@ -2352,6 +2352,34 @@ object ExtQueries {
             .as("names"))
         .orderBy(col("c_mktsegment"), col("c_nationkey"))),
 
+    // ---- table equality at scale --------------------------------------
+
+    // Order-independent table checksum — the migration-validation
+    // primitive ("did the copy/engine-swap/compaction preserve every
+    // row?"): each row folds to a 60-bit md5-derived hash of its
+    // canonical string (DECIMAL renderings for floats — engine-stable
+    // text), and the table signature is count + XOR-fold + min/max of
+    // the row hashes. XOR is order- and partitioning-independent with
+    // no overflow; count catches the even-duplicate cancellation XOR
+    // alone would miss. One scan, one 4-value aggregate — at 100 TB
+    // this is the cheapest whole-table equality proof available.
+    "x_table_checksum" -> ((s, dir) => {
+      val rowStr = concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(18, 2)).cast("string"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).cast("string"),
+        col("l_discount").cast(DecimalType(18, 2)).cast("string"),
+        col("l_tax").cast(DecimalType(18, 2)).cast("string"),
+        col("l_returnflag"), col("l_linestatus"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 1000000"))
+      T(s, dir, "lineitem")
+        .select(Hashing.hash64(rowStr, 42).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_sig"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+    }),
+
     // ---- copy-on-write table mutations (io/Cow over the versioned
     // manifest store) ---------------------------------------------------
 
@@ -5439,6 +5467,24 @@ object ExtQueries {
          FROM customer
          WHERE c_nationkey IN (1, 2)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_table_checksum" -> {
+      val rowStr = "concat_ws('|', l_orderkey, l_partkey, l_suppkey, " +
+        "l_linenumber, " +
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), " +
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR), " +
+        "CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR), " +
+        "l_returnflag, l_linestatus, " +
+        "CAST(epoch(date_trunc('second', CAST(l_shipdate AS TIMESTAMP))) " +
+        "AS BIGINT))"
+      s"""WITH r AS (
+            SELECT ${graft.functions.Hashing.hash64Sql(rowStr, 42)} AS h
+            FROM lineitem)
+          SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_sig,
+            MIN(h) AS min_h, MAX(h) AS max_h
+          FROM r"""
+    },
 
     // COW DELETE: the visible snapshot after `DELETE WHERE p_size < 15`
     // is, by SQL delete semantics, exactly the complement.
