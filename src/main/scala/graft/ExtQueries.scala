@@ -461,6 +461,46 @@ object ExtQueries {
         .orderBy(col("query_id"))
     }),
 
+    // nDCG@10 over the BM25 ranking (weak same-source labels) — the
+    // graded-ranking companion to x_retrieval_mrr: per-rank gains
+    // discounted by log2(rank+1), ideal DCG from the corpus-level
+    // relevant count capped at the cutoff. Each log2 term is pinned to
+    // DECIMAL(28,9) before summation (the bm25 parity convention), the
+    // final ratio is one IEEE division.
+    "x_ndcg" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val top = Retrieval.bm25TopK(docs, "doc_id", "text", qids, k = 10)
+      val lbl = docs.select(col("doc_id"), col("source"))
+      val rel = top
+        .join(broadcast(lbl.select(col("doc_id").as("query_id"),
+          col("source").as("qsrc"))), Seq("query_id"))
+        .join(lbl.select(col("doc_id").as("cand_id"),
+          col("source").as("csrc")), Seq("cand_id"))
+        .withColumn("rel", (col("qsrc") === col("csrc")).cast("long"))
+      val dcg = rel.withColumn("term",
+          (col("rel").cast("double") /
+            log2(col("rank").cast("double") + 1.0))
+            .cast(DecimalType(28, 9)))
+        .groupBy(col("query_id"))
+        .agg(sum(col("term")).cast("double").as("dcg"),
+          sum(col("rel")).as("n_rel_topk"))
+      val srcN = lbl.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      val r = lbl.filter(col("doc_id").isin(qids: _*))
+        .join(broadcast(srcN), Seq("source"))
+        .select(col("doc_id").as("query_id"), (col("__n") - 1).as("R"))
+      dcg.join(broadcast(r), Seq("query_id"))
+        .filter(col("R") > 0)
+        .withColumn("idcg", expr(
+          "cast(aggregate(sequence(1L, least(R, 10L)), " +
+            "cast(0 as decimal(28,9)), (acc, i) -> cast(acc + " +
+            "cast(1.0 / log2(cast(i as double) + 1.0) " +
+            "as decimal(28,9)) as decimal(28,9))) as double)"))
+        .select(col("query_id"), col("n_rel_topk"), col("dcg"),
+          col("idcg"), (col("dcg") / col("idcg")).as("ndcg"))
+        .orderBy(col("query_id"))
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     // top-20 and the exact-cosine vector top-20 (embeddings keyed by the
     // same ids). The fusion is one full-outer join over two |q|·k rank
@@ -2955,6 +2995,45 @@ object ExtQueries {
           qs AS (SELECT DISTINCT query_id FROM res)
           SELECT query_id, COALESCE(1.0 / first_rel, 0.0) AS rr
           FROM qs LEFT JOIN fr USING (query_id) ORDER BY query_id""",
+
+    // nDCG@10: per-term DECIMAL(28,9) pinning makes the log2 discounts
+    // engine-exact; ideal DCG from per-source corpus counts − self.
+    "x_ndcg" ->
+      s"""WITH $bm25Ctes,
+          res AS (SELECT query_id, cand_id, rank FROM bmranked
+                  WHERE rank <= 10),
+          lbl AS (SELECT doc_id, source FROM documents),
+          relrows AS (
+            SELECT r.query_id, r.rank,
+              CASE WHEN q.source = c.source THEN 1 ELSE 0 END AS rel
+            FROM res r JOIN lbl q ON q.doc_id = r.query_id
+                       JOIN lbl c ON c.doc_id = r.cand_id),
+          dcg AS (
+            SELECT query_id,
+              CAST(SUM(CAST(CAST(rel AS DOUBLE) /
+                log2(CAST(rank AS DOUBLE) + 1.0) AS DECIMAL(28,9)))
+                AS DOUBLE) AS dcg,
+              CAST(SUM(rel) AS BIGINT) AS n_rel_topk
+            FROM relrows GROUP BY 1),
+          srcn AS (SELECT source, COUNT(*) AS n FROM lbl GROUP BY 1),
+          rc AS (
+            SELECT doc_id AS query_id, n - 1 AS R
+            FROM lbl JOIN srcn USING (source)
+            WHERE doc_id IN (0, 1, 2, 3, 4)),
+          iexp AS (
+            SELECT query_id, R,
+              unnest(generate_series(1, LEAST(R, 10))) AS i
+            FROM rc),
+          idcg AS (
+            SELECT query_id, R,
+              CAST(SUM(CAST(1.0 / log2(CAST(i AS DOUBLE) + 1.0)
+                AS DECIMAL(28,9))) AS DOUBLE) AS idcg
+            FROM iexp GROUP BY 1, 2)
+          SELECT d.query_id, d.n_rel_topk, d.dcg, i.idcg,
+            d.dcg / i.idcg AS ndcg
+          FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+          WHERE i.R > 0
+          ORDER BY d.query_id""",
 
     "x_logreg_step" ->
       """WITH f AS (
