@@ -2478,6 +2478,15 @@ object ExtQueries {
       graft.ext.Privacy.kAnonymitySummary(T(s, dir, "customer"),
         Seq("c_mktsegment", "c_nationkey"), k = 10)),
 
+    // Enforcement, not just audit: suppress rows in sub-k classes, then
+    // re-audit — the released table must be k-anonymous by construction
+    // (0 risky classes, min class size >= k).
+    "x_k_suppress" -> ((s, dir) =>
+      graft.ext.Privacy.kAnonymitySummary(
+        graft.ext.Privacy.suppressRisky(T(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), k = 3),
+        Seq("c_mktsegment", "c_nationkey"), k = 3)),
+
     // l-diversity: a class can be k-anonymous yet expose its sensitive
     // attribute when all members share one value — per-class distinct
     // count of the sensitive column (here: nation as the sensitive
@@ -5676,6 +5685,23 @@ object ExtQueries {
              AS BIGINT) AS n_risky_rows,
            MIN(n_rows) AS min_class_size
          FROM c""",
+
+    // post-suppression audit: surviving classes keep their full counts
+    // (suppression removes whole classes), so the CASE arms evaluate
+    // over n_rows >= 3 only.
+    "x_k_suppress" ->
+      """WITH c AS (
+           SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_rows
+           FROM customer GROUP BY 1, 2),
+         safe AS (SELECT n_rows FROM c WHERE n_rows >= 3)
+         SELECT COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN n_rows < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_rows < 3 THEN n_rows ELSE 0 END)
+             AS BIGINT) AS n_risky_rows,
+           MIN(n_rows) AS min_class_size
+         FROM safe""",
 
     "x_l_diversity" ->
       """SELECT c_mktsegment, COUNT(*) AS n_rows,

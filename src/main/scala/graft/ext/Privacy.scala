@@ -48,6 +48,21 @@ object Privacy {
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 
+  /** k-anonymity ENFORCEMENT (suppression): drop every row whose
+    * equivalence class is smaller than `k` — after this, the release
+    * IS k-anonymous on `qiCols` by construction (suppression is the
+    * bluntest of the k-anonymity mechanisms; generalization keeps more
+    * rows but needs a domain hierarchy). One aggregate to find the
+    * risky classes + one semi-join back — the class table is the small
+    * side and broadcasts.
+    */
+  def suppressRisky(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    val safe = kAnonymity(df, qiCols, k)
+      .filter(!col("at_risk"))
+      .select(qiCols.map(col): _*)
+    df.join(broadcast(safe), qiCols, "left_semi")
+  }
+
   /** Corpus-level k-anonymity summary: one row —
     * (n_classes, n_risky_classes, n_rows, n_risky_rows, min_class_size)
     * — the go/no-go gate number. Derived from [[kAnonymity]]'s class

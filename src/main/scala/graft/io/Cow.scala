@@ -207,6 +207,45 @@ object Cow {
       manifestPath)
   }
 
+  /** Table fsck — the consistency report between the manifest log and
+    * the directory: per file, `ok` (current snapshot references it),
+    * `historical` (only an older retained version references it — a
+    * time-travel dependency, reclaimable by [[vacuumTable]]), `orphan`
+    * (on disk, referenced by NO retained version — a crashed write or
+    * an over-retained rewrite), or `missing` (the current manifest
+    * references it but the file is GONE — the state that makes reads
+    * fail; surface it before a reader does). Driver-side set algebra
+    * at |files|×versions scale, no data IO.
+    */
+  def fsck(spark: SparkSession, dataDir: String,
+           manifestPath: String): DataFrame = {
+    import spark.implicits._
+    val current = ZoneMap.currentManifestVersion(spark, manifestPath)
+      .map(v => ZoneMap.readManifestAt(spark, manifestPath, v)
+        .select(col("file")).collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val dir = new Path(manifestPath, "_versions")
+    val fs = fsFor(spark, dir)
+    val versions =
+      if (!fs.exists(dir)) Seq.empty[Long]
+      else fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
+    val retained = versions.flatMap(v =>
+      ZoneMap.readManifestAt(spark, manifestPath, v)
+        .select(col("file")).collect().map(_.getString(0))).toSet
+    val onDisk = listDataFiles(spark, dataDir)
+    val rows = (retained ++ onDisk).toSeq.sorted.map { f =>
+      val status =
+        if (current.contains(f) && !onDisk.contains(f)) "missing"
+        else if (current.contains(f)) "ok"
+        else if (retained.contains(f) && onDisk.contains(f)) "historical"
+        else if (onDisk.contains(f)) "orphan"
+        else "missing" // referenced by an old version only, and gone
+      (f, status)
+    }
+    rows.toDF("file", "status")
+  }
+
   /** Reclaim data files no RETAINED manifest version references:
     * first bound the version history ([[ZoneMap.vacuumManifest]] keep),
     * then delete every data file under `dataDir` absent from all

@@ -29,6 +29,17 @@ class PrivacySpec extends SparkTestBase {
     assert(r == ((3L, 2L, 8L, 3L, 1L))) // classes, risky, rows, risky rows, min
   }
 
+  test("suppressRisky: the release is k-anonymous by construction") {
+    val out = Privacy.suppressRisky(people, Seq("seg", "nat"), k = 3)
+    // only class (a,1) (5 rows) survives at k=3
+    assert(out.count() == 5)
+    assert(out.select("seg", "nat").distinct()
+      .as[(String, Int)].collect().toSeq == Seq(("a", 1)))
+    val audit = Privacy.kAnonymitySummary(out, Seq("seg", "nat"), k = 3)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(audit._2 == 0L && audit._5 >= 3L) // no risky classes left
+  }
+
   test("lDiversity: k-anonymous class can still fail diversity") {
     // class (a,2) has 2 rows but only one sensitive value 'x'
     val out = Privacy.lDiversity(people, Seq("seg", "nat"), "s", l = 2)

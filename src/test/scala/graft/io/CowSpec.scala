@@ -144,6 +144,30 @@ class CowSpec extends SparkTestBase {
     } finally deleteRec(tmp)
   }
 
+  test("fsck: ok / historical / orphan / missing classification") {
+    val (tmp, data, man) = freshTable()
+    try {
+      Cow.deleteWhere(spark, data, man, col("id") < 3) // makes historicals
+      // plant an orphan (never referenced) and a missing file (current,
+      // deleted from disk behind the manifest's back)
+      val orphan = new java.io.File(s"$data/orphan_plant.parquet")
+      java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+      val current = ZoneMap.readManifest(spark, man)
+        .select("file").as[String].collect()
+      val victim = new java.io.File(new java.net.URI(
+        if (current.head.startsWith("file:")) current.head
+        else "file:" + current.head))
+      assert(victim.delete())
+      val report = Cow.fsck(spark, data, man)
+        .as[(String, String)].collect().toMap
+      assert(report.values.toSet ==
+        Set("ok", "historical", "orphan", "missing"))
+      assert(report(current.head) == "missing")
+      assert(report.find(_._1.endsWith("orphan_plant.parquet"))
+        .get._2 == "orphan")
+    } finally deleteRec(tmp)
+  }
+
   test("vacuumTable reclaims dead files; old versions fail loudly after") {
     val (tmp, data, man) = freshTable()
     try {
