@@ -151,12 +151,13 @@ object Retrieval {
   def saveTextIndex(df: DataFrame, idCol: String, textCol: String,
                     indexDir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    // backfill owns the directory: clear any previous index + markers
+    // backfill owns the directory: clear any previous index + versions
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
     writeSegment(df, idCol, textCol, indexDir, nBuckets, seg = 0L)
+    commitVersion(df.sparkSession, indexDir, Seq(0L))
   }
 
   /** Append `newDocs` as the next segment of an existing index: only
@@ -172,36 +173,158 @@ object Retrieval {
       s"no committed segments under $indexDir — saveTextIndex first")
     val nBuckets = readNBuckets(spark, indexDir, committed)
     appendTextIndexAs(newDocs, idCol, textCol, indexDir, nBuckets,
-      seg = committed.max + 1L)
+      seg = allSegmentsEver(spark, indexDir).max + 1L)
   }
 
   /** Append a batch as an EXPLICIT segment id — the exactly-once form:
-    * if `seg` is already committed the call is a no-op, so a replayed
-    * micro-batch (same epoch, same or different data) indexes nothing
-    * twice; a crashed half-written attempt is invisible (no marker)
-    * and the retry overwrites its leftovers. This is the
-    * [[graft.streaming.StreamOps]] epoch-commit idiom applied to the
-    * index. */
+    * if `seg` was EVER part of a committed version the call is a no-op
+    * (a replayed micro-batch indexes nothing twice, even if compaction
+    * has since superseded its segment); a crashed half-written attempt
+    * is invisible (not in any version) and the retry overwrites its
+    * leftovers. This is the [[graft.streaming.StreamOps]] epoch-commit
+    * idiom applied to the index. */
   def appendTextIndexAs(newDocs: DataFrame, idCol: String, textCol: String,
                         indexDir: String, nBuckets: Int, seg: Long): Unit = {
     val spark = newDocs.sparkSession
-    if (committedSegments(spark, indexDir).contains(seg)) return
+    if (allSegmentsEver(spark, indexDir).contains(seg)) return
     writeSegment(newDocs, idCol, textCol, indexDir, nBuckets, seg)
+    commitVersion(spark, indexDir,
+      committedSegments(spark, indexDir) :+ seg)
   }
 
-  /** Committed segment ids — markers under `indexDir/_segments/`,
-    * created atomically AFTER a segment's four tables land. Readers
-    * resolve the index as the union of committed segments only, so a
-    * torn write is invisible by construction (the
-    * [[graft.io.ZoneMap.commitManifest]] reader-atomicity contract). */
+  /** OPTIMIZE for the index — the Lucene merge: fold the current
+    * committed segments into ONE, derived from the index tables
+    * themselves (postings union verbatim, per-token df re-summed,
+    * doclen union, stats re-summed — no re-tokenization, no source
+    * corpus needed), committed as a new version whose segment set is
+    * just the merged segment. Old segment trees stay on disk for
+    * in-flight readers until [[vacuumTextIndex]]. Cuts query-side
+    * file-open fan-out from |segments| back to 1 per bucket.
+    */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): Long = {
+    val committed = committedSegments(spark, indexDir)
+    require(committed.nonEmpty, s"nothing to compact under $indexDir")
+    val nBuckets = readNBuckets(spark, indexDir, committed)
+    val merged = allSegmentsEver(spark, indexDir).max + 1L
+    val postings = spark.read.parquet(s"$indexDir/postings.parquet")
+      .filter(col("seg").isin(committed: _*))
+      .select(col("id"), col("token"), col("tf"), col("bucket"))
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/postings.parquet/seg=$merged")
+    spark.read.parquet(s"$indexDir/dfreq.parquet")
+      .filter(col("seg").isin(committed: _*))
+      .groupBy(col("token"), col("bucket"))
+      .agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/dfreq.parquet/seg=$merged")
+    spark.read.parquet(s"$indexDir/doclen.parquet")
+      .filter(col("seg").isin(committed: _*))
+      .select(col("id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/doclen.parquet/seg=$merged")
+    spark.read.parquet(s"$indexDir/stats.parquet")
+      .filter(col("seg").isin(committed: _*))
+      .agg(sum(col("n")).as("n"), sum(col("toktotal")).as("toktotal"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$indexDir/stats.parquet/seg=$merged")
+    commitVersion(spark, indexDir, Seq(merged))
+    merged
+  }
+
+  /** Retention for the index: keep the newest `keepVersions` version
+    * files, then delete every segment tree no retained version
+    * references. After vacuum, replay idempotence keys on the RETAINED
+    * history — pair the retention window with the stream's checkpoint
+    * horizon (a replay older than both cannot occur). */
+  def vacuumTextIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, keepVersions: Int = 2): Seq[Long] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1")
+    val dir = new org.apache.hadoop.fs.Path(indexDir, VersionsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val versions = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .toSeq.sorted
+    versions.dropRight(keepVersions).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"$v%020d"), false))
+    val retained = versions.takeRight(keepVersions)
+      .flatMap(v => readVersion(spark, indexDir, v)).toSet
+    val dead = (for {
+      table <- Seq("postings", "dfreq", "doclen", "stats")
+      p = new org.apache.hadoop.fs.Path(s"$indexDir/$table.parquet")
+      if fs.exists(p)
+      st <- fs.listStatus(p)
+      if st.isDirectory && st.getPath.getName.startsWith("seg=")
+      seg = st.getPath.getName.stripPrefix("seg=").toLong
+      if !retained.contains(seg)
+    } yield { fs.delete(st.getPath, true); seg }).distinct.sorted
+    dead
+  }
+
+  private val VersionsDir = "_versions"
+
+  /** The ACTIVE segment set — the newest committed version file's
+    * list. A version file is created atomically AFTER its segments'
+    * tables land, so readers resolve a consistent set: a torn segment
+    * write or an in-flight compaction is invisible by construction
+    * (the [[graft.io.ZoneMap.commitManifest]] contract, carried to
+    * segment SETS so compaction can atomically supersede many
+    * segments with one). */
   def committedSegments(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String): Seq[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(indexDir, "_segments")
+    val dir = new org.apache.hadoop.fs.Path(indexDir, VersionsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val vs = fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
+      if (vs.isEmpty) Seq.empty
+      else readVersion(spark, indexDir, vs.max)
+    }
+  }
+
+  /** Union of every retained version's segment list — the replay-
+    * idempotence domain (a compacted-away epoch must stay a no-op). */
+  private def allSegmentsEver(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(indexDir, VersionsDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).iterator.map(_.getPath.getName)
       .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      .toSeq.sorted
+      .flatMap(v => readVersion(spark, indexDir, v)).toSeq.distinct.sorted
+  }
+
+  private def readVersion(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, v: Long): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$indexDir/$VersionsDir", f"$v%020d")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toByteArray
+    } finally in.close()
+    val s = new String(bytes, "UTF-8").trim
+    if (s.isEmpty) Seq.empty
+    else s.split(",").iterator.map(_.trim.toLong).toSeq.sorted
+  }
+
+  private def commitVersion(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, segs: Seq[Long]): Long = {
+    val dir = new org.apache.hadoop.fs.Path(indexDir, VersionsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      (if (!fs.exists(dir)) Seq.empty[Long]
+       else fs.listStatus(dir).iterator.map(_.getPath.getName)
+         .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq)
+        .maxOption.getOrElse(-1L) + 1L
+    val marker = new org.apache.hadoop.fs.Path(dir, f"$next%020d")
+    val out = fs.create(marker, false) // atomic claim of this version
+    try out.write(segs.distinct.sorted.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    next
   }
 
   private def readNBuckets(spark: org.apache.spark.sql.SparkSession,
@@ -216,11 +339,10 @@ object Retrieval {
   }
 
   /** One segment's four tables, each into its own `seg=` directory with
-    * per-directory overwrite (idempotent under retries), then the
-    * atomic marker commit. */
+    * per-directory overwrite (idempotent under retries). Visibility
+    * comes from the caller's [[commitVersion]], not from this write. */
   private def writeSegment(df: DataFrame, idCol: String, textCol: String,
                            indexDir: String, nBuckets: Int, seg: Long): Unit = {
-    val spark = df.sparkSession
     val tf = df
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("token"))
@@ -246,11 +368,6 @@ object Retrieval {
           .cast("double").as("toktotal"))
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$indexDir/stats.parquet/seg=$seg")
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$indexDir/_segments", f"$seg%020d")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(marker, false) // atomic claim of this segment id
-    try out.write(s"seg=$seg".getBytes("UTF-8")) finally out.close()
   }
 
   /** The buckets a query set touches — driver-side, |distinct query

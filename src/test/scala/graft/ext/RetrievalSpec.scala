@@ -174,4 +174,42 @@ class RetrievalSpec extends SparkTestBase {
       .map(_.getName).sorted.toSeq
     assert(segs == Seq("seg=0", "seg=1"))
   }
+
+  test("compactTextIndex merges to one segment with identical answers; " +
+    "replay of a compacted epoch stays a no-op; vacuum reclaims trees") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("ti_cmp").toString
+    Retrieval.saveTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, nBuckets = 16)
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dir)
+    val queries = docs.filter(col("doc_id").isin(0L, 1L, 2L))
+    val before = Retrieval.bm25TopKIndexed(queries, "doc_id", "text",
+      dir, k = 10).orderBy("query_id", "rank").collect().toSeq
+
+    val merged = Retrieval.compactTextIndex(spark, dir)
+    assert(Retrieval.committedSegments(spark, dir) == Seq(merged))
+    val after = Retrieval.bm25TopKIndexed(queries, "doc_id", "text",
+      dir, k = 10).orderBy("query_id", "rank").collect().toSeq
+    assert(after == before, "compaction changed the ranking")
+
+    // replaying epoch 1 (superseded by the compaction) must be a no-op
+    Retrieval.appendTextIndexAs(
+      spark.createDataFrame(Seq((424242L, "spark spark")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, nBuckets = 16, seg = 1L)
+    assert(Retrieval.committedSegments(spark, dir) == Seq(merged))
+
+    // vacuum to 1 version: pre-compaction segment trees disappear,
+    // queries still answer identically
+    val dead = Retrieval.vacuumTextIndex(spark, dir, keepVersions = 1)
+    assert(dead.toSet == Set(0L, 1L))
+    val segDirs = new java.io.File(s"$dir/postings.parquet").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(_.getName).toSeq
+    assert(segDirs == Seq(s"seg=$merged"))
+    val vacuumed = Retrieval.bm25TopKIndexed(queries, "doc_id", "text",
+      dir, k = 10).orderBy("query_id", "rank").collect().toSeq
+    assert(vacuumed == before)
+  }
 }
