@@ -830,6 +830,24 @@ object ExtQueries {
         .orderBy(col("status"), col("day"))
     }),
 
+    // Holt-Winters additive seasonal smoothing (weekly period) — the
+    // O(m)-state member of the recurrence family: level + trend + a
+    // 7-slot seasonal ring, zero-seeded, stepped by the same
+    // secondary-sort scan. The oracle's recursive CTE carries the ring
+    // as a LIST and applies identical in-order IEEE arithmetic, so all
+    // four emitted components hash-match bit-exactly.
+    "x_holt_winters" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      graft.ext.Forecast.holtWinters(daily, Seq("status"), "day",
+          "revenue", m = 7, alpha = 0.5, beta = 0.25, gamma = 0.25)
+        .orderBy(col("status"), col("day"))
+    }),
+
     // CUSUM changepoint detection — the drift a mean-shift hides from
     // per-day z-scores: per-status daily revenue against the series'
     // own mean (DECIMAL-derived, order-free), slack and threshold as
@@ -5627,6 +5645,45 @@ object ExtQueries {
              AND d.rn = r.rn + 1)
          SELECT status, day, revenue, level, trend, fit
          FROM rec ORDER BY status, day""",
+
+    // Holt-Winters: the seasonal ring rides the recursion as a LIST
+    // (1-based slicing; Spark's 0-based index i maps to s[i+1]); every
+    // repeated subexpression re-evaluates to the same IEEE bits.
+    "x_holt_winters" -> {
+      val si = "r.s[CAST((i.rn - 1) % 7 AS INTEGER) + 1]"
+      val lvl = s"0.5 * (i.revenue - $si) + 0.5 * (r.level + r.trend)"
+      val ssn = s"0.25 * (i.revenue - ($lvl)) + 0.75 * $si"
+      s"""WITH RECURSIVE daily AS (
+            SELECT o_orderstatus AS status,
+              CAST(epoch(date_trunc('second', CAST(o_orderdate AS TIMESTAMP)))
+                AS BIGINT) // 86400 AS day,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+            FROM orders GROUP BY 1, 2),
+          idx AS (
+            SELECT status, day, revenue,
+              CAST(row_number() OVER (PARTITION BY status ORDER BY day)
+                AS BIGINT) AS rn
+            FROM daily),
+          rec AS (
+            SELECT status, rn, day, revenue,
+              revenue AS level, CAST(0.0 AS DOUBLE) AS trend,
+              CAST(0.0 AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS fit,
+              CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS s
+            FROM idx WHERE rn = 1
+            UNION ALL
+            SELECT i.status, i.rn, i.day, i.revenue,
+              $lvl AS level,
+              0.25 * (($lvl) - r.level) + 0.75 * r.trend AS trend,
+              $ssn AS seasonal,
+              r.level + r.trend + $si AS fit,
+              r.s[1:CAST((i.rn - 1) % 7 AS INTEGER)] || [$ssn]
+                || r.s[CAST((i.rn - 1) % 7 AS INTEGER) + 2:] AS s
+            FROM rec r JOIN idx i ON i.status = r.status
+              AND i.rn = r.rn + 1)
+          SELECT status, day, revenue, level, trend, seasonal, fit
+          FROM rec ORDER BY status, day"""
+    },
 
     // CUSUM as a recursive CTE: same left-associated IEEE arithmetic in
     // the same series order, greatest(0, ·) == max(0, ·).

@@ -103,6 +103,75 @@ object Forecast {
       .drop("trend")
       .withColumnRenamed("level", "ewma")
 
+  /** Holt-Winters ADDITIVE seasonal smoothing per key (period `m`):
+    * {{{
+    *   t = 0:  l = x_0, b = 0, s[*] = 0, fit = null
+    *   t ≥ 1:  i = t mod m
+    *     fit_t = l + b + s[i]
+    *     l_t   = α·(x_t - s[i]) + (1-α)·(l + b)
+    *     b_t   = β·(l_t - l) + (1-β)·b
+    *     s[i]  = γ·(x_t - l_t) + (1-γ)·s[i]
+    * }}}
+    * Zero-seeded seasonal state (the level absorbs the first cycle;
+    * production code warm-starts from a reference period — pass the
+    * recurrence the same way). State per live key is O(m) — the ring
+    * of seasonal components — still constant w.r.t. series length;
+    * same secondary-sort scan, same bit-portability (the oracle's
+    * recursive CTE carries the seasonal ring as a list and applies
+    * the identical in-order IEEE ops).
+    * Returns (keys..., tick, value, level, trend, seasonal, fit).
+    */
+  def holtWinters(df: DataFrame, keyCols: Seq[String], tickCol: String,
+                  valueCol: String, m: Int, alpha: Double, beta: Double,
+                  gamma: Double): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(m >= 1, s"season length must be >= 1, got $m")
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma in [0,1], got $gamma")
+    val nk = keyCols.size
+    val prepared = df
+      .select(keyCols.map(col) ++ Seq(
+        col(tickCol).cast("long").as(tickCol),
+        col(valueCol).cast("double").as(valueCol)): _*)
+      .filter(col(tickCol).isNotNull && col(valueCol).isNotNull)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ tickCol).map(col): _*)
+    val keyFields = keyCols.map(c => prepared.schema(c))
+    val outSchema = StructType(keyFields ++ Seq(
+      StructField(tickCol, LongType, nullable = false),
+      StructField(valueCol, DoubleType, nullable = true),
+      StructField("level", DoubleType, nullable = true),
+      StructField("trend", DoubleType, nullable = true),
+      StructField("seasonal", DoubleType, nullable = true),
+      StructField("fit", DoubleType, nullable = true)))
+    prepared.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var l = 0.0; var b = 0.0; var t = 0L
+      var s: Array[Double] = null
+      it.map { row =>
+        val key = (0 until nk).map(row.get)
+        val tick = row.getLong(nk)
+        val x = row.getDouble(nk + 1)
+        if (key != curKey) {
+          curKey = key
+          l = x; b = 0.0; t = 0L; s = new Array[Double](m)
+          Row.fromSeq(key ++ Seq[Any](tick, x, l, b, 0.0, null))
+        } else {
+          t += 1
+          val i = (t % m).toInt
+          val si = s(i)
+          val fit = l + b + si
+          val nl = alpha * (x - si) + (1 - alpha) * (l + b)
+          val nb = beta * (nl - l) + (1 - beta) * b
+          val ns = gamma * (x - nl) + (1 - gamma) * si
+          l = nl; b = nb; s(i) = ns
+          Row.fromSeq(key ++ Seq[Any](tick, x, nl, nb, ns, fit))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Tabular CUSUM changepoint detection per key (Page 1954):
     * {{{
     *   S⁺_t = max(0, S⁺_{t-1} + (x_t - target - slack))

@@ -68,6 +68,54 @@ class ForecastSpec extends SparkTestBase {
     assert(out == Seq((8.0, None), (6.0, Some(8.0)), (6.0, Some(6.0))))
   }
 
+  test("holtWinters: hand-computed steps with a period-2 season") {
+    // m=2, α=.5, β=.25, γ=.25; xs: 10, 20, 12
+    // t0: l=10, b=0, s=[0,0], fit null
+    // t1 (i=1): si=0, fit=10, l=.5*20+.5*10=15, b=.25*5=1.25,
+    //           s[1]=.25*(20-15)=1.25
+    // t2 (i=0): si=0, fit=15+1.25=16.25, l=.5*12+.5*16.25=14.125,
+    //           b=.25*(-.875)+.75*1.25=.71875, s[0]=.25*(12-14.125)=-.53125
+    val df = Seq(("k", 1L, 10.0), ("k", 2L, 20.0), ("k", 3L, 12.0))
+      .toDF("k", "t", "x")
+    val out = Forecast.holtWinters(df, Seq("k"), "t", "x", m = 2,
+        alpha = 0.5, beta = 0.25, gamma = 0.25)
+      .orderBy("t").select("level", "trend", "seasonal", "fit")
+      .as[(Double, Double, Double, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (10.0, 0.0, 0.0, None),
+      (15.0, 1.25, 1.25, Some(10.0)),
+      (14.125, 0.71875, -0.53125, Some(16.25))))
+  }
+
+  test("holtWinters == plain-Scala reference on a seasonal series") {
+    val m = 7
+    val xs = (0 until 150).map(i =>
+      100.0 + 3.0 * (i % m) + ((i * 2654435761L) % 11).toDouble)
+    val df = xs.zipWithIndex.map { case (x, i) => ("s", i.toLong, x) }
+      .toDF("k", "t", "x")
+    val got = Forecast.holtWinters(df, Seq("k"), "t", "x", m,
+        0.5, 0.25, 0.25)
+      .orderBy("t").select("level", "trend", "seasonal", "fit")
+      .as[(Double, Double, Double, Option[Double])].collect().toSeq
+    // plain-Scala twin
+    var l = xs.head; var b = 0.0
+    val s = new Array[Double](m)
+    val want = (l, 0.0, 0.0, Option.empty[Double]) +:
+      xs.tail.zipWithIndex.map { case (x, i0) =>
+        val i = (i0 + 1) % m
+        val fit = l + b + s(i)
+        val nl = 0.5 * (x - s(i)) + 0.5 * (l + b)
+        val nb = 0.25 * (nl - l) + 0.75 * b
+        val ns = 0.25 * (x - nl) + 0.75 * s(i)
+        l = nl; b = nb; s(i) = ns
+        (nl, nb, ns, Some(fit))
+      }
+    assert(got == want) // bit-exact
+    // seasonal components eventually track the planted +3/slot pattern
+    val tail = got.takeRight(m).map(_._3)
+    assert(tail.max - tail.min > 5.0, s"seasonality not learned: $tail")
+  }
+
   test("cusum: hand-computed one-sided statistics and alarm") {
     // target 10, slack 1, h 3; xs: 10, 12, 13, 9
     // sp: max(0,0+(10-10-1))=0; 0+(12-11)=1; 1+(13-11)=3; max(0,3+(9-11))=1
