@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
 import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Dsir, Eval, Events, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
-import graft.ops.EditDistJoin
+import graft.ops.{EditDistJoin, Quality}
 import graft.functions.Hashing
 
 /** Beyond-reference operators (builder brief + SURVEY §7.4): dedup,
@@ -280,6 +280,25 @@ object ExtQueries {
           .filter(col("pair_support") >= 2)
           .select(col("item_a").as("a"), col("item_b").as("b")))),
 
+    // Bounded-hop BFS over the doc-similarity graph (the x_pagerank
+    // edges): shortest distance from seed docs 0-4 within 3 hops —
+    // frontier-only joins, anti-join dedup, per-level checkpoints.
+    // Oracle: recursive CTE min-distance over the same edges.
+    "x_bfs_hops" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id",
+        "text", n = 1, candidates = col("doc_id") < 150,
+        minJaccard = 0.8, maxDf = 0)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(false)  // re-joined every hop — compute once
+      graft.ext.Graph.bfsDistances(edges,
+          T(s, dir, "documents").filter(col("doc_id") < 5)
+            .select(col("doc_id").as("node")),
+          maxHops = 3)
+        .orderBy(col("node"))
+    }),
+
     // SemDeDup: cluster-bounded semantic near-dup pruning. Fixed
     // 8-vector codebook for determinism; the synthetic corpus has no
     // true semantic dups (max pairwise cosine 0.51), so the 0.3
@@ -349,6 +368,16 @@ object ExtQueries {
       Similarity.ivfpqTopK(T(s, dir, "embeddings"), "vec_id", "embedding",
         centroidIds = (10L to 17L), codebookIds = (20L to 35L),
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, m = 8, nprobe = 2)),
+
+    // Sign random projection 64→8 (JL dimensionality reduction): exact
+    // integer sums over the quantized vectors against a literal ±1
+    // matrix — row-local, shuffle-free, no transcendental. Exploded to
+    // (vec_id, dim, val) rows for the oracle hash.
+    "x_rand_proj" -> ((s, dir) =>
+      Similarity.randomProject(T(s, dir, "embeddings"), "vec_id",
+          "embedding", inDim = 64, outDim = 8, seed = 0)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "val")))
+        .orderBy(col("vec_id"), col("dim"))),
 
     // ---- text analysis ------------------------------------------------
 
@@ -1270,7 +1299,6 @@ object ExtQueries {
     // + referential-integrity orphan count (left-anti join), combined
     // by a 1-row × 1-row scalar crossJoin.
     "x_dq_gate" -> ((s, dir) => {
-      import graft.ops.Quality
       val li = T(s, dir, "lineitem")
       val counts = Quality.violationCounts(li, Seq(
         Quality.Rule("null_qty", col("l_quantity").isNull),
@@ -1283,6 +1311,22 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_orphans"))
       counts.crossJoin(orphans)
     }),
+
+    // Approximate-FD audit (l_partkey → l_suppkey): per-LHS row count,
+    // distinct RHS count, and g₃ violation count (rows outside the
+    // majority RHS). Two chained aggregates, second reuses the first's
+    // partitioning.
+    "x_fd_check" -> ((s, dir) =>
+      Quality.fdViolations(
+          T(s, dir, "lineitem").filter(col("l_partkey") < 400),
+          Seq("l_partkey"), "l_suppkey")
+        .orderBy(col("l_partkey"))),
+
+    // Corpus-level FD summary: the "is this a real key?" one-row gate
+    // (g3_error = min fraction of rows to delete for the FD to hold).
+    "x_fd_summary" -> ((s, dir) =>
+      Quality.fdSummary(T(s, dir, "lineitem"),
+        Seq("l_partkey"), "l_suppkey")),
 
     // ---- event-time aggregation (batch form; streaming in
     //      graft.streaming uses the identical plan over readStream) ------
@@ -2129,6 +2173,28 @@ object ExtQueries {
           "user_id", "day")
         .orderBy(col("cohort_day"), col("day_offset"))),
 
+    // Gaps-and-islands: per-user consecutive-active-day streaks via the
+    // day − row_number grouping; by-user windows only, input reduced to
+    // one row per (user, active day) before the window.
+    "x_streaks" -> ((s, dir) =>
+      Behavior.streaks(
+          Events.loadEvents(s, dir)
+            .withColumn("day", expr("ts_sec div 86400")),
+          "user_id", "day")
+        .orderBy(col("user_id"))),
+
+    // Interval sweep-line: each event opens a 10-minute activity window;
+    // peak simultaneously-open windows per event type. Deltas
+    // pre-aggregated per (key, instant) so the prefix-sum window has a
+    // unique order — no tie ambiguity on any engine.
+    "x_max_concurrency" -> ((s, dir) =>
+      Behavior.maxConcurrency(
+          Events.loadEvents(s, dir)
+            .select(col("event_type"), col("ts_sec").as("s0"),
+              (col("ts_sec") + 600).as("s1")),
+          "event_type", "s0", "s1")
+        .orderBy(col("event_type"))),
+
     // Session path analysis: top event-type sequences per session
     // (30-min gap sessionization → per-session ordered path string →
     // corpus path counts). The per-session array is bounded by session
@@ -2245,6 +2311,15 @@ object ExtQueries {
         .orderBy(col("pair_support").desc, col("item_a"), col("item_b"))
         .limit(40)),
 
+    // Item-item cosine over basket co-occurrence (neighborhood
+    // collaborative filtering): pair/√(sa·sb) on pairSupport's grouped
+    // pair machinery; 1-count noise pairs pruned at the pair aggregate.
+    "x_item_cosine" -> ((s, dir) =>
+      Basket.itemCosine(T(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          maxBasket = 0, minPairSupport = 2)
+        .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
+        .limit(40)),
+
     // ---- string similarity join --------------------------------------
 
     // Edit-distance self-join (exact recall): part names within
@@ -2265,6 +2340,17 @@ object ExtQueries {
           "p_partkey", "p_name", maxDist = 2, minDist = 1)
         .orderBy(col("dist"), col("id_a"), col("id_b"))
         .limit(100)),
+
+    // Sorted-neighborhood ER blocking (merge/purge): candidates = parts
+    // within 2 positions in the per-block (first name token) sort of
+    // p_name — lead() over one by-block window, no self-join. The
+    // prefix-adjacency complement to the segment/band blocking above.
+    "x_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(
+          T(s, dir, "part").filter(col("p_partkey") < 500),
+          "p_partkey", "p_name",
+          k => substring_index(k, " ", 1), window = 2)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // ---- weighted sampling -------------------------------------------
 
@@ -2504,6 +2590,15 @@ object ExtQueries {
         graft.ext.Privacy.suppressRisky(T(s, dir, "customer"),
           Seq("c_mktsegment", "c_nationkey"), k = 3),
         Seq("c_mktsegment", "c_nationkey"), k = 3)),
+
+    // ε-DP count release (Laplace mechanism, ε=0.5): per-segment counts
+    // + deterministic inverse-CDF noise from the md5 hash of the group
+    // key — re-running the release never spends fresh budget. True
+    // counts deliberately absent from the output.
+    "x_dp_counts" -> ((s, dir) =>
+      graft.ext.Privacy.dpCounts(T(s, dir, "customer"),
+          Seq("c_mktsegment"), epsilon = 0.5, seed = 0)
+        .orderBy(col("c_mktsegment"))),
 
     // l-diversity: a class can be k-anonymous yet expose its sensitive
     // attribute when all members share one value — per-class distinct
@@ -3387,6 +3482,32 @@ object ExtQueries {
          FROM r3 ORDER BY 1"""
     },
 
+    // same jaccard-graph edges as x_pagerank; min distance within 3
+    // hops from seed docs 0-4 via a recursive CTE.
+    "x_bfs_hops" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS g
+           FROM documents WHERE doc_id < 150),
+         docs AS (SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM d),
+         jp AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na,
+               b.ng AS nb, COUNT(*) AS inter
+             FROM docs a JOIN docs b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM jp
+               UNION ALL SELECT id_b, id_a FROM jp),
+         walk(node, dist) AS (
+           SELECT doc_id, 0 FROM documents WHERE doc_id < 5
+           UNION ALL
+           SELECT e.dst, walk.dist + 1
+           FROM walk JOIN e ON walk.node = e.src
+           WHERE walk.dist < 3)
+         SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+         FROM walk GROUP BY 1 ORDER BY 1""",
+
     // blocked on the same 8-bit sign bucket the Spark operator uses:
     // only same-bucket pairs are candidates on BOTH engines.
     "x_dedup_embedding" ->
@@ -3404,6 +3525,25 @@ object ExtQueries {
           SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
           FROM cand WHERE ${cosSql("va", "vb")} > 0.3
           ORDER BY id_a, id_b""",
+
+    // ±1 signs re-derived per (input dim i, output dim j) from the same
+    // md5 formula Similarity.signProjSigns computes driver-side; exact
+    // integer sums over the quantized vectors.
+    "x_rand_proj" ->
+      s"""WITH v AS (SELECT vec_id, $qvec AS q FROM embeddings),
+          u AS (
+            SELECT vec_id, unnest(q) AS x,
+              unnest(range(len(q))) AS i
+            FROM v),
+          cells AS (
+            SELECT u.vec_id, j.j,
+              u.x * ((CAST(('0x' || substr(md5('0|' ||
+                  CAST(u.i AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 2) * 2 - 1) AS term
+            FROM u CROSS JOIN (SELECT unnest(range(8)) AS j) j)
+          SELECT vec_id, CAST(j AS INTEGER) AS dim,
+            CAST(SUM(term) AS DOUBLE) AS val
+          FROM cells GROUP BY 1, 2 ORDER BY vec_id, dim""",
 
     "x_kmeans_step" ->
       s"""WITH cents AS (
@@ -4507,6 +4647,32 @@ object ExtQueries {
              AS n_orphans
          FROM lineitem""",
 
+    "x_fd_check" ->
+      """WITH c AS (
+           SELECT l_partkey, l_suppkey, COUNT(*) AS n
+           FROM lineitem WHERE l_partkey < 400 GROUP BY 1, 2)
+         SELECT l_partkey, CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_rhs_values,
+           CAST(SUM(n) - MAX(n) AS BIGINT) AS n_violations,
+           (SUM(n) - MAX(n)) = 0 AS holds
+         FROM c GROUP BY 1 ORDER BY 1""",
+
+    "x_fd_summary" ->
+      """WITH c AS (
+           SELECT l_partkey, l_suppkey, COUNT(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+         g AS (
+           SELECT l_partkey, SUM(n) AS n_rows, SUM(n) - MAX(n) AS viol
+           FROM c GROUP BY 1)
+         SELECT COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN viol = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(viol) AS BIGINT) AS n_violations,
+           CAST(SUM(viol) AS DOUBLE) / CAST(SUM(n_rows) AS DOUBLE)
+             AS g3_error
+         FROM g""",
+
     "x_events_tumbling" ->
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes',
                  CAST(ts AS TIMESTAMP))) AS BIGINT) AS bucket_start,
@@ -5433,6 +5599,51 @@ object ExtQueries {
          FROM e JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "x_streaks" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day
+           FROM events),
+         r AS (
+           SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+               ORDER BY day) AS island
+           FROM e),
+         i AS (
+           SELECT user_id, island, COUNT(*) AS len, MIN(day) AS st
+           FROM r GROUP BY 1, 2),
+         i2 AS (
+           SELECT *, MAX(len) OVER (PARTITION BY user_id) AS mx FROM i)
+         SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_streaks, MAX(len) AS longest_streak,
+           MIN(CASE WHEN len = mx THEN st END) AS streak_start_day
+         FROM i2 GROUP BY 1 ORDER BY 1""",
+
+    "x_max_concurrency" ->
+      """WITH e AS (
+           SELECT event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) AS sec
+           FROM events),
+         d AS (
+           SELECT event_type, t, CAST(SUM(dd) AS BIGINT) AS net FROM (
+             SELECT event_type, sec AS t, 1 AS dd FROM e
+             UNION ALL
+             SELECT event_type, sec + 600, -1 FROM e)
+           GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, t,
+             CAST(SUM(net) OVER (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS open
+           FROM d),
+         r2 AS (
+           SELECT *, MAX(open) OVER (PARTITION BY event_type) AS mx FROM r)
+         SELECT event_type, MAX(open) AS max_concurrent,
+           MIN(CASE WHEN open = mx THEN t END) AS peak_at
+         FROM r2 GROUP BY 1 ORDER BY 1""",
+
     "x_copurchase" ->
       """WITH bi AS (
            SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
@@ -5450,6 +5661,39 @@ object ExtQueries {
          JOIN s sb ON pairs.item_b = sb.i
          CROSS JOIN n
          ORDER BY pair_support DESC, item_a, item_b LIMIT 40""",
+
+    "x_item_cosine" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         pairs AS (
+           SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS pair_support
+           FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2),
+         s AS (SELECT i, COUNT(*) AS s FROM bi GROUP BY 1)
+         SELECT item_a, item_b, pair_support,
+           sa.s AS support_a, sb.s AS support_b,
+           round(CAST(pair_support AS DOUBLE)
+                 / sqrt(CAST(sa.s * sb.s AS DOUBLE)), 9) AS cosine
+         FROM pairs
+         JOIN s sa ON pairs.item_a = sa.i
+         JOIN s sb ON pairs.item_b = sb.i
+         WHERE pair_support >= 2
+         ORDER BY cosine DESC, item_a, item_b LIMIT 40""",
+
+    "x_sorted_neighborhood" ->
+      """WITH b AS (
+           SELECT p_partkey AS id, p_name AS key,
+             string_split(p_name, ' ')[1] AS blk
+           FROM part WHERE p_partkey < 500),
+         r AS (
+           SELECT id, key,
+             lead(id, 1) OVER w AS id1, lead(key, 1) OVER w AS key1,
+             lead(id, 2) OVER w AS id2, lead(key, 2) OVER w AS key2
+           FROM b WINDOW w AS (PARTITION BY blk ORDER BY key, id))
+         SELECT id AS id_a, id1 AS id_b, key AS key_a, key1 AS key_b
+         FROM r WHERE id1 IS NOT NULL
+         UNION ALL
+         SELECT id, id2, key, key2 FROM r WHERE id2 IS NOT NULL
+         ORDER BY id_a, id_b""",
 
     "x_editdist_join" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
@@ -5759,6 +6003,23 @@ object ExtQueries {
              AS BIGINT) AS n_risky_rows,
            MIN(n_rows) AS min_class_size
          FROM safe""",
+
+    // deterministic Laplace: u from the 60-bit md5 hash of '0|'||key,
+    // noise = -(1/eps)*sgn(u-1/2)*ln(1-2|u-1/2|), pinned at 6 dp
+    // (eps = 0.5 -> scale -2.0); 2^60 = 1152921504606846976
+    "x_dp_counts" ->
+      """WITH g AS (
+           SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1),
+         h AS (
+           SELECT c_mktsegment, n,
+             (CAST(CAST(('0x' || substr(md5('0|' || c_mktsegment), 1, 15))
+                AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+           FROM g)
+         SELECT c_mktsegment,
+           CAST(n AS DOUBLE) +
+             round(-2.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+             AS n_noisy
+         FROM h ORDER BY c_mktsegment""",
 
     "x_l_diversity" ->
       """SELECT c_mktsegment, COUNT(*) AS n_rows,

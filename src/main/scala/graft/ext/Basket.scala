@@ -70,4 +70,28 @@ object Basket {
           (col("support_a") * col("support_b")).cast("double"), 9)
           .as("lift"))
   }
+
+  /** Item–item cosine similarity over basket co-occurrence — the
+    * classic neighborhood collaborative-filtering score ("customers who
+    * bought X also bought Y"): cos(a,b) = |a∩b| / √(|a|·|b|) on the
+    * binary basket-membership vectors, so it reuses [[pairSupport]]'s
+    * grouped pair machinery wholesale (one basket shuffle + two
+    * map-side-combined count aggregates; no self-join, no |items|²).
+    *
+    * `minPairSupport` prunes noise pairs BEFORE the support joins — at
+    * catalog scale most of the pair mass is 1-count pairs and the
+    * filter sits directly on the pair aggregate's output. The cosine is
+    * √ of an exact-integer product into one IEEE division (both
+    * correctly rounded ops), rounded to 9 dp — bit-portable.
+    */
+  def itemCosine(df: DataFrame, basketCol: String, itemCol: String,
+                 maxBasket: Int = 1000,
+                 minPairSupport: Long = 1): DataFrame =
+    pairSupport(df, basketCol, itemCol, maxBasket)
+      .filter(col("pair_support") >= minPairSupport)
+      .select(col("item_a"), col("item_b"), col("pair_support"),
+        col("support_a"), col("support_b"),
+        round(col("pair_support").cast("double") /
+          sqrt((col("support_a") * col("support_b")).cast("double")), 9)
+          .as("cosine"))
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over event streams: funnel conversion and cohort
@@ -73,6 +74,70 @@ object Behavior {
             .as("mean_gap_sec"))
     }
     perStage.reduce(_.union(_))
+  }
+
+  /** Gaps-and-islands activity streaks: per user, runs of CONSECUTIVE
+    * active days (the classic `day − row_number` grouping — consecutive
+    * days share one difference, a gap starts a new group). Output one
+    * row per user: `n_active_days`, `n_streaks`, `longest_streak`, and
+    * the start day of the (earliest) longest streak.
+    *
+    * Every window is partitioned by the user key — no global ordering
+    * anywhere — and the input is first reduced to one row per
+    * (user, active day), so the wide shuffle carries |users|×days-active
+    * rows, not |events|. The "earliest longest" tie-break is
+    * `max_by(−start)` over exact integers: deterministic on any engine
+    * and any row order.
+    */
+  def streaks(events: DataFrame, userCol: String, dayCol: String): DataFrame = {
+    val userDays = events.select(col(userCol), col(dayCol)).distinct()
+    val w = Window.partitionBy(col(userCol)).orderBy(col(dayCol))
+    userDays
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(userCol), (col(dayCol) - col("__rn")).as("__island"))
+      .agg(count(lit(1)).as("__len"), min(col(dayCol)).as("__start"))
+      .groupBy(col(userCol))
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"),
+        // (len, −start) max picks the longest streak, earliest on ties
+        max(struct(col("__len").as("l"), (-col("__start")).as("ns")))
+          .as("__best"))
+      .select(col(userCol), col("n_active_days"), col("n_streaks"),
+        col("longest_streak"), (-col("__best.ns")).as("streak_start_day"))
+  }
+
+  /** Peak concurrency per key (the interval sweep / "rooms needed"
+    * query): given intervals `[startCol, endCol)` with a grouping key,
+    * the maximum number of simultaneously-open intervals and the
+    * earliest instant that maximum is first reached.
+    *
+    * Sweep-line as relational ops: ±1 boundary events, PRE-AGGREGATED
+    * to one net delta per (key, instant) — so the running-sum window
+    * has a unique per-key order and no tie ambiguity — then a per-key
+    * prefix sum and one aggregate. Two by-key windows, zero self-joins;
+    * the shuffle carries |distinct boundary instants|, bounded by 2×
+    * intervals. Half-open semantics: an interval ending at t does not
+    * overlap one starting at t.
+    */
+  def maxConcurrency(intervals: DataFrame, keyCol: String,
+                     startCol: String, endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(col(keyCol), col(startCol).as("__t"), lit(1L).as("__d"))
+      .unionByName(intervals
+        .select(col(keyCol), col(endCol).as("__t"), lit(-1L).as("__d")))
+      .groupBy(col(keyCol), col("__t"))
+      .agg(sum(col("__d")).as("__net"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("__open", sum(col("__net")).over(w))
+      .groupBy(col(keyCol))
+      .agg(max(col("__open")).as("max_concurrent"),
+        max(struct(col("__open").as("o"), (-col("__t")).as("nt")))
+          .as("__peak"))
+      .select(col(keyCol), col("max_concurrent"),
+        (-col("__peak.nt")).as("peak_at"))
   }
 
   /** Cohort retention matrix: users grouped by their first-activity day

@@ -618,6 +618,48 @@ object Dedup {
     * → intersection size. The gram subtree is planned once (a self-join
     * would execute it twice).
     */
+  /** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge):
+    * candidate record pairs are rows within `window` positions of each
+    * other in the sort order of a fuzzy blocking key — the classic
+    * entity-resolution complement to the equality blocking above
+    * (minhash/simhash catch token overlap; sorted order catches
+    * typo-adjacent keys that share a PREFIX, e.g. misspelled names
+    * sorting next to their correction).
+    *
+    * Distributed form: the sort is WITHIN blocks (`blockOf(key)` — e.g.
+    * a key prefix), never global, so ranking is a by-block window and
+    * pairing is `lead(i)` over the same window — the candidate set is
+    * block-local positions ≤ `window` apart, emitted row-locally with
+    * no self-join (a rank-range self-join would re-shuffle the ranked
+    * table; `lead` reuses the one sort). Records in different blocks
+    * are never compared — the standard recall trade, mitigated in
+    * practice by multi-pass runs with different keys.
+    *
+    * Output: (id_a, id_b, key_a, key_b) candidate pairs, id_a = the
+    * sort-order earlier record. Ties in the blocking key are ordered by
+    * id — total order, engine-portable.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+                              blockOf: Column => Column,
+                              window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val base = df.select(col(idCol).as("id_a"), col(keyCol).as("key_a"),
+      blockOf(col(keyCol)).as("__blk"))
+    val w = Window.partitionBy(col("__blk"))
+      .orderBy(col("key_a"), col("id_a"))
+    val withLeads = (1 to window).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"__n$i",
+        lead(struct(col("id_a").as("id"), col("key_a").as("key")), i).over(w))
+    }
+    withLeads
+      .select(col("id_a"), col("key_a"),
+        explode(filter(
+          array((1 to window).map(i => col(s"__n$i")): _*),
+          n => n.isNotNull)).as("__nb"))
+      .select(col("id_a"), col("__nb.id").as("id_b"),
+        col("key_a"), col("__nb.key").as("key_b"))
+  }
+
   private def gramPairCounts(df: DataFrame, idCol: String, textCol: String,
                              n: Int, maxDf: Int): DataFrame = {
     // tokens materialized first — see shinglesOf's perf contract. The

@@ -66,6 +66,48 @@ object Graph {
       (col("pr").cast("double") / lit(Scale.toDouble)).as("pagerank"))
   }
 
+  /** Bounded-hop BFS shortest-path distances from a seed set over a
+    * SYMMETRIC edge list (`src`, `dst`): the k-hop-neighborhood
+    * primitive behind "docs within 2 similarity hops of a curated
+    * seed", blast-radius queries, and feature propagation.
+    *
+    * Level-synchronous frontier expansion as relational ops: each hop
+    * joins the PREVIOUS FRONTIER ONLY (not the whole reached set)
+    * against the edge list, anti-joins out already-reached nodes, and
+    * unions the survivors in at distance i — so a hop's join cost is
+    * ∝ frontier×degree, the textbook distributed BFS bound, and every
+    * node carries its first (= minimal) discovery distance with no
+    * min-aggregate over the union needed. Per-hop `localCheckpoint`
+    * (the [[triangleCount]] / connectedComponents convention) pins each
+    * level: reached/frontier are referenced by the next join, the
+    * anti-join AND the union — inlining would re-run the whole prefix
+    * per reference and the lazy plan would grow exponentially.
+    *
+    * Output: (node, dist) for every node within `maxHops` of a seed;
+    * seeds themselves at dist 0. Exact integers throughout.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val init = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(false)
+    var reached = init
+    var frontier = init
+    for (i <- 1 to maxHops) {
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .withColumn("dist", lit(i))
+        .localCheckpoint(false)
+      reached = reached.unionByName(next).localCheckpoint(false)
+      frontier = next
+    }
+    reached
+  }
+
   /** Exact triangle count over an UNDIRECTED edge list (`a`, `b`; either
     * orientation, duplicates and self-loops tolerated — canonicalized
     * internally). Degree-ordered orientation: each edge is directed from

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
+
 /** Privacy risk measurement over quasi-identifiers — the re-identification
   * audit a curation pipeline runs before releasing a training corpus
   * carrying user-derived records (complements [[TextAnalysis.piiScan]]:
@@ -77,4 +79,47 @@ object Privacy {
       sum(when(col("at_risk"), col("n_rows")).otherwise(0L))
         .as("n_risky_rows"),
       min(col("n_rows")).as("min_class_size"))
+
+  /** Differentially-private count release (the Laplace mechanism,
+    * Dwork et al. 2006): per-group counts with Laplace(1/ε) noise —
+    * counting queries have sensitivity 1, so adding or removing any one
+    * row changes each released number by at most 1 and the release is
+    * ε-DP. The aggregation side is one `groupBy` pass; the noise is a
+    * row-local expression over the |groups| output — nothing about the
+    * mechanism touches the data scan.
+    *
+    * Noise is DETERMINISTIC by design (and that is a feature, not a
+    * test convenience: re-running the release must not spend fresh ε
+    * budget or let an adversary average independent noise draws away).
+    * The draw inverts the Laplace CDF at a uniform derived from the
+    * 60-bit md5 hash of the group key + seed ([[Hashing.hash64]] — the
+    * engine-portable hash every sampling operator here uses):
+    * u = (h + ½)/2⁶⁰ ∈ (0,1) exactly (power-of-two division), centered
+    * c = u − ½, noise = −(1/ε)·sgn(c)·ln(1−2|c|), rounded to 6 dp (the
+    * repo's pinned-transcendental convention — ln is the one op libms
+    * disagree on in the last ulp).
+    *
+    * Output: group keys + `n_noisy` (DOUBLE). The TRUE count is
+    * deliberately not a column — releasing it beside the noise would
+    * defeat the mechanism; callers auditing utility can join back to
+    * [[kAnonymity]]'s class table.
+    */
+  def dpCounts(df: DataFrame, keys: Seq[String], epsilon: Double,
+               seed: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "need at least one grouping column")
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val keyStr = concat_ws("|", keys.map(col): _*)
+    val h = Hashing.hash64(keyStr, seed)
+    // int→double is correctly rounded (identical on every IEEE engine)
+    // and /2^60 is exact; u ∈ (0,1) never hits an endpoint, so ln's
+    // argument 1−2|c| ∈ (0,1] is always valid
+    val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2, 60))
+    val c = u - lit(0.5)
+    val noise = round(
+      lit(-1.0 / epsilon) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c)), 6)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(keys.map(col) :+
+        (col("__n").cast("double") + noise).as("n_noisy"): _*)
+  }
 }

@@ -28,6 +28,55 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
+  /** The ±1 sign matrix for [[randomProject]], derived driver-side from
+    * the SAME md5 formula [[graft.functions.Hashing.hash64]] compiles
+    * into expressions — `signProjSigns(d,k,seed)(j)(i)` is the sign an
+    * engine-side `pmod(hash64(concat(seed,'|',i,'|',j)), 2)·2−1` would
+    * produce, so an oracle can re-derive every sign in SQL while the
+    * Spark plan carries the O(d·k) matrix as plain literals (zero
+    * hashing at runtime — the matrix is model state, not data).
+    */
+  def signProjSigns(inDim: Int, outDim: Int,
+                    seed: Int): Array[Array[Long]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i =>
+        val hex = digest.digest(s"$seed|$i|$j".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        (java.lang.Long.parseLong(hex, 16) % 2L) * 2L - 1L
+      }
+    }
+  }
+
+  /** Sign random projection (Achlioptas 2003 with ±1 entries): map
+    * `inDim`-dimensional embeddings to `outDim` coordinates
+    * p_j = Σ_i s_ij·q_i over the QUANTIZED vector — every output is an
+    * exact integer (emitted as double, < 2⁵³), so the projection is
+    * bit-identical on any engine, any partitioning, with no
+    * transcendental anywhere. The dimensionality-reduction front end
+    * for ANN at scale: downstream distance math costs outDim/inDim of
+    * the original, and Johnson–Lindenstrauss bounds the dot-product
+    * distortion.
+    *
+    * Plan shape: one row-local projection per vector (`zip_with` against
+    * the literal sign rows + an `aggregate` fold) — no shuffle, no join,
+    * no per-row hashing; the sign matrix rides the plan as literals the
+    * same way k-means codebooks do.
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    inDim: Int, outDim: Int, seed: Int = 0): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dims must be positive")
+    val signs = signProjSigns(inDim, outDim, seed)
+    val q = quantize(col(vecCol))
+    val proj = array(signs.toIndexedSeq.map { row =>
+      aggregate(
+        zip_with(q, lit(row), (x, s) => x * s),
+        lit(0L), (acc, v) => acc + coalesce(v, lit(0L))
+      ).cast("double")
+    }: _*)
+    emb.select(col(idCol), proj.as("proj"))
+  }
+
   /** Exact integer dot product of two quantized vectors (cast to double
     * at the end so engines whose list arithmetic is double-typed compare
     * equal — the value is exact either way, integers < 2^53). Runs

@@ -48,4 +48,44 @@ object Quality {
               parent: DataFrame, parentKey: String): DataFrame =
     child.join(parent.select(col(parentKey).as(childKey)).distinct(),
       Seq(childKey), "left_anti")
+
+  /** Approximate-functional-dependency audit: for the candidate FD
+    * `lhs → rhs`, one row per LHS value with its row count, the number
+    * of distinct RHS values it maps to, and the VIOLATION count — the
+    * minimum rows to delete to make the dependency hold on that group
+    * (rows outside the group's majority RHS value; g₃-error numerator,
+    * Kivinen & Mannila). `holds` marks clean groups.
+    *
+    * Two chained aggregates: `groupBy(lhs, rhs)` counts (map-side
+    * combined over the raw scan — the only pass over the data), then a
+    * `groupBy(lhs)` fold over the |lhs×rhs-distinct| table, which
+    * reuses the first shuffle's partitioning (lhs is a prefix of the
+    * first grouping key, so Spark plans no second exchange). No
+    * windows, no self-joins; skew in a hot LHS value is one group of
+    * counts, not data rows.
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+                   rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "need at least one LHS column")
+    df.groupBy((lhs :+ rhs).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(lhs.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_rhs_values"),
+        (sum(col("__n")) - max(col("__n"))).as("n_violations"))
+      .withColumn("holds", col("n_violations") === 0L)
+  }
+
+  /** Corpus-level FD summary: one row — (n_groups, n_violating_groups,
+    * n_rows, n_violations, g3_error = violations/rows as one IEEE
+    * division). The go/no-go number for "is `lhs → rhs` a real key?".
+    */
+  def fdSummary(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame =
+    fdViolations(df, lhs, rhs).agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("holds"), 0L).otherwise(1L)).as("n_violating_groups"),
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("n_violations")).as("n_violations"),
+      (sum(col("n_violations")).cast("double") /
+        sum(col("n_rows")).cast("double")).as("g3_error"))
 }
