@@ -247,4 +247,37 @@ class AnnRecallSpec extends SparkTestBase {
     assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 1,
       "corpus must shuffle once (partial-agged cell/dim means):\n" + plan)
   }
+
+  test("randomProject == plain-Scala signed sums over quantized values") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.25f, -0.5f, 1.0f)),
+      (2L, Array(0.0f, 0.0004f, -0.0004f)), // rounds to all-zero
+      (3L, Array(2.5f, 2.5f, 2.5f)))
+    val signs = Similarity.signProjSigns(3, 2, seed = 0)
+    assert(signs.flatten.forall(s => s == 1L || s == -1L))
+    val expected = vecs.map { case (id, v) =>
+      val q = v.map(x => BigDecimal(x.toDouble * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      id -> signs.map(row => row.zip(q).map { case (s, x) => s * x }.sum
+        .toDouble).toSeq
+    }.toMap
+    val got = Similarity.randomProject(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", inDim = 3, outDim = 2, seed = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got(2L) == Seq(0.0, 0.0))
+  }
+
+  test("randomProject: row-local plan (no exchange), seeds independent") {
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding", 64, 8)
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    val s0 = Similarity.signProjSigns(64, 8, 0).flatten.toSeq
+    val s1 = Similarity.signProjSigns(64, 8, 1).flatten.toSeq
+    assert(s0 != s1)
+    // a ±1 matrix from a fair hash is roughly balanced
+    val bal = s0.count(_ == 1L).toDouble / s0.size
+    assert(bal > 0.35 && bal < 0.65, s"sign balance $bal")
+  }
 }

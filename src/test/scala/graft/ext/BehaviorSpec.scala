@@ -173,4 +173,60 @@ class BehaviorSpec extends SparkTestBase {
     val one = TextAnalysis.skipgramPairs(Seq("solo").toDF("text"), "text", 2)
     assert(one.count() == 0)
   }
+
+  test("streaks: islands, counts, earliest-longest tie-break") {
+    val days = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 7L), (1L, 8L), (1L, 2L), // dup day
+      (2L, 5L),
+      (3L, 1L), (3L, 2L), (3L, 9L), (3L, 10L) // two length-2 streaks: tie
+    ).toDF("user_id", "day")
+    val got = Behavior.streaks(days, "user_id", "day").orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 2L, 3L, 1L),   // [1..3] + [7,8]: longest 3 starts at 1
+      (2L, 1L, 1L, 1L, 5L),   // singleton
+      (3L, 4L, 2L, 2L, 1L)))  // tie on length 2 -> earliest start 1
+  }
+
+  test("streaks: partitioning-invariant") {
+    val days = (1L to 200L).map(i => (i % 7, i / 3)).toDF("user_id", "day")
+    val a = Behavior.streaks(days, "user_id", "day")
+      .orderBy("user_id").collect().toSeq
+    val b = Behavior.streaks(days.repartition(13), "user_id", "day")
+      .orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("maxConcurrency: sweep max, earliest peak, half-open ends") {
+    val iv = Seq(
+      ("k", 0L, 10L), ("k", 5L, 15L), ("k", 12L, 20L),
+      // half-open: [0,10) and [10,20) never overlap
+      ("h", 0L, 10L), ("h", 10L, 20L)
+    ).toDF("key", "s0", "s1")
+    val got = Behavior.maxConcurrency(iv, "key", "s0", "s1")
+      .orderBy("key").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("h", 1L, 0L), ("k", 2L, 5L)))
+  }
+
+  test("maxConcurrency: duplicate instants pre-aggregate cleanly") {
+    // three intervals opening at the same instant
+    val iv = Seq(("k", 3L, 9L), ("k", 3L, 5L), ("k", 3L, 7L))
+      .toDF("key", "s0", "s1")
+    val got = Behavior.maxConcurrency(iv, "key", "s0", "s1")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", 3L, 3L)))
+  }
+
+  test("itemCosine: hand-computed cosine, min-support prune") {
+    val rows = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
+      ("b3", "A"), ("b3", "C")).toDF("basket", "item")
+    val got = Basket.itemCosine(rows, "basket", "item",
+        maxBasket = 0, minPairSupport = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // (A,C) pair support 1 pruned; (A,B): 2/sqrt(3*2)
+    val expect = BigDecimal(2.0 / math.sqrt(6.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("B", "A", 2L, 2L, 3L, expect)) ||
+      got == Seq(("A", "B", 2L, 3L, 2L, expect)), got.toString)
+  }
 }

@@ -122,4 +122,39 @@ class DedupPropertySpec extends SparkTestBase {
     assert(out == Seq(("c d e f", 2L, 2L)),
       s"single cross-doc span expected, got $out")
   }
+
+  test("sortedNeighborhood: typo-adjacent names pair; blocks never mix") {
+    val recs = Seq(
+      (1L, "smith john"), (2L, "smith jon"), (3L, "smith zachary"),
+      (4L, "taylor ann"), (5L, "taylor anne"),
+      (6L, "unger solo")
+    ).toDF("id", "name")
+    val pairs = Dedup.sortedNeighborhoodPairs(recs, "id", "name",
+        k => substring_index(k, " ", 1), window = 1)
+      .as[(Long, Long, String, String)].collect()
+      .map(p => (p._1, p._2)).toSet
+    // window 1: only sort-adjacent within a block; id_a = sort-earlier
+    // ("smith john" < "smith jon" < "smith zachary"; singleton block
+    // "unger" pairs with nothing)
+    assert(pairs == Set((1L, 2L), (2L, 3L), (4L, 5L)), pairs.toString)
+  }
+
+  test("property: sortedNeighborhood == rank-difference<=w reference") {
+    val recs = corpus(99L, 60).toDF("id", "key")
+    for (w <- Seq(1, 2, 3)) {
+      val got = Dedup.sortedNeighborhoodPairs(recs, "id", "key",
+          k => substring(k, 1, 3), window = w)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // reference: per-block total sort in plain Scala
+      val expected = corpus(99L, 60).groupBy(_._2.take(3)).values.flatMap {
+        blk =>
+          val sorted = blk.map { case (id, k) => (k, id) }.toSeq.sorted
+          for {
+            i <- sorted.indices; j <- (i + 1) to math.min(i + w, sorted.size - 1)
+          } yield (sorted(i)._2, sorted(j)._2)
+      }.toSet
+      assert(got == expected, s"w=$w diff=${got.diff(expected).take(5)} " +
+        s"missing=${expected.diff(got).take(5)}")
+    }
+  }
 }

@@ -96,4 +96,42 @@ class GraphSpec extends SparkTestBase {
     val got = tri(edges: _*)
     assert(got == ((nodes.size.toLong, canon.size.toLong, expected)))
   }
+
+  private def bfs(edges: org.apache.spark.sql.DataFrame, seeds: Seq[Long],
+                  hops: Int) =
+    Graph.bfsDistances(edges, seeds.toDF("node"), hops)
+      .as[(Long, Int)].collect().toMap
+
+  test("bfsDistances: path graph levels, horizon cut, isolated seed") {
+    // path 1-2-3-4-5; seed 1; node 9 isolated but seeded
+    val e = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = bfs(e, Seq(1L, 9L), hops = 3)
+    assert(got == Map(1L -> 0, 9L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfsDistances: diamond takes the min distance; hops=0 is seeds") {
+    val e = sym((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    assert(bfs(e, Seq(1L), 2) == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    assert(bfs(e, Seq(1L), 0) == Map(1L -> 0))
+  }
+
+  test("bfsDistances == brute-force min path length on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(40)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(p => p._1 != p._2)
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = Seq(0L, 1L)
+    // reference: level-synchronous BFS in plain Scala
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds.toSet
+    for (i <- 1 to 3) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> i)
+      frontier = next
+    }
+    val got = bfs(sym(pairs: _*), seeds, hops = 3)
+    assert(got == dist)
+  }
 }

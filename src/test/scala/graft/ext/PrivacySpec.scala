@@ -50,4 +50,50 @@ class PrivacySpec extends SparkTestBase {
       ("a", 2, 2L, 1L, false),
       ("b", 1, 1L, 1L, false)))
   }
+
+  /** The exact noise dpCounts derives for a key, replayed driver-side
+    * from the same md5 formula — the hand-oracle for the mechanism.
+    */
+  private def laplaceNoise(keyStr: String, eps: Double, seed: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$keyStr".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    val u = (h.toDouble + 0.5) / math.pow(2, 60)
+    val c = u - 0.5
+    val raw = -1.0 / eps * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("dpCounts: noisy count == true count + hand-derived Laplace draw") {
+    val got = Privacy.dpCounts(people, Seq("seg"), epsilon = 0.5, seed = 0)
+      .orderBy("seg").as[(String, Double)].collect().toMap
+    assert(got.keySet == Set("a", "b"))
+    assert(got("a") == 7.0 + laplaceNoise("a", 0.5, 0), got.toString)
+    assert(got("b") == 1.0 + laplaceNoise("b", 0.5, 0))
+    // the mechanism actually perturbs (draws are a.s. nonzero)
+    assert(got("a") != 7.0 && got("b") != 1.0)
+  }
+
+  test("dpCounts: deterministic per seed, different across seeds") {
+    val a1 = Privacy.dpCounts(people, Seq("seg"), 0.5, seed = 0)
+      .orderBy("seg").as[(String, Double)].collect().toSeq
+    val a2 = Privacy.dpCounts(people.repartition(5), Seq("seg"), 0.5, seed = 0)
+      .orderBy("seg").as[(String, Double)].collect().toSeq
+    val b = Privacy.dpCounts(people, Seq("seg"), 0.5, seed = 1)
+      .orderBy("seg").as[(String, Double)].collect().toSeq
+    assert(a1 == a2)          // replays and repartitions change nothing
+    assert(a1 != b)           // a fresh seed is a fresh draw
+  }
+
+  test("dpCounts: tighter epsilon means smaller noise magnitude") {
+    val loose = Privacy.dpCounts(people, Seq("seg"), epsilon = 0.1, seed = 0)
+      .orderBy("seg").as[(String, Double)].collect()
+    val tight = Privacy.dpCounts(people, Seq("seg"), epsilon = 10.0, seed = 0)
+      .orderBy("seg").as[(String, Double)].collect()
+    val truth = Map("a" -> 7.0, "b" -> 1.0)
+    loose.zip(tight).foreach { case ((k, l), (_, t)) =>
+      assert(math.abs(t - truth(k)) < math.abs(l - truth(k)))
+    }
+  }
 }

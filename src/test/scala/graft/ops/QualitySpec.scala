@@ -42,4 +42,32 @@ class QualitySpec extends SparkTestBase {
     assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
       "one scan only:\n" + plan)
   }
+
+  test("fdViolations: majority-RHS violation counts per LHS group") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "z"), (3, "p"), (3, "q"))
+      .toDF("a", "b")
+    val got = Quality.fdViolations(df, Seq("a"), "b").orderBy("a")
+      .as[(Int, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1, 3L, 2L, 1L, false),  // majority x(2), one y violates
+      (2, 1L, 1L, 0L, true),
+      (3, 2L, 2L, 1L, false))) // 50/50: one side must go
+  }
+
+  test("fdSummary: g3 error is violations over rows") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "z")).toDF("a", "b")
+    val s = Quality.fdSummary(df, Seq("a"), "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(s == ((2L, 1L, 4L, 1L, 0.25)))
+  }
+
+  test("fdViolations: a true FD audits clean") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (1, "x"), (2, "y")).toDF("a", "b")
+    val s = Quality.fdSummary(df, Seq("a"), "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(s == ((2L, 0L, 3L, 0L, 0.0)))
+  }
 }
