@@ -434,6 +434,15 @@ object ExtQueries {
           round(col("tfidf"), 6).as("tfidf"))
         .orderBy(col("doc_id"), col("token"))),
 
+    // Feature hashing (the hashing trick): vocabulary-free 64-bucket
+    // sparse vectors, signed-sum weights — the classifier vectorizer
+    // with zero learned state. One explode + one group-by.
+    "x_feature_hash" -> ((s, dir) =>
+      TextAnalysis.hashFeatures(
+          T(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", dim = 64, seed = 0)
+        .orderBy(col("doc_id"), col("bucket"))),
+
     // BM25 top-10 lexical retrieval for 5 query docs: postings-join
     // candidate generation (cost ∝ query-term posting lists, never
     // corpus × queries), broadcast 1-row corpus stats, DECIMAL(28,9)
@@ -560,6 +569,31 @@ object ExtQueries {
       graft.agg.HeavyHitters.heavyHitters(toks, "token", k = 35)
         .withColumnRenamed("key", "token")
         .orderBy(col("token"))
+    }),
+
+    // Count-min sketch as relational state: build over the part-key
+    // stream (4×256 counters), point-estimate a key set, join the exact
+    // counts — never_under must hold for every key by construction.
+    // The sketch table is deterministic (md5 row hashes), so the oracle
+    // rebuilds it cell-for-cell.
+    "x_cms" -> ((s, dir) => {
+      import graft.agg.CountMin
+      val li = T(s, dir, "lineitem")
+      val sketch = CountMin.build(li, "l_partkey",
+        depth = 4, width = 256, seed = 7)
+      val keys = T(s, dir, "part").filter(col("p_partkey") < 30)
+        .select(col("p_partkey").as("key"))
+      val exact = li.filter(col("l_partkey") < 30)
+        .groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("__n_exact"))
+      CountMin.estimate(sketch, keys, "key", depth = 4, width = 256,
+          seed = 7)
+        .join(exact, Seq("key"), "left")
+        .select(col("key"), col("est"),
+          coalesce(col("__n_exact"), lit(0L)).as("n_exact"),
+          (col("est") >= coalesce(col("__n_exact"), lit(0L)))
+            .as("never_under"))
+        .orderBy(col("key"))
     }),
 
     // The incremental-rollup monoid state itself, oracle-checked: build
@@ -875,6 +909,26 @@ object ExtQueries {
       graft.ext.Forecast.holtWinters(daily, Seq("status"), "day",
           "revenue", m = 7, alpha = 0.5, beta = 0.25, gamma = 0.25)
         .orderBy(col("status"), col("day"))
+    }),
+
+    // Isotonic regression (PAV) of per-user daily spend: the least-
+    // squares monotone fit — calibration-map machinery on the same
+    // secondary-sort scan, but with retroactive pooling (per-key
+    // buffering, not O(1) state). All merge DECISIONS are exact Long
+    // cross-products over cent-quantized values; the oracle re-derives
+    // the fit from PAV's minimax characterization
+    // fit_i = max_{j≤i} min_{k≥i} mean(y_j..y_k) in O(n³) SQL —
+    // monotone rounding makes the double max/min equal the rounded
+    // exact optimum, so the match is bit-exact.
+    "x_isotonic" -> ((s, dir) => {
+      val daily = Events.loadEvents(s, dir)
+        .filter(col("user_id") < 12)
+        .groupBy(col("user_id"), expr("ts_sec div 86400").as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast("double").as("dval"))
+      graft.ext.Forecast.isotonic(daily, Seq("user_id"), "day", "dval",
+          scale = 100L)
+        .orderBy(col("user_id"), col("day"))
     }),
 
     // CUSUM changepoint detection — the drift a mean-shift hides from
@@ -2319,6 +2373,15 @@ object ExtQueries {
           maxBasket = 0, minPairSupport = 2)
         .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
         .limit(40)),
+
+    // Frequent triples (the 3-itemset step): C(b,3) row-local emission
+    // from the sorted basket array, support-pruned at the aggregate.
+    "x_itemsets3" -> ((s, dir) =>
+      Basket.tripleSupport(T(s, dir, "lineitem"), "l_orderkey",
+          "l_partkey", maxBasket = 0, minSupport = 2)
+        .orderBy(col("support").desc, col("item_a"), col("item_b"),
+          col("item_c"))
+        .limit(30)),
 
     // ---- string similarity join --------------------------------------
 
@@ -3936,6 +3999,23 @@ object ExtQueries {
          WHERE doc_id < 20
          ORDER BY doc_id, token""",
 
+    // bucket from md5 seed 0, sign from seed 1 — the same engine-
+    // portable hash pair hashFeatures compiles into expressions
+    "x_feature_hash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents WHERE doc_id < 200),
+         t2 AS (
+           SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5('0|' || tok), 1, 15))
+               AS BIGINT) % 64 AS INTEGER) AS bucket,
+             (CAST(('0x' || substr(md5('1|' || tok), 1, 15))
+               AS BIGINT) % 2) * 2 - 1 AS sgn
+           FROM toks WHERE tok <> '')
+         SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS weight
+         FROM t2 GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+         ORDER BY doc_id, bucket""",
+
     "x_cdc_chunks" -> {
       val h = Hashing.hash64Sql("t", 4)
       s"""WITH toks AS (
@@ -4073,6 +4153,36 @@ object ExtQueries {
          SELECT t AS token, COUNT(*) AS n FROM toks GROUP BY 1
          HAVING COUNT(*) * 36 > (SELECT COUNT(*) FROM toks)
          ORDER BY 1""",
+
+    // the sketch is deterministic given (depth=4, width=256, seed=7):
+    // rebuild every counter with the same md5 row hashes, estimate =
+    // min over rows, join exact counts
+    "x_cms" ->
+      """WITH rws AS (SELECT unnest(range(4)) AS r),
+         cells AS (
+           SELECT rws.r,
+             CAST(CAST(('0x' || substr(md5(CAST(7 + rws.r AS VARCHAR) ||
+               '|' || CAST(l.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 256 AS INTEGER) AS bucket
+           FROM lineitem l CROSS JOIN rws
+           WHERE l.l_partkey IS NOT NULL),
+         sketch AS (SELECT r, bucket, COUNT(*) AS n
+                    FROM cells GROUP BY 1, 2),
+         q AS (SELECT p_partkey AS key FROM part WHERE p_partkey < 30),
+         qc AS (
+           SELECT q.key, rws.r,
+             CAST(CAST(('0x' || substr(md5(CAST(7 + rws.r AS VARCHAR) ||
+               '|' || CAST(q.key AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 256 AS INTEGER) AS bucket
+           FROM q CROSS JOIN rws),
+         est AS (
+           SELECT key, MIN(COALESCE(n, 0)) AS est
+           FROM qc LEFT JOIN sketch USING (r, bucket) GROUP BY 1),
+         ex AS (SELECT l_partkey AS key, COUNT(*) AS n_exact
+                FROM lineitem WHERE l_partkey < 30 GROUP BY 1)
+         SELECT key, est, COALESCE(n_exact, 0) AS n_exact,
+           est >= COALESCE(n_exact, 0) AS never_under
+         FROM est LEFT JOIN ex USING (key) ORDER BY key""",
 
     "x_mm_features" ->
       """SELECT doc_id,
@@ -5679,6 +5789,17 @@ object ExtQueries {
          WHERE pair_support >= 2
          ORDER BY cosine DESC, item_a, item_b LIMIT 40""",
 
+    "x_itemsets3" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+         SELECT a.i AS item_a, c.i AS item_b, d.i AS item_c,
+           COUNT(*) AS support
+         FROM bi a
+         JOIN bi c ON a.b = c.b AND a.i < c.i
+         JOIN bi d ON a.b = d.b AND c.i < d.i
+         GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+         ORDER BY support DESC, item_a, item_b, item_c LIMIT 30""",
+
     "x_sorted_neighborhood" ->
       """WITH b AS (
            SELECT p_partkey AS id, p_name AS key,
@@ -5968,6 +6089,50 @@ object ExtQueries {
          FROM rec
          WHERE cusum_pos > h OR cusum_neg > h
          ORDER BY status, day""",
+
+    // PAV via its minimax characterization over cent-quantized prefix
+    // sums: fit_i = max_{j<=i} min_{k>=i} mean(y_j..y_k). Doubles enter
+    // only at the correctly-rounded segment-mean division, and max/min
+    // commute with monotone rounding — so this O(n³) closed form equals
+    // the engine's stack PAV bit-for-bit.
+    "x_isotonic" ->
+      """WITH e AS (
+           SELECT user_id,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day,
+             CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE user_id < 12),
+         d AS (
+           SELECT user_id, day,
+             CAST(round(CAST(SUM(v) AS DOUBLE) * 100) AS BIGINT) AS yq
+           FROM e GROUP BY 1, 2),
+         r AS (
+           SELECT user_id, day, yq,
+             row_number() OVER w AS rn,
+             CAST(SUM(yq) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         seg AS (
+           SELECT a.user_id, a.rn AS j, b.rn AS k,
+             CAST(b.s - a.s + a.yq AS DOUBLE)
+               / ((b.rn - a.rn + 1) * 100.0) AS m
+           FROM r a JOIN r b
+             ON a.user_id = b.user_id AND b.rn >= a.rn),
+         tri AS (
+           SELECT seg.user_id, seg.j, i.rn AS i, seg.m
+           FROM seg JOIN r i ON seg.user_id = i.user_id
+             AND seg.j <= i.rn AND seg.k >= i.rn),
+         inner_min AS (
+           SELECT user_id, j, i, MIN(m) AS m1
+           FROM tri GROUP BY 1, 2, 3),
+         fitv AS (
+           SELECT user_id, i, MAX(m1) AS iso_fit
+           FROM inner_min GROUP BY 1, 2)
+         SELECT r.user_id, r.day, CAST(r.yq AS DOUBLE) / 100.0 AS dval,
+           f.iso_fit
+         FROM r JOIN fitv f ON r.user_id = f.user_id AND r.rn = f.i
+         ORDER BY 1, 2""",
 
     "x_k_anonymity" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_rows,

@@ -84,6 +84,42 @@ object Basket {
     * √ of an exact-integer product into one IEEE division (both
     * correctly rounded ops), rounded to 9 dp — bit-portable.
     */
+  /** Frequent triple mining: support per unordered item triple
+    * (item_a < item_b < item_c), the 3-itemset step of association-rule
+    * mining. Same grouped row-local emission as [[pairSupport]] — C(b,3)
+    * structs from each basket's sorted item array, no self-joins — so
+    * the `maxBasket` guard is what bounds the cubic per-basket blowup
+    * (A-Priori's candidate pruning trades that for extra passes; with
+    * bounded baskets direct emission is one shuffle and strictly
+    * cheaper). `minSupport` prunes at the count aggregate, BEFORE any
+    * downstream join.
+    */
+  def tripleSupport(df: DataFrame, basketCol: String, itemCol: String,
+                    maxBasket: Int = 1000,
+                    minSupport: Long = 2): DataFrame = {
+    val grouped = df.groupBy(col(basketCol).as("b"))
+      .agg(sort_array(collect_set(col(itemCol))).as("items"))
+    val baskets =
+      if (maxBasket > 0) grouped.filter(size(col("items")) <= maxBasket)
+      else grouped
+    val n = size(col("items"))
+    // absolute positions: x at i (0-based); y at i+1+j (element j of the
+    // slice starting 1-based at i+2); z anywhere after y
+    val triples = flatten(transform(col("items"), (x, i) =>
+      flatten(transform(
+        slice(col("items"), i + lit(2), greatest(n - i - 1, lit(0))),
+        (y, j) => transform(
+          slice(col("items"), i + j + lit(3),
+            greatest(n - i - j - 2, lit(0))),
+          z => struct(x.as("item_a"), y.as("item_b"), z.as("item_c")))))))
+    baskets
+      .select(explode(triples).as("t"))
+      .select(col("t.item_a"), col("t.item_b"), col("t.item_c"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   def itemCosine(df: DataFrame, basketCol: String, itemCol: String,
                  maxBasket: Int = 1000,
                  minPairSupport: Long = 1): DataFrame =

@@ -228,4 +228,109 @@ object Forecast {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Per-key isotonic regression (pool-adjacent-violators): the least-
+    * squares MONOTONE fit of `valueCol` against the tick order — the
+    * proper calibration map for classifier scores (Zadrozny & Elkan),
+    * monotone dose/response curves, trend flooring. Output one row per
+    * input row: (keys..., tick, value, iso_fit) with iso_fit
+    * non-decreasing in tick within every key.
+    *
+    * Same secondary-sort scan as the smoothers, but PAV is not a
+    * forward recurrence — fitted values change retroactively when a
+    * violating pool merges — so the pass buffers ONE KEY's pools at a
+    * time (state ∝ rows of the largest single key, the same bound as
+    * any per-key sessionization; keys stream through the partition one
+    * after another).
+    *
+    * Determinism contract: values quantize to integers
+    * (round(value·scale)), pool means are exact rationals compared by
+    * Long cross-multiplication — no float in any DECISION — and the
+    * emitted fit is one correctly-rounded IEEE division
+    * sum/(n·scale). By PAV's minimax characterization
+    * fit_i = max_{j≤i} min_{k≥i} mean(y_j..y_k), which an oracle can
+    * re-derive in O(n³) SQL from the same quantized prefix sums —
+    * monotone rounding makes double max/min equal the rounded exact
+    * optimum, so the match is bit-exact. Cross-products stay in Long:
+    * |Σy·scale| < 2^42 and counts < 2^20 at any plausible key size.
+    *
+    * `(keys, tick)` must be unique (pre-aggregate duplicates): tied
+    * ticks would make the pool order sort-unstable.
+    */
+  def isotonic(df: DataFrame, keyCols: Seq[String], tickCol: String,
+               valueCol: String, scale: Long = 100L): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column (scale: " +
+      "a key-free call scans the whole table through one task)")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val nk = keyCols.size
+    val prepared = df
+      .select(keyCols.map(col) ++ Seq(
+        col(tickCol).cast("long").as(tickCol),
+        round(col(valueCol).cast("double") * scale).cast("long").as("__yq")): _*)
+      .filter(col(tickCol).isNotNull && col("__yq").isNotNull)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ tickCol).map(col): _*)
+    val keyFields = keyCols.map(c => prepared.schema(c))
+    val outSchema = StructType(keyFields ++ Seq(
+      StructField(tickCol, LongType, nullable = false),
+      StructField(valueCol, DoubleType, nullable = false),
+      StructField("iso_fit", DoubleType, nullable = false)))
+    prepared.mapPartitions { it =>
+      def flush(key: Seq[Any], ticks: Seq[Long], ys: Seq[Long]): Seq[Row] = {
+        // PAV stack: pools of (sum, count); merge while the previous
+        // pool's mean exceeds the new one's (exact cross-product compare)
+        var pools = List.empty[(Long, Long)] // head = rightmost pool
+        ys.foreach { y =>
+          var s = y; var n = 1L
+          while (pools.nonEmpty && pools.head._1 * n > s * pools.head._2) {
+            s += pools.head._1; n += pools.head._2
+            pools = pools.tail
+          }
+          pools = (s, n) :: pools
+        }
+        val fits = pools.reverse.flatMap { case (s, n) =>
+          val fit = s.toDouble / (n * scale).toDouble
+          Seq.fill(n.toInt)(fit)
+        }
+        ticks.lazyZip(ys).lazyZip(fits).map { (t, y, f) =>
+          Row.fromSeq(key ++ Seq[Any](t, y.toDouble / scale.toDouble, f))
+        }
+      }
+
+      // stream keys through the sorted partition one at a time: buffer
+      // exactly one key's rows, PAV it, emit, move on — with a one-row
+      // pushback for the row that revealed the key change
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        private var pushback: Row = null
+        private def refill(): Unit = {
+          val ticks = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val ys = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val first =
+            if (pushback != null) { val r = pushback; pushback = null; r }
+            else it.next()
+          val key = (0 until nk).map(first.get)
+          ticks += first.getLong(nk); ys += first.getLong(nk + 1)
+          var done = false
+          while (!done && it.hasNext) {
+            val row = it.next()
+            val k = (0 until nk).map(row.get)
+            if (k == key) {
+              ticks += row.getLong(nk); ys += row.getLong(nk + 1)
+            } else { pushback = row; done = true }
+          }
+          pending = flush(key, ticks.toSeq, ys.toSeq).iterator
+        }
+        override def hasNext: Boolean = {
+          if (pending.hasNext) true
+          else if (pushback != null || it.hasNext) { refill(); pending.hasNext }
+          else false
+        }
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          pending.next()
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

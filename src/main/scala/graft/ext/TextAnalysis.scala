@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
+
 /** Text-analysis operators for a training-data pipeline (builder brief +
   * SURVEY §7.4): language ID, quality scoring, token counting, document
   * fingerprinting. All are row-local column expressions — no shuffle, no
@@ -111,6 +113,35 @@ object TextAnalysis {
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs, digit runs, punctuation runs).
     */
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009): map
+    * each document to a sparse `dim`-bucket vector with no vocabulary —
+    * bucket = hash(token) mod dim, weight = Σ ±1 per occurrence (the
+    * sign hash makes collisions cancel in expectation, keeping inner
+    * products unbiased). The vectorizer for classifiers at corpus scale:
+    * nothing is learned, so there is no vocab table to build, broadcast,
+    * or version — new tokens hash like any other.
+    *
+    * One explode + one (id, bucket) group-by — map-side combined, output
+    * ∝ non-zero buckets. Both hashes are [[Hashing.hash64]] md5 derivations
+    * (engine-portable): bucket from seed, sign from seed+1.
+    * Output: (idCol, bucket INT, weight LONG) sparse rows; zero-weight
+    * buckets (exact cancellation) are DROPPED.
+    */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+                   dim: Int, seed: Int = 0): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col(idCol),
+        pmod(Hashing.hash64(col("__tok"), seed), lit(dim.toLong))
+          .cast("int").as("bucket"),
+        (pmod(Hashing.hash64(col("__tok"), seed + 1), lit(2L)) * 2 - 1)
+          .as("__sgn"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sgn")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("ws_tokens", size(tokens(col(textCol))))
       .withColumn("re_tokens",

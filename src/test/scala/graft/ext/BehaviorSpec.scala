@@ -217,6 +217,62 @@ class BehaviorSpec extends SparkTestBase {
     assert(got == Seq(("k", 3L, 3L)))
   }
 
+  test("hashFeatures: signed-sum weights match a plain-Scala twin") {
+    val docs = Seq((1L, "a b a c"), (2L, "b b"), (3L, "")).toDF("id", "text")
+    def h(s: String, seed: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$s".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = Seq(1L -> Seq("a", "b", "a", "c"), 2L -> Seq("b", "b"))
+      .flatMap { case (id, toks) =>
+        toks.map(t => ((id, (h(t, 0) % 16).toInt), (h(t, 1) % 2) * 2 - 1))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 != 0L)
+      .map { case ((id, b), w) => (id, b, w) }.toSet
+    val got = TextAnalysis.hashFeatures(docs, "id", "text", dim = 16)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    // inner products via shared buckets approximate token overlap:
+    // doc 2's only token 'b' must land in a bucket doc 1 also hits
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(2L).map(_._2).subsetOf(byDoc(1L).map(_._2)))
+  }
+
+  test("tripleSupport: C(b,3) emission matches a brute-force reference") {
+    val rnd = new scala.util.Random(3)
+    val rows = for {
+      b <- 0 until 25
+      i <- 0 until rnd.nextInt(6) + 1
+    } yield (s"b$b", s"i${rnd.nextInt(8)}")
+    val expected = rows.distinct.groupBy(_._1).values.flatMap { basket =>
+      val items = basket.map(_._2).distinct.sorted
+      for {
+        a <- items; b <- items if b > a; c <- items if c > b
+      } yield (a, b, c)
+    }.groupBy(identity).collect {
+      case (t, hits) if hits.size >= 2 => (t._1, t._2, t._3, hits.size.toLong)
+    }.toSet
+    val got = Basket.tripleSupport(rows.toDF("basket", "item"),
+        "basket", "item", maxBasket = 0, minSupport = 2)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("tripleSupport: maxBasket guard drops oversized baskets") {
+    val rows = (Seq.fill(1)("small").flatMap(b =>
+      Seq((b, "x"), (b, "y"), (b, "z"))) ++
+      (0 until 10).map(i => ("big", s"i$i"))).toDF("basket", "item")
+    val all = Basket.tripleSupport(rows, "basket", "item",
+      maxBasket = 0, minSupport = 1)
+    val guarded = Basket.tripleSupport(rows, "basket", "item",
+      maxBasket = 5, minSupport = 1)
+    assert(all.count() == 1 + 120)   // xyz + C(10,3)
+    assert(guarded.count() == 1)     // big basket suppressed
+  }
+
   test("itemCosine: hand-computed cosine, min-support prune") {
     val rows = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
       ("b3", "A"), ("b3", "C")).toDF("basket", "item")

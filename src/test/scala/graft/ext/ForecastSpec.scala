@@ -166,4 +166,63 @@ class ForecastSpec extends SparkTestBase {
       "t", "x", 0.5, 0.25).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  /** Plain-Scala PAV on cent-quantized values — the stack algorithm
+    * re-implemented independently for the parity tests.
+    */
+  private def pavRef(ys: Seq[Long]): Seq[Double] = {
+    var pools = List.empty[(Long, Long)]
+    ys.foreach { y =>
+      var s = y; var n = 1L
+      while (pools.nonEmpty && pools.head._1 * n > s * pools.head._2) {
+        s += pools.head._1; n += pools.head._2; pools = pools.tail
+      }
+      pools = (s, n) :: pools
+    }
+    pools.reverse.flatMap { case (s, n) =>
+      Seq.fill(n.toInt)(s.toDouble / (n * 100L).toDouble) }
+  }
+
+  test("isotonic: hand-computed pooling on a violating series") {
+    // y = 3, 1, 2, 4: PAV pools (3,1,2)->2 then stays below 4
+    val df = Seq(("k", 0L, 3.0), ("k", 1L, 1.0), ("k", 2L, 2.0),
+      ("k", 3L, 4.0)).toDF("k", "t", "y")
+    val got = Forecast.isotonic(df, Seq("k"), "t", "y")
+      .orderBy("t").as[(String, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._4) == Seq(2.0, 2.0, 2.0, 4.0), got.toString)
+    assert(got.map(_._3) == Seq(3.0, 1.0, 2.0, 4.0)) // values round-trip
+  }
+
+  test("isotonic: already-monotone input is returned unchanged") {
+    val df = (0L to 9L).map(i => ("k", i, i * 1.25)).toDF("k", "t", "y")
+    val got = Forecast.isotonic(df, Seq("k"), "t", "y")
+      .orderBy("t").as[(String, Long, Double, Double)].collect()
+    got.foreach(r => assert(r._4 == r._3))
+  }
+
+  test("isotonic == independent PAV reference; fit is monotone; " +
+    "mean is preserved") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 300).map { i =>
+      (s"k${i % 3}", (i / 3).toLong,
+        (i / 3) * 0.1 + rnd.nextInt(1000) / 100.0)
+    }.toDF("k", "t", "y")
+    val got = Forecast.isotonic(df.repartition(7), Seq("k"), "t", "y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val byKey = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    byKey.foreach { case (k, rows) =>
+      val ys = rows.sortBy(_._2).map(r =>
+        BigDecimal(r._3 * 100).setScale(0,
+          BigDecimal.RoundingMode.HALF_UP).toLong).toSeq
+      val expect = pavRef(ys)
+      assert(got(k) == expect, s"key $k")
+      // monotone non-decreasing
+      assert(got(k).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+      // pooling preserves the (quantized) total
+      assert(math.abs(got(k).sum - ys.map(_ / 100.0).sum) < 1e-6)
+    }
+  }
 }
