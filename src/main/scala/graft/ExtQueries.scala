@@ -617,6 +617,29 @@ object ExtQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Incremental JOIN-view maintenance (insert-only deltas): refresh
+    // V = orders⋈lineitem from 20%-sized deltas via the bilinear delta
+    // rule — the aggregate over the maintained view must equal the
+    // plain full join (the oracle), proving the identity cross-engine.
+    "x_ivm_join" -> ((s, dir) => {
+      import graft.ops.Ivm
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+      val l = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      val oOld = o.filter(col("k") % 5 =!= 0)
+      val dO = o.filter(col("k") % 5 === 0)
+      val lOld = l.filter(col("k") % 5 =!= 0)
+      val dL = l.filter(col("k") % 5 === 0)
+      Ivm.joinDelta(oOld.join(lOld, Seq("k")), oOld, dO, lOld, dL,
+          Seq("k"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .orderBy(col("status"))
+    }),
+
     // Per-GROUP exact heavy hitters in one pass + candidate recount: the
     // native Misra-Gries aggregate (TypedImperativeAggregate, O(k) state
     // per group per task, mergeable partials) proposes <= k candidates
@@ -929,6 +952,25 @@ object ExtQueries {
       graft.ext.Forecast.isotonic(daily, Seq("user_id"), "day", "dval",
           scale = 100L)
         .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Isotonic CALIBRATION of the quality-classifier score: per distinct
+    // score, positive rate weighted by group size, monotone-fitted by
+    // weighted PAV — the calibration map (Zadrozny & Elkan) that
+    // x_calibration's fixed bins approximate. The distinct-score domain
+    // is bounded (≤1001 integer scores), so the single-key scan is a
+    // codebook-sized series, the same argument as the AUC bucketing.
+    "x_calib_iso" -> ((s, dir) => {
+      val grouped = scoreFrame(T(s, dir, "documents"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
+        .withColumn("rate",
+          col("pos").cast("double") / col("n").cast("double"))
+        .withColumn("grp", lit(1))
+      graft.ext.Forecast.isotonicWeighted(grouped, Seq("grp"), "s",
+          "rate", "n", scale = 1000000L)
+        .select(col("s"), col("rate"), col("weight"), col("iso_fit"))
+        .orderBy(col("s"))
     }),
 
     // CUSUM changepoint detection — the drift a mean-shift hides from
@@ -2436,6 +2478,28 @@ object ExtQueries {
           window = 2)
         .orderBy(col("n_pairs").desc, col("w"), col("c"))
         .limit(50)),
+
+    // TextRank keyword extraction (Mihalcea & Tarau): PageRank over the
+    // word co-occurrence graph — skipgram pairs ≥2 → undirected edges →
+    // 3 damped integer-fixed-point iterations (Graph.pageRank, so the
+    // ranks are engine-exact by construction). Top-25 corpus keywords.
+    "x_textrank" -> ((s, dir) => {
+      val pairs = TextAnalysis.skipgramPairs(
+          T(s, dir, "documents").filter(col("doc_id") < 120), "text",
+          window = 2)
+        .filter(col("n_pairs") >= 2)
+      val canon = pairs
+        .select(least(col("w"), col("c")).as("u"),
+          greatest(col("w"), col("c")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val edges = canon.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(canon.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(false) // referenced by nodes/deg/3 iterations
+      graft.ext.Graph.pageRank(edges, iters = 3, dampingPct = 85)
+        .withColumnRenamed("node", "token")
+        .orderBy(col("pagerank").desc, col("token"))
+        .limit(25)
+    }),
 
     // Equi-depth histogram (the optimizer-statistics form; complements
     // a11_histogram's equal-width bins): decile boundaries come from
@@ -4203,6 +4267,14 @@ object ExtQueries {
              AS qty_avg
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
+    // the maintained view must equal the plain full join
+    "x_ivm_join" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
     // The sketch is only a candidate proposer; the final filter is an
     // exact count vs an exact per-group total, so plain SQL is the
     // oracle (same construction as x_heavy_hitters, per group).
@@ -5851,6 +5923,46 @@ object ExtQueries {
          GROUP BY 1, 2
          ORDER BY n_pairs DESC, w, c LIMIT 50""",
 
+    // co-occurrence edges re-derived in SQL, then the x_pagerank
+    // integer-fixed-point iteration over them
+    "x_textrank" -> {
+      def iterCte(cur: String, prev: String) =
+        s"""$cur AS (
+            SELECT e.dst AS src,
+              ((1000000000000 * 15) // 100) // nn.n +
+                ((SUM($prev.pr // deg.d) * 85) // 100) AS pr
+            FROM e JOIN $prev ON e.src = $prev.src
+            JOIN deg ON e.src = deg.src CROSS JOIN nn
+            GROUP BY e.dst, nn.n)"""
+      s"""WITH toks AS (
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, l[i] AS t
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+                  FROM documents WHERE doc_id < 120) d,
+              LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+          pc AS (
+            SELECT a.t AS w, b.t AS c, COUNT(*) AS n
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+            WHERE a.t <> '' AND b.t <> ''
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          canon AS (
+            SELECT DISTINCT least(w, c) AS u, greatest(w, c) AS v
+            FROM pc WHERE w <> c),
+          e AS (SELECT u AS src, v AS dst FROM canon
+                UNION ALL SELECT v, u FROM canon),
+          nodes AS (SELECT DISTINCT src FROM e),
+          nn AS (SELECT COUNT(*) AS n FROM nodes),
+          deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+          r0 AS (SELECT src, 1000000000000 // nn.n AS pr
+                 FROM nodes CROSS JOIN nn),
+          ${iterCte("r1", "r0")},
+          ${iterCte("r2", "r1")},
+          ${iterCte("r3", "r2")}
+          SELECT src AS token,
+            CAST(pr AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS pagerank
+          FROM r3 ORDER BY pagerank DESC, token LIMIT 25"""
+    },
+
     "x_llm_pipeline2" -> {
       val split = Sampling.bucketSql("doc_id", 1)
       val shard = Sampling.shardSql("doc_id", 8, 2)
@@ -6133,6 +6245,44 @@ object ExtQueries {
            f.iso_fit
          FROM r JOIN fitv f ON r.user_id = f.user_id AND r.rn = f.i
          ORDER BY 1, 2""",
+
+    // weighted PAV minimax over the per-score positive rates (weights =
+    // group sizes, rates quantized at 1e-6): fit_i = max_j min_k of the
+    // weighted segment mean — same monotone-rounding argument as
+    // x_isotonic, weighted prefix sums in exact BIGINTs
+    "x_calib_iso" ->
+      """WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  (len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the', 'and', 'of', 'to', 'a'))) * 1000)
+                    // len(string_split(lower(text), ' ')) AS s
+           FROM documents),
+         g AS (SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+               FROM f GROUP BY 1),
+         q AS (SELECT s, n,
+                 CAST(round((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1000000) AS BIGINT) AS yq
+               FROM g),
+         r AS (SELECT s, n, yq, row_number() OVER (ORDER BY s) AS rn,
+                 CAST(SUM(yq * n) OVER (ORDER BY s ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS swy,
+                 CAST(SUM(n) OVER (ORDER BY s ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sw
+               FROM q),
+         seg AS (
+           SELECT a.rn AS j, b.rn AS k,
+             CAST(b.swy - a.swy + a.yq * a.n AS DOUBLE)
+               / CAST((b.sw - a.sw + a.n) * 1000000 AS DOUBLE) AS m
+           FROM r a JOIN r b ON b.rn >= a.rn),
+         tri AS (
+           SELECT seg.j, i.rn AS i, seg.m
+           FROM seg JOIN r i ON seg.j <= i.rn AND seg.k >= i.rn),
+         im AS (SELECT j, i, MIN(m) AS m1 FROM tri GROUP BY 1, 2),
+         fv AS (SELECT i, MAX(m1) AS iso_fit FROM im GROUP BY 1)
+         SELECT r.s, CAST(r.yq AS DOUBLE) / 1000000.0 AS rate,
+           r.n AS weight, fv.iso_fit
+         FROM r JOIN fv ON r.rn = fv.i
+         ORDER BY r.s""",
 
     "x_k_anonymity" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_rows,

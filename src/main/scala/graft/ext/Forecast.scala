@@ -258,7 +258,28 @@ object Forecast {
     * ticks would make the pool order sort-unstable.
     */
   def isotonic(df: DataFrame, keyCols: Seq[String], tickCol: String,
-               valueCol: String, scale: Long = 100L): DataFrame = {
+               valueCol: String, scale: Long = 100L): DataFrame =
+    isotonicCore(df, keyCols, tickCol, valueCol, lit(1L), scale)
+      .drop("weight")
+
+  /** WEIGHTED isotonic regression: each observation carries a positive
+    * integer weight (a count of pooled identical observations), and the
+    * fit minimizes Σ w·(fit−y)² subject to monotonicity — the form
+    * classifier-score calibration needs: group by distinct score, weight
+    * = group size, y = the group's positive RATE. Same PAV, pools carry
+    * (Σw·yq, Σw), decisions stay exact Long cross-products. Output
+    * keeps the `weight` column.
+    */
+  def isotonicWeighted(df: DataFrame, keyCols: Seq[String], tickCol: String,
+                       valueCol: String, weightCol: String,
+                       scale: Long = 100L): DataFrame =
+    isotonicCore(df, keyCols, tickCol, valueCol,
+      col(weightCol).cast("long"), scale)
+
+  private def isotonicCore(df: DataFrame, keyCols: Seq[String],
+                           tickCol: String, valueCol: String,
+                           weight: org.apache.spark.sql.Column,
+                           scale: Long): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column (scale: " +
       "a key-free call scans the whole table through one task)")
     require(scale > 0, s"scale must be positive, got $scale")
@@ -266,34 +287,39 @@ object Forecast {
     val prepared = df
       .select(keyCols.map(col) ++ Seq(
         col(tickCol).cast("long").as(tickCol),
-        round(col(valueCol).cast("double") * scale).cast("long").as("__yq")): _*)
-      .filter(col(tickCol).isNotNull && col("__yq").isNotNull)
+        round(col(valueCol).cast("double") * scale).cast("long").as("__yq"),
+        weight.as("__w")): _*)
+      .filter(col(tickCol).isNotNull && col("__yq").isNotNull &&
+        col("__w").isNotNull && col("__w") > 0)
       .repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols :+ tickCol).map(col): _*)
     val keyFields = keyCols.map(c => prepared.schema(c))
     val outSchema = StructType(keyFields ++ Seq(
       StructField(tickCol, LongType, nullable = false),
       StructField(valueCol, DoubleType, nullable = false),
+      StructField("weight", LongType, nullable = false),
       StructField("iso_fit", DoubleType, nullable = false)))
     prepared.mapPartitions { it =>
-      def flush(key: Seq[Any], ticks: Seq[Long], ys: Seq[Long]): Seq[Row] = {
-        // PAV stack: pools of (sum, count); merge while the previous
-        // pool's mean exceeds the new one's (exact cross-product compare)
-        var pools = List.empty[(Long, Long)] // head = rightmost pool
-        ys.foreach { y =>
-          var s = y; var n = 1L
+      def flush(key: Seq[Any], ticks: Seq[Long], ys: Seq[Long],
+                ws: Seq[Long]): Seq[Row] = {
+        // PAV stack: pools of (Σw·y, Σw, rows); merge while the previous
+        // pool's weighted mean exceeds the new one's (exact cross-product
+        // compare — counts are positive, so order is preserved)
+        var pools = List.empty[(Long, Long, Int)] // head = rightmost pool
+        ys.lazyZip(ws).foreach { (y, w) =>
+          var s = y * w; var n = w; var m = 1
           while (pools.nonEmpty && pools.head._1 * n > s * pools.head._2) {
-            s += pools.head._1; n += pools.head._2
+            s += pools.head._1; n += pools.head._2; m += pools.head._3
             pools = pools.tail
           }
-          pools = (s, n) :: pools
+          pools = (s, n, m) :: pools
         }
-        val fits = pools.reverse.flatMap { case (s, n) =>
+        val fits = pools.reverse.flatMap { case (s, n, m) =>
           val fit = s.toDouble / (n * scale).toDouble
-          Seq.fill(n.toInt)(fit)
+          Seq.fill(m)(fit)
         }
-        ticks.lazyZip(ys).lazyZip(fits).map { (t, y, f) =>
-          Row.fromSeq(key ++ Seq[Any](t, y.toDouble / scale.toDouble, f))
+        ticks.lazyZip(ys).lazyZip(ws).lazyZip(fits).map { (t, y, w, f) =>
+          Row.fromSeq(key ++ Seq[Any](t, y.toDouble / scale.toDouble, w, f))
         }
       }
 
@@ -306,20 +332,23 @@ object Forecast {
         private def refill(): Unit = {
           val ticks = scala.collection.mutable.ArrayBuffer.empty[Long]
           val ys = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val ws = scala.collection.mutable.ArrayBuffer.empty[Long]
           val first =
             if (pushback != null) { val r = pushback; pushback = null; r }
             else it.next()
           val key = (0 until nk).map(first.get)
           ticks += first.getLong(nk); ys += first.getLong(nk + 1)
+          ws += first.getLong(nk + 2)
           var done = false
           while (!done && it.hasNext) {
             val row = it.next()
             val k = (0 until nk).map(row.get)
             if (k == key) {
               ticks += row.getLong(nk); ys += row.getLong(nk + 1)
+              ws += row.getLong(nk + 2)
             } else { pushback = row; done = true }
           }
-          pending = flush(key, ticks.toSeq, ys.toSeq).iterator
+          pending = flush(key, ticks.toSeq, ys.toSeq, ws.toSeq).iterator
         }
         override def hasNext: Boolean = {
           if (pending.hasNext) true

@@ -183,6 +183,45 @@ class ForecastSpec extends SparkTestBase {
       Seq.fill(n.toInt)(s.toDouble / (n * 100L).toDouble) }
   }
 
+  test("isotonicWeighted: hand case; weight-1 degenerates to isotonic") {
+    // (0.8, w=1) then (0.2, w=3): pooled weighted mean = 1.4/4 = 0.35
+    val df = Seq(("k", 0L, 0.8, 1L), ("k", 1L, 0.2, 3L))
+      .toDF("k", "t", "y", "w")
+    val got = Forecast.isotonicWeighted(df, Seq("k"), "t", "y", "w")
+      .orderBy("t").as[(String, Long, Double, Long, Double)]
+      .collect().toSeq
+    assert(got.map(_._5) == Seq(0.35, 0.35), got.toString)
+    assert(got.map(_._4) == Seq(1L, 3L)) // weights ride through
+    // weight 1 everywhere == the unweighted operator
+    val series = Seq(("k", 0L, 3.0, 1L), ("k", 1L, 1.0, 1L),
+      ("k", 2L, 2.0, 1L), ("k", 3L, 4.0, 1L)).toDF("k", "t", "y", "w")
+    val w1 = Forecast.isotonicWeighted(series, Seq("k"), "t", "y", "w")
+      .drop("weight").orderBy("t").collect().map(_.toSeq).toSeq
+    val plain = Forecast.isotonic(series.drop("w"), Seq("k"), "t", "y")
+      .orderBy("t").collect().map(_.toSeq).toSeq
+    assert(w1 == plain)
+  }
+
+  test("isotonicWeighted: weights equal exploded duplicates") {
+    // weighted rows == the same observations repeated w times at
+    // distinct sub-ticks (PAV pools adjacent equal values, so the
+    // fitted PLATEAU values match the weighted fit)
+    val weighted = Seq(("k", 0L, 5.0, 2L), ("k", 10L, 1.0, 3L),
+      ("k", 20L, 9.0, 1L)).toDF("k", "t", "y", "w")
+    val exploded = Seq(("k", 0L, 5.0), ("k", 1L, 5.0), ("k", 10L, 1.0),
+      ("k", 11L, 1.0), ("k", 12L, 1.0), ("k", 20L, 9.0))
+      .toDF("k", "t", "y")
+    val a = Forecast.isotonicWeighted(weighted, Seq("k"), "t", "y", "w")
+      .orderBy("t").collect().map(r => (r.getLong(1), r.getDouble(4)))
+    val b = Forecast.isotonic(exploded, Seq("k"), "t", "y")
+      .orderBy("t").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    // weighted row i (weight w_i) expands to w_i exploded fits, equal
+    val weights = Seq(2, 3, 1)
+    val expanded = a.toSeq.lazyZip(weights).flatMap {
+      case ((_, f), w) => Seq.fill(w)(f) }
+    assert(b.map(_._2).toSeq == expanded, s"a=${a.toSeq} b=${b.toSeq}")
+  }
+
   test("isotonic: hand-computed pooling on a violating series") {
     // y = 3, 1, 2, 4: PAV pools (3,1,2)->2 then stays below 4
     val df = Seq(("k", 0L, 3.0), ("k", 1L, 1.0), ("k", 2L, 2.0),
