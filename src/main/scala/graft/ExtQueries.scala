@@ -2457,6 +2457,22 @@ object ExtQueries {
           k => substring_index(k, " ", 1), window = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The full ER candidate pipeline: sorted-neighborhood blocking →
+    // native codegen'd Jaro-Winkler scoring → similarity threshold.
+    // Scores rounded to 6 dp on both engines (summation-order ulps
+    // inside another engine's kernel are not contractual); DuckDB's
+    // jaro_winkler_similarity is the oracle scorer.
+    "x_jaro_score" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(
+          T(s, dir, "part").filter(col("p_partkey") < 500),
+          "p_partkey", "p_name",
+          k => substring_index(k, " ", 1), window = 2)
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.native_fns.jaro_winkler(
+            col("key_a"), col("key_b")), 6).as("jw"))
+        .filter(col("jw") >= 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- weighted sampling -------------------------------------------
 
     // Sequential Poisson (Ohlsson) πps sample: 50 docs weighted by
@@ -5886,6 +5902,27 @@ object ExtQueries {
          FROM r WHERE id1 IS NOT NULL
          UNION ALL
          SELECT id, id2, key, key2 FROM r WHERE id2 IS NOT NULL
+         ORDER BY id_a, id_b""",
+
+    "x_jaro_score" ->
+      """WITH b AS (
+           SELECT p_partkey AS id, p_name AS key,
+             string_split(p_name, ' ')[1] AS blk
+           FROM part WHERE p_partkey < 500),
+         r AS (
+           SELECT id, key,
+             lead(id, 1) OVER w AS id1, lead(key, 1) OVER w AS key1,
+             lead(id, 2) OVER w AS id2, lead(key, 2) OVER w AS key2
+           FROM b WINDOW w AS (PARTITION BY blk ORDER BY key, id)),
+         cand AS (
+           SELECT id AS id_a, id1 AS id_b, key AS key_a, key1 AS key_b
+           FROM r WHERE id1 IS NOT NULL
+           UNION ALL
+           SELECT id, id2, key, key2 FROM r WHERE id2 IS NOT NULL)
+         SELECT id_a, id_b,
+           round(jaro_winkler_similarity(key_a, key_b), 6) AS jw
+         FROM cand
+         WHERE round(jaro_winkler_similarity(key_a, key_b), 6) >= 0.8
          ORDER BY id_a, id_b""",
 
     "x_editdist_join" ->

@@ -42,6 +42,12 @@ object native_fns {
   def might_contain(bloom: Column, key: Column): Column =
     org.apache.spark.sql.graft.BloomFilterFns.might_contain(bloom, key)
 
+  /** Jaro-Winkler string similarity (prefix-boosted), codegen'd —
+    * the entity-resolution pair scorer.
+    */
+  def jaro_winkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.JaroWinklerExpr.jaro_winkler(a, b)
+
   /** Misra-Gries heavy-hitter sketch aggregate (TypedImperativeAggregate,
     * O(k) state, mergeable): `map<string,bigint>` of ≤ k candidates,
     * complete for true frequency > N/(k+1).

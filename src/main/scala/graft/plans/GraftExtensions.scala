@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.stripAccentsDescriptor)
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+    ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     // whole-operator tier: grouped top-k via per-key bounded heaps
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
     // optimizer tier: window row_number top-k idiom → the heap operator
@@ -85,9 +86,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
     arity("rolling_hash", 1)(children => RollingHash(children.head)))
 
+  val jaroWinklerDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.graft.JaroWinklerExpr].getName,
+      "jaro_winkler"),
+    arity("jaro_winkler", 2)(children =>
+      org.apache.spark.sql.graft.JaroWinklerExpr(children(0), children(1))))
+
   private val allDescriptors = Seq(cleanTextDescriptor,
     quantizedDotDescriptor, unicodeNormalizeDescriptor,
-    stripAccentsDescriptor, rollingHashDescriptor)
+    stripAccentsDescriptor, rollingHashDescriptor, jaroWinklerDescriptor)
 
   /** Imperative registration on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -90,9 +90,53 @@ class CleanTextExprSpec extends SparkTestBase {
     val rh = spark.sql("SELECT rolling_hash('ab') AS h").as[Long].head()
     val rh2 = spark.sql("SELECT rolling_hash('ba') AS h").as[Long].head()
     assert(rh != rh2, "position sensitivity survives the SQL path")
+    val jw = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j")
+      .as[Double].head()
+    assert(math.abs(jw - 0.9611111111111111) < 1e-12)
     // non-literal form is rejected at analysis, not at runtime
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT unicode_normalize('x', lower('NFC'))").collect()
     }
+  }
+
+  test("jaro_winkler: textbook cases pinned to the DuckDB-probed values") {
+    // (a, b, expected) — expected values probed from DuckDB's
+    // jaro_winkler_similarity, which the x_jaro_score oracle uses;
+    // they pin the boost-threshold (>0.7 only), the ≤4 prefix cap, the
+    // 0-match and empty conventions, and the transposition halving
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // transpositions
+      ("dixon", "dicksonx", 0.8133333333333332),  // boost applied
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no prefix
+      ("CRATE", "TRACE", 0.7333333333333334),     // >0.7 but prefix 0
+      ("abcdef", "abzzzz", 0.5555555555555555),   // ≤0.7: NO boost
+      ("ab", "abcdefghij", 0.7866666666666667),   // boost over the gap
+      ("abcdefg", "abcdefgggggggggg", 0.8875),    // prefix capped at 4
+      ("", "abc", 0.0), ("", "", 0.0),            // empty convention
+      ("ab", "ba", 0.0),                          // window 0: no match
+      ("abc", "abc", 1.0), ("x", "x", 1.0))
+    val got = cases.map(_._1).zip(cases.map(_._2)).toDF("a", "b")
+      .select(graft.functions.native_fns.jaro_winkler(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    cases.map(_._3).zip(got).foreach { case (want, g) =>
+      assert(math.abs(g - want) < 1e-12, s"$g vs $want") }
+  }
+
+  test("jaro_winkler is symmetric and stays in whole-stage codegen") {
+    val names = Seq("smith john", "smith jon", "taylor anne", "tailor ann",
+      "unger solo", "ungar sollo").toDF("n")
+    val pairs = names.crossJoin(names.withColumnRenamed("n", "m"))
+    val f = graft.functions.native_fns.jaro_winkler _
+    val asym = pairs
+      .select(f(col("n"), col("m")).as("ab"), f(col("m"), col("n")).as("ba"))
+      .filter(col("ab") =!= col("ba"))
+    assert(asym.count() == 0)
+    // parquet-backed scan so the projection plans as a codegen stage
+    // ('*(n)' marker), not a LocalTableScan under non-final AQE
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(f(col("text"), col("source")).as("j"))
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[jaro_winkler.*"),
+      plan)
   }
 }
