@@ -1424,6 +1424,23 @@ object ExtQueries {
       Quality.fdSummary(T(s, dir, "lineitem"),
         Seq("l_partkey"), "l_suppkey")),
 
+    // Benford first-digit audit of the price column: digit shares vs
+    // log10(1+1/d), string-based digit extraction over the DECIMAL
+    // rendering (portable; no per-row transcendental — the nine
+    // expected shares are plan literals).
+    "x_benford" -> ((s, dir) =>
+      Quality.benford(T(s, dir, "lineitem"), "l_extendedprice")
+        .select(col("digit"), col("n"), col("share"),
+          round(col("expected"), 9).as("expected"),
+          round(col("deviation"), 9).as("deviation"))
+        .orderBy(col("digit"))),
+
+    // The one-row χ² alarm over the digit table (prices are
+    // uniform-ish, NOT Benford — the point is the exact statistic).
+    "x_benford_stat" -> ((s, dir) =>
+      Quality.benfordStat(T(s, dir, "lineitem"), "l_extendedprice")
+        .select(col("n_rows"), round(col("chi2"), 6).as("chi2"))),
+
     // ---- event-time aggregation (batch form; streaming in
     //      graft.streaming uses the identical plan over readStream) ------
 
@@ -1816,6 +1833,32 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("shard"))),
+
+    // Temporal train/test split with a 2-day embargo after the cut —
+    // the time-series leakage guard (hash splits scatter futures into
+    // training pasts; the embargo buffers serial correlation at the
+    // boundary). Row-local literal comparisons.
+    "x_split_temporal" -> ((s, dir) =>
+      Sampling.temporalSplit(Events.loadEvents(s, dir), "ts_sec",
+          trainEnd = 1705708800L, embargoTicks = 172800L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts_sec")).as("min_sec"),
+          max(col("ts_sec")).as("max_sec"))
+        .orderBy(col("split"))),
+
+    // Leave-one-out target encoding of the doc source against the
+    // en-language label, prior pseudo-count 10: the category-mean
+    // feature with the own-label leak removed.
+    "x_target_encode" -> ((s, dir) =>
+      Classifier.targetEncode(
+          T(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("lang")),
+          "source", col("lang") === "en", m = 10)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"), col("target_enc"))
+        .orderBy(col("doc_id"))),
 
     // Curriculum quartiles: ntile(4) per source over (n_chars, doc_id)
     // — deterministic total order, windows partitioned by source.
@@ -4870,6 +4913,78 @@ object ExtQueries {
            CAST(SUM(viol) AS DOUBLE) / CAST(SUM(n_rows) AS DOUBLE)
              AS g3_error
          FROM g""",
+
+    // digit from the DECIMAL(18,2) string rendering; expected shares
+    // re-derived via log10 and pinned at 9 dp on both engines
+    "x_benford" ->
+      """WITH v AS (
+           SELECT substr(regexp_replace(
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+             '[^1-9]', '', 'g'), 1, 1) AS ds
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+         c AS (SELECT CAST(ds AS INTEGER) AS digit, COUNT(*) AS n
+               FROM v WHERE ds <> '' GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+         SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+           round(log10(1.0 + 1.0 / digit), 9) AS expected,
+           round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+             - log10(1.0 + 1.0 / digit), 9) AS deviation
+         FROM c CROSS JOIN t ORDER BY digit""",
+
+    "x_benford_stat" ->
+      """WITH v AS (
+           SELECT substr(regexp_replace(
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+             '[^1-9]', '', 'g'), 1, 1) AS ds
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+         c AS (SELECT CAST(ds AS INTEGER) AS digit, COUNT(*) AS n
+               FROM v WHERE ds <> '' GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+         d AS (
+           SELECT n,
+             CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+               - log10(1.0 + 1.0 / digit) AS dev,
+             log10(1.0 + 1.0 / digit) AS expd
+           FROM c CROSS JOIN t)
+         SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           round(CAST(SUM(n) AS DOUBLE) * SUM(dev * dev / expd), 6)
+             AS chi2
+         FROM d""",
+
+    "x_split_temporal" ->
+      """WITH e AS (
+           SELECT user_id,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) AS sec
+           FROM events),
+         s AS (
+           SELECT user_id, sec,
+             CASE WHEN sec <= 1705708800 THEN 'train'
+                  WHEN sec > 1705708800 + 172800 THEN 'test'
+                  ELSE 'embargo' END AS split
+           FROM e)
+         SELECT split, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(sec) AS min_sec, MAX(sec) AS max_sec
+         FROM s GROUP BY 1 ORDER BY 1""",
+
+    "x_target_encode" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         pc AS (SELECT source, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s
+                FROM d GROUP BY 1),
+         g AS (SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS gmean FROM d)
+         SELECT doc_id, source,
+           (CAST(s - y AS DOUBLE) + 10.0 * gmean)
+             / CAST(n - 1 + 10 AS DOUBLE) AS target_enc
+         FROM d JOIN pc USING (source) CROSS JOIN g
+         WHERE doc_id < 300 ORDER BY doc_id""",
 
     "x_events_tumbling" ->
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes',

@@ -132,4 +132,38 @@ object Classifier {
       .reduce(_ + _)
     lit(1.0) / (lit(1.0) + exp(-margin))
   }
+
+  /** Leave-one-out target encoding with prior smoothing (Micci-Barreca
+    * 2001): replace a high-cardinality categorical with
+    *   enc = (Σ_cat y − y_own + m·ȳ) / (n_cat − 1 + m)
+    * — the category's label mean EXCLUDING the row's own label (the
+    * leakage that makes naive target encoding overfit) shrunk toward
+    * the global mean by pseudo-count `m`. Singleton categories fall
+    * back to pure prior (n−1 = 0 ⟹ enc = ȳ, m > 0 required).
+    *
+    * One (category) aggregate broadcast-joined back + a 1-row global
+    * aggregate riding the plan — per-row arithmetic after that, no
+    * second scan of the label column. Integer label sums; doubles
+    * enter at three correctly-rounded ops in fixed order (global mean,
+    * the m·ȳ product, the final division), so the encoding is
+    * bit-portable.
+    */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: Column,
+                   m: Long): DataFrame = {
+    require(m > 0, s"prior pseudo-count m must be > 0, got $m")
+    val y = labelCol.cast("long")
+    val cat = df.withColumn("__y", y)
+    val perCat = cat.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"))
+    val global = cat.agg(
+      (sum(col("__y")).cast("double") / count(lit(1)).cast("double"))
+        .as("__gmean"))
+    cat.join(broadcast(perCat), Seq(catCol))
+      .crossJoin(broadcast(global))
+      .withColumn("target_enc",
+        ((col("__s") - col("__y")).cast("double") +
+          lit(m.toDouble) * col("__gmean")) /
+          (col("__n") - 1 + m).cast("double"))
+      .drop("__y", "__n", "__s", "__gmean")
+  }
 }

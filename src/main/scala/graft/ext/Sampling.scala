@@ -362,4 +362,25 @@ object Sampling {
       .select(col("replicate"), col("n_eff"),
         (col("__ws") / col("n_eff").cast("double")).as("boot_mean"))
   }
+
+  /** Temporal train/test split with an EMBARGO gap (the time-series
+    * leakage guard [[splitByHash]] cannot give you: hash splits
+    * scatter a series' future into its training past, and even a clean
+    * time cut leaks through serially-correlated rows at the boundary —
+    * the embargo, per de Prado's purged CV, discards a buffer after
+    * the cut so no training-window feature overlaps an eval-window
+    * label). Row-local comparison against two literals; no shuffle,
+    * no state, deterministic on any engine by construction.
+    *
+    * split = `train` (tick ≤ trainEnd), `embargo` (inside the gap,
+    * excluded from both sides), `test` (tick > trainEnd + embargoTicks).
+    */
+  def temporalSplit(df: DataFrame, tickCol: String, trainEnd: Long,
+                    embargoTicks: Long): DataFrame = {
+    require(embargoTicks >= 0, s"embargo must be >= 0, got $embargoTicks")
+    df.withColumn("split",
+      when(col(tickCol) <= trainEnd, "train")
+        .when(col(tickCol) > trainEnd + embargoTicks, "test")
+        .otherwise("embargo"))
+  }
 }

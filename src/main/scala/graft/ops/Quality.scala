@@ -76,6 +76,55 @@ object Quality {
       .withColumn("holds", col("n_violations") === 0L)
   }
 
+  /** Benford first-digit audit (fraud/fabrication screening): the
+    * distribution of first significant digits of a naturally-spanning
+    * positive amount column vs Benford's law P(d) = log₁₀(1+1/d).
+    * Output one row per digit 1-9: count, observed share, expected
+    * share, and the signed deviation — plus the χ²-style summary via
+    * [[benfordStat]].
+    *
+    * Digit extraction is STRING-based over a DECIMAL(18,2) rendering
+    * (first char of the digits-only form) — engine-portable where a
+    * log₁₀/power extraction risks boundary ulps at exact powers of
+    * ten. The nine expected shares are driver-side constants riding
+    * the plan as literals; no transcendental executes per row. One
+    * group-by over ≤9 keys.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val digit = substring(regexp_replace(
+      col(valueCol).cast("decimal(18,2)").cast("string"),
+      "[^1-9]", ""), 1, 1).cast("int")
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .withColumn("__d", digit)
+      .filter(col("__d").isNotNull) // pure-zero amounts have no digit
+      .groupBy(col("__d").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val exp = expected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("share"),
+        exp.as("expected"))
+      .withColumn("deviation", col("share") - col("expected"))
+  }
+
+  /** One-row Benford summary: n and the χ² statistic
+    * Σ n·(share−expected)²/expected over the digit table — the single
+    * alarm number (compare against χ²₈ critical values).
+    */
+  def benfordStat(df: DataFrame, valueCol: String): DataFrame =
+    benford(df, valueCol).agg(
+      sum(col("n")).as("n_rows"),
+      // χ² = Σ_d (O_d−E_d)²/E_d = N·Σ_d dev_d²/exp_d
+      sum(col("deviation") * col("deviation") / col("expected"))
+        .as("__devsum"))
+      .select(col("n_rows"),
+        (col("n_rows").cast("double") * col("__devsum")).as("chi2"))
+
   /** Corpus-level FD summary: one row — (n_groups, n_violating_groups,
     * n_rows, n_violations, g3_error = violations/rows as one IEEE
     * division). The go/no-go number for "is `lhs → rhs` a real key?".

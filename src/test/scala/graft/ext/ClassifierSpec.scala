@@ -111,4 +111,26 @@ class ClassifierSpec extends SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(m(1) > m(0), s"mean p(en)=${m(1)} !> mean p(other)=${m(0)}")
   }
+
+  test("targetEncode: hand-computed LOO means, singleton falls to prior") {
+    import spark.implicits._
+    // cat a: y = 1,1,0 (n=3, s=2); cat b: y = 0 (singleton)
+    val df = Seq((1L, "a", 1), (2L, "a", 1), (3L, "a", 0), (4L, "b", 0))
+      .toDF("id", "cat", "y")
+    val gmean = 2.0 / 4.0
+    val m = 2L
+    val got = graft.ext.Classifier.targetEncode(df, "cat",
+        org.apache.spark.sql.functions.col("y"), m)
+      .select("id", "target_enc")
+      .as[(Long, Double)].collect().toMap
+    // LOO for id1 (y=1): (2-1 + 2*0.5)/(3-1+2) = 2/4 = 0.5
+    assert(got(1L) == (1.0 + 2.0 * gmean) / 4.0)
+    // id3 (y=0): (2-0 + 1)/4 = 0.75
+    assert(got(3L) == (2.0 + 2.0 * gmean) / 4.0)
+    // singleton b: (0-0 + 1)/(0+2) = prior-pulled 0.5
+    assert(got(4L) == (0.0 + 2.0 * gmean) / 2.0)
+    // the leak check: identical rows in the same category get the SAME
+    // encoding, but rows with different OWN labels differ
+    assert(got(1L) == got(2L) && got(1L) != got(3L))
+  }
 }

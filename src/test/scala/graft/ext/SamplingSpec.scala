@@ -197,4 +197,19 @@ class SamplingSpec extends SparkTestBase {
       assert(out(i) == ((i, plain(i))), s"singleton $i"))
     assert(out.values.map(_._2).toSet == Set("train", "test"))
   }
+
+  test("temporalSplit: boundaries inclusive/exclusive, embargo excluded") {
+    import spark.implicits._
+    val ticks = Seq(5L, 10L, 11L, 12L, 13L, 20L).toDF("t")
+    val got = Sampling.temporalSplit(ticks, "t", trainEnd = 10L,
+        embargoTicks = 2L)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(5L -> "train", 10L -> "train", // cut inclusive
+      11L -> "embargo", 12L -> "embargo",            // (cut, cut+e]
+      13L -> "test", 20L -> "test"))                 // strictly after
+    // zero embargo degenerates to a plain time cut
+    val z = Sampling.temporalSplit(ticks, "t", 10L, 0L)
+      .as[(Long, String)].collect().toMap
+    assert(!z.values.exists(_ == "embargo"))
+  }
 }

@@ -70,4 +70,36 @@ class QualitySpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Double)].head()
     assert(s == ((2L, 0L, 3L, 0L, 0.0)))
   }
+
+  test("benford: digit extraction across magnitudes, shares sum to 1") {
+    import spark.implicits._
+    // values chosen to hit every decimal-rendering shape: <1, exact
+    // powers of ten, 2dp rounding carry (0.999 -> 1.00 -> digit 1)
+    val vals = Seq(123.45, 0.042, 1000.0, 9.99, 0.999, 2.0, 230.0,
+      0.0, -5.0) // zero and negative excluded
+    val got = Quality.benford(vals.toDF("v"), "v")
+      .orderBy("digit")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    val byDigit = got.map(r => r._1 -> r._2).toMap
+    assert(byDigit == Map(1 -> 3L, 2 -> 2L, 4 -> 1L, 9 -> 1L),
+      byDigit.toString)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
+    got.foreach { r =>
+      assert(math.abs(r._4 - math.log10(1.0 + 1.0 / r._1)) < 1e-9) }
+  }
+
+  test("benfordStat: chi2 is 0 on an exactly-Benford sample") {
+    import spark.implicits._
+    // counts proportional to Benford only in the 1-digit sense is
+    // impossible with integers; instead pin the formula on a 2-digit
+    // toy: equal mass on digits 1 and 2 vs expected shares
+    val vals = (Seq.fill(30)(1.0) ++ Seq.fill(30)(2.0)).toDF("v")
+    val (n, chi2) = Quality.benfordStat(vals, "v")
+      .as[(Long, Double)].head()
+    assert(n == 60L)
+    val e1 = math.log10(2.0); val e2 = math.log10(1.5)
+    val expect = 60.0 * (math.pow(0.5 - e1, 2) / e1 +
+      math.pow(0.5 - e2, 2) / e2)
+    assert(math.abs(chi2 - expect) < 1e-9, s"$chi2 vs $expect")
+  }
 }
