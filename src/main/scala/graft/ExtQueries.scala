@@ -2312,6 +2312,31 @@ object ExtQueries {
           "user_id", "day")
         .orderBy(col("cohort_day"), col("day_offset"))),
 
+    // Kaplan-Meier time-to-first-purchase survival (conversion
+    // analysis): duration = days from first activity to first
+    // purchase, right-censored at a fixed 3-day follow-up. Curve
+    // arithmetic on the |distinct durations| table only; 9dp-pinned ln
+    // terms into an exact decimal sum (the PMI convention), 6dp
+    // survival.
+    "x_kaplan_meier" -> ((s, dir) => {
+      val ev = Events.loadEvents(s, dir)
+        .withColumn("day", expr("ts_sec div 86400"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("fd"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("day")).as("pd"))
+      // fixed 3-day follow-up: conversions after day 3 are CENSORED at
+      // duration 4 — the real event/censor mix KM exists for
+      val subjects = first.join(firstPurchase, Seq("user_id"), "left")
+        .select(
+          (least(coalesce(col("pd") - col("fd"), lit(3L)), lit(3L)) + 1)
+            .as("duration"),
+          (col("pd").isNotNull && col("pd") - col("fd") <= 3)
+            .as("observed"))
+      Behavior.kaplanMeier(subjects, "duration", "observed")
+        .orderBy(col("t"))
+    }),
+
     // Gaps-and-islands: per-user consecutive-active-day streaks via the
     // day − row_number grouping; by-user windows only, input reduced to
     // one row per (user, active day) before the window.
@@ -2641,6 +2666,39 @@ object ExtQueries {
 
     // Per-group winsorized stats: clip to [p05, p95], count clips,
     // decimal-exact clipped sum + one-division mean.
+    // Exact lower weighted median (interpolation-free integer rule —
+    // the only weighted-median convention with a cross-engine
+    // contract): revenue-weighted quantity center per return flag.
+    // Quantity's 50-value domain keeps the per-group cumulative window
+    // codebook-sized — the operator's intended bounded-domain shape
+    // (a near-unique value column would drag the window to data size).
+    "x_weighted_median" -> ((s, dir) =>
+      graft.agg.Robust.weightedMedian(
+          T(s, dir, "lineitem").withColumn("w_cents",
+            round(col("l_extendedprice") * 100).cast("long")),
+          "l_returnflag", "l_quantity", "w_cents")
+        .orderBy(col("l_returnflag"))),
+
+    // Blocked k-NN graph over the embedding corpus: sign-band LSH
+    // candidates (the nearDupPairs machinery, no threshold) → per-node
+    // top-3 by exact quantized cosine. The all-pairs neighbor-graph
+    // primitive behind SemDeDup-style curation, bucketed not O(n²);
+    // the oracle replays the same candidate blocks.
+    "x_knn_graph" -> ((s, dir) => {
+      val cand = Similarity.nearDupPairs(T(s, dir, "embeddings"),
+        "vec_id", "embedding", maxId = 150L, threshold = -1.0)
+      val sym = cand.select(col("id_a").as("vec_id"), col("id_b").as("nb"),
+          col("cosine"))
+        .unionByName(cand.select(col("id_b").as("vec_id"),
+          col("id_a").as("nb"), col("cosine")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nb"))
+      sym.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nb"), col("cosine"))
+        .orderBy(col("vec_id"), col("rk"))
+    }),
+
     "x_winsorize" -> ((s, dir) =>
       graft.agg.Robust.winsorizedStats(T(s, dir, "lineitem"),
           "l_returnflag", "l_extendedprice", 0.05, 0.95)
@@ -5933,6 +5991,47 @@ object ExtQueries {
            MIN(CASE WHEN len = mx THEN st END) AS streak_start_day
          FROM i2 GROUP BY 1 ORDER BY 1""",
 
+    "x_kaplan_meier" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day
+           FROM events),
+         u AS (SELECT user_id, MIN(day) AS fd FROM e GROUP BY 1),
+         p AS (SELECT user_id, MIN(day) AS pd FROM e
+               WHERE event_type = 'purchase' GROUP BY 1),
+         subj AS (
+           SELECT least(COALESCE(pd - fd, 3), 3) + 1 AS t,
+             CASE WHEN pd IS NOT NULL AND pd - fd <= 3 THEN 1 ELSE 0 END
+               AS obs
+           FROM u LEFT JOIN p USING (user_id)),
+         byd AS (
+           SELECT t, CAST(SUM(obs) AS BIGINT) AS d,
+             CAST(SUM(1 - obs) AS BIGINT) AS c
+           FROM subj GROUP BY 1),
+         risk AS (
+           SELECT t, d, c,
+             CAST(SUM(d + c) OVER () AS BIGINT)
+               - COALESCE(CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               AS n_risk
+           FROM byd),
+         terms AS (
+           SELECT *,
+             CAST(CASE WHEN d = n_risk THEN -99.0
+               ELSE round(ln(CAST(n_risk - d AS DOUBLE)
+                 / CAST(n_risk AS DOUBLE)), 9) END
+               AS DECIMAL(28,9)) AS term
+           FROM risk),
+         curve AS (
+           SELECT t, n_risk, d, c,
+             round(exp(CAST(SUM(term) OVER (ORDER BY t ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+               AS survival
+           FROM terms)
+         SELECT t, n_risk, d AS n_events, c AS n_censored, survival
+         FROM curve WHERE d > 0 ORDER BY t""",
+
     "x_max_concurrency" ->
       """WITH e AS (
            SELECT event_type,
@@ -6155,6 +6254,50 @@ object ExtQueries {
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_total,
                 TRUE AS depth_ok
          FROM range(10) t(x) ORDER BY 1""",
+
+    "x_weighted_median" ->
+      """WITH g AS (
+           SELECT l_returnflag, l_quantity AS v,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS w
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice > 0
+           GROUP BY 1, 2),
+         c AS (
+           SELECT l_returnflag, v,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+               AS tot
+           FROM g)
+         SELECT l_returnflag, MIN(v) AS weighted_median
+         FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""",
+
+    "x_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, $qvec AS v
+                     FROM embeddings WHERE vec_id < 150),
+          bands AS (${signBandsSql(8, 6, "embeddings WHERE vec_id < 150")}),
+          ea AS (SELECT e.vec_id, v, tbl, bucket
+                 FROM e JOIN bands ON e.vec_id = bands.vec_id),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
+                            b.vec_id AS id_b, b.v AS vb
+            FROM ea a JOIN ea b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+          pairs AS (
+            SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
+            FROM cand WHERE ${cosSql("va", "vb")} > -1.0),
+          sym AS (SELECT id_a AS vec_id, id_b AS nb, cosine FROM pairs
+                  UNION ALL SELECT id_b, id_a, cosine FROM pairs),
+          rk AS (
+            SELECT vec_id, nb, cosine,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cosine DESC, nb) AS rk
+            FROM sym)
+          SELECT vec_id, CAST(rk AS INTEGER) AS rk, nb, cosine
+          FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""",
 
     "x_winsorize" ->
       """WITH b AS (

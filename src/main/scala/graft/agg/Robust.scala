@@ -97,4 +97,39 @@ object Robust {
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col(groupCol))
   }
+
+  /** Exact LOWER weighted median per group: the smallest value whose
+    * cumulative weight reaches half the group's total — the
+    * interpolation-free convention, so the answer is an exact integer
+    * rule over exact integer weights (engine-portable with no float
+    * anywhere; an interpolated weighted median has no cross-engine
+    * contract). The robust center for weighted data — ratings weighted
+    * by volume, prices weighted by quantity — where a weighted MEAN
+    * follows the heavy rows.
+    *
+    * Shape: collapse to one row per (group, value) with summed weights
+    * (the only data-sized shuffle, map-side combined), then a per-group
+    * cumulative window over |distinct values| rows and a min-aggregate
+    * of the qualifying values. Skew = a hot group's distinct-value
+    * list; bounded domains (prices, ratings) keep it small.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = df
+      .filter(col(valCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val all = Window.partitionBy(col(groupCol))
+    grouped
+      .withColumn("__cum",
+        sum(col("__w")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__tot", sum(col("__w")).over(all))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("weighted_median"))
+  }
 }

@@ -140,6 +140,57 @@ object Behavior {
         (-col("__peak.nt")).as("peak_at"))
   }
 
+  /** Kaplan-Meier survival curve over per-subject durations — the
+    * censoring-aware retention estimate ([[cohortRetention]]'s matrix
+    * can't distinguish "churned" from "still here, observation ended"):
+    * S(t) = Π_{u ≤ t} (1 − d_u / n_u) with d_u = observed events at
+    * duration u and n_u = subjects still at risk (duration ≥ u);
+    * censored subjects leave the risk set without an event.
+    *
+    * Input: one row per subject — (durationCol: integer duration,
+    * observedCol: boolean, true = the event happened, false =
+    * censored). Output per distinct event duration: n_risk, n_events,
+    * n_censored, and `survival`.
+    *
+    * Shape: one aggregate to |distinct durations| rows, then windows
+    * over THAT bounded table (the bounded-domain single-key argument —
+    * durations are days/weeks, not data-sized). The product is
+    * exp(Σ ln(1−d/n)) with each ln term pinned at 9 dp into an exact
+    * DECIMAL sum (the PMI convention), so the curve is engine-portable
+    * to the final 6 dp rounding.
+    */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+                  observedCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byDur = subjects
+      .filter(col(durationCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("c"))
+    val ord = Window.orderBy(col("t"))
+    val withRisk = byDur
+      .withColumn("__tot", sum(col("d") + col("c")).over(
+        Window.partitionBy()))
+      .withColumn("__before", coalesce(sum(col("d") + col("c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("__tot") - col("__before"))
+    withRisk
+      .withColumn("__term",
+        // absorbing case d == n_risk: survival hits exact 0; ln(0) is
+        // -Inf (breaks the decimal sum), so pin a -99 sentinel — any
+        // downstream exp(≤-99) rounds to 0.000000 on every engine
+        when(col("d") === col("n_risk"), lit(-99.0))
+          .otherwise(round(log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double")), 9)).cast(DecimalType(28, 9)))
+      .withColumn("survival",
+        round(exp(sum(col("__term")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double")), 6))
+      .filter(col("d") > 0) // curve points: event durations only
+      .select(col("t"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("survival"))
+  }
+
   /** Cohort retention matrix: users grouped by their first-activity day
     * (the cohort), counted on each subsequent activity day offset.
     *

@@ -57,4 +57,33 @@ class RobustSpec extends SparkTestBase {
     assert(h.getAs[Double]("whisker_lo") == 1.0 &&
       h.getAs[Double]("whisker_hi") == 5.0)
   }
+
+  test("weightedMedian: lower-median rule, weights dominate counts") {
+    val df = Seq(
+      // group a: value 10 carries 1, value 20 carries 5 -> median 20
+      ("a", 10.0, 1L), ("a", 20.0, 5L),
+      // group b: exact half boundary at the first value (2*3 >= 6)
+      ("b", 1.0, 3L), ("b", 9.0, 3L),
+      // group c: duplicate value rows collapse; nulls/zero-w ignored
+      ("c", 4.0, 1L), ("c", 4.0, 1L), ("c", 5.0, 1L), ("c", 6.0, 0L)
+    ).toDF("g", "v", "w")
+    val got = Robust.weightedMedian(df, "g", "v", "w")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 20.0, "b" -> 1.0, "c" -> 4.0), got.toString)
+  }
+
+  test("weightedMedian == brute-force expansion on random data") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 300).map(i =>
+      (s"g${i % 4}", rnd.nextInt(40).toDouble, (rnd.nextInt(5) + 1).toLong))
+    val got = Robust.weightedMedian(rows.toDF("g", "v", "w"), "g", "v", "w")
+      .as[(String, Double)].collect().toMap
+    val expect = rows.groupBy(_._1).view.mapValues { g =>
+      val expanded = g.flatMap { case (_, v, w) =>
+        Seq.fill(w.toInt)(v) }.sorted
+      // lower weighted median == lower median of the expanded multiset
+      expanded((expanded.size - 1) / 2)
+    }.toMap
+    assert(got == expect, s"got=$got expect=$expect")
+  }
 }

@@ -217,6 +217,33 @@ class BehaviorSpec extends SparkTestBase {
     assert(got == Seq(("k", 3L, 3L)))
   }
 
+  test("kaplanMeier: textbook worked example with censoring") {
+    // durations: events at 2 (1 death of 5 at risk), 4 (1 of 3), and a
+    // censored 3 and 5: classic KM table
+    //   t=2: n=5, d=1 -> S = 4/5 = 0.8
+    //   t=4: n=2 (censor at 3 left the risk set), d=1 -> S = 0.8*0.5
+    val subj = Seq((2L, true), (2L, false), (3L, false), (4L, true),
+      (5L, false)).toDF("dur", "obs")
+    val got = Behavior.kaplanMeier(subj, "dur", "obs")
+      .orderBy("t").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((2L, 5L, 1L, 1L), (4L, 2L, 1L, 0L)))
+    assert(math.abs(got(0)._5 - 0.8) < 1e-6)
+    assert(math.abs(got(1)._5 - 0.4) < 1e-6)
+  }
+
+  test("kaplanMeier: absorbing event hits exact 0; no-censor curve " +
+    "matches the empirical survivor function") {
+    val all = Seq((1L, true), (2L, true), (2L, true), (3L, true))
+      .toDF("dur", "obs")
+    val got = Behavior.kaplanMeier(all, "dur", "obs")
+      .orderBy("t").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // no censoring: S(t) = fraction with duration > t
+    assert(math.abs(got(0)._5 - 0.75) < 1e-6)
+    assert(math.abs(got(1)._5 - 0.25) < 1e-6)
+    assert(got(2)._5 == 0.0) // last death: exact zero, not an ulp
+  }
+
   test("hashFeatures: signed-sum weights match a plain-Scala twin") {
     val docs = Seq((1L, "a b a c"), (2L, "b b"), (3L, "")).toDF("id", "text")
     def h(s: String, seed: Int): Long = {
