@@ -92,6 +92,44 @@ object ExtQueries {
         candidates = col("doc_id") < 150, minJaccard = 0.05, maxDf = 0)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Prefix-filtered EXACT jaccard join (PPJoin/AllPairs rule): same
+    // output as jaccardPairs at the threshold, but the inverted index
+    // holds only each set's df-rarest prefix — no false negatives by
+    // the prefix principle, candidates fall quadratically. The oracle
+    // is the plain all-postings formula: exactness IS the claim.
+    "x_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(T(s, dir, "documents"), "doc_id", "text",
+          n = 1, candidates = col("doc_id") < 300, minJaccard = 0.8,
+          maxDf = 0)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // KMV sketches of two key columns that never sat in one table:
+    // distinct + overlap estimates for join planning / FK discovery,
+    // side by side with the exact values. Deterministic md5 sketch —
+    // the oracle rebuilds it value for value.
+    "x_kmv_overlap" -> ((s, dir) => {
+      import graft.agg.Kmv
+      val k = 128
+      val a = Kmv.sketch(T(s, dir, "customer"), "c_custkey", k, seed = 3)
+        .localCheckpoint(false)
+      val b = Kmv.sketch(T(s, dir, "orders"), "o_custkey", k, seed = 3)
+        .localCheckpoint(false)
+      val ca = T(s, dir, "customer").select(col("c_custkey").as("key"))
+      val ob = T(s, dir, "orders").select(col("o_custkey").as("key"))
+      Kmv.jaccardEstimate(a, b, k)
+        .crossJoin(Kmv.distinctEstimate(a, k)
+          .select(col("distinct_est").as("a_distinct_est")))
+        .crossJoin(Kmv.distinctEstimate(b, k)
+          .select(col("distinct_est").as("b_distinct_est")))
+        .crossJoin(
+          ca.intersect(ob).agg(count(lit(1)).as("n_inter_exact")))
+        .crossJoin(ca.union(ob).distinct()
+          .agg(count(lit(1)).as("n_union_exact")))
+        .select(col("jaccard_est"), col("union_distinct_est"),
+          col("a_distinct_est"), col("b_distinct_est"),
+          col("n_inter_exact"), col("n_union_exact"))
+    }),
+
     // Asymmetric partial-dup detection: containment |A∩B|/min(|A|,|B|)
     // catches a short doc embedded in a long one (Jaccard ≈ short/long
     // misses it). Same inverted-index pair path as jaccard.
@@ -3316,6 +3354,64 @@ object ExtQueries {
          FROM pairs
          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
          ORDER BY id_a, id_b""",
+
+    // exactness claim: the prefix-filtered engine result must equal
+    // the plain all-postings jaccard at the threshold
+    "x_jaccard_prefix" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS g
+           FROM documents WHERE doc_id < 300),
+         docs AS (SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM d),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                  COUNT(*) AS inter
+           FROM docs a JOIN docs b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+                CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         FROM pairs
+         WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "x_kmv_overlap" -> {
+      def sk(expr: String, table: String) =
+        s"""SELECT DISTINCT ${Hashing.hash64Sql(expr, 3)} AS hv
+            FROM $table ORDER BY hv LIMIT 128"""
+      s"""WITH a AS (${sk("CAST(c_custkey AS VARCHAR)", "customer")}),
+          b AS (${sk("CAST(o_custkey AS VARCHAR)", "orders")}),
+          u AS (SELECT DISTINCT hv FROM
+                  (SELECT hv FROM a UNION ALL SELECT hv FROM b)
+                ORDER BY hv LIMIT 128),
+          m AS (SELECT COUNT(*) AS m FROM u
+                WHERE hv IN (SELECT hv FROM a)
+                  AND hv IN (SELECT hv FROM b)),
+          us AS (SELECT COUNT(*) AS ku, MAX(hv) AS mx FROM u),
+          sa AS (SELECT COUNT(*) AS n, MAX(hv) AS mx FROM a),
+          sb AS (SELECT COUNT(*) AS n, MAX(hv) AS mx FROM b),
+          ex AS (
+            SELECT
+              (SELECT COUNT(*) FROM
+                (SELECT DISTINCT c_custkey FROM customer
+                 INTERSECT SELECT DISTINCT o_custkey FROM orders))
+                AS n_inter_exact,
+              (SELECT COUNT(*) FROM
+                (SELECT DISTINCT c_custkey FROM customer
+                 UNION SELECT DISTINCT o_custkey FROM orders))
+                AS n_union_exact)
+          SELECT
+            CAST(m.m AS DOUBLE) / CAST(us.ku AS DOUBLE) AS jaccard_est,
+            CASE WHEN us.ku < 128 THEN CAST(us.ku AS DOUBLE)
+                 ELSE 127.0 * 1152921504606846976.0
+                      / CAST(us.mx AS DOUBLE) END AS union_distinct_est,
+            CASE WHEN sa.n < 128 THEN CAST(sa.n AS DOUBLE)
+                 ELSE 127.0 * 1152921504606846976.0
+                      / CAST(sa.mx AS DOUBLE) END AS a_distinct_est,
+            CASE WHEN sb.n < 128 THEN CAST(sb.n AS DOUBLE)
+                 ELSE 127.0 * 1152921504606846976.0
+                      / CAST(sb.mx AS DOUBLE) END AS b_distinct_est,
+            n_inter_exact, n_union_exact
+          FROM m, us, sa, sb, ex"""
+    },
 
     "x_dedup_containment" ->
       """WITH d AS (

@@ -618,6 +618,72 @@ object Dedup {
     * → intersection size. The gram subtree is planned once (a self-join
     * would execute it twice).
     */
+  /** Prefix-filtered exact Jaccard join (the PPJoin/AllPairs candidate
+    * rule, Bayardo et al. / Xiao et al.): identical OUTPUT to
+    * [[jaccardPairs]], but candidate pairs come only from the PREFIX of
+    * each gram set — its first |g| − ⌈t·|g|⌉ + 1 grams in the global
+    * (document-frequency asc, gram) order. Two sets with Jaccard ≥ t
+    * must overlap in ≥ ⌈t/(1+t)·(|a|+|b|)⌉ grams, which forces at
+    * least one shared gram into both prefixes — so the filter has NO
+    * false negatives and the result stays exact while the inverted
+    * index shrinks from every posting to prefix postings. At t = 0.8
+    * that is ~20 % of the postings and candidate volume falls
+    * quadratically with posting-list length; rare-first ordering
+    * additionally puts the surviving postings on the SHORTEST lists
+    * (the whole point of df-ascending order).
+    *
+    * Shape: one dfreq aggregate (reused as the global order key — no
+    * materialized rank table, no global row numbering), a per-doc
+    * window for the prefix cut, the prefix-postings self-join, then a
+    * verify join against the full sorted gram arrays (`array_intersect`
+    * on candidates only). The gram-set table is lazily checkpointed —
+    * referenced by dfreq, the prefix explode, and both verify sides.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, candidates: Column, minJaccard: Double,
+                         maxDf: Int = DefaultMaxBucket): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"prefix filtering needs a positive threshold, got $minJaccard")
+    val withG = df.filter(candidates)
+      .select(col(idCol).as("id"),
+        array_sort(array_distinct(
+          ngramsOf(split(lower(col(textCol)), " "), n))).as("g"))
+      .withColumn("sz", size(col("g")))
+      .localCheckpoint(false)
+    val entries = withG.select(col("id"), col("sz"),
+      explode(col("g")).as("gram"))
+    val dfreq = entries.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val capped =
+      if (maxDf > 0) dfreq.filter(col("gdf") <= maxDf) else dfreq
+    // prefix length |g| − ⌈t·|g|⌉ + 1; ceil in exact integer arithmetic
+    // over the scaled threshold so the cut is engine-independent.
+    // FLOOR the scaling: ts/1e6 ≤ t keeps the computed prefix a
+    // superset of the exact rule's — never a false negative
+    val tScaled = math.floor(minJaccard * 1000000L).toLong
+    val prefLen = col("sz") -
+      ((col("sz") * tScaled + 999999L) / 1000000L).cast("long") + 1
+    val w = Window.partitionBy(col("id")).orderBy(col("gdf"), col("gram"))
+    val prefix = entries.join(capped, Seq("gram"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= prefLen)
+      .select(col("id"), col("gram"))
+    val cand = prefix.select(col("gram"), col("id").as("id_a"))
+      .join(prefix.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(withG.select(col("id").as("id_a"), col("g").as("ga"),
+        col("sz").as("na")), Seq("id_a"))
+      .join(withG.select(col("id").as("id_b"), col("g").as("gb"),
+        col("sz").as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge):
     * candidate record pairs are rows within `window` positions of each
     * other in the sort order of a fuzzy blocking key — the classic

@@ -123,6 +123,38 @@ class DedupPropertySpec extends SparkTestBase {
       s"single cross-doc span expected, got $out")
   }
 
+  test("property: jaccardPairsPrefix == jaccardPairs at every threshold") {
+    val docs = corpus(41L, 50).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
+          candidates = lit(true), minJaccard = t, maxDf = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 1,
+          candidates = lit(true), minJaccard = t, maxDf = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(pref == full,
+        s"t=$t missing=${(full -- pref).take(5)} extra=${(pref -- full).take(5)}")
+    }
+  }
+
+  test("prefix filter indexes strictly fewer postings than all-pairs") {
+    // at t=0.8 each set indexes |g| − ⌈0.8|g|⌉ + 1 grams — about a
+    // fifth of the full posting volume the plain inverted index carries
+    val docs = corpus(42L, 60).toDF("doc_id", "text")
+    val tokens = docs.select(explode(array_distinct(
+      split(lower(col("text")), " "))).as("g"))
+    val fullPostings = tokens.count()
+    val prefixPostings = docs
+      .select(size(array_distinct(split(lower(col("text")), " "))).as("sz"))
+      .collect().map { r =>
+        val sz = r.getInt(0); sz - math.ceil(0.8 * sz).toInt + 1
+      }.sum
+    assert(prefixPostings * 2 < fullPostings,
+      s"$prefixPostings vs $fullPostings")
+  }
+
   test("sortedNeighborhood: typo-adjacent names pair; blocks never mix") {
     val recs = Seq(
       (1L, "smith john"), (2L, "smith jon"), (3L, "smith zachary"),
