@@ -2482,6 +2482,42 @@ object ExtQueries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Split-conformal prediction intervals on the MA forecast: per
+    // event type, the 90th-percentile absolute residual becomes every
+    // interval's half-width — distribution-free coverage ≥ 0.9 on
+    // exchangeable days. Exact interpolating percentile (bit-matched
+    // in x_percentiles), row-local band arithmetic.
+    "x_conformal" -> ((s, dir) => {
+      val daily = Events.loadEvents(s, dir)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("total"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      val withF = daily
+        .select(col("event_type"), col("day"),
+          col("total").cast("double").as("total"),
+          (sum(col("total")).over(w).cast("double") /
+            count(col("total")).over(w)).as("forecast"))
+        .filter(col("forecast").isNotNull)
+      Eval.conformalInterval(withF, Seq("event_type"), col("forecast"),
+          col("total"), alpha = 0.1)
+        .select(col("event_type"), col("day"), col("total"),
+          col("forecast"), col("q"), col("lo"), col("hi"), col("hit"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Two-sample Kolmogorov-Smirnov drift statistic over the bounded
+    // quantity domain (50 values — the window is codebook-sized):
+    // early vs late shipments. Exact integer CDF cross-products, one
+    // final IEEE division.
+    "x_ks_test" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Eval.ksTest(
+        li.filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp")),
+        li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")),
+        "l_quantity")
+    }),
+
     // Event-type Markov transition matrix: P(next | current) from each
     // user's ordered event stream — one window pass for adjacent pairs,
     // one group-by for counts, transition probabilities as exact
@@ -2704,6 +2740,21 @@ object ExtQueries {
 
     // Per-group winsorized stats: clip to [p05, p95], count clips,
     // decimal-exact clipped sum + one-division mean.
+    // Exact Gini coefficient of per-customer spend within each market
+    // segment (revenue-concentration / inequality audit): DECIMAL rank
+    // sums, tie-permutation-invariant, one IEEE division per group.
+    "x_gini" -> ((s, dir) => {
+      val spend = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("spend"))
+      val seg = T(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.agg.Robust.gini(spend.join(seg, Seq("o_custkey")),
+          "c_mktsegment", "spend")
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Exact lower weighted median (interpolation-free integer rule —
     // the only weighted-median convention with a cross-engine
     // contract): revenue-weighted quantity center per return flag.
@@ -5197,6 +5248,78 @@ object ExtQueries {
            abs(total - forecast) AS abs_err
          FROM f WHERE forecast IS NOT NULL
          ORDER BY event_type, day""",
+
+    "x_conformal" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+           FROM events GROUP BY 1, 2),
+         f AS (
+           SELECT event_type, day, CAST(total AS DOUBLE) AS total,
+             CAST(SUM(total) OVER w AS DOUBLE)
+               / COUNT(total) OVER w AS forecast
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         r AS (SELECT *, abs(total - forecast) AS resid
+               FROM f WHERE forecast IS NOT NULL),
+         q AS (SELECT event_type, quantile_cont(resid, 0.9) AS q
+               FROM r GROUP BY 1)
+         SELECT r.event_type, day, total, forecast, q.q AS q,
+           forecast - q.q AS lo, forecast + q.q AS hi,
+           total >= forecast - q.q AND total <= forecast + q.q AS hit
+         FROM r JOIN q ON r.event_type = q.event_type
+         ORDER BY r.event_type, day""",
+
+    "x_ks_test" ->
+      """WITH av AS (
+           SELECT l_quantity AS v, COUNT(*) AS ca FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1996-01-01'
+             AND l_quantity IS NOT NULL GROUP BY 1),
+         bv AS (
+           SELECT l_quantity AS v, COUNT(*) AS cb FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_quantity IS NOT NULL GROUP BY 1),
+         p AS (
+           SELECT COALESCE(av.v, bv.v) AS v, COALESCE(ca, 0) AS ca,
+             COALESCE(cb, 0) AS cb
+           FROM av FULL OUTER JOIN bv ON av.v = bv.v),
+         t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM p),
+         c AS (
+           SELECT v,
+             CAST(SUM(ca) OVER w AS BIGINT) AS fa,
+             CAST(SUM(cb) OVER w AS BIGINT) AS fb
+           FROM p WINDOW w AS (ORDER BY v ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(MAX(abs(fa * t.nb - fb * t.na)) AS DOUBLE)
+             / CAST(t.na * t.nb AS DOUBLE) AS ks_d
+         FROM c CROSS JOIN t GROUP BY t.na, t.nb""",
+
+    "x_gini" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+           FROM orders GROUP BY 1),
+         j AS (
+           SELECT c_mktsegment, spend,
+             CAST(spend AS DECIMAL(18,2)) AS v
+           FROM spend JOIN customer ON o_custkey = c_custkey),
+         r AS (
+           SELECT c_mktsegment, v,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY spend) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+               AS n
+           FROM j)
+         SELECT c_mktsegment, MAX(n) AS n,
+           CAST(SUM((i * 2 - n - 1) * v) AS DOUBLE)
+             / CAST(MAX(n) * SUM(v) AS DOUBLE) AS gini
+         FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "x_markov" ->
       """WITH t AS (

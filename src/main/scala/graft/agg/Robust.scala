@@ -113,6 +113,33 @@ object Robust {
     * of the qualifying values. Skew = a hot group's distinct-value
     * list; bounded domains (prices, ratings) keep it small.
     */
+  /** Exact Gini coefficient per group (Lorenz-curve inequality of a
+    * non-negative quantity): G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n·Σx) over
+    * the ascending sort — revenue concentration, data-skew scoring,
+    * fairness audits. Entirely exact until one final IEEE division:
+    * values pin to DECIMAL(18,2), rank coefficients are integers, and
+    * tie blocks contribute the same sum under any permutation, so the
+    * statistic is deterministic on any engine and any partitioning.
+    * One by-key sort window + one aggregate; a group's rows pass
+    * through a single task's sort (the per-key series bound).
+    */
+  def gini(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valCol).cast(DecimalType(18, 2))
+    val byKey = Window.partitionBy(col(groupCol))
+    val w = byKey.orderBy(col(valCol))
+    df.filter(col(valCol).isNotNull)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"),
+        sum((col("__i") * 2 - col("__n") - 1) * v).as("__num"),
+        sum(v).as("__tot"))
+      .select(col(groupCol), col("n"),
+        (col("__num").cast("double") /
+          (col("n") * col("__tot")).cast("double")).as("gini"))
+  }
+
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
                      weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

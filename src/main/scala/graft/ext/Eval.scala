@@ -325,4 +325,74 @@ object Eval {
       .agg(sum(col("__term")).cast("double").as("mi"))
       .select(col("__n").as("n"), col("n_cells"), col("mi"))
   }
+
+  /** Split-conformal prediction intervals (Vovk; Lei et al.): per key,
+    * the (1−α) empirical quantile of the absolute residuals becomes the
+    * half-width of every interval — model-agnostic, distribution-free,
+    * coverage ≥ 1−α on exchangeable data. The band a forecast or
+    * regression needs before anyone acts on it.
+    *
+    * Input: rows with a prediction and an actual. Output: the input
+    * plus (resid, q, lo, hi, hit). One per-key aggregate (Spark's exact
+    * `percentile` — interpolating, bit-matched against DuckDB's
+    * quantile_cont in `x_percentiles`) broadcast back; interval
+    * arithmetic is row-local. Rows with a null prediction (e.g. a
+    * trailing-window warmup) pass through with null band columns and
+    * don't contribute to the quantile.
+    */
+  def conformalInterval(df: DataFrame, keyCols: Seq[String],
+                        predCol: Column, actualCol: Column,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(keyCols.nonEmpty, "need at least one key column")
+    val withR = df.withColumn("resid",
+      when(predCol.isNotNull, abs(actualCol - predCol)))
+    val q = withR.filter(col("resid").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr(s"percentile(resid, ${1.0 - alpha})").as("q"))
+    withR.join(broadcast(q), keyCols, "left")
+      .withColumn("q", when(col("resid").isNotNull, col("q")))
+      .withColumn("lo", predCol - col("q"))
+      .withColumn("hi", predCol + col("q"))
+      .withColumn("hit",
+        when(col("q").isNotNull,
+          actualCol >= col("lo") && actualCol <= col("hi")))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic: D = max |F_a(v) − F_b(v)|
+    * over the pooled value domain — the scale-free drift test PSI's
+    * fixed bins approximate ([[psiBins]] needs a binning choice; KS
+    * does not). Output one row: (n_a, n_b, ks_d).
+    *
+    * Relational shape: per-(value, side) counts → pooled per-value
+    * rows → ONE ordered window over the |distinct values| table for
+    * both running sums (the bounded-domain single-key argument — use
+    * on bounded/binned domains; a near-unique column would make the
+    * window data-sized). D is a max of exact-integer-ratio
+    * differences: |ca·nb − cb·na| stays in Long and one IEEE division
+    * at the end makes the statistic bit-portable.
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val av = a.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__ca"))
+    val bv = b.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cb"))
+    val pooled = av.join(bv, Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = pooled.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    pooled
+      .withColumn("__fa", sum(col("__ca")).over(w))
+      .withColumn("__fb", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("__fa") * col("n_b") - col("__fb") * col("n_a")))
+        .as("__num"))
+      .select(col("n_a"), col("n_b"),
+        (col("__num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks_d"))
+  }
 }

@@ -58,6 +58,27 @@ class RobustSpec extends SparkTestBase {
       h.getAs[Double]("whisker_hi") == 5.0)
   }
 
+  test("gini: known values — equality 0, extreme concentration -> (n-1)/n") {
+    val equal = (1 to 10).map(i => ("e", 5.0)).toDF("g", "v")
+    val concentrated = (("c", 100.0) +: Seq.fill(9)(("c", 0.0))).toDF("g", "v")
+    val ge = Robust.gini(equal, "g", "v").as[(String, Long, Double)].head()
+    assert(ge._2 == 10L && ge._3 == 0.0)
+    val gc = Robust.gini(concentrated, "g", "v")
+      .as[(String, Long, Double)].head()
+    assert(gc._3 == 0.9) // one holder of everything: (n-1)/n
+  }
+
+  test("gini == brute-force mean-absolute-difference formula") {
+    // G = Σ|xi−xj| / (2 n Σx) over all ordered pairs
+    val rnd = new scala.util.Random(31)
+    val vals = Seq.fill(60)((rnd.nextInt(1000) + 1).toDouble)
+    val got = Robust.gini(vals.map(("g", _)).toDF("g", "v"), "g", "v")
+      .as[(String, Long, Double)].head()._3
+    val madSum = (for { a <- vals; b <- vals } yield math.abs(a - b)).sum
+    val want = madSum / (2.0 * vals.size * vals.sum)
+    assert(math.abs(got - want) < 1e-9, s"$got vs $want")
+  }
+
   test("weightedMedian: lower-median rule, weights dominate counts") {
     val df = Seq(
       // group a: value 10 carries 1, value 20 carries 5 -> median 20

@@ -203,4 +203,58 @@ class EvalSpec extends SparkTestBase {
     val got = Eval.auc(df, col("s"), col("y")).head().getDouble(2)
     assert(math.abs(got - want) < 1e-12)
   }
+
+  test("conformalInterval: hand quantile, coverage flags, null pred") {
+    import spark.implicits._
+    // key k: residuals 1,2,3,4,5 -> q(0.5) = 3 (exact interpolating
+    // percentile on odd count); one null-prediction row passes through
+    val df = Seq(("k", 10.0, 11.0), ("k", 10.0, 12.0), ("k", 10.0, 13.0),
+      ("k", 10.0, 14.0), ("k", 10.0, 15.0))
+      .toDF("g", "pred", "actual")
+      .union(Seq(("k", Option.empty[Double], 99.0))
+        .toDF("g", "pred", "actual"))
+    val got = Eval.conformalInterval(df, Seq("g"), col("pred"),
+        col("actual"), alpha = 0.5)
+      .orderBy(col("actual")).collect()
+    val banded = got.filter(!_.isNullAt(3))
+    assert(banded.forall(_.getDouble(4) == 3.0)) // q
+    // lo/hi = 7..13; actuals 11,12,13 hit; 14,15 miss -> coverage 3/5
+    assert(banded.map(r => r.getBoolean(7)).toSeq ==
+      Seq(true, true, true, false, false))
+    val nullRow = got.filter(_.isNullAt(1)).head
+    assert(nullRow.isNullAt(4) && nullRow.isNullAt(7))
+  }
+
+  test("conformalInterval: empirical coverage >= 1 - alpha on " +
+    "exchangeable residuals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 500).map { i =>
+      ("k", 50.0, 50.0 + rnd.nextGaussian() * 5) }
+      .toDF("g", "pred", "actual")
+    val hits = Eval.conformalInterval(df, Seq("g"), col("pred"),
+        col("actual"), alpha = 0.2)
+      .filter(col("hit")).count()
+    assert(hits >= (500 * 0.8 * 0.95).toLong, s"coverage $hits/500")
+  }
+
+  test("ksTest: hand-computed D, zero on identical samples") {
+    import spark.implicits._
+    val a = Seq(1, 1, 2, 3).toDF("v")   // F_a: 1->.5, 2->.75, 3->1
+    val b = Seq(2, 3, 3, 4).toDF("v")   // F_b: 1->0, 2->.25, 3->.75, 4->1
+    val (na, nb, d) = Eval.ksTest(a, b, "v")
+      .as[(Long, Long, Double)].head()
+    assert((na, nb) == ((4L, 4L)))
+    assert(d == 0.5) // at v=1: |.5 - 0|
+    val (_, _, z) = Eval.ksTest(a, a, "v").as[(Long, Long, Double)].head()
+    assert(z == 0.0)
+  }
+
+  test("ksTest detects a shifted distribution") {
+    import spark.implicits._
+    val a = (0 until 400).map(_ % 20).toDF("v")
+    val b = (0 until 400).map(i => i % 20 + 8).toDF("v")
+    val d = Eval.ksTest(a, b, "v").as[(Long, Long, Double)].head()._3
+    assert(d >= 0.35, s"shift not detected: $d")
+  }
 }
