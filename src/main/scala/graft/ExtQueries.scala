@@ -176,6 +176,15 @@ object ExtQueries {
       Similarity.nearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
         maxId = 300L, threshold = 0.3)),
 
+    // DBSCAN over the LSH-blocked cosine neighbor graph: cores by
+    // degree, clusters = min-id components of the core-core subgraph,
+    // borders attach to their smallest core neighbor, the rest is
+    // noise — no k, outliers stay out. Every tie-break is an id MIN.
+    "x_dbscan" -> ((s, dir) =>
+      Similarity.dbscan(T(s, dir, "embeddings"), "vec_id", "embedding",
+          maxId = 150L, eps = 0.25, minPts = 2)
+        .orderBy(col("id"))),
+
     // Leakage-free 80/20 split: near-dup clusters (minhash candidate
     // components) land whole in one split — the decontamination
     // guarantee; the split decision hashes the cluster REP, not the id.
@@ -2740,6 +2749,24 @@ object ExtQueries {
 
     // Per-group winsorized stats: clip to [p05, p95], count clips,
     // decimal-exact clipped sum + one-division mean.
+    // Theil-Sen robust trend of MONTHLY revenue per status: median of
+    // all pairwise slopes + median-residual intercept — OLS-breaking
+    // outlier periods move the answer by nothing. O(n²) pairs per
+    // group is the operator's contract, which is exactly why the
+    // series is the ~84-month aggregate, not 2.4k days: the daily form
+    // measured 23 s (8.6M slopes through an exact percentile) vs
+    // sub-second monthly — Theil-Sen is a bounded-series operator.
+    "x_theil_sen" -> ((s, dir) => {
+      val monthly = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) " +
+            "div 86400000000 div 30").as("month"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      graft.agg.Robust.theilSen(monthly, "status", "month", "revenue")
+        .orderBy(col("status"))
+    }),
+
     // Exact Gini coefficient of per-customer spend within each market
     // segment (revenue-concentration / inequality audit): DECIMAL rank
     // sums, tie-permutation-invariant, one IEEE division per group.
@@ -3916,6 +3943,59 @@ object ExtQueries {
           SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
           FROM cand WHERE ${cosSql("va", "vb")} > 0.3
           ORDER BY id_a, id_b""",
+
+    // same blocked neighbor graph, then textbook DBSCAN in SQL:
+    // degrees -> cores -> recursive core-core closure -> border attach
+    "x_dbscan" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, $qvec AS v
+                     FROM embeddings WHERE vec_id < 150),
+          bands AS (${signBandsSql(8, 6, "embeddings WHERE vec_id < 150")}),
+          ea AS (SELECT e.vec_id, v, tbl, bucket
+                 FROM e JOIN bands ON e.vec_id = bands.vec_id),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
+                            b.vec_id AS id_b, b.v AS vb
+            FROM ea a JOIN ea b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+          pairs AS (
+            SELECT id_a, id_b FROM cand
+            WHERE ${cosSql("va", "vb")} > 0.25),
+          sym AS (SELECT id_a, id_b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+          deg AS (SELECT id_a AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+          cores AS (SELECT id FROM deg WHERE d >= 2),
+          ce AS (
+            SELECT id_a, id_b FROM pairs
+            WHERE id_a IN (SELECT id FROM cores)
+              AND id_b IN (SELECT id FROM cores)),
+          cedges AS (SELECT id_a AS src, id_b AS dst FROM ce
+                     UNION SELECT id_b, id_a FROM ce),
+          reach(src, dst) AS (
+            SELECT src, dst FROM cedges
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN cedges e2
+              ON r.dst = e2.src),
+          comp AS (
+            SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src),
+          corec AS (
+            SELECT c.id, COALESCE(comp.cluster_id, c.id) AS cluster
+            FROM cores c LEFT JOIN comp ON c.id = comp.id),
+          borderc AS (
+            SELECT s.id_a AS id, MIN(cc.cluster) AS cluster
+            FROM sym s JOIN corec cc ON s.id_b = cc.id
+            WHERE s.id_a NOT IN (SELECT id FROM cores)
+            GROUP BY 1)
+          SELECT v.vec_id AS id,
+            CASE WHEN cc.id IS NOT NULL THEN 'core'
+                 WHEN bc.id IS NOT NULL THEN 'border'
+                 ELSE 'noise' END AS role,
+            COALESCE(cc.cluster, bc.cluster) AS cluster
+          FROM e v
+          LEFT JOIN corec cc ON v.vec_id = cc.id
+          LEFT JOIN borderc bc ON v.vec_id = bc.id
+          ORDER BY v.vec_id""",
 
     // ±1 signs re-derived per (input dim i, output dim j) from the same
     // md5 formula Similarity.signProjSigns computes driver-side; exact
@@ -5298,6 +5378,32 @@ object ExtQueries {
            CAST(MAX(abs(fa * t.nb - fb * t.na)) AS DOUBLE)
              / CAST(t.na * t.nb AS DOUBLE) AS ks_d
          FROM c CROSS JOIN t GROUP BY t.na, t.nb""",
+
+    "x_theil_sen" ->
+      """WITH monthly AS (
+           SELECT o_orderstatus AS status,
+             CAST(epoch(date_trunc('second', CAST(o_orderdate
+               AS TIMESTAMP))) AS BIGINT) // 86400 // 30 AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+           FROM orders GROUP BY 1, 2),
+         sl AS (
+           SELECT a.status,
+             (b.revenue - a.revenue)
+               / CAST(b.month - a.month AS DOUBLE) AS s
+           FROM monthly a JOIN monthly b
+             ON a.status = b.status AND a.month < b.month),
+         m AS (
+           SELECT status, quantile_cont(s, 0.5) AS slope,
+             COUNT(*) AS n_pairs
+           FROM sl GROUP BY 1),
+         r AS (
+           SELECT d.status, slope, n_pairs,
+             revenue - slope * CAST(month AS DOUBLE) AS r
+           FROM monthly d JOIN m ON d.status = m.status)
+         SELECT status, slope, quantile_cont(r, 0.5) AS intercept,
+           n_pairs
+         FROM r GROUP BY status, slope, n_pairs ORDER BY status""",
 
     "x_gini" ->
       """WITH spend AS (

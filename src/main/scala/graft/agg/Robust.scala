@@ -113,6 +113,46 @@ object Robust {
     * of the qualifying values. Skew = a hot group's distinct-value
     * list; bounded domains (prices, ratings) keep it small.
     */
+  /** Theil-Sen robust trend per group: slope = median of all pairwise
+    * slopes (v_b−v_a)/(t_b−t_a), intercept = median of (v − slope·t) —
+    * up to 29 % contamination tolerated where OLS (`regr_slope`)
+    * follows a single corrupted day. The pair join is O(n²) per group
+    * BY DEFINITION — use on bounded series (daily aggregates:
+    * 365 days → 66 k pairs), never raw events; the equi-join on the
+    * group key is the only shuffle and medians are exact interpolating
+    * percentiles (bit-matched cross-engine in `x_percentiles`).
+    */
+  def theilSen(df: DataFrame, groupCol: String, tickCol: String,
+               valCol: String): DataFrame = {
+    val base = df
+      .filter(col(tickCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol), col(tickCol).cast("long").as("__t"),
+        col(valCol).cast("double").as("__v"))
+      // referenced by both pair sides AND the residual pass — without
+      // a barrier the upstream aggregate runs three times
+      .localCheckpoint(false)
+    val a = base.select(col(groupCol), col("__t").as("__ta"),
+      col("__v").as("__va"))
+    val b = base.select(col(groupCol), col("__t").as("__tb"),
+      col("__v").as("__vb"))
+    val slopes = a.join(b, Seq(groupCol))
+      .filter(col("__ta") < col("__tb"))
+      .select(col(groupCol),
+        ((col("__vb") - col("__va")) /
+          (col("__tb") - col("__ta")).cast("double")).as("__s"))
+      .groupBy(col(groupCol))
+      .agg(expr("percentile(__s, 0.5)").as("slope"),
+        count(lit(1)).as("n_pairs"))
+    base.join(broadcast(slopes), Seq(groupCol))
+      .select(col(groupCol), col("slope"), col("n_pairs"),
+        (col("__v") - col("slope") * col("__t").cast("double"))
+          .as("__r"))
+      .groupBy(col(groupCol), col("slope"), col("n_pairs"))
+      .agg(expr("percentile(__r, 0.5)").as("intercept"))
+      .select(col(groupCol), col("slope"), col("intercept"),
+        col("n_pairs"))
+  }
+
   /** Exact Gini coefficient per group (Lorenz-curve inequality of a
     * non-negative quantity): G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n·Σx) over
     * the ascending sort — revenue concentration, data-skew scoring,

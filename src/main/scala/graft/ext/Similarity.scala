@@ -790,6 +790,68 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Density clustering (DBSCAN, Ester et al. 1996) over the
+    * LSH-blocked cosine neighbor graph: core points have ≥ `minPts`
+    * neighbors at cosine ≥ `eps`, clusters are connected components of
+    * the core-core subgraph (min-id labels via
+    * [[Dedup.connectedComponents]]), border points attach to the
+    * smallest-labelled core neighbor, everything else is noise — the
+    * curation clusterer that, unlike k-means, needs no k and leaves
+    * outliers OUT instead of forcing them into a centroid.
+    *
+    * Neighborhoods come from [[nearDupPairs]]' sign-band candidates —
+    * bucketed, never O(n²); that makes the ε-neighborhood RECALL
+    * LSH-bounded (the standard at-scale trade, same as every blocked
+    * dedup here; the oracle replays the same blocks, so correctness is
+    * checked against the blocked semantics). Every tie-break is a MIN
+    * over exact ids — deterministic on any engine.
+    *
+    * Output: (id, role ∈ core|border|noise, cluster — null for noise).
+    */
+  def dbscan(emb: DataFrame, idCol: String, vecCol: String, maxId: Long,
+             eps: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pairs = nearDupPairs(emb, idCol, vecCol, maxId, threshold = eps)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(false) // degrees + core-core edges + border join
+    val sym = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val degrees = sym.groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("__deg"))
+    val ids = (if (maxId > 0) emb.filter(col(idCol) < maxId) else emb)
+      .select(col(idCol).as("id"))
+    val cores = degrees.filter(col("__deg") >= minPts)
+      .select(col("id")).localCheckpoint(false)
+    val coreEdges = pairs
+      .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(cores.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    // CC labels cover only cores WITH a core neighbor; isolated cores
+    // are their own singleton cluster
+    val coreLabels = Dedup.connectedComponents(coreEdges)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    val coreClusters = cores
+      .join(coreLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id"))
+        .as("cluster"))
+      .localCheckpoint(false)
+    val borderClusters = sym
+      .join(coreClusters.select(col("id").as("id_b"), col("cluster")),
+        Seq("id_b"))
+      .join(coreClusters.select(col("id").as("id_a")), Seq("id_a"),
+        "left_anti")
+      .groupBy(col("id_a").as("id"))
+      .agg(min(col("cluster")).as("cluster"))
+    ids
+      .join(coreClusters.withColumn("role", lit("core")), Seq("id"), "left")
+      .join(borderClusters.withColumnRenamed("cluster", "__bc"),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("role").isNotNull, col("role"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("cluster"), col("__bc")).as("cluster"))
+  }
+
   /** All-pairs near-dup reference: the exact (unblocked) form of
     * [[nearDupPairs]], O(n²) by construction — small-N ground truth for
     * measuring the blocked variant's recall, never a production path.

@@ -58,6 +58,23 @@ class RobustSpec extends SparkTestBase {
       h.getAs[Double]("whisker_hi") == 5.0)
   }
 
+  test("theilSen: exact line recovered; one wild outlier moves nothing") {
+    // y = 3t + 10 on t=0..9, except t=5 is corrupted by +1000
+    val clean = (0L to 9L).map(t => ("k", t, 3.0 * t + 10.0))
+    val dirty = clean.map { case (g, t, v) =>
+      if (t == 5L) (g, t, v + 1000.0) else (g, t, v) }
+    val got = Robust.theilSen(dirty.toDF("g", "t", "v"), "g", "t", "v")
+      .as[(String, Double, Double, Long)].head()
+    assert(got._2 == 3.0, s"slope ${got._2}")       // median slope exact
+    assert(got._3 == 10.0, s"intercept ${got._3}")  // median residual
+    assert(got._4 == 45L)                           // C(10,2) pairs
+    // OLS on the same data is dragged far off the true slope
+    val ols = dirty.toDF("g", "t", "v")
+      .agg(org.apache.spark.sql.functions.expr("regr_slope(v, t)"))
+      .head().getDouble(0)
+    assert(math.abs(ols - 3.0) > 5.0, s"OLS $ols unexpectedly robust")
+  }
+
   test("gini: known values — equality 0, extreme concentration -> (n-1)/n") {
     val equal = (1 to 10).map(i => ("e", 5.0)).toDF("g", "v")
     val concentrated = (("c", 100.0) +: Seq.fill(9)(("c", 0.0))).toDF("g", "v")

@@ -248,6 +248,44 @@ class AnnRecallSpec extends SparkTestBase {
       "corpus must shuffle once (partial-agged cell/dim means):\n" + plan)
   }
 
+  test("dbscan: two planted blobs cluster, stragglers stay noise") {
+    import spark.implicits._
+    // 8-dim vectors: blob A around e1, blob B around e2, two isolates
+    def v(base: Int, jitter: Float) = Array.tabulate(8)(i =>
+      (if (i == base) 1.0f else 0.0f) + (if (i == (base + 1) % 8) jitter
+       else 0.0f))
+    val rows = Seq(
+      (0L, v(0, 0.05f)), (1L, v(0, 0.1f)), (2L, v(0, 0.15f)),
+      (10L, v(2, 0.05f)), (11L, v(2, 0.1f)), (12L, v(2, 0.15f)),
+      (20L, v(5, 0.0f)), (21L, v(7, 0.0f))) // isolated directions
+    val out = Similarity.dbscan(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", maxId = 0, eps = 0.9, minPts = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // blob A -> one cluster labelled by its min id 0
+    Seq(0L, 1L, 2L).foreach(i => assert(out(i) == (("core", 0L)), s"$i"))
+    Seq(10L, 11L, 12L).foreach(i => assert(out(i) == (("core", 10L))))
+    Seq(20L, 21L).foreach(i => assert(out(i)._1 == "noise" &&
+      out(i)._2 == -1L))
+  }
+
+  test("dbscan: border points attach to the smallest core neighbor") {
+    import spark.implicits._
+    // chain: 1-2-3 dense (cores), 9 touches only core 3 with a single
+    // neighbor -> border of cluster 1
+    def u(a: Double, b: Double) = Array(a.toFloat, b.toFloat)
+    val rows = Seq(
+      (1L, u(1, 0)), (2L, u(0.995, 0.0999)), (3L, u(0.98, 0.198)),
+      (9L, u(0.93, 0.36)))
+    val out = Similarity.dbscan(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", maxId = 0, eps = 0.98, minPts = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(2L)._1 == "core")
+    assert(out(9L)._1 == "border" && out(9L)._2 == out(2L)._2,
+      out.toString)
+  }
+
   test("randomProject == plain-Scala signed sums over quantized values") {
     import spark.implicits._
     val vecs = Seq(
