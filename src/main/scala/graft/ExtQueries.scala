@@ -346,6 +346,17 @@ object ExtQueries {
         .orderBy(col("node"))
     }),
 
+    // Per-node local clustering coefficient on the co-purchase graph:
+    // the triangle machinery with each found triangle credited to all
+    // three corners — community cohesion per item.
+    "x_clustering_coef" -> ((s, dir) =>
+      graft.ext.Graph.clusteringCoefficients(
+          Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey",
+              "l_partkey", maxBasket = 0)
+            .filter(col("pair_support") >= 2)
+            .select(col("item_a").as("a"), col("item_b").as("b")))
+        .orderBy(col("node"))),
+
     // SemDeDup: cluster-bounded semantic near-dup pruning. Fixed
     // 8-vector codebook for determinism; the synthetic corpus has no
     // true semantic dups (max pairwise cosine 0.51), so the 0.3
@@ -1470,6 +1481,26 @@ object ExtQueries {
     "x_fd_summary" -> ((s, dir) =>
       Quality.fdSummary(T(s, dir, "lineitem"),
         Seq("l_partkey"), "l_suppkey")),
+
+    // Group-median imputation with provenance: 10% of quantities
+    // hash-masked to null, refilled with the per-flag exact median and
+    // flagged — the robust imputation + missingness-indicator pattern.
+    "x_impute" -> ((s, dir) => {
+      val masked = T(s, dir, "lineitem")
+        .withColumn("qty_obs",
+          when(pmod(Hashing.hash64(concat_ws("|", col("l_orderkey"),
+            col("l_linenumber")), 5), lit(10L)) === 0,
+            lit(null).cast("double"))
+            .otherwise(col("l_quantity")))
+      graft.ops.Tidy.imputeGroupMedian(masked, "l_returnflag", "qty_obs")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("qty_obs_imputed"), 1L).otherwise(0L))
+            .as("n_imputed"),
+          sum(col("qty_obs").cast(DecimalType(18, 2))).cast("double")
+            .as("qty_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Benford first-digit audit of the price column: digit shares vs
     // log10(1+1/d), string-based digit extraction over the DECIMAL
@@ -5198,6 +5229,59 @@ object ExtQueries {
            CAST(SUM(viol) AS DOUBLE) / CAST(SUM(n_rows) AS DOUBLE)
              AS g3_error
          FROM g""",
+
+    "x_clustering_coef" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         pairs AS (
+           SELECT a.i AS u, b.i AS v
+           FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         deg AS (
+           SELECT n, COUNT(*) AS d FROM (
+             SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+           GROUP BY 1),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM pairs e1
+           JOIN pairs e2 ON e2.u = e1.v
+           JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+         corners AS (
+           SELECT unnest([a, b, c]) AS n FROM tri),
+         tc AS (SELECT n, COUNT(*) AS t FROM corners GROUP BY 1)
+         SELECT deg.n AS node, deg.d AS degree,
+           COALESCE(tc.t, 0) AS n_triangles,
+           CASE WHEN deg.d >= 2 THEN
+             CAST(COALESCE(tc.t, 0) * 2 AS DOUBLE)
+               / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+           ELSE 0.0 END AS clustering_coef
+         FROM deg LEFT JOIN tc ON deg.n = tc.n
+         ORDER BY node""",
+
+    "x_impute" -> {
+      val mask = "CAST(('0x' || substr(md5('5|' || " +
+        "CAST(l_orderkey AS VARCHAR) || '|' || " +
+        "CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0"
+      s"""WITH m AS (
+            SELECT l_returnflag,
+              CASE WHEN $mask THEN NULL ELSE l_quantity END AS q
+            FROM lineitem),
+          gm AS (
+            SELECT l_returnflag, quantile_cont(q, 0.5) AS gmed
+            FROM m WHERE q IS NOT NULL GROUP BY 1),
+          gg AS (SELECT quantile_cont(q, 0.5) AS med
+                 FROM m WHERE q IS NOT NULL),
+          f AS (
+            SELECT m.l_returnflag, q IS NULL AS imputed,
+              COALESCE(q, gm.gmed, gg.med) AS qf
+            FROM m LEFT JOIN gm ON m.l_returnflag = gm.l_returnflag
+            CROSS JOIN gg)
+          SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(CASE WHEN imputed THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_imputed,
+            CAST(SUM(CAST(qf AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+          FROM f GROUP BY 1 ORDER BY 1"""
+    },
 
     // digit from the DECIMAL(18,2) string rendering; expected shares
     // re-derived via log10 and pinned at 9 dp on both engines

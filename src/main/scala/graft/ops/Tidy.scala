@@ -68,4 +68,32 @@ object Tidy {
     selections.foldLeft(df) { case (d, (c, vs)) =>
       d.filter(col(c).isin(vs: _*))
     }
+
+  /** Group-median imputation with a provenance flag: nulls in
+    * `valueCol` are replaced by their group's exact median (the robust
+    * choice — a mean follows the outliers the nulls often correlate
+    * with), and `<valueCol>_imputed` records which rows were filled —
+    * the flag an honest feature pipeline keeps, since imputed values
+    * carry information about missingness itself. Groups that are ALL
+    * null fall back to the global median.
+    *
+    * One per-group aggregate (exact interpolating `percentile` over
+    * non-nulls) + a 1-row global aggregate, both broadcast back; the
+    * fill is row-local. Bit-portable: the percentile is the
+    * cross-engine-matched exact form.
+    */
+  def imputeGroupMedian(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val med = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__gmed"))
+    val global = df.filter(col(valueCol).isNotNull)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .crossJoin(broadcast(global))
+      .withColumn(s"${valueCol}_imputed", col(valueCol).isNull)
+      .withColumn(valueCol,
+        coalesce(col(valueCol), col("__gmed"), col("__med")))
+      .drop("__gmed", "__med")
+  }
 }

@@ -433,6 +433,35 @@ object StreamOps {
         (coalesce(col("psi"), lit(0.0)) > alarmAt).as("alarm"))
   }
 
+  /** Binning-free drift monitor: per micro-batch two-sample
+    * Kolmogorov-Smirnov statistic of the live value distribution vs a
+    * static reference ([[graft.ext.Eval.ksTest]]) — the complement of
+    * [[driftSink]]'s PSI, which needs a bin choice; KS compares raw
+    * CDFs, so it also catches within-bin shape shifts PSI smooths
+    * away. One `(batch_id, n_ref, n_batch, ks_d, alarm)` row appended
+    * per epoch. The value domain should be bounded/binned upstream
+    * (the ksTest contract); the reference is re-read per batch — keep
+    * it aggregated or persisted.
+    */
+  def ksDriftSink(stream: DataFrame, valueCol: String, ref: DataFrame,
+                  alarmAt: Double, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ksDriftBatch(batch, valueCol, ref, alarmAt, id)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
+  /** One KS evaluation (the foreachBatch body, callable directly). */
+  def ksDriftBatch(batch: DataFrame, valueCol: String, ref: DataFrame,
+                   alarmAt: Double, batchId: Long): DataFrame =
+    graft.ext.Eval.ksTest(ref, batch, valueCol)
+      .select(lit(batchId).as("batch_id"),
+        col("n_a").as("n_ref"), col("n_b").as("n_batch"),
+        col("ks_d"), (col("ks_d") > alarmAt).as("alarm"))
+
   // ---- custom state: streaming heavy hitters --------------------------
 
   case class HeavyHit(bucket: Int, key: String, minCount: Long,

@@ -97,6 +97,37 @@ class GraphSpec extends SparkTestBase {
     assert(got == ((nodes.size.toLong, canon.size.toLong, expected)))
   }
 
+  private def ccoef(pairs: (Long, Long)*) =
+    Graph.clusteringCoefficients(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("clusteringCoefficients: K4 is all 1.0; a path is all 0") {
+    val k4 = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    ccoef(k4: _*).foreach { case (n, (d, t, c)) =>
+      assert(d == 3L && t == 3L && c == 1.0, s"node $n") }
+    val path = ccoef((1L, 2L), (2L, 3L), (3L, 4L))
+    path.foreach { case (_, (_, t, c)) => assert(t == 0L && c == 0.0) }
+  }
+
+  test("clusteringCoefficients: triangle + pendant — the textbook mix") {
+    // triangle 1-2-3 plus pendant edge 3-4: nodes 1,2 coef 1;
+    // node 3 has degree 3, one triangle -> 2*1/(3*2) = 1/3; leaf 4 -> 0
+    val out = ccoef((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(out(1L) == ((2L, 1L, 1.0)) && out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("clusteringCoefficients: per-node counts sum to 3x triangleCount") {
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(80)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter(e => e._1 != e._2)
+    val perNode = ccoef(edges: _*).values.map(_._2).sum
+    val total = tri(edges: _*)._3
+    assert(perNode == 3 * total, s"$perNode vs 3x$total")
+  }
+
   private def bfs(edges: org.apache.spark.sql.DataFrame, seeds: Seq[Long],
                   hops: Int) =
     Graph.bfsDistances(edges, seeds.toDF("node"), hops)

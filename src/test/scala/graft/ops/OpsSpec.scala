@@ -99,4 +99,26 @@ class OpsSpec extends SparkTestBase {
       (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
     assert(got == Seq(("k1", 1.0, 2.0), ("k2", 3.0, 4.0)))
   }
+
+  test("imputeGroupMedian: group median fill, flag, all-null fallback") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(9.0)), ("a", None),
+      ("b", Some(10.0)), ("b", None),
+      ("c", None), ("c", None) // all-null group -> global median
+    ).toDF("g", "v")
+    val out = Tidy.imputeGroupMedian(df, "g", "v")
+      .select("g", "v", "v_imputed")
+      .as[(String, Double, Boolean)].collect().toSeq
+    assert(out.forall(_._2 != 0.0) && !out.exists(r => r._2.isNaN))
+    val filledA = out.filter(r => r._1 == "a" && r._3).map(_._2)
+    assert(filledA == Seq(3.0))            // median of 1,3,9
+    val filledB = out.filter(r => r._1 == "b" && r._3).map(_._2)
+    assert(filledB == Seq(10.0))           // single observed value
+    val filledC = out.filter(r => r._1 == "c").map(_._2)
+    // global median over 1,3,9,10 = interpolated 6.0
+    assert(filledC == Seq(6.0, 6.0), filledC.toString)
+    // untouched rows keep their values and a false flag
+    assert(out.filter(!_._3).map(_._2).sorted ==
+      Seq(1.0, 3.0, 9.0, 10.0))
+  }
 }

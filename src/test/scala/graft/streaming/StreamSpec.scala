@@ -831,4 +831,33 @@ class StreamSpec extends SparkTestBase {
         s"shifted batch should alarm: ${out.toSeq}")
     } finally q.stop()
   }
+
+  test("ksDriftSink: CDF-shape shift alarms where same-shape stays quiet") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ksdrift").toString
+    val ref = (0 until 100).map(i => i % 10).toDF("v")
+    val mem = MemoryStream[Int]
+    val q = ksDriftSink(mem.toDF().withColumnRenamed("value", "v"),
+      "v", ref, alarmAt = 0.3,
+      outDir = s"$tmp/out", checkpointDir = s"$tmp/ckpt")
+    try {
+      mem.addData(0 until 50 map (_ % 10): _*) // identical CDF -> D = 0
+      q.processAllAvailable()
+      mem.addData((0 until 50).map(_ % 10 + 5): _*) // shifted by 5
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out").orderBy("batch_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4)))
+      assert(out.length == 2)
+      assert(out(0)._2 == 50 && out(0)._3 == 0.0 && !out(0)._4,
+        out.toSeq.toString)
+      assert(out(1)._3 == 0.5 && out(1)._4, // half the mass displaced
+        out.toSeq.toString)
+      // the foreachBatch body equals the batch operator on same inputs
+      val direct = ksDriftBatch((0 until 50).map(_ % 10 + 5).toDF("v"),
+        "v", ref, 0.3, 1L).collect().head
+      assert(direct.getDouble(3) == out(1)._3)
+    } finally q.stop()
+  }
 }
