@@ -2598,6 +2598,49 @@ object ExtQueries {
         .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
         .limit(40)),
 
+    // Recommender offline eval capstone: train/test split by order
+    // hash → item-item cosine top-3 from TRAIN co-occurrence only →
+    // hit-rate of TEST co-occurrence pairs against the rec lists. The
+    // full neighborhood-CF evaluation loop as one lazy plan; every
+    // tie-break total (cosine desc, neighbor id).
+    "x_rec_eval" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      val isTest = pmod(Hashing.hash64(col("b").cast("string"), 13),
+        lit(5L)) === 0 // 20% of baskets held out
+      val train = li.filter(!isTest)
+      val test = li.filter(isTest)
+      val sims = Basket.itemCosine(train, "b", "i",
+          maxBasket = 0, minPairSupport = 2)
+        .select(col("item_a"), col("item_b"), col("cosine"))
+        .localCheckpoint(false) // both symmetric directions below
+      val sym = sims.unionByName(sims.select(col("item_b").as("item_a"),
+        col("item_a").as("item_b"), col("cosine")))
+      val w = Window.partitionBy(col("item_a"))
+        .orderBy(col("cosine").desc, col("item_b"))
+      val recs = sym.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 3)
+        .select(col("item_a"), col("item_b"))
+      val testPairs = test.groupBy(col("b"))
+        .agg(sort_array(collect_set(col("i"))).as("items"))
+        .select(explode(flatten(transform(col("items"), (x, j) =>
+          transform(
+            slice(col("items"), j + lit(2),
+              greatest(size(col("items")) - j - 1, lit(0))),
+            y => struct(x.as("a"), y.as("c")))))).as("p"))
+        .select(col("p.a"), col("p.c")).distinct()
+      val hits = testPairs
+        .join(recs.select(col("item_a").as("a"), col("item_b").as("c"))
+          .unionByName(recs.select(col("item_b").as("a"),
+            col("item_a").as("c")))
+          .distinct(), Seq("a", "c"), "left_semi")
+      testPairs.agg(count(lit(1)).as("n_test_pairs"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_test_pairs"), col("n_hits"),
+          (col("n_hits").cast("double") /
+            col("n_test_pairs").cast("double")).as("hit_rate"))
+    }),
+
     // Frequent triples (the 3-itemset step): C(b,3) row-local emission
     // from the sorted basket array, support-pruned at the aggregate.
     "x_itemsets3" -> ((s, dir) =>
@@ -6499,6 +6542,49 @@ object ExtQueries {
          JOIN s sb ON pairs.item_b = sb.i
          WHERE pair_support >= 2
          ORDER BY cosine DESC, item_a, item_b LIMIT 40""",
+
+    "x_rec_eval" -> {
+      val isTest = s"${Hashing.hash64Sql("CAST(b AS VARCHAR)", 13)} % 5 = 0"
+      s"""WITH li AS (
+            SELECT l_orderkey AS b, l_partkey AS i FROM lineitem),
+          bi_tr AS (SELECT DISTINCT b, i FROM li WHERE NOT ($isTest)),
+          bi_te AS (SELECT DISTINCT b, i FROM li WHERE $isTest),
+          pairs AS (
+            SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS ps
+            FROM bi_tr a JOIN bi_tr b2 ON a.b = b2.b AND a.i < b2.i
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          s AS (SELECT i, COUNT(*) AS s FROM bi_tr GROUP BY 1),
+          sims AS (
+            SELECT item_a, item_b,
+              round(CAST(ps AS DOUBLE)
+                / sqrt(CAST(sa.s * sb.s AS DOUBLE)), 9) AS cosine
+            FROM pairs
+            JOIN s sa ON pairs.item_a = sa.i
+            JOIN s sb ON pairs.item_b = sb.i),
+          sym AS (SELECT item_a, item_b, cosine FROM sims
+                  UNION ALL
+                  SELECT item_b, item_a, cosine FROM sims),
+          recs AS (
+            SELECT item_a, item_b FROM (
+              SELECT item_a, item_b,
+                row_number() OVER (PARTITION BY item_a
+                  ORDER BY cosine DESC, item_b) AS rk
+              FROM sym)
+            WHERE rk <= 3),
+          tp AS (
+            SELECT DISTINCT a.i AS a, b2.i AS c
+            FROM bi_te a JOIN bi_te b2 ON a.b = b2.b AND a.i < b2.i),
+          rboth AS (SELECT item_a AS a, item_b AS c FROM recs
+                    UNION SELECT item_b, item_a FROM recs),
+          h AS (SELECT COUNT(*) AS n_hits FROM tp
+                WHERE EXISTS (SELECT 1 FROM rboth r
+                              WHERE r.a = tp.a AND r.c = tp.c)),
+          n AS (SELECT COUNT(*) AS n_test_pairs FROM tp)
+          SELECT n_test_pairs, n_hits,
+            CAST(n_hits AS DOUBLE) / CAST(n_test_pairs AS DOUBLE)
+              AS hit_rate
+          FROM n, h"""
+    },
 
     "x_itemsets3" ->
       """WITH bi AS (
