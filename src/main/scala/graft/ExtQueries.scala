@@ -2465,6 +2465,39 @@ object ExtQueries {
         .limit(20)
     }),
 
+    // Sequence-pattern matching over session paths (MATCH_RECOGNIZE-
+    // lite): classify each 30-min session's ordered event string by
+    // regex — conversion-with-noise ('view...purchase' with anything
+    // between), bounce, and browse-only — one row per
+    // pattern with session counts. RE2-safe patterns run row-local on
+    // the one-row-per-session table.
+    "x_seq_pattern" -> ((s, dir) => {
+      val ts = col("ts_sec")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ts, col("event_id"))
+      val paths = Events.loadEvents(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), ts,
+          when(ts - lag(ts, 1).over(w) > 1800 ||
+               lag(ts, 1).over(w).isNull, 1).otherwise(0)
+            .as("is_new"))
+        .withColumn("sid", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(array_sort(collect_list(
+          struct(col("ts_sec"), col("event_id"), col("event_type"))))
+          .as("evs"))
+        .select(array_join(
+          transform(col("evs"), e => e.getField("event_type")), ">")
+          .as("path"))
+      paths.select(
+          col("path").rlike("view.*purchase").as("converted"),
+          (!col("path").contains(">")).as("bounce"),
+          col("path").rlike("^(view>?)+$").as("browse_only"))
+        .groupBy(col("converted"), col("bounce"), col("browse_only"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("converted"), col("bounce"), col("browse_only"))
+    }),
+
     // A/B-test analysis: users hash-split into two variants (the
     // deterministic splitByHash assignment), purchase values compared
     // by a pooled two-sample z-score. Every aggregate is an exact
@@ -3024,6 +3057,24 @@ object ExtQueries {
         graft.ext.Privacy.suppressRisky(T(s, dir, "customer"),
           Seq("c_mktsegment", "c_nationkey"), k = 3),
         Seq("c_mktsegment", "c_nationkey"), k = 3)),
+
+    // Randomized response (LOCAL DP): 40% of rows report a uniform
+    // segment keyed on deterministic md5 draws; the debiased estimates
+    // recover the true histogram to sampling noise. Released beside
+    // the exact counts so the oracle pins mechanism AND estimator.
+    "x_rr_release" -> ((s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY")
+      val noisy = graft.ext.Privacy.randomizedResponse(
+        T(s, dir, "customer"), "c_custkey", "c_mktsegment", segs,
+        pThousandths = 400, seed = 2)
+      val truth = T(s, dir, "customer").groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_true"))
+      graft.ext.Privacy.rrDebias(noisy, "c_mktsegment", segs,
+          pThousandths = 400)
+        .join(truth, Seq("c_mktsegment"))
+        .orderBy(col("c_mktsegment"))
+    }),
 
     // ε-DP count release (Laplace mechanism, ε=0.5): per-segment counts
     // + deterministic inverse-CDF noise from the md5 hash of the group
@@ -5601,6 +5652,38 @@ object ExtQueries {
          SELECT path, COUNT(*) AS n_sessions FROM p
          GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""",
 
+    "x_seq_pattern" ->
+      """WITH t AS (
+           SELECT user_id, event_id, event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) AS sec
+           FROM events),
+         o AS (
+           SELECT user_id, event_id, event_type, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1
+                  ELSE 0 END AS is_new
+           FROM t
+           WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         s AS (
+           SELECT user_id, event_id, event_type, sec,
+             SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         p AS (
+           SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY sec, event_id) AS path
+           FROM s GROUP BY 1, 2),
+         m AS (
+           SELECT
+             regexp_matches(path, 'view.*purchase') AS converted,
+             path NOT LIKE '%>%' AS bounce,
+             regexp_matches(path, '^(view>?)+$') AS browse_only
+           FROM p)
+         SELECT converted, bounce, browse_only,
+           COUNT(*) AS n_sessions
+         FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
     "x_ab_test" -> {
       val bucket = Sampling.bucketSql("user_id", 7)
       s"""WITH p AS (
@@ -7108,6 +7191,37 @@ object ExtQueries {
              AS BIGINT) AS n_risky_rows,
            MIN(n_rows) AS min_class_size
          FROM safe""",
+
+    "x_rr_release" -> {
+      val fl = Hashing.hash64Sql("CAST(c_custkey AS VARCHAR)", 2)
+      val dr = Hashing.hash64Sql("CAST(c_custkey AS VARCHAR)", 3)
+      s"""WITH c AS (
+            SELECT c_mktsegment, $fl % 1000 AS fl, $dr % 5 AS dw
+            FROM customer),
+          noisy AS (
+            SELECT CASE WHEN fl < 400 THEN
+                CASE dw WHEN 0 THEN 'AUTOMOBILE' WHEN 1 THEN 'BUILDING'
+                  WHEN 2 THEN 'FURNITURE' WHEN 3 THEN 'HOUSEHOLD'
+                  ELSE 'MACHINERY' END
+              ELSE c_mktsegment END AS seg
+            FROM c),
+          cnt AS (SELECT seg, COUNT(*) AS n_noisy FROM noisy GROUP BY 1),
+          dom AS (SELECT unnest(['AUTOMOBILE', 'BUILDING', 'FURNITURE',
+            'HOUSEHOLD', 'MACHINERY']) AS seg),
+          fullc AS (
+            SELECT dom.seg, COALESCE(n_noisy, 0) AS n_noisy
+            FROM dom LEFT JOIN cnt ON dom.seg = cnt.seg),
+          t AS (SELECT CAST(SUM(n_noisy) AS BIGINT) AS n FROM fullc),
+          tr AS (SELECT c_mktsegment, COUNT(*) AS n_true
+                 FROM customer GROUP BY 1)
+          SELECT f.seg AS c_mktsegment, f.n_noisy,
+            (CAST(f.n_noisy AS DOUBLE)
+              - CAST(t.n AS DOUBLE) * 0.4 / 5.0) / 0.6 AS n_est,
+            tr.n_true
+          FROM fullc f CROSS JOIN t
+          JOIN tr ON f.seg = tr.c_mktsegment
+          ORDER BY 1"""
+    },
 
     // deterministic Laplace: u from the 60-bit md5 hash of '0|'||key,
     // noise = -(1/eps)*sgn(u-1/2)*ln(1-2|u-1/2|), pinned at 6 dp

@@ -104,6 +104,65 @@ object Privacy {
     * defeat the mechanism; callers auditing utility can join back to
     * [[kAnonymity]]'s class table.
     */
+  /** Randomized response (Warner 1965 — LOCAL differential privacy,
+    * the per-record complement of [[dpCounts]]' central mechanism):
+    * each row keeps its true category with probability 1−p and
+    * otherwise reports a uniform draw from `domain` — so no single
+    * released ROW is trustworthy, yet aggregate counts debias exactly:
+    * E[noisy_c] = n_c·(1−p) + n·p/k  ⟹  n̂_c = (noisy_c − n·p/k)/(1−p).
+    *
+    * The flip decisions are deterministic md5 draws keyed on `idCol`
+    * (same rationale as [[dpCounts]]: replays must not give an
+    * averaging adversary fresh randomness). Row-local expressions;
+    * the domain rides the plan as literals.
+    *
+    * Returns `df` with `catCol` REPLACED by its randomized value.
+    * `p` is taken in thousandths (pT/1000) so the keep/flip threshold
+    * is exact integer arithmetic.
+    */
+  def randomizedResponse(df: DataFrame, idCol: String, catCol: String,
+                         domain: Seq[String], pThousandths: Int,
+                         seed: Int = 0): DataFrame = {
+    require(domain.nonEmpty, "need the category domain")
+    require(pThousandths >= 0 && pThousandths <= 1000,
+      s"p in [0,1000] thousandths, got $pThousandths")
+    val flip = pmod(Hashing.hash64(col(idCol).cast("string"), seed),
+      lit(1000L)) < pThousandths
+    val draw = pmod(Hashing.hash64(col(idCol).cast("string"), seed + 1),
+      lit(domain.size.toLong))
+    val uniform = domain.zipWithIndex.reverse
+      .foldLeft(lit(domain.last)) { case (acc, (v, i)) =>
+        when(draw === i.toLong, lit(v)).otherwise(acc)
+      }
+    df.withColumn(catCol, when(flip, uniform).otherwise(col(catCol)))
+  }
+
+  /** Debiased count estimates from a randomized-response release:
+    * per category, the noisy count and the unbiased estimate
+    * n̂_c = (noisy_c − n·p/k)/(1−p) (one fixed sequence of
+    * correctly-rounded IEEE ops — bit-portable). Categories absent
+    * from the release still debias (noisy 0), provided via `domain`.
+    */
+  def rrDebias(noisy: DataFrame, catCol: String, domain: Seq[String],
+               pThousandths: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val spark = noisy.sparkSession
+    import spark.implicits._
+    val counts = noisy.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n_noisy"))
+    val full = domain.toDF(catCol)
+      .join(counts, Seq(catCol), "left")
+      .select(col(catCol), coalesce(col("n_noisy"), lit(0L)).as("n_noisy"))
+    val total = full.agg(sum(col("n_noisy")).as("__n"))
+    val p = pThousandths.toDouble / 1000.0
+    val k = domain.size.toDouble
+    full.crossJoin(bc(total))
+      .select(col(catCol), col("n_noisy"),
+        ((col("n_noisy").cast("double") -
+          col("__n").cast("double") * lit(p) / lit(k)) /
+          lit(1.0 - p)).as("n_est"))
+  }
+
   def dpCounts(df: DataFrame, keys: Seq[String], epsilon: Double,
                seed: Int = 0): DataFrame = {
     require(keys.nonEmpty, "need at least one grouping column")

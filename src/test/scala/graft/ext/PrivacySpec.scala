@@ -86,6 +86,33 @@ class PrivacySpec extends SparkTestBase {
     assert(a1 != b)           // a fresh seed is a fresh draw
   }
 
+  test("randomizedResponse: deterministic, ~p flip rate, debias recovers") {
+    val ids = (1L to 4000L)
+    val df = ids.map(i => (i, if (i % 4 == 0) "x" else "y"))
+      .toDF("id", "cat")
+    val dom = Seq("x", "y", "z")
+    val a = Privacy.randomizedResponse(df, "id", "cat", dom, 300, seed = 1)
+      .as[(Long, String)].collect().toMap
+    val b = Privacy.randomizedResponse(df.repartition(7), "id", "cat",
+      dom, 300, seed = 1).as[(Long, String)].collect().toMap
+    assert(a == b) // replays and repartitions give the same release
+    // about 30% of rows flip to a uniform draw; of those, 1/3 land on
+    // their own category — observed "changed" rate ≈ p·(k−1)/k = 20%
+    val changed = ids.count(i =>
+      a(i) != (if (i % 4 == 0) "x" else "y")).toDouble / ids.size
+    assert(changed > 0.15 && changed < 0.25, s"changed rate $changed")
+    // z appears in the release though no true row carries it
+    assert(a.values.toSet.contains("z"))
+    // debiased estimates bracket the true histogram
+    val noisy = Privacy.randomizedResponse(df, "id", "cat", dom, 300, 1)
+    val est = Privacy.rrDebias(noisy, "cat", dom, 300)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(math.abs(est("x") - 1000.0) < 100, est.toString)
+    assert(math.abs(est("y") - 3000.0) < 100, est.toString)
+    assert(math.abs(est("z") - 0.0) < 100, est.toString)
+  }
+
   test("dpCounts: tighter epsilon means smaller noise magnitude") {
     val loose = Privacy.dpCounts(people, Seq("seg"), epsilon = 0.1, seed = 0)
       .orderBy("seg").as[(String, Double)].collect()
