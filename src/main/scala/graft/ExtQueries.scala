@@ -2874,6 +2874,31 @@ object ExtQueries {
         .orderBy(col("status"))
     }),
 
+    // Robust scaling (median/IQR) of quantity per return flag, fitted
+    // on the full data, shown on a keyed subset — the outlier-immune
+    // standardization next to x_feature_scale's z-score.
+    "x_robust_scale" -> ((s, dir) =>
+      graft.agg.Robust.robustScale(T(s, dir, "lineitem"),
+          "l_returnflag", "l_quantity")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"),
+          col("l_quantity_scaled"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Quantile transform (percent_rank to uniform [0,1]) of account
+    // balance within each segment — the rank-based feature map that
+    // kills both scale and shape.
+    "x_quantile_transform" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .withColumn("q_acctbal", percent_rank().over(
+          Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("c_acctbal"), col("c_custkey"))))
+        .filter(col("c_custkey") < 300)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("q_acctbal"))
+        .orderBy(col("c_custkey"))),
+
     // Exact Gini coefficient of per-customer spend within each market
     // segment (revenue-concentration / inequality audit): DECIMAL rank
     // sums, tie-permutation-invariant, one IEEE division per group.
@@ -5582,6 +5607,28 @@ object ExtQueries {
          SELECT status, slope, quantile_cont(r, 0.5) AS intercept,
            n_pairs
          FROM r GROUP BY status, slope, n_pairs ORDER BY status""",
+
+    "x_robust_scale" ->
+      """WITH st AS (
+           SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS med,
+             quantile_cont(l_quantity, 0.75)
+               - quantile_cont(l_quantity, 0.25) AS iqr
+           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l.l_returnflag, l_quantity,
+           CASE WHEN iqr <> 0.0 THEN (l_quantity - med) / iqr END
+             AS l_quantity_scaled
+         FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+         WHERE l_orderkey < 2000
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "x_quantile_transform" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+           percent_rank() OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey) AS q_acctbal
+         FROM customer
+         QUALIFY c_custkey < 300
+         ORDER BY c_custkey""",
 
     "x_gini" ->
       """WITH spend AS (

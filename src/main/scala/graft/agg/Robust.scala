@@ -113,6 +113,27 @@ object Robust {
     * of the qualifying values. Skew = a hot group's distinct-value
     * list; bounded domains (prices, ratings) keep it small.
     */
+  /** Robust scaler per group: (v − median) / IQR — the outlier-immune
+    * standardization ([[graft.ext.Classifier.fitScaler]]'s z-score
+    * follows the tail that robust scaling ignores). Exact interpolating
+    * percentiles fitted per group, broadcast back; the transform is
+    * row-local. A zero IQR (constant-ish group) yields null scaled
+    * values rather than an infinity — callers gate on it explicitly.
+    */
+  def robustScale(df: DataFrame, groupCol: String,
+                  valCol: String): DataFrame = {
+    val stats = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("__med"),
+        (expr(s"percentile($valCol, 0.75)") -
+          expr(s"percentile($valCol, 0.25)")).as("__iqr"))
+    df.join(broadcast(stats), Seq(groupCol), "left")
+      .withColumn(s"${valCol}_scaled",
+        when(col("__iqr") =!= 0.0,
+          (col(valCol) - col("__med")) / col("__iqr")))
+      .drop("__med", "__iqr")
+  }
+
   /** Theil-Sen robust trend per group: slope = median of all pairwise
     * slopes (v_b−v_a)/(t_b−t_a), intercept = median of (v − slope·t) —
     * up to 29 % contamination tolerated where OLS (`regr_slope`)

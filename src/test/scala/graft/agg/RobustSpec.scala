@@ -58,6 +58,21 @@ class RobustSpec extends SparkTestBase {
       h.getAs[Double]("whisker_hi") == 5.0)
   }
 
+  test("robustScale: hand median/IQR; constant group scales to null") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0), // outlier widens a z-score, not the IQR
+      ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val got = Robust.robustScale(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSeq
+    // group a: med 3, q1 2, q3 4 -> iqr 2; scaled(1.0) = -1, scaled(100)=48.5
+    val a = got.filter(_._1 == "a").map(r => r._2 -> r._3).toMap
+    assert(a(1.0) == -1.0 && a(3.0) == 0.0 && a(100.0) == 48.5,
+      a.toString)
+    // constant group: iqr 0 -> null, not infinity
+    got.filter(_._1 == "b").foreach(r => assert(r._3.isNaN))
+  }
+
   test("theilSen: exact line recovered; one wild outlier moves nothing") {
     // y = 3t + 10 on t=0..9, except t=5 is corrupted by +1000
     val clean = (0L to 9L).map(t => ("k", t, 3.0 * t + 10.0))
