@@ -2555,6 +2555,35 @@ object ExtQueries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Cumulative gains / lift deciles of the quality score against the
+    // en-language label — "the top decile holds X% of positives", the
+    // campaign-targeting readout. Ranking work on the distinct-score
+    // table only (AUC's bounded-domain argument).
+    "x_gains" -> ((s, dir) =>
+      Eval.gainsTable(scoreFrame(T(s, dir, "documents")), col("s"),
+          col("y"), nBuckets = 10)
+        .orderBy(col("bucket"))),
+
+    // Classical additive seasonal decomposition of daily event value
+    // (weekly period): centered-MA trend, re-centered per-weekday
+    // seasonal means, remainder — the diagnostic plot Holt-Winters'
+    // state summarizes. DECIMAL-pinned sums throughout.
+    "x_seasonal_decompose" -> ((s, dir) => {
+      val daily = Events.loadEvents(s, dir)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast("double").as("total"))
+      graft.ext.Forecast.seasonalDecompose(daily, Seq("event_type"),
+          "day", "total", period = 7)
+        // 6dp pin on the phase-mean-derived columns: the decimal-cast
+        // path for ARBITRARY doubles rounds differently per engine at
+        // ~1e-10 (measured); trend is decimal-exact and needs none
+        .select(col("event_type"), col("day"), col("total"),
+          col("trend"), round(col("seasonal"), 6).as("seasonal"),
+          round(col("remainder"), 6).as("remainder"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Split-conformal prediction intervals on the MA forecast: per
     // event type, the 90th-percentile absolute residual becomes every
     // interval's half-width — distribution-free coverage ≥ 0.9 on
@@ -5531,6 +5560,75 @@ object ExtQueries {
            abs(total - forecast) AS abs_err
          FROM f WHERE forecast IS NOT NULL
          ORDER BY event_type, day""",
+
+    "x_gains" ->
+      """WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  (len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the', 'and', 'of', 'to', 'a'))) * 1000)
+                    // len(string_split(lower(text), ' ')) AS s
+           FROM documents),
+         c AS (SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+               FROM f GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                 CAST(SUM(pos) AS BIGINT) AS tp FROM c),
+         r AS (
+           SELECT s, n, pos,
+             CAST(SUM(n) OVER (ORDER BY s DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+             CAST(SUM(pos) OVER (ORDER BY s DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+           FROM c),
+         b AS (
+           SELECT CAST((cn - 1) * 10 // tn AS INTEGER) + 1 AS bucket,
+             cn, cp, tn, tp
+           FROM r CROSS JOIN t)
+         SELECT bucket, MAX(cn) AS n_cum, MAX(cp) AS pos_cum,
+           CAST(MAX(cp) AS DOUBLE) / CAST(MAX(tp) AS DOUBLE) AS gain,
+           (CAST(MAX(cp) AS DOUBLE) / CAST(MAX(tp) AS DOUBLE))
+             / (CAST(MAX(cn) AS DOUBLE) / CAST(MAX(tn) AS DOUBLE))
+             AS lift
+         FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "x_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM events GROUP BY 1, 2),
+         tr AS (
+           SELECT event_type, day, total,
+             COUNT(total) OVER w AS wn,
+             CASE WHEN COUNT(total) OVER w = 7 THEN
+               CAST(SUM(CAST(total AS DECIMAL(28,9))) OVER w AS DOUBLE)
+                 / 7.0 END AS trend,
+             day % 7 AS phase
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         pm AS (
+           SELECT event_type, phase,
+             CAST(SUM(CAST(total - trend AS DECIMAL(28,9))) AS DOUBLE)
+               / COUNT(*) AS pmv
+           FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+         pc AS (
+           SELECT event_type,
+             CAST(SUM(CAST(pmv AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+               AS pcv
+           FROM pm GROUP BY 1),
+         j AS (
+           SELECT tr.event_type, day, total, trend,
+             CASE WHEN trend IS NOT NULL THEN pm.pmv - pc.pcv END
+               AS seasonal
+           FROM tr
+           LEFT JOIN pm ON tr.event_type = pm.event_type
+             AND tr.phase = pm.phase
+           LEFT JOIN pc ON tr.event_type = pc.event_type)
+         SELECT event_type, day, total, trend,
+           round(seasonal, 6) AS seasonal,
+           round(total - trend - seasonal, 6) AS remainder
+         FROM j ORDER BY event_type, day""",
 
     "x_conformal" ->
       """WITH daily AS (

@@ -326,6 +326,50 @@ object Eval {
       .select(col("__n").as("n"), col("n_cells"), col("mi"))
   }
 
+  /** Cumulative gains / lift table: rank the population by score
+    * descending, cut into `nBuckets` equal-count bins, and report per
+    * bin the cumulative share of positives captured vs the share of
+    * population contacted — "the top 20 % of scores hold 54 % of the
+    * converters", the campaign-targeting readout of a ranking model
+    * (the operating-point view [[auc]] integrates away).
+    *
+    * Shape: per-score-value compression first (one group-by — ties
+    * share a bucket boundary deterministically via the value order),
+    * then all ranking work on the |distinct scores| table (the AUC
+    * bounded-domain argument). Exact integer cumulative counts; lift =
+    * one IEEE division per bin row.
+    */
+  def gainsTable(df: DataFrame, scoreCol: Column, labelCol: Column,
+                 nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val byScore = df.select(scoreCol.as("__s"),
+        labelCol.cast("long").as("__y"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = byScore.agg(sum(col("__n")).as("__tn"),
+      sum(col("__pos")).as("__tp"))
+    byScore
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__cp", sum(col("__pos")).over(w))
+      .crossJoin(broadcast(totals))
+      // bucket of the row's cumulative END position: ties inside one
+      // score value never split across buckets. Integer DIV — exact.
+      .withColumn("bucket",
+        expr(s"CAST(((__cn - 1) * $nBuckets) DIV __tn AS INT) + 1"))
+      .groupBy(col("bucket"))
+      .agg(max(col("__cn")).as("n_cum"), max(col("__cp")).as("pos_cum"),
+        max(col("__tn")).as("__tn"), max(col("__tp")).as("__tp"))
+      .select(col("bucket"), col("n_cum"), col("pos_cum"),
+        (col("pos_cum").cast("double") / col("__tp").cast("double"))
+          .as("gain"),
+        ((col("pos_cum").cast("double") / col("__tp").cast("double")) /
+          (col("n_cum").cast("double") / col("__tn").cast("double")))
+          .as("lift"))
+  }
+
   /** Split-conformal prediction intervals (Vovk; Lei et al.): per key,
     * the (1−α) empirical quantile of the absolute residuals becomes the
     * half-width of every interval — model-agnostic, distribution-free,

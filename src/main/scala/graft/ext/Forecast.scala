@@ -257,6 +257,59 @@ object Forecast {
     * `(keys, tick)` must be unique (pre-aggregate duplicates): tied
     * ticks would make the pool order sort-unstable.
     */
+  /** Classical additive seasonal decomposition (the moving-average
+    * method): value = trend + seasonal + remainder, with
+    * trend = centered (period+1-point, period even halves) moving
+    * average, seasonal = per-phase mean of the detrended series
+    * re-centered to sum ≈ 0, remainder = the rest. The diagnostic
+    * decomposition [[holtWinters]]' recursive state summarizes — this
+    * one you PLOT.
+    *
+    * Windows are by-key; the phase means ride one group-by over
+    * (keys, period) cells and broadcast back. Portability: the trend
+    * is a DECIMAL window sum with one IEEE division; detrended terms
+    * pin to DECIMAL(28,9) before the phase mean (order-independent
+    * sums — the PMI convention). Edge rows (incomplete centered
+    * window) carry null trend/seasonal/remainder.
+    */
+  def seasonalDecompose(df: DataFrame, keyCols: Seq[String],
+                        tickCol: String, valueCol: String,
+                        period: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(keyCols.nonEmpty, "need at least one key column")
+    val half = period / 2
+    val span = 2 * half + 1
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tickCol)).rowsBetween(-half, half)
+    val withTrend = df
+      .select(keyCols.map(col) ++ Seq(col(tickCol),
+        col(valueCol).cast("double").as(valueCol)): _*)
+      .withColumn("__wn", count(col(valueCol)).over(w))
+      .withColumn("trend",
+        when(col("__wn") === span,
+          sum(col(valueCol).cast(DecimalType(28, 9))).over(w)
+            .cast("double") / lit(span.toDouble)))
+      .withColumn("__phase", pmod(col(tickCol), lit(period.toLong)))
+    val phaseMeans = withTrend.filter(col("trend").isNotNull)
+      .groupBy(keyCols.map(col) :+ col("__phase"): _*)
+      .agg((sum((col(valueCol) - col("trend")).cast(DecimalType(28, 9)))
+        .cast("double") / count(lit(1))).as("__pm"))
+    val phaseCenter = phaseMeans
+      .groupBy(keyCols.map(col): _*)
+      .agg((sum(col("__pm").cast(DecimalType(28, 9))).cast("double") /
+        count(lit(1))).as("__pc"))
+    withTrend
+      .join(broadcast(phaseMeans), keyCols :+ "__phase", "left")
+      .join(broadcast(phaseCenter), keyCols, "left")
+      .withColumn("seasonal",
+        when(col("trend").isNotNull, col("__pm") - col("__pc")))
+      .withColumn("remainder",
+        col(valueCol) - col("trend") - col("seasonal"))
+      .select(keyCols.map(col) ++ Seq(col(tickCol), col(valueCol),
+        col("trend"), col("seasonal"), col("remainder")): _*)
+  }
+
   def isotonic(df: DataFrame, keyCols: Seq[String], tickCol: String,
                valueCol: String, scale: Long = 100L): DataFrame =
     isotonicCore(df, keyCols, tickCol, valueCol, lit(1L), scale)

@@ -204,6 +204,35 @@ class EvalSpec extends SparkTestBase {
     assert(math.abs(got - want) < 1e-12)
   }
 
+  test("gainsTable: hand-computed deciles; perfect ranking front-loads") {
+    import spark.implicits._
+    // scores 10..1, positives at the top 3 scores: perfect ranking
+    val df = (1 to 10).map(s => (s, if (s >= 8) 1 else 0))
+      .toDF("s", "y")
+    val got = Eval.gainsTable(df, col("s"), col("y"), nBuckets = 5)
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    // 5 buckets of 2: bucket 1 = scores {10,9} -> 2 of 3 positives
+    assert(got.map(_._1) == Seq(1, 2, 3, 4, 5))
+    assert(got.map(_._3) == Seq(2L, 3L, 3L, 3L, 3L))
+    assert(got.head._5 == (2.0 / 3.0) / (2.0 / 10.0)) // lift ~3.33
+    assert(got.last._4 == 1.0 && got.last._5 == 1.0)  // full population
+    // gains are monotone non-decreasing
+    assert(got.map(_._4).sliding(2).forall(w => w(0) <= w(1)))
+  }
+
+  test("gainsTable: ties never split across buckets") {
+    import spark.implicits._
+    // one score value carrying 6 of 10 rows: its whole block lands in
+    // the bucket of its cumulative END position
+    val df = (Seq.fill(6)((5, 1)) ++ (1 to 4).map(s => (s, 0))).toDF("s", "y")
+    val got = Eval.gainsTable(df, col("s"), col("y"), nBuckets = 5)
+      .orderBy("bucket").as[(Int, Long, Long, Double, Double)].collect()
+    // the tie block (cn=6) sits alone in bucket 3; buckets 1-2 absent
+    assert(got.map(_._1).toSeq == Seq(3, 4, 5))
+    assert(got.head._2 == 6L && got.head._3 == 6L)
+  }
+
   test("conformalInterval: hand quantile, coverage flags, null pred") {
     import spark.implicits._
     // key k: residuals 1,2,3,4,5 -> q(0.5) = 3 (exact interpolating

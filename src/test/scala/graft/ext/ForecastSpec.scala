@@ -183,6 +183,30 @@ class ForecastSpec extends SparkTestBase {
       Seq.fill(n.toInt)(s.toDouble / (n * 100L).toDouble) }
   }
 
+  test("seasonalDecompose: planted weekly pattern recovered, edges null") {
+    // value = 100 + phase bump {0:+12, 3:-9, else 0}; zero trend slope
+    val bump = Map(0L -> 12.0, 3L -> -9.0).withDefaultValue(0.0)
+    val df = (0L until 35L).map(d => ("k", d, 100.0 + bump(d % 7)))
+      .toDF("k", "t", "v")
+    val out = Forecast.seasonalDecompose(df, Seq("k"), "t", "v", 7)
+      .orderBy("t").collect()
+    // first and last 3 rows: incomplete centered window
+    (0 until 3).foreach(i => assert(out(i).isNullAt(3)))
+    (32 until 35).foreach(i => assert(out(i).isNullAt(3)))
+    out.slice(3, 32).foreach { r =>
+      val t = r.getLong(1); val phase = t % 7
+      // trend = mean over any full week = 100 + (12-9)/7
+      assert(math.abs(r.getDouble(3) - (100.0 + 3.0 / 7.0)) < 1e-9,
+        s"trend at $t")
+      // seasonal = bump re-centered by the mean bump 3/7
+      assert(math.abs(r.getDouble(4) - (bump(phase) - 3.0 / 7.0)) < 1e-9,
+        s"seasonal at $t")
+      // components reassemble the observation
+      assert(math.abs(r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+        - r.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("isotonicWeighted: hand case; weight-1 degenerates to isotonic") {
     // (0.8, w=1) then (0.2, w=3): pooled weighted mean = 1.4/4 = 0.35
     val df = Seq(("k", 0L, 0.8, 1L), ("k", 1L, 0.2, 3L))
