@@ -346,6 +346,51 @@ object ExtQueries {
         .orderBy(col("node"))
     }),
 
+    // 3-core of the co-purchase graph (4 peel rounds — converged on
+    // this data, pinned by the spec's R vs R+1 check): the dense
+    // repeatedly-co-bought backbone degree alone can't isolate.
+    "x_kcore" -> ((s, dir) => {
+      val pairs = Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey",
+          "l_partkey", maxBasket = 0)
+        .filter(col("pair_support") >= 2)
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+      val sym = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.Graph.kCore(sym, k = 3, rounds = 4)
+        .orderBy(col("node"))
+    }),
+
+    // Markov next-event prediction eval: transition argmax learned on
+    // 80% of users (hash split), top-1 accuracy on held-out users'
+    // transitions — unseen contexts count as misses. One row.
+    "x_markov_eval" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val trans = Events.loadEvents(s, dir)
+        .select(col("user_id"), col("event_type").as("cur"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .withColumn("__test",
+          pmod(Hashing.hash64(col("user_id").cast("string"), 21),
+            lit(5L)) === 0)
+      val counts = trans.filter(!col("__test"))
+        .groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("n"))
+      val predW = Window.partitionBy(col("prev"))
+        .orderBy(col("n").desc, col("cur"))
+      val pred = counts.withColumn("__rk", row_number().over(predW))
+        .filter(col("__rk") === 1)
+        .select(col("prev"), col("cur").as("pred"))
+      trans.filter(col("__test"))
+        .join(broadcast(pred), Seq("prev"), "left")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("cur") === col("pred"), 1L).otherwise(0L))
+            .as("n_hits"))
+        .select(col("n_test"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_test").cast("double"))
+            .as("accuracy"))
+    }),
+
     // Per-node local clustering coefficient on the co-purchase graph:
     // the triangle machinery with each found triangle credited to all
     // three corners — community cohesion per item.
@@ -5377,6 +5422,64 @@ object ExtQueries {
            CAST(SUM(viol) AS DOUBLE) / CAST(SUM(n_rows) AS DOUBLE)
              AS g3_error
          FROM g""",
+
+    "x_kcore" -> {
+      def peel(ePrev: String, kTbl: String, eNext: String) =
+        s"""$kTbl AS (SELECT src FROM $ePrev GROUP BY src
+              HAVING COUNT(*) >= 3),
+            $eNext AS (
+              SELECT $ePrev.src, $ePrev.dst FROM $ePrev
+              WHERE src IN (SELECT src FROM $kTbl)
+                AND dst IN (SELECT src FROM $kTbl))"""
+      s"""WITH bi AS (
+            SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+          pairs AS (
+            SELECT a.i AS u, b.i AS v
+            FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          e0 AS (SELECT u AS src, v AS dst FROM pairs
+                 UNION ALL SELECT v, u FROM pairs),
+          ${peel("e0", "k1", "e1")},
+          ${peel("e1", "k2", "e2")},
+          ${peel("e2", "k3", "e3")},
+          ${peel("e3", "k4", "e4")}
+          SELECT src AS node, COUNT(*) AS degree
+          FROM e4 GROUP BY 1 ORDER BY 1"""
+    },
+
+    "x_markov_eval" -> {
+      val isTest =
+        s"${Hashing.hash64Sql("CAST(user_id AS VARCHAR)", 21)} % 5 = 0"
+      s"""WITH t AS (
+            SELECT user_id, event_type,
+              CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS sec, event_id
+            FROM events),
+          o AS (
+            SELECT user_id, event_type AS cur,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY sec, event_id) AS prev
+            FROM t),
+          tr AS (
+            SELECT user_id, cur, prev, $isTest AS tst
+            FROM o WHERE prev IS NOT NULL),
+          cnt AS (
+            SELECT prev, cur, COUNT(*) AS n FROM tr
+            WHERE NOT tst GROUP BY 1, 2),
+          pred AS (
+            SELECT prev, cur AS pred FROM (
+              SELECT prev, cur,
+                row_number() OVER (PARTITION BY prev
+                  ORDER BY n DESC, cur) AS rk
+              FROM cnt)
+            WHERE rk = 1)
+          SELECT COUNT(*) AS n_test,
+            CAST(SUM(CASE WHEN cur = pred THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hits,
+            CAST(SUM(CASE WHEN cur = pred THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS accuracy
+          FROM tr LEFT JOIN pred USING (prev) WHERE tst"""
+    },
 
     "x_clustering_coef" ->
       """WITH bi AS (

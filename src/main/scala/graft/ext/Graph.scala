@@ -122,6 +122,38 @@ object Graph {
     * Output: one row `(n_nodes, n_edges, n_triangles)` — all exact
     * longs, engine-portable by construction.
     */
+  /** k-core peeling over a SYMMETRIC edge list: repeatedly drop nodes
+    * of degree < k (with the edges they carried) — the surviving
+    * subgraph, where EVERY node keeps ≥ k neighbors, is the classic
+    * dense-community / spam-ring extractor and the influence-seeding
+    * filter degree alone fakes (a hub of leaves has huge degree and no
+    * core). `rounds` fixed-point iterations as relational ops (degree
+    * aggregate + two semi-joins per round, per-round lazy checkpoints
+    * — the [[pageRank]] fixed-iteration convention; each peel round
+    * can only remove nodes, so convergence is monotone and testable by
+    * comparing rounds R and R+1). Output: (node, degree) of the
+    * surviving subgraph after `rounds` peels.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var surviving = edges.select(col("src"), col("dst"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val keep = surviving.groupBy(col("src"))
+        .agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("src"))
+        .localCheckpoint(false)
+      surviving = surviving
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(false)
+    }
+    surviving.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-node local clustering coefficient: tri(v) / C(deg(v), 2) —
     * how close each node's neighborhood is to a clique (community
     * cohesion, spam-graph detection; the per-node refinement of

@@ -97,6 +97,30 @@ class GraphSpec extends SparkTestBase {
     assert(got == ((nodes.size.toLong, canon.size.toLong, expected)))
   }
 
+  test("kCore: pendant chain peels away, the clique survives") {
+    // K4 on 0-3 with a tail 3-10-11: 2-core = the K4 + nothing else
+    // (10 loses its support once 11 peels, then 10 peels)
+    val e = sym((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 10L), (10L, 11L))
+    val out = Graph.kCore(e, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), out)
+  }
+
+  test("kCore: fixed rounds converge (R == R+1) and every survivor " +
+    "keeps >= k neighbors") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(120)((rnd.nextInt(20).toLong,
+      rnd.nextInt(20).toLong)).filter(e => e._1 != e._2).distinct
+    val e = sym(edges: _*)
+    val r4 = Graph.kCore(e, k = 3, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r5 = Graph.kCore(e, k = 3, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r4 == r5, "not converged at 4 rounds")
+    r4.foreach { case (n, d) => assert(d >= 3, s"survivor $n deg $d") }
+  }
+
   private def ccoef(pairs: (Long, Long)*) =
     Graph.clusteringCoefficients(pairs.toDF("a", "b"))
       .collect().map(r => r.getLong(0) ->
