@@ -402,6 +402,24 @@ object ExtQueries {
             .select(col("item_a").as("a"), col("item_b").as("b")))
         .orderBy(col("node"))),
 
+    // Centroid silhouette per vector against the fixed 8-cell codebook
+    // (the kmeans-family quality diagnostic): row-local literal-argmin
+    // distances, exact integer squares, one sqrt each — no join.
+    "x_silhouette" -> ((s, dir) => {
+      val codebook = T(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .collect()  // KB-sized codebook = driver-side parameter
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq)
+        .toSeq.sortBy(_._1)
+      Similarity.silhouette(T(s, dir, "embeddings"), "vec_id",
+          "embedding", codebook)
+        .filter(col("vec_id") < 200)
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup: cluster-bounded semantic near-dup pruning. Fixed
     // 8-vector codebook for determinism; the synthetic corpus has no
     // true semantic dups (max pairwise cosine 0.51), so the 0.3
@@ -4239,6 +4257,34 @@ object ExtQueries {
           SELECT vec_id, CAST(j AS INTEGER) AS dim,
             CAST(SUM(term) AS DOUBLE) AS val
           FROM cells GROUP BY 1, 2 ORDER BY vec_id, dim""",
+
+    "x_silhouette" ->
+      s"""WITH cents AS (
+            SELECT vec_id AS cell, $qvec AS cv FROM embeddings
+            WHERE vec_id < 8),
+          v AS (SELECT vec_id, $qvec AS v FROM embeddings
+                WHERE vec_id < 200),
+          scored AS (
+            SELECT vec_id, cell,
+              list_sum(list_transform(list_zip(v, cv),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+            FROM v CROSS JOIN cents),
+          rk AS (
+            SELECT vec_id, cell, dist,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist, cell) AS r
+            FROM scored),
+          ab AS (
+            SELECT a.vec_id, a.cell,
+              sqrt(CAST(a.dist AS DOUBLE)) AS a,
+              sqrt(CAST(b.dist AS DOUBLE)) AS b
+            FROM rk a JOIN rk b
+              ON a.vec_id = b.vec_id AND a.r = 1 AND b.r = 2)
+          SELECT vec_id, cell, a, b,
+            CASE WHEN greatest(a, b) > 0.0
+              THEN round((b - a) / greatest(a, b), 6) ELSE 0.0 END
+              AS silhouette
+          FROM ab ORDER BY vec_id""",
 
     "x_kmeans_step" ->
       s"""WITH cents AS (

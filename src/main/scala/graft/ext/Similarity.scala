@@ -297,6 +297,44 @@ object Similarity {
         count(lit(1)).as("n_members"))
   }
 
+  /** Simplified (centroid-based) silhouette per vector — the
+    * clustering-quality diagnostic for the kmeans/semDedup/dbscan
+    * family: a = Euclidean distance to the OWN centroid, b = distance
+    * to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]
+    * (negative = probably mis-assigned). The full silhouette's
+    * all-pairs term is O(n²); the centroid form is the standard
+    * at-scale surrogate and is entirely ROW-LOCAL against the literal
+    * codebook (the [[lloydStep]] argmin pattern — no join, no
+    * shuffle). Distances: exact integer squared sums → one
+    * correctly-rounded sqrt each; assignment ties break to the
+    * smallest cell id via the (dist, cell) struct min.
+    *
+    * Output: (id, cell, a, b, silhouette), silhouette rounded to 6 dp.
+    */
+  def silhouette(emb: DataFrame, idCol: String, vecCol: String,
+                 codebook: Seq[(Long, Seq[Long])]): DataFrame = {
+    require(codebook.size >= 2, "silhouette needs >= 2 clusters")
+    val scored = codebook.map { case (cell, cvec) =>
+      val dist = aggregate(
+        zip_with(col("__v"), lit(cvec.toArray), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+      struct(dist.as("dist"), lit(cell).as("cell"))
+    }
+    emb.select(col(idCol), quantize(col(vecCol)).as("__v"))
+      .withColumn("__all", array_sort(array(scored: _*)))
+      .select(col(idCol),
+        col("__all").getItem(0).getField("cell").as("cell"),
+        sqrt(col("__all").getItem(0).getField("dist").cast("double"))
+          .as("a"),
+        sqrt(col("__all").getItem(1).getField("dist").cast("double"))
+          .as("b"))
+      .withColumn("silhouette",
+        when(greatest(col("a"), col("b")) > 0.0,
+          round((col("b") - col("a")) /
+            greatest(col("a"), col("b")), 6))
+          .otherwise(0.0)) // duplicate centroids: defined as 0
+  }
+
   /** Full k-means training loop over [[lloydStep]]: each round runs one
     * distributed step and collects the C·d mean rows (KB-sized) back
     * into the next round's literal codebook — the iterative-algorithm

@@ -248,6 +248,24 @@ class AnnRecallSpec extends SparkTestBase {
       "corpus must shuffle once (partial-agged cell/dim means):\n" + plan)
   }
 
+  test("silhouette: hand geometry — centered point scores 1, midpoint 0") {
+    import spark.implicits._
+    val codebook = Seq(0L -> Seq(0L, 0L), 1L -> Seq(1000L, 0L))
+    val rows = Seq(
+      (10L, Array(0.0f, 0.0f)),   // exactly on centroid 0: s = 1
+      (11L, Array(0.5f, 0.0f)),   // midpoint: a = b -> s = 0
+      (12L, Array(0.9f, 0.0f)))   // near centroid 1: s = (900-100)/900
+    val got = Similarity.silhouette(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", codebook)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(4)))).toMap
+    assert(got(10L) == ((0L, 1.0)))
+    assert(got(11L)._2 == 0.0) // tie assignment -> smaller cell, s = 0
+    assert(got(11L)._1 == 0L)  // (dist, cell) struct min picks cell 0
+    assert(got(12L)._1 == 1L)
+    assert(math.abs(got(12L)._2 - 800.0 / 900.0) < 1e-6)
+  }
+
   test("dbscan: two planted blobs cluster, stragglers stay noise") {
     import spark.implicits._
     // 8-dim vectors: blob A around e1, blob B around e2, two isolates
