@@ -1055,6 +1055,29 @@ object ExtQueries {
         .orderBy(col("status"), col("day"))
     }),
 
+    // ACF of daily revenue per status at lags 1..7 — the diagnostic
+    // that says which forecasting tool fits. 9dp-pinned product terms
+    // in exact decimal sums, 6dp ratios.
+    "x_autocorr" -> ((s, dir) => {
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      graft.ext.Forecast.autocorrelation(daily, Seq("status"), "day",
+          "revenue", maxLag = 7)
+        .orderBy(col("status"), col("lag"))
+    }),
+
+    // Jackknife SE of the mean price per return flag: leave-one-out
+    // means are row-local once the exact decimal sum broadcasts back —
+    // the assumption-free error bar with no replicate fan-out.
+    "x_jackknife" -> ((s, dir) =>
+      graft.agg.Robust.jackknifeSE(T(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
+
     // Isotonic regression (PAV) of per-user daily spend: the least-
     // squares monotone fit — calibration-map machinery on the same
     // secondary-sort scan, but with retroactive pooling (per-key
@@ -7368,6 +7391,67 @@ object ExtQueries {
          FROM rec
          WHERE cusum_pos > h OR cusum_neg > h
          ORDER BY status, day""",
+
+    "x_autocorr" -> {
+      val lagCols = (1 to 7).map(l =>
+        s"lag(revenue, $l) OVER w AS l$l").mkString(", ")
+      val unions = (1 to 7).map(l =>
+        s"""SELECT status, $l AS lag, n_obs, revenue, mu, l$l AS xl
+            FROM wl""").mkString(" UNION ALL ")
+      s"""WITH daily AS (
+            SELECT o_orderstatus AS status,
+              CAST(epoch(date_trunc('second', CAST(o_orderdate
+                AS TIMESTAMP))) AS BIGINT) // 86400 AS day,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+            FROM orders GROUP BY 1, 2),
+          st AS (
+            SELECT status,
+              CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS mu,
+              COUNT(*) AS n_obs
+            FROM daily GROUP BY 1),
+          wl AS (
+            SELECT daily.status, day, revenue, mu, n_obs, $lagCols
+            FROM daily JOIN st ON daily.status = st.status
+            WINDOW w AS (PARTITION BY daily.status ORDER BY day)),
+          den AS (
+            SELECT status,
+              SUM(CAST(round((revenue - mu) * (revenue - mu), 9)
+                AS DECIMAL(28,9))) AS den
+            FROM wl GROUP BY 1),
+          terms AS ($unions),
+          num AS (
+            SELECT status, lag, MAX(n_obs) AS n_obs,
+              SUM(CAST(round((revenue - mu) * (xl - mu), 9)
+                AS DECIMAL(28,9))) AS num
+            FROM terms WHERE xl IS NOT NULL GROUP BY 1, 2)
+          SELECT num.status, lag, n_obs,
+            round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+          FROM num JOIN den ON num.status = den.status
+          ORDER BY num.status, lag"""
+    },
+
+    "x_jackknife" ->
+      """WITH st AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         st2 AS (
+           SELECT *, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+           FROM st),
+         loo AS (
+           SELECT l.l_returnflag, n, mean,
+             CAST(s - CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+               / CAST(n - 1 AS DOUBLE) AS lm
+           FROM lineitem l JOIN st2 ON l.l_returnflag = st2.l_returnflag
+           WHERE l_extendedprice IS NOT NULL)
+         SELECT l_returnflag, MAX(n) AS n, MAX(mean) AS mean,
+           round(sqrt(CAST(MAX(n) - 1 AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE)
+             * CAST(SUM(CAST(round((lm - mean) * (lm - mean), 9)
+               AS DECIMAL(28,9))) AS DOUBLE)), 6) AS jk_se
+         FROM loo GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // PAV via its minimax characterization over cent-quantized prefix
     // sums: fit_i = max_{j<=i} min_{k>=i} mean(y_j..y_k). Doubles enter

@@ -113,6 +113,40 @@ object Robust {
     * of the qualifying values. Skew = a hot group's distinct-value
     * list; bounded domains (prices, ratings) keep it small.
     */
+  /** Jackknife standard error of the per-group mean (Tukey's
+    * leave-one-out): SE² = (n−1)/n · Σᵢ (x̄₋ᵢ − x̄)² — the variance
+    * estimate that needs no distributional assumption and, unlike the
+    * Poisson bootstrap (`Sampling.poissonBootstrap`), no replicate
+    * fan-out: every leave-one-out mean is ROW-LOCAL once the group's
+    * exact decimal sum broadcasts back ((S−xᵢ)/(n−1)), so the whole
+    * estimator is one aggregate + one joined scan. Terms pin at 9 dp
+    * into exact decimal sums (order-independent); SE rounds to 6 dp.
+    * Values are treated at 2 dp (the money convention).
+    */
+  def jackknifeSE(df: DataFrame, groupCol: String,
+                  valCol: String): DataFrame = {
+    val x = col(valCol).cast(DecimalType(18, 2))
+    val stats = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s"))
+      .withColumn("__mean",
+        col("__s").cast("double") / col("__n").cast("double"))
+    df.filter(col(valCol).isNotNull)
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("__loo",
+        (col("__s") - x).cast("double") /
+          (col("__n") - 1).cast("double"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), max(col("__mean")).as("mean"),
+        sum(round((col("__loo") - col("__mean")) *
+          (col("__loo") - col("__mean")), 9).cast(DecimalType(28, 9)))
+          .as("__ss"))
+      .select(col(groupCol), col("n"), col("mean"),
+        round(sqrt((col("n") - 1).cast("double") /
+          col("n").cast("double") * col("__ss").cast("double")), 6)
+          .as("jk_se"))
+  }
+
   /** Robust scaler per group: (v − median) / IQR — the outlier-immune
     * standardization ([[graft.ext.Classifier.fitScaler]]'s z-score
     * follows the tail that robust scaling ignores). Exact interpolating

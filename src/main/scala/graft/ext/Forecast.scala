@@ -257,6 +257,60 @@ object Forecast {
     * `(keys, tick)` must be unique (pre-aggregate duplicates): tied
     * ticks would make the pool order sort-unstable.
     */
+  /** Autocorrelation function per key: the standard biased ACF
+    * r_l = Σ_t (x_t−μ)(x_{t−l}−μ) / Σ_t (x_t−μ)² for lags 1..maxLag —
+    * THE diagnostic that tells a forecaster which of this family's
+    * tools fits (slow decay → trend, spikes at the period → seasonal,
+    * nothing → noise). One by-key window pass materializes all lag
+    * columns, a row-local stack turns them into (lag, term) rows, one
+    * group-by sums. Portability: every product term and squared
+    * deviation is pinned at 9 dp into exact decimal sums (order-
+    * independent — the repo's arbitrary-double summation convention),
+    * final ratios rounded to 6 dp.
+    */
+  def autocorrelation(df: DataFrame, keyCols: Seq[String],
+                      tickCol: String, valueCol: String,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    require(keyCols.nonEmpty, "need at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(keyCols.map(col) ++ Seq(col(tickCol),
+        col(valueCol).cast("double").as("__x")): _*)
+      .filter(col("__x").isNotNull)
+    val stats = base.groupBy(keyCols.map(col): _*)
+      .agg((sum(col("__x").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double")).as("__mu"),
+        count(lit(1)).as("n_obs"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tickCol))
+    val withLags = (1 to maxLag).foldLeft(
+      base.join(broadcast(stats), keyCols)) { (acc, l) =>
+      acc.withColumn(s"__l$l", lag(col("__x"), l).over(w))
+    }
+    val den = withLags.groupBy(keyCols.map(col): _*)
+      .agg(sum(round((col("__x") - col("__mu")) *
+        (col("__x") - col("__mu")), 9).cast(DecimalType(28, 9)))
+        .as("__den"))
+    withLags
+      .select(keyCols.map(col) ++ Seq(col("__mu"), col("n_obs"),
+        col("__x"),
+        explode(array((1 to maxLag).map(l =>
+          struct(lit(l).as("lag"), col(s"__l$l").as("xl"))): _*))
+          .as("__p")): _*)
+      .select(keyCols.map(col) ++ Seq(col("__mu"), col("n_obs"),
+        col("__p.lag").as("lag"), col("__p.xl").as("__xl"),
+        col("__x")): _*)
+      .filter(col("__xl").isNotNull)
+      .groupBy(keyCols.map(col) :+ col("lag"): _*)
+      .agg(max(col("n_obs")).as("n_obs"),
+        sum(round((col("__x") - col("__mu")) *
+          (col("__xl") - col("__mu")), 9).cast(DecimalType(28, 9)))
+          .as("__num"))
+      .join(broadcast(den), keyCols)
+      .select(keyCols.map(col) ++ Seq(col("lag"), col("n_obs"),
+        round(col("__num").cast("double") / col("__den").cast("double"),
+          6).as("acf")): _*)
+  }
+
   /** Classical additive seasonal decomposition (the moving-average
     * method): value = trend + seasonal + remainder, with
     * trend = centered (period+1-point, period even halves) moving

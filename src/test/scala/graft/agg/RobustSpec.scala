@@ -58,6 +58,21 @@ class RobustSpec extends SparkTestBase {
       h.getAs[Double]("whisker_hi") == 5.0)
   }
 
+  test("jackknifeSE of the mean == the classical s/sqrt(n) identity") {
+    // for the MEAN statistic, jackknife SE equals sqrt(Σ(x-x̄)²/(n(n-1)))
+    val rnd = new scala.util.Random(41)
+    val vals = Seq.fill(80)((rnd.nextInt(10000) / 100.0))
+    val got = Robust.jackknifeSE(vals.map(("g", _)).toDF("g", "v"),
+      "g", "v").as[(String, Long, Double, Double)].head()
+    val mean = vals.sum / vals.size
+    val classical = math.sqrt(
+      vals.map(x => (x - mean) * (x - mean)).sum /
+        (vals.size * (vals.size - 1.0)))
+    assert(got._2 == 80L)
+    assert(math.abs(got._4 - classical) < 1e-5,
+      s"jk ${got._4} vs classical $classical")
+  }
+
   test("robustScale: hand median/IQR; constant group scales to null") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
       ("a", 100.0), // outlier widens a z-score, not the IQR

@@ -183,6 +183,22 @@ class ForecastSpec extends SparkTestBase {
       Seq.fill(n.toInt)(s.toDouble / (n * 100L).toDouble) }
   }
 
+  test("autocorrelation: alternating series -> r1 ~ -1, r2 ~ +1; " +
+    "constant-free sanity on noise") {
+    val alt = (0L until 40L).map(t => ("k", t,
+      if (t % 2 == 0) 10.0 else 20.0)).toDF("k", "t", "v")
+    val got = Forecast.autocorrelation(alt, Seq("k"), "t", "v", 3)
+      .orderBy("lag").collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(got(1) < -0.9 && got(2) > 0.9 && got(3) < -0.9, got.toString)
+    val rnd = new scala.util.Random(37)
+    val noise = (0L until 300L).map(t => ("k", t,
+      50.0 + rnd.nextInt(100) / 10.0)).toDF("k", "t", "v")
+    val g2 = Forecast.autocorrelation(noise, Seq("k"), "t", "v", 2)
+      .collect().map(_.getDouble(3))
+    g2.foreach(r => assert(math.abs(r) < 0.2, s"noise acf $r"))
+  }
+
   test("seasonalDecompose: planted weekly pattern recovered, edges null") {
     // value = 100 + phase bump {0:+12, 3:-9, else 0}; zero trend slope
     val bump = Map(0L -> 12.0, 3L -> -9.0).withDefaultValue(0.0)
