@@ -2501,6 +2501,79 @@ object ExtQueries {
         .orderBy(col("t"))
     }),
 
+    // Cohort LTV curve: cumulative purchase revenue per user by cohort
+    // age — the growth-analytics readout cohortRetention's counts feed.
+    // DECIMAL-exact cumulative sums per cohort over the bounded age
+    // axis; one division by cohort size at the end.
+    "x_ltv_curve" -> ((s, dir) => {
+      val ev = Events.loadEvents(s, dir)
+        .withColumn("day", expr("ts_sec div 86400"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cday"))
+        .localCheckpoint(false) // sizes + revenue join
+      val sizes = cohorts.groupBy(col("cday"))
+        .agg(count(lit(1)).as("n_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohorts, Seq("user_id"))
+        .groupBy(col("cday"), (col("day") - col("cday")).as("age"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("rev"))
+      val w = Window.partitionBy(col("cday")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_rev", sum(col("rev")).over(w))
+        .join(broadcast(sizes), Seq("cday"))
+        .select(col("cday"), col("age"), col("n_users"),
+          col("rev").cast("double").as("age_rev"),
+          (col("cum_rev").cast("double") /
+            col("n_users").cast("double")).as("ltv_per_user"))
+        .orderBy(col("cday"), col("age"))
+    }),
+
+    // Funnel time-to-convert distribution: exact p50/p90 of the
+    // stage-to-stage gaps the funnel's mean hides.
+    "x_funnel_times" -> ((s, dir) => {
+      val times = Behavior.funnelTimes(Events.loadEvents(s, dir),
+        "user_id", "ts_sec", "event_type",
+        Seq("view", "click", "purchase"), maxGapSec = 86400)
+      val g2 = times.select(lit(2).as("stage"),
+        (col("t2") - col("t1")).as("gap"))
+      val g3 = times.select(lit(3).as("stage"),
+        (col("t3") - col("t2")).as("gap"))
+      g2.unionByName(g3).filter(col("gap").isNotNull)
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(gap, 0.5)").as("p50"),
+          expr("percentile(gap, 0.9)").as("p90"))
+        .orderBy(col("stage"))
+    }),
+
+    // LINEAR multi-touch attribution (the last-touch x_attribution's
+    // fairness-minded sibling): each conversion splits unit credit
+    // equally across its view/click touches in the prior 24 h; credits
+    // pinned at 9 dp into exact decimal sums per channel.
+    "x_attribution_linear" -> ((s, dir) => {
+      val ev = Events.loadEvents(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts_sec").as("cts"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("ts_sec").as("tts"))
+      val pairs = conv.join(touch, Seq("user_id"))
+        .filter(col("tts") < col("cts") &&
+          col("tts") >= col("cts") - 86400)
+      val perConv = pairs.groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("__k"))
+      pairs.join(broadcast(perConv), Seq("conv_id"))
+        .withColumn("__credit",
+          round(lit(1.0) / col("__k").cast("double"), 9)
+            .cast(DecimalType(28, 9)))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("__credit")).cast("double"), 6)
+            .as("credited_conversions"))
+        .orderBy(col("channel"))
+    }),
+
     // Gaps-and-islands: per-user consecutive-active-day streaks via the
     // day − row_number grouping; by-user windows only, input reduced to
     // one row per (user, active day) before the window.
@@ -6821,6 +6894,79 @@ object ExtQueries {
            COUNT(*) AS n_users
          FROM e JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_ltv_curve" ->
+      """WITH e AS (
+           SELECT user_id, event_type, value,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day
+           FROM events),
+         c AS (SELECT user_id, MIN(day) AS cday FROM e GROUP BY 1),
+         sz AS (SELECT cday, COUNT(*) AS n_users FROM c GROUP BY 1),
+         r AS (
+           SELECT cday, day - cday AS age,
+             SUM(CAST(value AS DECIMAL(18,2))) AS rev
+           FROM e JOIN c USING (user_id)
+           WHERE event_type = 'purchase'
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT cday, age, rev,
+             SUM(rev) OVER (PARTITION BY cday ORDER BY age
+               ROWS UNBOUNDED PRECEDING) AS cum_rev
+           FROM r)
+         SELECT cum.cday, age, n_users,
+           CAST(rev AS DOUBLE) AS age_rev,
+           CAST(cum_rev AS DOUBLE) / CAST(n_users AS DOUBLE)
+             AS ltv_per_user
+         FROM cum JOIN sz ON cum.cday = sz.cday
+         ORDER BY cum.cday, age""",
+
+    "x_funnel_times" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) AS sec
+           FROM events),
+         s1 AS (SELECT user_id, MIN(sec) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(sec) AS t2 FROM e
+                JOIN s1 USING (user_id)
+                WHERE event_type = 'click'
+                  AND sec >= t1 AND sec <= t1 + 86400 GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(sec) AS t3 FROM e
+                JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase'
+                  AND sec >= t2 AND sec <= t2 + 86400 GROUP BY 1),
+         gaps AS (
+           SELECT 2 AS stage, t2 - t1 AS gap
+           FROM s1 JOIN s2 USING (user_id)
+           UNION ALL
+           SELECT 3, t3 - t2 FROM s2 JOIN s3 USING (user_id))
+         SELECT CAST(stage AS INTEGER) AS stage, COUNT(*) AS n,
+           quantile_cont(gap, 0.5) AS p50,
+           quantile_cont(gap, 0.9) AS p90
+         FROM gaps GROUP BY 1 ORDER BY 1""",
+
+    "x_attribution_linear" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) AS sec
+           FROM events),
+         conv AS (SELECT user_id, event_id AS conv_id, sec AS cts
+                  FROM e WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id, event_type AS channel, sec AS tts
+                   FROM e WHERE event_type IN ('view', 'click')),
+         pairs AS (
+           SELECT conv_id, channel
+           FROM conv JOIN touch USING (user_id)
+           WHERE tts < cts AND tts >= cts - 86400),
+         k AS (SELECT conv_id, COUNT(*) AS k FROM pairs GROUP BY 1)
+         SELECT channel, COUNT(*) AS n_touches,
+           round(CAST(SUM(CAST(round(1.0 / CAST(k AS DOUBLE), 9)
+             AS DECIMAL(28,9))) AS DOUBLE), 6) AS credited_conversions
+         FROM pairs JOIN k USING (conv_id)
+         GROUP BY 1 ORDER BY 1""",
 
     "x_streaks" ->
       """WITH e AS (
