@@ -2501,6 +2501,50 @@ object ExtQueries {
         .orderBy(col("t"))
     }),
 
+    // DAU/MAU stickiness: daily actives over trailing-30-day actives.
+    // Exact form: the (user, active-day) table range-joined onto the
+    // day axis — |user-days|×30 rows, fine at this scale; at 100 TB
+    // the mergeable form is per-day HLL partials unioned over the
+    // window (the x_sketch_rollup pattern), trading 2% error for a
+    // |days|-sized shuffle.
+    "x_stickiness" -> ((s, dir) => {
+      val userDays = Events.loadEvents(s, dir)
+        .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+        .distinct()
+        .localCheckpoint(false) // dau + the 30-day expansion
+      val dau = userDays.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = userDays.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 29)).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, Seq("day"))
+        .select(col("day"), col("dau"), col("mau"),
+          (col("dau").cast("double") / col("mau").cast("double"))
+            .as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
+    // 2D skyline (Pareto front) per brand: parts where no same-brand
+    // part is both cheaper-or-equal and larger (one strict). Exact
+    // coordinate duplicates collapse to their min partkey first (a
+    // defined convention — equal points never dominate each other),
+    // then one by-key cummax window does the dominance test: the
+    // classic SKYLINE OF in three operators.
+    "x_skyline" -> ((s, dir) => {
+      val pts = T(s, dir, "part")
+        .groupBy(col("p_brand"), col("p_retailprice"), col("p_size"))
+        .agg(min(col("p_partkey")).as("p_partkey"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"), col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("__best", max(col("p_size")).over(w))
+        .filter(col("__best").isNull || col("p_size") > col("__best"))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("p_size"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+    }),
+
     // Cohort LTV curve: cumulative purchase revenue per user by cohort
     // age — the growth-analytics readout cohortRetention's counts feed.
     // DECIMAL-exact cumulative sums per cohort over the bounded age
@@ -6894,6 +6938,43 @@ object ExtQueries {
            COUNT(*) AS n_users
          FROM e JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day
+           FROM events),
+         dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                   AS dau FROM ud GROUP BY 1),
+         ex AS (
+           SELECT user_id, day + g.g AS day
+           FROM ud, (SELECT unnest(range(30)) AS g) g),
+         mau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                   AS mau FROM ex GROUP BY 1)
+         SELECT dau.day, dau, mau,
+           CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+         FROM dau JOIN mau ON dau.day = mau.day
+         ORDER BY dau.day""",
+
+    // dominance via NOT EXISTS — deliberately a DIFFERENT formulation
+    // than the engine's cummax window, so the equivalence itself is
+    // what the oracle checks
+    "x_skyline" ->
+      """WITH pts AS (
+           SELECT p_brand, p_retailprice, p_size,
+             MIN(p_partkey) AS p_partkey
+           FROM part GROUP BY 1, 2, 3)
+         SELECT p_brand, p_partkey, p_retailprice, p_size
+         FROM pts a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts b
+           WHERE b.p_brand = a.p_brand
+             AND b.p_retailprice <= a.p_retailprice
+             AND b.p_size >= a.p_size
+             AND (b.p_retailprice < a.p_retailprice
+                  OR b.p_size > a.p_size))
+         ORDER BY p_brand, p_partkey""",
 
     "x_ltv_curve" ->
       """WITH e AS (
