@@ -2501,6 +2501,50 @@ object ExtQueries {
         .orderBy(col("t"))
     }),
 
+    // RFM segmentation: recency/frequency/monetary quintiles per user
+    // with total-order tie-breaks (the classic CRM cut). DECIMAL
+    // monetary sums; ntile over deterministic orders.
+    "x_rfm" -> ((s, dir) => {
+      val perUser = Events.loadEvents(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts_sec")).as("last_sec"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("monetary"))
+      def quintile(order: org.apache.spark.sql.Column*) =
+        ntile(5).over(Window.orderBy(order: _*))
+      perUser
+        .withColumn("r", quintile(col("last_sec").desc, col("user_id")))
+        .withColumn("f", quintile(col("frequency").desc, col("user_id")))
+        .withColumn("m", quintile(col("monetary").desc, col("user_id")))
+        .select(col("user_id"), col("frequency"), col("monetary"),
+          col("r"), col("f"), col("m"),
+          concat(col("r"), col("f"), col("m")).as("segment"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Association rules from the pair table: both directions of every
+    // frequent pair with confidence = pair/support(antecedent) and the
+    // shared lift — the rule-mining readout over pairSupport's counts.
+    "x_basket_rules" -> ((s, dir) => {
+      val pairs = Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey",
+          "l_partkey", maxBasket = 0)
+        .filter(col("pair_support") >= 3)
+      val fwd = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("pair_support"),
+        (col("pair_support").cast("double") /
+          col("support_a").cast("double")).as("confidence"), col("lift"))
+      val bwd = pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("pair_support"),
+        (col("pair_support").cast("double") /
+          col("support_b").cast("double")).as("confidence"), col("lift"))
+      fwd.unionByName(bwd)
+        .orderBy(col("confidence").desc, col("antecedent"),
+          col("consequent"))
+        .limit(40)
+    }),
+
     // DAU/MAU stickiness: daily actives over trailing-30-day actives.
     // Exact form: the (user, active-day) table range-joined onto the
     // day axis — |user-days|×30 rows, fine at this scale; at 100 TB
@@ -6938,6 +6982,61 @@ object ExtQueries {
            COUNT(*) AS n_users
          FROM e JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x_rfm" ->
+      """WITH p AS (
+           SELECT user_id,
+             MAX(CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT)) AS last_sec,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         q AS (
+           SELECT user_id, frequency, monetary,
+             CAST(ntile(5) OVER (ORDER BY last_sec DESC, user_id)
+               AS INTEGER) AS r,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+               AS INTEGER) AS f,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
+               AS INTEGER) AS m
+           FROM p)
+         SELECT user_id, frequency, monetary, r, f, m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+             || CAST(m AS VARCHAR) AS segment
+         FROM q ORDER BY user_id""",
+
+    "x_basket_rules" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         pairs AS (
+           SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS pair_support
+           FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         s AS (SELECT i, COUNT(*) AS s FROM bi GROUP BY 1),
+         n AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+         j AS (
+           SELECT item_a, item_b, pair_support,
+             sa.s AS support_a, sb.s AS support_b,
+             round(CAST(pair_support * n.n AS DOUBLE)
+                   / CAST(sa.s * sb.s AS DOUBLE), 9) AS lift
+           FROM pairs
+           JOIN s sa ON pairs.item_a = sa.i
+           JOIN s sb ON pairs.item_b = sb.i
+           CROSS JOIN n),
+         rules AS (
+           SELECT item_a AS antecedent, item_b AS consequent,
+             pair_support,
+             CAST(pair_support AS DOUBLE) / CAST(support_a AS DOUBLE)
+               AS confidence, lift
+           FROM j
+           UNION ALL
+           SELECT item_b, item_a, pair_support,
+             CAST(pair_support AS DOUBLE) / CAST(support_b AS DOUBLE),
+             lift
+           FROM j)
+         SELECT * FROM rules
+         ORDER BY confidence DESC, antecedent, consequent LIMIT 40""",
 
     "x_stickiness" ->
       """WITH ud AS (
