@@ -5766,6 +5766,8 @@ object ExtQueries {
 
     // digit from the DECIMAL(18,2) string rendering; expected shares
     // re-derived via log10 and pinned at 9 dp on both engines
+    // the 1-9 domain is closed on both sides: an absent digit rows out
+    // with n=0 (and contributes N*p to the chi2 below)
     "x_benford" ->
       """WITH v AS (
            SELECT substr(regexp_replace(
@@ -5773,8 +5775,12 @@ object ExtQueries {
              '[^1-9]', '', 'g'), 1, 1) AS ds
            FROM lineitem
            WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
-         c AS (SELECT CAST(ds AS INTEGER) AS digit, COUNT(*) AS n
+         c0 AS (SELECT CAST(ds AS INTEGER) AS digit, COUNT(*) AS obs
                FROM v WHERE ds <> '' GROUP BY 1),
+         c AS (SELECT d9.digit, CAST(COALESCE(obs, 0) AS BIGINT) AS n
+               FROM (SELECT CAST(unnest(range(1, 10)) AS INTEGER)
+                       AS digit) d9
+               LEFT JOIN c0 USING (digit)),
          t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
          SELECT digit, n,
            CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
@@ -5790,8 +5796,12 @@ object ExtQueries {
              '[^1-9]', '', 'g'), 1, 1) AS ds
            FROM lineitem
            WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
-         c AS (SELECT CAST(ds AS INTEGER) AS digit, COUNT(*) AS n
+         c0 AS (SELECT CAST(ds AS INTEGER) AS digit, COUNT(*) AS obs
                FROM v WHERE ds <> '' GROUP BY 1),
+         c AS (SELECT d9.digit, CAST(COALESCE(obs, 0) AS BIGINT) AS n
+               FROM (SELECT CAST(unnest(range(1, 10)) AS INTEGER)
+                       AS digit) d9
+               LEFT JOIN c0 USING (digit)),
          t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
          d AS (
            SELECT n,
@@ -7927,16 +7937,19 @@ object ExtQueries {
           ORDER BY 1"""
     },
 
-    // deterministic Laplace: u from the 60-bit md5 hash of '0|'||key,
-    // noise = -(1/eps)*sgn(u-1/2)*ln(1-2|u-1/2|), pinned at 6 dp
-    // (eps = 0.5 -> scale -2.0); 2^60 = 1152921504606846976
+    // deterministic Laplace: u from the md5 hash of '0|'||key masked to
+    // 52 bits (52-bit int + 0.5 is exactly representable, so u ∈ (0,1)
+    // strictly — no ln(0) edge), noise =
+    // -(1/eps)*sgn(u-1/2)*ln(1-2|u-1/2|), pinned at 6 dp
+    // (eps = 0.5 -> scale -2.0); 2^52 = 4503599627370496
     "x_dp_counts" ->
       """WITH g AS (
            SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1),
          h AS (
            SELECT c_mktsegment, n,
-             (CAST(CAST(('0x' || substr(md5('0|' || c_mktsegment), 1, 15))
-                AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+             (CAST((CAST(('0x' || substr(md5('0|' || c_mktsegment), 1, 15))
+                AS BIGINT) & 4503599627370495) AS DOUBLE) + 0.5)
+               / 4503599627370496.0 AS u
            FROM g)
          SELECT c_mktsegment,
            CAST(n AS DOUBLE) +

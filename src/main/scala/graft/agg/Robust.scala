@@ -235,14 +235,21 @@ object Robust {
           (col("n") * col("__tot")).cast("double")).as("gini"))
   }
 
+  /** Weights are an INTEGRAL contract: each weight is rounded half-up
+    * to a long before use, and rows whose rounded weight is 0 drop
+    * (a raw `cast("long")` would let 0.6 pass a `> 0` filter yet
+    * truncate to 0 — a group of all-sub-unit weights then degenerates
+    * to returning its min value).
+    */
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
                      weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grouped = df
-      .filter(col(valCol).isNotNull && col(weightCol).isNotNull &&
-        col(weightCol) > 0)
+      .filter(col(valCol).isNotNull && col(weightCol).isNotNull)
+      .withColumn("__wi", round(col(weightCol)).cast("long"))
+      .filter(col("__wi") > 0)
       .groupBy(col(groupCol), col(valCol).as("__v"))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .agg(sum(col("__wi")).as("__w"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
     val all = Window.partitionBy(col(groupCol))
     grouped

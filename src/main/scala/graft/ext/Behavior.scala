@@ -122,9 +122,14 @@ object Behavior {
     */
   def maxConcurrency(intervals: DataFrame, keyCol: String,
                      startCol: String, endCol: String): DataFrame = {
-    val deltas = intervals
+    // null boundaries drop (the kaplanMeier/streaks convention): a null
+    // instant would sort first in the per-key order and start the
+    // running open-count from a spurious -1
+    val valid = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val deltas = valid
       .select(col(keyCol), col(startCol).as("__t"), lit(1L).as("__d"))
-      .unionByName(intervals
+      .unionByName(valid
         .select(col(keyCol), col(endCol).as("__t"), lit(-1L).as("__d")))
       .groupBy(col(keyCol), col("__t"))
       .agg(sum(col("__d")).as("__net"))

@@ -169,10 +169,15 @@ object Privacy {
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
     val keyStr = concat_ws("|", keys.map(col): _*)
     val h = Hashing.hash64(keyStr, seed)
-    // int→double is correctly rounded (identical on every IEEE engine)
-    // and /2^60 is exact; u ∈ (0,1) never hits an endpoint, so ln's
-    // argument 1−2|c| ∈ (0,1] is always valid
-    val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2, 60))
+    // mask the 60-bit hash to 52 bits BEFORE the int→double cast: a
+    // 52-bit integer (and 52-bit integer + 0.5, spacing 0.5 up to 2^52)
+    // is exactly representable, so u = (h52 + 0.5)/2^52 ∈ (0,1) never
+    // hits an endpoint BY CONSTRUCTION and ln's argument 1−2|c| ∈ (0,1]
+    // is always valid. (The unmasked form broke the invariant: casting
+    // h ≥ 2^60−64 rounds up to 2^60 → u = 1.0 → ln(0) → a null count
+    // for ~64/2^60 of keys.)
+    val u = (h.bitwiseAND(lit((1L << 52) - 1)).cast("double") +
+      lit(0.5)) / lit(math.pow(2, 52))
     val c = u - lit(0.5)
     val noise = round(
       lit(-1.0 / epsilon) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c)), 6)

@@ -89,18 +89,28 @@ object Quality {
     * ten. The nine expected shares are driver-side constants riding
     * the plan as literals; no transcendental executes per row. One
     * group-by over ≤9 keys.
+    *
+    * The digit domain is CLOSED: all nine digits appear even at zero
+    * observed count (left join against the 1-9 literal table). A digit
+    * absent from the data is the strongest fabrication signal — it must
+    * contribute N·P(d) to [[benfordStat]]'s χ², which a dropped row
+    * silently cannot.
     */
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
     val digit = substring(regexp_replace(
       col(valueCol).cast("decimal(18,2)").cast("string"),
       "[^1-9]", ""), 1, 1).cast("int")
-    val counts = df
+    val observed = df
       .filter(col(valueCol).isNotNull && col(valueCol) > 0)
       .withColumn("__d", digit)
       .filter(col("__d").isNotNull) // pure-zero amounts have no digit
       .groupBy(col("__d").as("digit"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("__obs"))
+    val counts = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(broadcast(observed), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("__obs"), lit(0L)).as("n"))
     val total = counts.agg(sum(col("n")).as("__t"))
     val exp = expected.foldLeft(lit(null).cast("double")) {
       case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)

@@ -449,8 +449,13 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ksDriftBatch(batch, valueCol, ref, alarmAt, id)
-          .write.mode("append").parquet(outDir)
+        // an empty micro-batch has no distribution to compare: n_b = 0
+        // would make ks_d = 0/0 = NaN — skip the write entirely (the
+        // textIndexBatch convention)
+        if (!batch.isEmpty) {
+          ksDriftBatch(batch, valueCol, ref, alarmAt, id)
+            .write.mode("append").parquet(outDir)
+        }
       }
       .start()
 

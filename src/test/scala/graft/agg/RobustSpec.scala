@@ -140,6 +140,19 @@ class RobustSpec extends SparkTestBase {
     assert(got == Map("a" -> 20.0, "b" -> 1.0, "c" -> 4.0), got.toString)
   }
 
+  test("weightedMedian: fractional weights round half-up, 0-rounds drop") {
+    val df = Seq(
+      // 0.6 rounds to 1 (not truncates to 0); 2.5 rounds half-up to 3
+      ("a", 10.0, 0.6), ("a", 20.0, 2.5),
+      // every weight rounds to 0 -> the whole group drops rather than
+      // degenerate to its min value via a 0 >= 0 cum filter
+      ("b", 1.0, 0.4), ("b", 9.0, 0.2)
+    ).toDF("g", "v", "w")
+    val got = Robust.weightedMedian(df, "g", "v", "w")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 20.0), got.toString)
+  }
+
   test("weightedMedian == brute-force expansion on random data") {
     val rnd = new scala.util.Random(17)
     val rows = (0 until 300).map(i =>

@@ -208,6 +208,18 @@ class BehaviorSpec extends SparkTestBase {
     assert(got == Seq(("h", 1L, 0L), ("k", 2L, 5L)))
   }
 
+  test("maxConcurrency: null-boundary intervals drop, not corrupt") {
+    // a null end would sort first per key and start the running
+    // open-count at a spurious -1 — such rows must be excluded
+    val iv = Seq(
+      ("k", Some(0L), Some(10L)), ("k", Some(5L), None),
+      ("k", None, Some(8L)), ("k", Some(6L), Some(12L))
+    ).toDF("key", "s0", "s1")
+    val got = Behavior.maxConcurrency(iv, "key", "s0", "s1")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", 2L, 6L)), got.toString)
+  }
+
   test("maxConcurrency: duplicate instants pre-aggregate cleanly") {
     // three intervals opening at the same instant
     val iv = Seq(("k", 3L, 9L), ("k", 3L, 5L), ("k", 3L, 7L))

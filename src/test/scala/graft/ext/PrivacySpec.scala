@@ -59,7 +59,9 @@ class PrivacySpec extends SparkTestBase {
       .digest(s"$seed|$keyStr".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.substring(0, 15)
     val h = java.lang.Long.parseLong(hex, 16)
-    val u = (h.toDouble + 0.5) / math.pow(2, 60)
+    // 52-bit mask before the cast (exact double arithmetic, u strictly
+    // inside (0,1)) — mirrors Privacy.dpCounts
+    val u = ((h & ((1L << 52) - 1)).toDouble + 0.5) / math.pow(2, 52)
     val c = u - 0.5
     val raw = -1.0 / eps * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
     BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

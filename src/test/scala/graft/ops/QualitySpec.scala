@@ -81,14 +81,19 @@ class QualitySpec extends SparkTestBase {
       .orderBy("digit")
       .as[(Int, Long, Double, Double, Double)].collect()
     val byDigit = got.map(r => r._1 -> r._2).toMap
-    assert(byDigit == Map(1 -> 3L, 2 -> 2L, 4 -> 1L, 9 -> 1L),
-      byDigit.toString)
+    // closed 1-9 domain: absent digits row out with n=0 (they carry
+    // the N*p chi2 contribution in benfordStat)
+    assert(byDigit == Map(1 -> 3L, 2 -> 2L, 3 -> 0L, 4 -> 1L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L), byDigit.toString)
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
     got.foreach { r =>
       assert(math.abs(r._4 - math.log10(1.0 + 1.0 / r._1)) < 1e-9) }
+    // an absent digit's deviation is exactly -expected (share 0)
+    got.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 == 0.0 && math.abs(r._5 + r._4) < 1e-12) }
   }
 
-  test("benfordStat: chi2 is 0 on an exactly-Benford sample") {
+  test("benfordStat: chi2 formula incl. the absent-digit N*p terms") {
     import spark.implicits._
     // counts proportional to Benford only in the 1-digit sense is
     // impossible with integers; instead pin the formula on a 2-digit
@@ -98,8 +103,12 @@ class QualitySpec extends SparkTestBase {
       .as[(Long, Double)].head()
     assert(n == 60L)
     val e1 = math.log10(2.0); val e2 = math.log10(1.5)
+    // digits 3-9 are absent: each contributes N*p(d) — the closed-domain
+    // term an open digit table would silently drop
+    val missing = (3 to 9)
+      .map(d => math.log10(1.0 + 1.0 / d)).sum * 60.0
     val expect = 60.0 * (math.pow(0.5 - e1, 2) / e1 +
-      math.pow(0.5 - e2, 2) / e2)
+      math.pow(0.5 - e2, 2) / e2) + missing
     assert(math.abs(chi2 - expect) < 1e-9, s"$chi2 vs $expect")
   }
 }

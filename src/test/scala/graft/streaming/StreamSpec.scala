@@ -860,4 +860,26 @@ class StreamSpec extends SparkTestBase {
       assert(direct.getDouble(3) == out(1)._3)
     } finally q.stop()
   }
+
+  test("ksDriftSink: an empty micro-batch writes nothing (no NaN row)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ksdrift0").toString
+    val ref = (0 until 20).map(i => i % 5).toDF("v")
+    val mem = MemoryStream[Int]
+    // the filter empties the first micro-batch: without the isEmpty
+    // guard the sink would append (ks_d = 0/0 = NaN, alarm = null)
+    val q = ksDriftSink(
+      mem.toDF().filter(col("value") >= 0).withColumnRenamed("value", "v"),
+      "v", ref, alarmAt = 0.3,
+      outDir = s"$tmp/out", checkpointDir = s"$tmp/ckpt")
+    try {
+      mem.addData(-1, -2, -3) // all filtered out -> empty batch fires
+      q.processAllAvailable()
+      mem.addData(0, 1, 2, 3, 4)
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out").collect()
+      assert(out.length == 1, out.toSeq.toString)
+      assert(!out.head.getDouble(3).isNaN && out.head.getLong(2) == 5L)
+    } finally q.stop()
+  }
 }
