@@ -2503,7 +2503,13 @@ object ExtQueries {
 
     // RFM segmentation: recency/frequency/monetary quintiles per user
     // with total-order tie-breaks (the classic CRM cut). DECIMAL
-    // monetary sums; ntile over deterministic orders.
+    // monetary sums. Quintiles are bit-identical to
+    // `ntile(5) OVER (ORDER BY metric DESC, user_id)` but computed via
+    // Ranks.ntileDesc — the two-phase bucketed exact-rank decomposition
+    // — because a global ntile window is a single-partition sort of the
+    // whole per-user table (|users| rows through ONE task at 100×).
+    // Each metric's quintile is derived independently from the
+    // checkpointed per-user table and equi-joined back on user_id.
     "x_rfm" -> ((s, dir) => {
       val perUser = Events.loadEvents(s, dir)
         .filter(col("event_type") === "purchase")
@@ -2512,12 +2518,16 @@ object ExtQueries {
           count(lit(1)).as("frequency"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double")
             .as("monetary"))
-      def quintile(order: org.apache.spark.sql.Column*) =
-        ntile(5).over(Window.orderBy(order: _*))
+        .localCheckpoint(false) // read 3x for quintiles + the spine
+      def quintile(metric: String, out: String) =
+        graft.ops.Ranks.ntileDesc(
+          perUser.select(col("user_id"), col(metric)),
+          metric, "user_id", k = 5, out = out)
+          .select(col("user_id"), col(out))
       perUser
-        .withColumn("r", quintile(col("last_sec").desc, col("user_id")))
-        .withColumn("f", quintile(col("frequency").desc, col("user_id")))
-        .withColumn("m", quintile(col("monetary").desc, col("user_id")))
+        .join(quintile("last_sec", "r"), Seq("user_id"))
+        .join(quintile("frequency", "f"), Seq("user_id"))
+        .join(quintile("monetary", "m"), Seq("user_id"))
         .select(col("user_id"), col("frequency"), col("monetary"),
           col("r"), col("f"), col("m"),
           concat(col("r"), col("f"), col("m")).as("segment"))

@@ -335,9 +335,16 @@ object Eval {
     *
     * Shape: per-score-value compression first (one group-by — ties
     * share a bucket boundary deterministically via the value order),
-    * then all ranking work on the |distinct scores| table (the AUC
-    * bounded-domain argument). Exact integer cumulative counts; lift =
-    * one IEEE division per bin row.
+    * then the same two-phase bucketed prefix as [[auc]]/[[prCurve]]:
+    * cumulative-from-the-top counts are `total − strictly-below`, so
+    * there is NO descending global window. That matters here precisely
+    * because gains tables run on CONTINUOUS classifier scores — the
+    * distinct-score table is data-sized, and a no-partitionBy window
+    * over it would be a single-partition sort of ~|rows| (the exact
+    * shape [[prCurve]] was refactored away from); the only
+    * partition-free window is over the ≤256-row bucket-totals table.
+    * Exact integer cumulative counts; lift = one IEEE division per bin
+    * row.
     */
   def gainsTable(df: DataFrame, scoreCol: Column, labelCol: Column,
                  nBuckets: Int = 10): DataFrame = {
@@ -347,14 +354,16 @@ object Eval {
       .filter(col("__s").isNotNull)
       .groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
-    val w = Window.orderBy(col("__s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = byScore.agg(sum(col("__n")).as("__tn"),
+    val counts = bucketScores(byScore, None)
+      .localCheckpoint(false) // referenced by totals AND the prefixes
+    val totals = counts.agg(sum(col("__n")).as("__tn"),
       sum(col("__pos")).as("__tp"))
-    byScore
-      .withColumn("__cn", sum(col("__n")).over(w))
-      .withColumn("__cp", sum(col("__pos")).over(w))
+    strictlyBelow(counts, Seq("__n", "__pos"))
       .crossJoin(broadcast(totals))
+      // descending-inclusive cumulative == total − ascending strictly
+      // -below: scores ≥ s are exactly the complement of scores < s
+      .withColumn("__cn", col("__tn") - col("__lt___n"))
+      .withColumn("__cp", col("__tp") - col("__lt___pos"))
       // bucket of the row's cumulative END position: ties inside one
       // score value never split across buckets. Integer DIV — exact.
       .withColumn("bucket",
