@@ -2189,6 +2189,42 @@ object ExtQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Incremental QUANTILE maintenance — the percentile analogue of
+    // x_incr_distinct, completing the mergeable-state story: two
+    // disjoint slices partialized to per-group KLL sketches (the
+    // native kll_sketch TypedImperativeAggregate — KB binaries with a
+    // proven ~1.65% rank guarantee at k=200 that SURVIVES union),
+    // merged, and asked for p50/p95 — the sketch table a 100 TB
+    // monitoring pipeline keeps instead of re-scanning history for
+    // p99. KLL compaction is randomized, so output is the bound form:
+    // the EXACT rank of each estimate (one broadcast join + counting
+    // pass) asserted within ±5% of its target (~3× the 99%-confidence
+    // envelope); the oracle re-derives the booleans exactly.
+    "x_quantile_rollup" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val keys = Seq("o_orderstatus")
+      val evens = graft.agg.AggState.partializeQuantile(
+        o.filter(col("o_orderkey") % 2 === 0), keys, "o_totalprice")
+      val odds = graft.agg.AggState.partializeQuantile(
+        o.filter(col("o_orderkey") % 2 =!= 0), keys, "o_totalprice")
+      val est = graft.agg.AggState.finalizedQuantile(
+        graft.agg.AggState.mergeQuantile(keys, evens, odds),
+        Seq(0.5, 0.95))
+      o.join(broadcast(est), keys)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          avg(when(col("o_totalprice") <= col("p50"), 1.0)
+            .otherwise(0.0)).as("__r50"),
+          avg(when(col("o_totalprice") <= col("p95"), 1.0)
+            .otherwise(0.0)).as("__r95"),
+          max(col("n")).as("__n"))
+        .select(col("o_orderstatus"), col("n_rows"),
+          (col("__n") === col("n_rows")).as("n_ok"),
+          (abs(col("__r50") - 0.5) <= 0.05).as("p50_ok"),
+          (abs(col("__r95") - 0.95) <= 0.05).as("p95_ok"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Two-phase salted aggregation: spreads a hot key over 16 reducers,
     // merges partials — result must equal the plain group-by (oracle).
     "x_skew_salted" -> ((s, dir) =>
@@ -2559,8 +2595,8 @@ object ExtQueries {
     // Exact form: the (user, active-day) table range-joined onto the
     // day axis — |user-days|×30 rows, fine at this scale; at 100 TB
     // the mergeable form is per-day HLL partials unioned over the
-    // window (the x_sketch_rollup pattern), trading 2% error for a
-    // |days|-sized shuffle.
+    // window — implemented as x_stickiness_sketch below, trading ~2%
+    // error for a |days|-sized shuffle.
     "x_stickiness" -> ((s, dir) => {
       val userDays = Events.loadEvents(s, dir)
         .select(col("user_id"), expr("ts_sec div 86400").as("day"))
@@ -2576,6 +2612,48 @@ object ExtQueries {
         .select(col("day"), col("dau"), col("mau"),
           (col("dau").cast("double") / col("mau").cast("double"))
             .as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
+    // The AT-SCALE stickiness twin x_stickiness's comment promises:
+    // per-day HLL partials (|days| sketch rows — the table a 100 TB
+    // deployment PERSISTS) fanned 30× and union-merged per window
+    // position, so the trailing-30 MAU costs a |days|×30-row shuffle
+    // of KB sketches instead of |user-days|×30 rows of ids. Output is
+    // the hash-checkable bound form (x_sketch_rollup convention):
+    // exact dau/mau/stickiness plus booleans asserting each day's
+    // sketch estimate and each merged window estimate land within 15%
+    // of exact (lgK=12 ≈ 1.6% rsd → ~9σ); the oracle re-derives them
+    // from exact aggregation alone.
+    "x_stickiness_sketch" -> ((s, dir) => {
+      val userDays = Events.loadEvents(s, dir)
+        .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+        .distinct()
+        .localCheckpoint(false) // per-day sketches + the exact oracle legs
+      val perDay = userDays.groupBy(col("day")).agg(
+          hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          count(lit(1)).as("dau")) // userDays is distinct → exact DAU
+        .localCheckpoint(false) // |days| sketch rows, read twice
+      val mauEst = perDay.select(col("sk"),
+          explode(sequence(col("day"), col("day") + 29)).as("day"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("mau_est"))
+      val mauExact = userDays.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 29)).as("day"))
+        .groupBy(col("day"))
+        .agg(count_distinct(col("user_id")).as("mau"))
+      perDay.select(col("day"), col("dau"),
+          (abs(hll_sketch_estimate(col("sk")) - col("dau"))
+            .cast("double") / col("dau") <= 0.15).as("dau_ok"))
+        .join(mauExact, Seq("day"))
+        .join(mauEst, Seq("day"))
+        .select(col("day"), col("dau"), col("mau"),
+          (col("dau").cast("double") / col("mau").cast("double"))
+            .as("stickiness"),
+          col("dau_ok"),
+          (abs(col("mau_est") - col("mau")).cast("double") /
+            col("mau") <= 0.15).as("mau_ok"))
         .orderBy(col("day"))
     }),
 
@@ -3771,6 +3849,14 @@ object ExtQueries {
       """SELECT o_orderstatus,
                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
                 TRUE AS hll_ok
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // Booleans assert the KLL sketch's rank guarantee (exact rank of
+    // each estimate within ±5%) and lossless count; exact aggregation
+    // makes them trivially TRUE.
+    "x_quantile_rollup" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows, TRUE AS n_ok,
+                TRUE AS p50_ok, TRUE AS p95_ok
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     // The booleans assert the sketch accuracy guarantees; exact
@@ -7073,6 +7159,27 @@ object ExtQueries {
                    AS mau FROM ex GROUP BY 1)
          SELECT dau.day, dau, mau,
            CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+         FROM dau JOIN mau ON dau.day = mau.day
+         ORDER BY dau.day""",
+
+    // Booleans assert the per-day and merged-window HLL bounds; exact
+    // aggregation makes them trivially TRUE (x_sketch_rollup pattern).
+    "x_stickiness_sketch" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+               AS BIGINT) // 86400 AS day
+           FROM events),
+         dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+                 FROM ud GROUP BY 1),
+         ex AS (
+           SELECT user_id, day + g.g AS day
+           FROM ud, (SELECT unnest(range(30)) AS g) g),
+         mau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                   AS mau FROM ex GROUP BY 1)
+         SELECT dau.day, dau, mau,
+           CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness,
+           TRUE AS dau_ok, TRUE AS mau_ok
          FROM dau JOIN mau ON dau.day = mau.day
          ORDER BY dau.day""",
 

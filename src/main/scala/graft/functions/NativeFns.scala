@@ -54,4 +54,25 @@ object native_fns {
     */
   def mg_sketch(c: Column, k: Int): Column =
     org.apache.spark.sql.graft.MisraGriesAgg.mg_sketch(c, k)
+
+  /** KLL quantile sketch aggregate (TypedImperativeAggregate, O(k)
+    * mergeable state; ~1.65% rank error at k=200): double column →
+    * serialized sketch (BINARY).
+    */
+  def kll_sketch(c: Column, k: Int = 200): Column =
+    org.apache.spark.sql.graft.KllQuantileAgg.kll_sketch(c, k)
+
+  /** Union previously-built KLL sketches (the persisted-state read
+    * path). */
+  def kll_merge(c: Column, k: Int = 200): Column =
+    org.apache.spark.sql.graft.KllQuantileAgg.kll_merge(c, k)
+
+  /** Value at normalized rank `r` of a serialized KLL sketch; null on
+    * an empty sketch. */
+  def kll_quantile(c: Column, r: Double): Column =
+    org.apache.spark.sql.graft.KllQuantileAgg.kll_quantile(c, r)
+
+  /** Exact number of values a KLL sketch has absorbed. */
+  def kll_n(c: Column): Column =
+    org.apache.spark.sql.graft.KllQuantileAgg.kll_n(c)
 }

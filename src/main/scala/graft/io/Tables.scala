@@ -52,6 +52,36 @@ object Tables {
       .sortBy(bucketCol)
       .saveAsTable(name)
 
+  /** Global-sort export: the ordered warehouse handoff shape.
+    * `repartitionByRange` samples `sortCols` into `numShards`
+    * NON-OVERLAPPING key ranges (one shuffle, no single-partition
+    * global sort) and `sortWithinPartitions` orders inside each shard,
+    * so the part files in name order ARE the total order — a
+    * merge-reader streams them sequentially; then a per-shard min/max
+    * manifest over the sort columns is committed beside the data
+    * ([[ZoneMap.buildManifest]] + [[ZoneMap.commitManifest]] at
+    * `<dir>/<name>.manifest`). Because shard ranges are disjoint, the
+    * zones are as tight as zones get: a range/point predicate on the
+    * leading sort column prunes to O(1) shards via
+    * [[ZoneMap.skipScan]]. This is `ORDER BY` as a table PROPERTY
+    * instead of a query cost — pay the range shuffle once at write
+    * time, never again at read.
+    *
+    * Returns the committed manifest version.
+    */
+  def saveSorted(df: DataFrame, dir: String, name: String,
+                 sortCols: Seq[String], numShards: Int): Long = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    import org.apache.spark.sql.functions.col
+    val path = s"$dir/$name.parquet"
+    df.repartitionByRange(numShards, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    val manifest = ZoneMap.buildManifest(df.sparkSession, path, sortCols)
+    ZoneMap.commitManifest(manifest, s"$dir/$name.manifest")
+  }
+
   /** S6: memoized scan — the dashboard's `@st.cache_data`
     * (`streamlit_app.py:26-27`) becomes a persisted DataFrame: first action
     * materializes, later chart jobs reuse the cached columnar batches.

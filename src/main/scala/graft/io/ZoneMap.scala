@@ -38,29 +38,19 @@ object ZoneMap {
     * Round-tripping through `java.net.URI` → `hadoop.fs.Path` decodes
     * the escaping; both spellings converge on the decoded form.
     */
-  private[io] def normPath(s: String): String = {
-    val p =
-      try {
-        val u = new java.net.URI(s)
-        if (u.getScheme != null) new org.apache.hadoop.fs.Path(u)
-        else new org.apache.hadoop.fs.Path(s)
-      } catch {
-        case _: Exception => new org.apache.hadoop.fs.Path(s)
-      }
-    p.toString
-  }
+  private[io] def normPath(s: String): String =
+    org.apache.spark.sql.graft.PathNormExpr.normalizeString(s)
 
   /** [[normPath]] as a column op — applied AFTER the per-file groupBy,
     * so it runs once per manifest row (|files| times), never per data
-    * row. A UDF is fine at manifest scale. Deliberately NOT the built-in
-    * `url_decode`: that implements form decoding, which turns a literal
-    * `+` in a path into a space, and nothing built-in reproduces
-    * hadoop Path normalization (scheme handling, `//` collapse) — the
-    * UDF is the only semantics-preserving spelling. */
-  private def normFileCol(df: DataFrame): DataFrame = {
-    val norm = udf(normPath _)
-    df.withColumn("file", norm(col("file")))
-  }
+    * row. A codegen'd native expression
+    * ([[org.apache.spark.sql.graft.PathNormExpr]]): deliberately NOT
+    * the built-in `url_decode` (form decoding turns a literal `+` in a
+    * path into a space) — nothing built-in reproduces hadoop Path
+    * normalization (scheme handling, `//` collapse). */
+  private def normFileCol(df: DataFrame): DataFrame =
+    df.withColumn("file",
+      org.apache.spark.sql.graft.ManifestExprs.norm_path(col("file")))
 
   /** Per-file zone statistics for `cols` over the parquet table at
     * `path`: one manifest row per physical file with row count and each
@@ -187,25 +177,24 @@ object ZoneMap {
     * driver-collectable. The probe therefore runs as a DISTRIBUTED
     * filter over the manifest and only the matching file PATHS come
     * back (at 1 % fpp that is ~fpp·|files| paths plus true hits). The
-    * probe is a Scala UDF by necessity: the codegen'd
-    * `BloomFilterMightContain` requires a foldable (plan-constant)
-    * filter and here the filter is the per-row data — and the UDF runs
-    * |files| times per lookup, never per data row, so it is manifest-
-    * scale work, not corpus-scale. Serialized format is the standard
-    * `spark.util.sketch.BloomFilter` stream.
+    * probe is a native expression
+    * ([[org.apache.spark.sql.graft.BloomProbeExpr]]) because the
+    * codegen'd built-in `BloomFilterMightContain` requires a foldable
+    * (plan-constant) filter and here the filter is the per-row data —
+    * and the probe runs |files| times per lookup, never per data row,
+    * so it is manifest-scale work, not corpus-scale. A null filter
+    * column null-propagates, and `filter` drops null predicates —
+    * identical to the previous "null = not admitted" contract.
+    * Serialized format is the standard `spark.util.sketch.BloomFilter`
+    * stream.
     */
   def bloomPrunedFiles(manifest: DataFrame, colName: String,
-                       key: Long): Seq[String] = {
-    val probe = udf { bytes: Array[Byte] =>
-      bytes != null && org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-        .mightContainLong(key)
-    }
+                       key: Long): Seq[String] =
     manifest
-      .filter(probe(col(s"${colName}__bloom")))
+      .filter(org.apache.spark.sql.graft.ManifestExprs.bloom_probe(
+        col(s"${colName}__bloom"), lit(key)))
       .select(col("file"))
       .collect().map(_.getString(0)).toSeq
-  }
 
   /** Equality scan through the Bloom manifest: read only admitted
     * files, re-filter for exactness. */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -466,6 +466,111 @@ object StreamOps {
       .select(lit(batchId).as("batch_id"),
         col("n_a").as("n_ref"), col("n_b").as("n_batch"),
         col("ks_d"), (col("ks_d") > alarmAt).as("alarm"))
+
+  // ---- incremental sketch state (quantiles, DAU/MAU) ------------------
+
+  /** Streaming QUANTILE state maintenance — the stream feed of
+    * `x_quantile_rollup`'s persisted sketch table: each micro-batch is
+    * partialized to per-key KLL sketches
+    * ([[graft.agg.AggState.partializeQuantile]] — O(k) mergeable state,
+    * proven rank guarantee) and committed EXACTLY-ONCE under
+    * `tablePath/batch_id=<id>` via [[commitBatchOnce]] (marker-rename
+    * idempotence: replay = no-op, torn write = invisible). Per-batch
+    * cost ∝ batch — history is never re-scanned; any later percentile
+    * query over any time range merges the partials at read
+    * ([[readQuantileState]]). Empty batches commit nothing.
+    */
+  def quantileStateSink(stream: DataFrame, keys: Seq[String],
+                        valCol: String, tablePath: String,
+                        checkpointDir: String, k: Int = 200)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        quantileStateBatch(batch, keys, valCol, tablePath, id, k); ()
+      }
+      .start()
+
+  /** One quantile-state commit (the foreachBatch body, callable
+    * directly); returns whether this call committed the epoch. */
+  def quantileStateBatch(batch: DataFrame, keys: Seq[String],
+                         valCol: String, tablePath: String,
+                         batchId: Long, k: Int = 200): Boolean =
+    !batch.isEmpty && commitBatchOnce(
+      graft.agg.AggState.partializeQuantile(batch, keys, valCol, k),
+      tablePath, batchId)
+
+  /** Read path of the streamed quantile state: merge every committed
+    * epoch's partials per key, estimate the requested ranks. Cost ∝
+    * |keys| × |epochs| sketch rows — compact epochs with
+    * [[graft.agg.AggState.mergeQuantile]] + a rewrite when they
+    * accrete.
+    */
+  def readQuantileState(spark: SparkSession, tablePath: String,
+                        keys: Seq[String],
+                        ranks: Seq[Double]): DataFrame =
+    graft.agg.AggState.finalizedQuantile(
+      graft.agg.AggState.mergeQuantile(keys,
+        spark.read.parquet(tablePath)), ranks)
+
+  /** Streaming DAU/MAU state — the stream feed of
+    * `x_stickiness_sketch`'s per-day HLL table: each micro-batch
+    * reduces to one HLL partial per active day (KB sketches — user ids
+    * never persist), committed exactly-once per epoch. A day spanning
+    * many epochs simply owns several partials; HLL union preserves the
+    * lgK accuracy guarantee, so the read path ([[readStickiness]])
+    * carries the same bound as sketching the full history in one pass.
+    * (NOT bit-identical: a unioned sketch answers with the composite
+    * estimator where a directly-built one may use HIP, so estimates
+    * can differ by a hair — StreamSpec pins both paths inside the
+    * bound and within 2% of each other.)
+    */
+  def stickinessStateSink(events: DataFrame, userCol: String,
+                          dayCol: String, tablePath: String,
+                          checkpointDir: String, lgK: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        stickinessStateBatch(batch, userCol, dayCol, tablePath, id, lgK)
+        ()
+      }
+      .start()
+
+  /** One DAU-state commit (the foreachBatch body, callable directly). */
+  def stickinessStateBatch(batch: DataFrame, userCol: String,
+                           dayCol: String, tablePath: String,
+                           batchId: Long, lgK: Int = 12): Boolean =
+    !batch.isEmpty && commitBatchOnce(
+      batch.groupBy(col(dayCol).as("day"))
+        .agg(hll_sketch_agg(col(userCol), lit(lgK)).as("s_hll")),
+      tablePath, batchId)
+
+  /** DAU/MAU stickiness over the streamed per-day sketch table: union
+    * each day's epoch partials, then union each trailing-`window`
+    * span — |days|-scale work on KB sketches, the at-scale form of the
+    * exact `x_stickiness` explode (estimates, lgK=12 ≈ 1.6% rsd).
+    */
+  def readStickiness(spark: SparkSession, tablePath: String,
+                     window: Int = 30): DataFrame = {
+    val perDay = spark.read.parquet(tablePath)
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("s_hll"), lit(false)).as("sk"))
+      .localCheckpoint(false) // read by the dau leg and the window leg
+    val dau = perDay.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("dau_est"))
+    val mau = perDay.select(col("sk"),
+        explode(sequence(col("day"), col("day") + (window - 1)))
+          .as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("mau_est"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau_est"), col("mau_est"),
+        (col("dau_est").cast("double") / col("mau_est").cast("double"))
+          .as("stickiness_est"))
+      .orderBy(col("day"))
+  }
 
   // ---- custom state: streaming heavy hitters --------------------------
 

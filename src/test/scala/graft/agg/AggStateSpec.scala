@@ -79,4 +79,64 @@ class AggStateSpec extends SparkTestBase {
     val right = AggState.merge(keys, a, AggState.merge(keys, b, c))
     assert(left.exceptAll(right).isEmpty && right.exceptAll(left).isEmpty)
   }
+
+  test("quantile state: small sketches are exact, merge == one-pass") {
+    import spark.implicits._
+    // n < k per group: no KLL compaction, the sketch stores every value
+    // — estimates are EXACT and merge is bit-identical to one-pass
+    val vals = (1 to 60).map(i => (if (i % 2 == 0) "a" else "b",
+      i.toDouble))
+    val df = vals.toDF("g", "v")
+    val keys = Seq("g")
+    val slices = (0 until 3).map(i =>
+      AggState.partializeQuantile(df.filter(col("v") % 3 === i),
+        keys, "v"))
+    val merged = AggState.finalizedQuantile(
+        AggState.mergeQuantile(keys, slices: _*), Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val onePass = AggState.finalizedQuantile(
+        AggState.partializeQuantile(df, keys, "v"), Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(merged == onePass, s"$merged vs $onePass")
+    // exact INCLUSIVE-rank quantiles: smallest value whose <=-fraction
+    // reaches the rank, over each group's 30 values
+    def exact(g: String, r: Double): Double = {
+      val sorted = vals.filter(_._1 == g).map(_._2).sorted
+      sorted(math.ceil(r * sorted.size).toInt - 1)
+    }
+    for (g <- Seq("a", "b")) {
+      val (p50, p90, n) = merged(g)
+      assert(n == 30L)
+      assert(p50 == exact(g, 0.5), s"$g p50: $p50 vs ${exact(g, 0.5)}")
+      assert(p90 == exact(g, 0.9), s"$g p90: $p90 vs ${exact(g, 0.9)}")
+    }
+  }
+
+  test("quantile state: compacted sketches keep the rank guarantee " +
+    "through a merge") {
+    import spark.implicits._
+    // n >> k: compaction kicks in (randomized), so assert the BOUND —
+    // the exact rank of each estimate within 5% (k=200 is ~1.65% at
+    // 99% confidence) — and that the absorbed count stays exact
+    val rnd = new scala.util.Random(11)
+    val vals = (0 until 10000).map(_ => rnd.nextGaussian())
+    val df = vals.map(("k", _)).toDF("g", "v")
+    val slices = (0 until 4).map(i =>
+      AggState.partializeQuantile(
+        df.filter(abs(hash(col("v"))) % 4 === i), Seq("g"), "v"))
+    val out = AggState.finalizedQuantile(
+        AggState.mergeQuantile(Seq("g"), slices: _*),
+        Seq(0.1, 0.5, 0.99))
+      .collect().head
+    assert(out.getLong(4) == vals.size.toLong, "count must stay exact")
+    val sorted = vals.sorted
+    for ((r, idx) <- Seq(0.1 -> 1, 0.5 -> 2, 0.99 -> 3)) {
+      val est = out.getDouble(idx)
+      val exactRank = sorted.count(_ <= est).toDouble / sorted.size
+      assert(math.abs(exactRank - r) <= 0.05,
+        s"rank($est) = $exactRank too far from $r")
+    }
+  }
 }

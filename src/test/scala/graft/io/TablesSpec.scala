@@ -147,6 +147,43 @@ class TablesSpec extends SparkTestBase {
       "side directory must be swapped away")
   }
 
+  test("saveSorted: disjoint ordered shards, name order == total order, " +
+    "manifest prunes range reads") {
+    val out = java.nio.file.Files.createTempDirectory("sorted").toString
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 5000).map(i => (rnd.nextInt(100000), i))
+      .toDF("k", "payload")
+    val version = Tables.saveSorted(df, out, "t", Seq("k"), numShards = 8)
+    assert(version == 0L)
+    val manifest = ZoneMap.readManifest(spark, s"$out/t.manifest")
+    val zones = manifest.orderBy(col("file"))
+      .select(col("file"), col("k__min"), col("k__max"), col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3)))
+    assert(zones.length == 8, s"expected 8 shards, got ${zones.length}")
+    assert(zones.map(_._4).sum == 5000L)
+    // shard ranges are DISJOINT and ordered by file name: file order is
+    // the global order
+    zones.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"overlap: ${a._1} max ${a._3} vs ${b._1} " +
+        s"min ${b._2}")
+    }
+    // each shard is internally sorted -> concatenation in name order is
+    // the globally sorted table
+    val concat = zones.flatMap { case (f, _, _, _) =>
+      spark.read.parquet(f).select("k").collect().map(_.getInt(0))
+    }
+    assert(concat.toSeq == df.collect().map(_.getInt(0)).sorted.toSeq)
+    // a narrow range predicate prunes to O(1) shards, same rows
+    val (lo, hi) = (zones(3)._2, zones(3)._2 + 50)
+    val admitted = ZoneMap.prunedFiles(manifest, "k", lo, hi)
+    assert(admitted.size <= 2, s"pruning admitted ${admitted.size} shards")
+    val viaScan = ZoneMap.skipScan(spark, s"$out/t.parquet", manifest,
+      "k", lo, hi).count()
+    val full = df.filter(col("k") >= lo && col("k") <= hi).count()
+    assert(viaScan == full)
+  }
+
   test("withFallback: primary empty -> fallback plan, else primary") {
     val primary = Seq(1).toDF("x").filter(col("x") > 99)
     val got = Tables.withFallback(primary)(Seq(7).toDF("x"))

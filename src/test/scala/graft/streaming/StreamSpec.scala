@@ -861,6 +861,91 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("quantileStateSink: streamed KLL state == one-pass batch state; " +
+    "replay commits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("qstate").toString
+    val mem = MemoryStream[(String, Double)]
+    val q = quantileStateSink(
+      mem.toDF().toDF("g", "v"), Seq("g"), "v",
+      tablePath = s"$tmp/state", checkpointDir = s"$tmp/ckpt")
+    // n < k per group -> sketches store every value: estimates are
+    // EXACT, so streamed-merged state must EQUAL the one-pass batch
+    val all = (1 to 60).map(i => (if (i % 2 == 0) "a" else "b",
+      i.toDouble))
+    try {
+      val (first, rest) = all.splitAt(20)
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(rest: _*); q.processAllAvailable()
+      val streamed = readQuantileState(spark, s"$tmp/state", Seq("g"),
+        Seq(0.5, 0.9)).collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val onePass = graft.agg.AggState.finalizedQuantile(
+        graft.agg.AggState.partializeQuantile(
+          all.toDF("g", "v"), Seq("g"), "v"), Seq(0.5, 0.9))
+        .collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(streamed == onePass, s"$streamed vs $onePass")
+      // epoch replay is a no-op (marker already present)
+      val replayed = quantileStateBatch(first.toDF("g", "v"), Seq("g"),
+        "v", s"$tmp/state", batchId = 0L)
+      assert(!replayed)
+      assert(readQuantileState(spark, s"$tmp/state", Seq("g"),
+        Seq(0.5)).count() == 2)
+    } finally q.stop()
+  }
+
+  test("stickinessStateSink: streamed per-day HLL == batch twin, " +
+    "bounds vs exact hold") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("stick").toString
+    val mem = MemoryStream[(Long, Long)] // (user_id, day)
+    val q = stickinessStateSink(
+      mem.toDF().toDF("user_id", "day"), "user_id", "day",
+      tablePath = s"$tmp/state", checkpointDir = s"$tmp/ckpt")
+    val rnd = new scala.util.Random(5)
+    val events = (0 until 3000).map(_ =>
+      (rnd.nextInt(400).toLong, rnd.nextInt(6).toLong))
+    try {
+      val (a, b) = events.splitAt(1400)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val streamed = readStickiness(spark, s"$tmp/state", window = 30)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      // batch twin: sketch the full history in one pass, same read
+      // logic. HLL union preserves the ACCURACY BOUND, not the exact
+      // register estimate (composite vs HIP estimator paths), so the
+      // twin must agree within a hair — not bit-for-bit
+      stickinessStateBatch(events.toDF("user_id", "day"), "user_id",
+        "day", s"$tmp/twin", batchId = 0L)
+      val twin = readStickiness(spark, s"$tmp/twin", window = 30)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed.keySet == twin.keySet)
+      streamed.foreach { case (d, (dauS, mauS, _)) =>
+        val (dauT, mauT, _) = twin(d)
+        assert(math.abs(dauS - dauT).toDouble / dauT <= 0.02 &&
+          math.abs(mauS - mauT).toDouble / mauT <= 0.02,
+          s"day $d: streamed ($dauS,$mauS) vs twin ($dauT,$mauT)")
+      }
+      // and the estimates track exact DAU/MAU within the lgK=12 bound
+      val ud = events.distinct
+      for (d <- 0L until 6L) {
+        val dau = ud.count(_._2 == d)
+        val mau = ud.filter(e => e._2 <= d && e._2 > d - 30)
+          .map(_._1).distinct.size
+        val (dauEst, mauEst, _) = streamed(d)
+        assert(math.abs(dauEst - dau).toDouble / dau <= 0.15,
+          s"day $d dau $dauEst vs $dau")
+        assert(math.abs(mauEst - mau).toDouble / mau <= 0.15,
+          s"day $d mau $mauEst vs $mau")
+      }
+    } finally q.stop()
+  }
+
   test("ksDriftSink: an empty micro-batch writes nothing (no NaN row)") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ksdrift0").toString
