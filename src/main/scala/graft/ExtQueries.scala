@@ -2024,6 +2024,41 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("target_enc"))
         .orderBy(col("doc_id"))),
 
+    // Weight-of-evidence + information value of order priority against
+    // the F-status label (the credit-scoring feature diagnostic):
+    // |categories| rows, one 1-row totals broadcast, ln pinned at 9dp
+    // (the PMI convention). iv_term sums to the feature's IV.
+    "x_woe" -> ((s, dir) =>
+      Classifier.woeTable(T(s, dir, "orders"), "o_orderpriority",
+          col("o_orderstatus") === "F")
+        .orderBy(col("o_orderpriority"))),
+
+    // Heavy-change detection between two table slices — "which keys'
+    // frequency SHARE moved most" (the drift-debugging readout behind
+    // PSI's single number): ONE group-by with conditional slice counts
+    // (one shuffle, never two scans), slice totals broadcast, share
+    // delta row-local, TakeOrdered top-20 with key tie-break. At
+    // 100 TB the same plan holds — |distinct keys| rows after the
+    // combine; a sketch prefilter (mg_sketch per slice) only becomes
+    // necessary when even the key domain won't fit a shuffle.
+    "x_heavy_change" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .withColumn("__s1", (col("l_orderkey") % 2 === 0).cast("long"))
+      val perKey = li.groupBy(col("l_partkey"))
+        .agg(sum(col("__s1")).as("n1"),
+          sum(lit(1L) - col("__s1")).as("n2"))
+      val totals = perKey.agg(sum(col("n1")).as("__t1"),
+        sum(col("n2")).as("__t2"))
+      perKey.crossJoin(broadcast(totals))
+        .select(col("l_partkey"), col("n1"), col("n2"),
+          (col("n1").cast("double") / col("__t1").cast("double") -
+            col("n2").cast("double") / col("__t2").cast("double"))
+            .as("share_delta"))
+        .withColumn("abs_delta", abs(col("share_delta")))
+        .orderBy(col("abs_delta").desc, col("l_partkey"))
+        .limit(20)
+    }),
+
     // Curriculum quartiles: ntile(4) per source over (n_chars, doc_id)
     // — deterministic total order, windows partitioned by source.
     "x_curriculum" -> ((s, dir) =>
@@ -2191,12 +2226,14 @@ object ExtQueries {
 
     // Incremental QUANTILE maintenance — the percentile analogue of
     // x_incr_distinct, completing the mergeable-state story: two
-    // disjoint slices partialized to per-group KLL sketches (the
-    // native kll_sketch TypedImperativeAggregate — KB binaries with a
-    // proven ~1.65% rank guarantee at k=200 that SURVIVES union),
-    // merged, and asked for p50/p95 — the sketch table a 100 TB
-    // monitoring pipeline keeps instead of re-scanning history for
-    // p99. KLL compaction is randomized, so output is the bound form:
+    // disjoint slices partialized to per-group KLL sketches (Spark's
+    // built-in kll_sketch_agg_double — KB binaries with a proven
+    // ~1.65% rank guarantee at k=200 that SURVIVES union), folded by
+    // the native kll_merge N-row aggregate (the one piece the built-in
+    // surface lacks — its merge is pairwise only), and asked for
+    // p50/p95 — the sketch table a 100 TB monitoring pipeline keeps
+    // instead of re-scanning history for p99. KLL compaction is
+    // randomized, so output is the bound form:
     // the EXACT rank of each estimate (one broadcast join + counting
     // pass) asserted within ±5% of its target (~3× the 99%-confidence
     // envelope); the oracle re-derives the booleans exactly.
@@ -2223,6 +2260,69 @@ object ExtQueries {
           (abs(col("__r50") - 0.5) <= 0.05).as("p50_ok"),
           (abs(col("__r95") - 0.95) <= 0.05).as("p95_ok"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Theta-sketch SET ALGEBRA — the third mergeable-state tier (HLL
+    // answers only |A∪B|; theta answers |A∩B| and |A\B| too), entirely
+    // on Spark 4.1's BUILT-IN datasketches functions (theta_sketch_agg
+    // / theta_union_agg / theta_intersection / theta_difference /
+    // theta_sketch_estimate — built-ins beat custom natives wherever
+    // they express the semantics): per-period customer sketches →
+    // retained (∩), churned (\), total (∪) — the retention/churn
+    // readout a 100 TB deployment computes from KB persisted state
+    // instead of exact distincts over re-scanned history. The two
+    // audiences are overlapping md5-hash segments of the customer
+    // domain (buckets 0-5 vs 3-9 of 10: ~30% of each side exclusive,
+    // ~50% shared — the synthetic data's customers all span every
+    // period/status, so a time or attribute split would make the
+    // difference sets empty and degenerate the demo; a hash split
+    // keeps every set a healthy fraction AT ANY SCALE, which is also
+    // what keeps the relative bounds sound). Theta is deterministic
+    // (k smallest hashes), but estimates are engine-specific, so
+    // output is the bound-boolean form: exact counts (the
+    // checkpointed distinct tables feed both the sketches and the
+    // exact legs) + estimates within 15% (lgK=12 ≈ 1.56% union rse;
+    // intersection/difference rse scales with their sample share —
+    // ~30-50% here, so the bound is many σ).
+    "x_theta_setops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val bucket = pmod(graft.functions.Hashing.hash64(
+        col("o_custkey").cast("string"), 7), lit(10))
+      val eA = o.filter(bucket <= 5)
+        .select(col("o_custkey")).distinct().localCheckpoint(false)
+      val eB = o.filter(bucket >= 3)
+        .select(col("o_custkey")).distinct().localCheckpoint(false)
+      val skA = eA.agg(theta_sketch_agg(col("o_custkey"), 12).as("ska"))
+      val skB = eB.agg(theta_sketch_agg(col("o_custkey"), 12).as("skb"))
+      val pair = skA.crossJoin(broadcast(skB))
+        .select(
+          theta_sketch_estimate(
+              theta_intersection(col("ska"), col("skb")))
+            .cast("double").as("est_inter"),
+          theta_sketch_estimate(theta_difference(col("ska"), col("skb")))
+            .cast("double").as("est_churn"))
+      val uni = skA.select(col("ska").as("sk"))
+        .unionByName(skB.select(col("skb").as("sk")))
+        .agg(theta_sketch_estimate(theta_union_agg(col("sk"), 12))
+          .cast("double").as("est_union"))
+      eA.join(eB, Seq("o_custkey"))
+        .agg(count(lit(1)).as("n_shared"))
+        .crossJoin(broadcast(eA.join(eB, Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_only_a"))))
+        .crossJoin(broadcast(eA.agg(count(lit(1)).as("n_a"))))
+        .crossJoin(broadcast(eB.agg(count(lit(1)).as("n_b"))))
+        .crossJoin(broadcast(eA.unionByName(eB).distinct()
+          .agg(count(lit(1)).as("n_union"))))
+        .crossJoin(broadcast(pair))
+        .crossJoin(broadcast(uni))
+        .select(col("n_a"), col("n_b"), col("n_union"),
+          col("n_shared"), col("n_only_a"),
+          (abs(col("est_union") - col("n_union").cast("double")) /
+            col("n_union").cast("double") <= 0.15).as("union_ok"),
+          (abs(col("est_inter") - col("n_shared").cast("double")) /
+            col("n_shared").cast("double") <= 0.15).as("inter_ok"),
+          (abs(col("est_churn") - col("n_only_a").cast("double")) /
+            col("n_only_a").cast("double") <= 0.15).as("anotb_ok"))
     }),
 
     // Two-phase salted aggregation: spreads a hot key over 16 reducers,
@@ -3858,6 +3958,30 @@ object ExtQueries {
       """SELECT o_orderstatus, COUNT(*) AS n_rows, TRUE AS n_ok,
                 TRUE AS p50_ok, TRUE AS p95_ok
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // Booleans assert the theta union/intersection/difference bounds;
+    // exact set algebra makes them trivially TRUE.
+    "x_theta_setops" -> {
+      val bucket =
+        s"${Hashing.hash64Sql("CAST(o_custkey AS VARCHAR)", 7)} % 10"
+      s"""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE $bucket <= 5),
+          b AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE $bucket >= 3)
+         SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                (SELECT COUNT(*) FROM b) AS n_b,
+                (SELECT COUNT(*) FROM
+                  (SELECT o_custkey FROM a UNION
+                   SELECT o_custkey FROM b)) AS n_union,
+                (SELECT COUNT(*) FROM
+                  (SELECT o_custkey FROM a INTERSECT
+                   SELECT o_custkey FROM b)) AS n_shared,
+                (SELECT COUNT(*) FROM
+                  (SELECT o_custkey FROM a EXCEPT
+                   SELECT o_custkey FROM b)) AS n_only_a,
+                TRUE AS union_ok, TRUE AS inter_ok,
+                TRUE AS anotb_ok"""
+    },
 
     // The booleans assert the sketch accuracy guarantees; exact
     // aggregation makes them trivially TRUE, so any sketch violating
@@ -5941,6 +6065,55 @@ object ExtQueries {
              / CAST(n - 1 + 10 AS DOUBLE) AS target_enc
          FROM d JOIN pc USING (source) CROSS JOIN g
          WHERE doc_id < 300 ORDER BY doc_id""",
+
+    // ln pinned at 9dp on both engines (the PMI convention); iv_term
+    // is the pinned product, so its sum is engine-portable too
+    "x_woe" ->
+      """WITH pc AS (
+           SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_neg
+           FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+                 CAST(SUM(n_neg) AS BIGINT) AS tn,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM pc),
+         w AS (
+           SELECT o_orderpriority, n, n_pos, n_neg,
+             round(ln(((CAST(n_pos AS DOUBLE) + 0.5)
+                 / (CAST(tp AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))
+               / ((CAST(n_neg AS DOUBLE) + 0.5)
+                 / (CAST(tn AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))), 9)
+               AS woe,
+             ((CAST(n_pos AS DOUBLE) + 0.5)
+                 / (CAST(tp AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))
+               - ((CAST(n_neg AS DOUBLE) + 0.5)
+                 / (CAST(tn AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))
+               AS dd
+           FROM pc CROSS JOIN t)
+         SELECT o_orderpriority, n, n_pos, n_neg, woe,
+           round(dd * woe, 9) AS iv_term
+         FROM w ORDER BY o_orderpriority""",
+
+    "x_heavy_change" ->
+      """WITH pk AS (
+           SELECT l_partkey,
+             CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS n2
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+                 CAST(SUM(n2) AS BIGINT) AS t2 FROM pk)
+         SELECT l_partkey, n1, n2,
+           CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+             - CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS share_delta,
+           abs(CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+             - CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)) AS abs_delta
+         FROM pk CROSS JOIN t
+         ORDER BY abs_delta DESC, l_partkey LIMIT 20""",
 
     "x_events_tumbling" ->
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes',

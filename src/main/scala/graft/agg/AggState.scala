@@ -96,18 +96,21 @@ object AggState {
   /** QUANTILE state — the other aggregate the (sum, count, min, max)
     * tier can't carry: percentiles don't merge (the p99 of two slices
     * says nothing about the union's p99), so the state is a KLL doubles
-    * sketch per group ([[org.apache.spark.sql.graft.KllSketchAgg]],
+    * sketch per group (Spark 4.1's built-in `kll_sketch_agg_double` —
     * ~KB binary, proven normalized-rank guarantee ≈1.65% at k=200 that
     * survives union). A 100 TB monitoring pipeline that can't re-scan
     * for p99 materializes one sketch per (group, slice) and answers any
     * later rollup by merging — the quantile analogue of
-    * [[partializeDistinct]].
+    * [[partializeDistinct]]. Build and read sides are the built-ins;
+    * only the N-row merge fold is the native
+    * [[org.apache.spark.sql.graft.KllMergeAgg]] (the built-in merge is
+    * pairwise only — it cannot fold a state table of unbounded epochs).
     */
   def partializeQuantile(df: DataFrame, keys: Seq[String],
                          valCol: String, k: Int = 200): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(graft.functions.native_fns
-        .kll_sketch(col(valCol).cast("double"), k).as("s_kll"))
+      .agg(kll_sketch_agg_double(col(valCol).cast("double"), k)
+        .as("s_kll"))
 
   /** Merge quantile states (same keys), optionally rolling up to a
     * coarser key set — the read path of the persisted sketch table.
@@ -122,16 +125,15 @@ object AggState {
 
   /** Read-side percentile estimates of a quantile state table: one
     * `p<rank*100>` column per requested rank plus the exact absorbed
-    * count `n`.
+    * count `n` (both via the Spark built-ins).
     */
   def finalizedQuantile(state: DataFrame,
                         ranks: Seq[Double]): DataFrame = {
     require(ranks.nonEmpty, "need at least one rank")
     val keys = state.columns.filterNot(_ == "s_kll")
     state.select(keys.toIndexedSeq.map(col) ++
-      ranks.map(r => graft.functions.native_fns
-        .kll_quantile(col("s_kll"), r)
+      ranks.map(r => kll_sketch_get_quantile_double(col("s_kll"), lit(r))
         .as(s"p${math.round(r * 100)}")) :+
-      graft.functions.native_fns.kll_n(col("s_kll")).as("n"): _*)
+      kll_sketch_get_n_double(col("s_kll")).as("n"): _*)
   }
 }

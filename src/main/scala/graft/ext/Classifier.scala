@@ -166,4 +166,42 @@ object Classifier {
           (col("__n") - 1 + m).cast("double"))
       .drop("__y", "__n", "__s", "__gmean")
   }
+
+  /** Weight-of-evidence encoding + information value (the credit-
+    * scoring feature diagnostic; Siddiqi): per category c of a
+    * categorical feature against a binary label,
+    *
+    *   WoE_c = ln(d_pos / d_neg),   IV = Σ_c (d_pos − d_neg)·WoE_c
+    *
+    * with d_pos/d_neg the Laplace-smoothed (+0.5 per cell, +0.5·K per
+    * total, K = category count) shares of positives/negatives landing
+    * in c — smoothing keeps ln finite for one-sided cells. IV reads as
+    * the standard ladder: <0.02 useless, 0.1-0.3 medium, >0.5 suspect.
+    *
+    * Shape: one group-by to |categories| rows, a 1-row totals
+    * broadcast, row-local ln pinned at 9 dp (the PMI convention — the
+    * one transcendental, identical across engines at that precision);
+    * iv terms are the pinned products so Σ is engine-portable. Output
+    * per category: (cat, n, n_pos, n_neg, woe, iv_term).
+    */
+  def woeTable(df: DataFrame, catCol: String,
+               labelCol: Column): DataFrame = {
+    val y = labelCol.cast("long")
+    val perCat = df.withColumn("__y", y)
+      .filter(col(catCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"))
+    val totals = perCat.agg(sum(col("n_pos")).as("__tp"),
+      sum(col("n_neg")).as("__tn"), count(lit(1)).as("__k"))
+    val dPos = (col("n_pos").cast("double") + lit(0.5)) /
+      (col("__tp").cast("double") + lit(0.5) * col("__k").cast("double"))
+    val dNeg = (col("n_neg").cast("double") + lit(0.5)) /
+      (col("__tn").cast("double") + lit(0.5) * col("__k").cast("double"))
+    perCat.crossJoin(broadcast(totals))
+      .withColumn("woe", round(log(dPos / dNeg), 9))
+      .withColumn("iv_term",
+        round((dPos - dNeg) * col("woe"), 9))
+      .drop("__tp", "__tn", "__k")
+  }
 }

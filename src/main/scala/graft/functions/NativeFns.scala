@@ -55,24 +55,14 @@ object native_fns {
   def mg_sketch(c: Column, k: Int): Column =
     org.apache.spark.sql.graft.MisraGriesAgg.mg_sketch(c, k)
 
-  /** KLL quantile sketch aggregate (TypedImperativeAggregate, O(k)
-    * mergeable state; ~1.65% rank error at k=200): double column →
-    * serialized sketch (BINARY).
+  /** N-row merge aggregate over serialized KLL doubles sketches — the
+    * one piece Spark 4.1's built-in KLL surface lacks (its
+    * `kll_sketch_merge_double` is pairwise only; a persisted state
+    * table has one sketch per (group, epoch) with unbounded epochs).
+    * Wire-compatible with the `kll_sketch_agg_double` /
+    * `kll_sketch_get_quantile_double` built-ins, which cover
+    * everything else.
     */
-  def kll_sketch(c: Column, k: Int = 200): Column =
-    org.apache.spark.sql.graft.KllQuantileAgg.kll_sketch(c, k)
-
-  /** Union previously-built KLL sketches (the persisted-state read
-    * path). */
   def kll_merge(c: Column, k: Int = 200): Column =
     org.apache.spark.sql.graft.KllQuantileAgg.kll_merge(c, k)
-
-  /** Value at normalized rank `r` of a serialized KLL sketch; null on
-    * an empty sketch. */
-  def kll_quantile(c: Column, r: Double): Column =
-    org.apache.spark.sql.graft.KllQuantileAgg.kll_quantile(c, r)
-
-  /** Exact number of values a KLL sketch has absorbed. */
-  def kll_n(c: Column): Column =
-    org.apache.spark.sql.graft.KllQuantileAgg.kll_n(c)
 }

@@ -133,4 +133,29 @@ class ClassifierSpec extends SparkTestBase {
     // encoding, but rows with different OWN labels differ
     assert(got(1L) == got(2L) && got(1L) != got(3L))
   }
+
+  test("woeTable: hand-computed smoothed WoE/IV, one-sided cell finite") {
+    import spark.implicits._
+    // cat a: 3 pos / 1 neg; cat b: 0 pos / 4 neg (one-sided); K=2
+    val df = (Seq.fill(3)(("a", 1)) ++ Seq(("a", 0)) ++
+      Seq.fill(4)(("b", 0))).toDF("cat", "y")
+    val got = graft.ext.Classifier.woeTable(df, "cat",
+        org.apache.spark.sql.functions.col("y") === 1)
+      .orderBy("cat")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    def pin(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (tp, tn, k) = (3.0, 5.0, 2.0)
+    def woe(p: Double, n: Double) = pin(math.log(
+      ((p + 0.5) / (tp + 0.5 * k)) / ((n + 0.5) / (tn + 0.5 * k))))
+    def iv(p: Double, n: Double) = pin(
+      ((p + 0.5) / (tp + 0.5 * k) - (n + 0.5) / (tn + 0.5 * k)) *
+        woe(p, n))
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq(("a", 4L, 3L, 1L), ("b", 4L, 0L, 4L)))
+    assert(got(0)._5 == woe(3, 1) && got(0)._6 == iv(3, 1))
+    // the all-negative category stays FINITE (smoothing) and negative
+    assert(got(1)._5 == woe(0, 4) && got(1)._5 < 0)
+    assert(got(1)._6 == iv(0, 4) && got(1)._6 > 0) // iv terms are >= 0
+  }
 }
