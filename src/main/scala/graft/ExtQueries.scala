@@ -172,6 +172,24 @@ object ExtQueries {
           bands = 4, rowsPerBand = 2, maxBucket = 0))
         .orderBy(col("doc_id"))),
 
+    // Label-propagation communities over the same LSH pair graph —
+    // the density-sensitive refinement of x_dedup_clusters'
+    // components (a bridge edge keeps two blobs in one component; LPA
+    // splits them when interior label mass outvotes the bridge). Two
+    // deterministic synchronous rounds, smallest-label tie-break; the
+    // oracle unrolls the identical rounds in CTEs.
+    "x_label_prop" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidatePairs(T(s, dir, "documents"),
+        "doc_id", "text", bands = 4, rowsPerBand = 2, maxBucket = 0)
+      val edges = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          cand.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.ext.Graph.labelPropagation(edges, rounds = 2)
+        .withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("label", "community")
+        .orderBy(col("doc_id"))
+    }),
+
     "x_dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
         maxId = 300L, threshold = 0.3)),
@@ -2933,6 +2951,67 @@ object ExtQueries {
         .orderBy(col("converted"), col("bounce"), col("browse_only"))
     }),
 
+    // Mann-Whitney U rank-sum test — the NONPARAMETRIC twin of
+    // x_ab_test below (revenue is skewed; the Welch z assumes what it
+    // shouldn't): does variant A's purchase-value distribution
+    // stochastically dominate B's? Reuses auc's bucketed two-phase
+    // machinery verbatim (U = auc·n_a·n_b) — no global window;
+    // tie-corrected normal z pinned at 9dp.
+    "x_mann_whitney" -> ((s, dir) =>
+      graft.ext.Eval.mannWhitney(
+        Events.loadEvents(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("a",
+            Sampling.bucketOf(col("user_id"), 7) < 500000L),
+        col("value"), col("a"))),
+
+    // Wald SPRT evaluated at DAY boundaries — the early-stopping
+    // complement of x_ab_test's fixed-horizon z: per variant, daily
+    // conversion partials (conversion = purchase among all events,
+    // base rate ~0.2 vs H0 p=0.15 / H1 p=0.20, α=0.05 β=0.10), then
+    // the cumulative log-likelihood-ratio walk over the
+    // experiment-calendar-bounded day axis (windows PARTITIONED BY
+    // variant — no global window) with the first-crossing decision
+    // held sticky. ln terms are in-plan round(log(..),9) literals
+    // (the PMI convention), constant-folded by Catalyst; the llr
+    // itself pins at 6dp.
+    "x_sprt" -> ((s, dir) => {
+      val l1 = round(log(lit(0.20) / lit(0.15)), 9)
+      val l0 = round(log(lit(0.80) / lit(0.85)), 9)
+      val ub = round(log(lit(0.90) / lit(0.05)), 9) // ln((1-β)/α)
+      val lb = round(log(lit(0.10) / lit(0.95)), 9) // ln(β/(1-α))
+      val daily = Events.loadEvents(s, dir)
+        .withColumn("variant",
+          when(Sampling.bucketOf(col("user_id"), 7) < 500000L, "A")
+            .otherwise("B"))
+        .withColumn("day", expr("ts_sec div 86400"))
+        .withColumn("conv",
+          (col("event_type") === "purchase").cast("long"))
+        .groupBy(col("variant"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("n_conv"))
+      val w = Window.partitionBy(col("variant")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byVariant = Window.partitionBy(col("variant"))
+      daily
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .withColumn("cum_conv", sum(col("n_conv")).over(w))
+        .withColumn("llr", round(col("cum_conv") * l1 +
+          (col("cum_n") - col("cum_conv")) * l0, 6))
+        .withColumn("decision",
+          when(col("llr") >= ub, "accept_h1")
+            .when(col("llr") <= lb, "accept_h0")
+            .otherwise("continue"))
+        .withColumn("stop_day",
+          min(when(col("decision") =!= "continue", col("day")))
+            .over(byVariant))
+        .withColumn("stopped",
+          col("stop_day").isNotNull && col("day") >= col("stop_day"))
+        .select(col("variant"), col("day"), col("n"), col("n_conv"),
+          col("cum_n"), col("cum_conv"), col("llr"), col("decision"),
+          col("stopped"))
+        .orderBy(col("variant"), col("day"))
+    }),
+
     // A/B-test analysis: users hash-split into two variants (the
     // deterministic splitByHash assignment), purchase values compared
     // by a pooled two-sample z-score. Every aggregate is an exact
@@ -3831,6 +3910,31 @@ object ExtQueries {
     * reachability via a recursive CTE (quadratic per component — fine at
     * oracle scale), then cluster id = min reachable id.
     */
+  /** Two unrolled synchronous LPA rounds over the symmetric candidate
+    * graph — most-frequent neighbor label, smallest-label tie-break,
+    * exactly [[graft.ext.Graph.labelPropagation]]'s semantics.
+    */
+  private def labelPropOracle: String =
+    s"""WITH $minhashCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION ALL SELECT id_b, id_a FROM cand),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        n1 AS (SELECT e.src, l.label, COUNT(*) AS c
+               FROM edges e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+        l1 AS (SELECT src AS node, label FROM (
+                 SELECT src, label, row_number() OVER (
+                   PARTITION BY src ORDER BY c DESC, label) AS rn
+                 FROM n1) WHERE rn = 1),
+        n2 AS (SELECT e.src, l.label, COUNT(*) AS c
+               FROM edges e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+        l2 AS (SELECT src AS node, label FROM (
+                 SELECT src, label, row_number() OVER (
+                   PARTITION BY src ORDER BY c DESC, label) AS rn
+                 FROM n2) WHERE rn = 1)
+        SELECT node AS doc_id, label AS community
+        FROM l2 ORDER BY doc_id"""
+
   private def clustersOracle: String =
     s"""WITH RECURSIVE $minhashCtes,
         edges AS (
@@ -4023,6 +4127,8 @@ object ExtQueries {
     "x_dedup_pipeline" -> dedupPipelineOracle,
 
     "x_dedup_clusters" -> clustersOracle,
+
+    "x_label_prop" -> labelPropOracle,
 
     "x_split_leakfree" ->
       s"""WITH RECURSIVE $minhashCtes,
@@ -6463,6 +6569,91 @@ object ExtQueries {
               / sqrt(a.variance / a.n + b.variance / b.n) AS z_score
           FROM (SELECT * FROM v WHERE variant = 'A') a
           CROSS JOIN (SELECT * FROM v WHERE variant = 'B') b"""
+    },
+
+    // U from per-distinct-value counts (pairs below + half-ties);
+    // tie-corrected normal z, 9dp-pinned; op order mirrors the engine
+    "x_mann_whitney" -> {
+      val bucket = Sampling.bucketSql("user_id", 7)
+      s"""WITH e AS (
+            SELECT CASE WHEN $bucket < 500000 THEN 1 ELSE 0 END AS a,
+              value AS v
+            FROM events WHERE event_type = 'purchase'
+              AND value IS NOT NULL),
+          c AS (SELECT v, CAST(SUM(a) AS BIGINT) AS pa,
+                  CAST(SUM(1 - a) AS BIGINT) AS pb
+                FROM e GROUP BY 1),
+          r AS (SELECT pa, pb,
+                  COALESCE(CAST(SUM(pb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS ltb
+                FROM c),
+          agg AS (SELECT CAST(SUM(pa) AS BIGINT) AS na,
+                    CAST(SUM(pb) AS BIGINT) AS nb,
+                    CAST(SUM(pa * (2 * ltb + pb)) AS BIGINT) AS num2,
+                    CAST(SUM((pa + pb) * (pa + pb) * (pa + pb)
+                      - (pa + pb)) AS BIGINT) AS ties
+                  FROM r)
+          SELECT na AS n_a, nb AS n_b,
+            CAST(num2 AS DOUBLE) / 2.0 AS u,
+            CAST(num2 AS DOUBLE) / 2.0
+              / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS auc,
+            CASE WHEN na > 0 AND nb > 0 AND
+                CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+                  ((CAST(na + nb AS DOUBLE) + 1.0)
+                    - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE)
+                      * (CAST(na + nb AS DOUBLE) - 1.0))) > 0
+              THEN round((CAST(num2 AS DOUBLE) / 2.0
+                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+                / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+                  ((CAST(na + nb AS DOUBLE) + 1.0)
+                    - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE)
+                      * (CAST(na + nb AS DOUBLE) - 1.0)))), 9)
+            END AS z
+          FROM agg"""
+    },
+
+    // same 9dp-pinned ln literals and op order as the engine; llr
+    // pinned at 6dp
+    "x_sprt" -> {
+      val bucket = Sampling.bucketSql("user_id", 7)
+      s"""WITH e AS (
+            SELECT CASE WHEN $bucket < 500000 THEN 'A' ELSE 'B' END
+                AS variant,
+              CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) // 86400 AS day,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                AS conv
+            FROM events),
+          d AS (SELECT variant, day, COUNT(*) AS n,
+                  CAST(SUM(conv) AS BIGINT) AS n_conv
+                FROM e GROUP BY 1, 2),
+          c AS (SELECT variant, day, n, n_conv,
+                  CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+                  CAST(SUM(n_conv) OVER w AS BIGINT) AS cum_conv
+                FROM d WINDOW w AS (PARTITION BY variant ORDER BY day
+                  ROWS UNBOUNDED PRECEDING)),
+          l AS (SELECT *,
+                  round(CAST(cum_conv AS DOUBLE)
+                      * round(ln(0.20 / 0.15), 9)
+                    + CAST(cum_n - cum_conv AS DOUBLE)
+                      * round(ln(0.80 / 0.85), 9), 6) AS llr
+                FROM c),
+          dec AS (SELECT *,
+                  CASE WHEN llr >= round(ln(0.90 / 0.05), 9)
+                         THEN 'accept_h1'
+                       WHEN llr <= round(ln(0.10 / 0.95), 9)
+                         THEN 'accept_h0'
+                       ELSE 'continue' END AS decision
+                FROM l),
+          st AS (SELECT *,
+                  MIN(CASE WHEN decision <> 'continue' THEN day END)
+                    OVER (PARTITION BY variant) AS stop_day
+                FROM dec)
+          SELECT variant, day, n, n_conv, cum_n, cum_conv, llr,
+            decision, stop_day IS NOT NULL AND day >= stop_day
+              AS stopped
+          FROM st ORDER BY variant, day"""
     },
 
     "x_attribution" ->

@@ -136,6 +136,43 @@ object Eval {
           .as("auc"))
   }
 
+  /** Mann-Whitney U / Wilcoxon rank-sum two-sample test — the
+    * NONPARAMETRIC complement of the Welch z in `x_ab_test`: does one
+    * group stochastically dominate the other, with no normality or
+    * equal-variance assumption (the robust A/B readout when value
+    * distributions are skewed, which revenue always is).
+    *
+    * U counts cross-group pairs (A-value > B-value, ties ½) — exactly
+    * `auc · n_a · n_b`, so this reuses [[auc]]'s scale machinery
+    * verbatim: per-value compression, equi-depth bucketed two-phase
+    * prefix, NO global window. The normal approximation uses the
+    * tie-corrected variance
+    * σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))); z is pinned at 9 dp
+    * (U and the tie sum are exact integers/halves, so the one ln-free
+    * IEEE chain is engine-portable to far below that). Degenerate
+    * inputs (a group empty, or every value identical → σ = 0) emit a
+    * null z rather than ±∞.
+    */
+  def mannWhitney(df: DataFrame, valueCol: Column,
+                  groupACol: Column): DataFrame = {
+    val counts = bucketScores(scoreCounts(df, valueCol, groupACol), None)
+    val t = col("__pos") + col("__neg")
+    val agg = strictlyBelow(counts, Seq("__neg"))
+      .agg(sum(col("__pos")).as("n_a"), sum(col("__neg")).as("n_b"),
+        sum(col("__pos") * (lit(2L) * col("__lt___neg") + col("__neg")))
+          .as("__num2"),
+        sum(t * t * t - t).as("__ties"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val u = col("__num2").cast("double") / lit(2.0)
+    val sigma2 = na * nb / lit(12.0) *
+      ((n + lit(1.0)) - col("__ties").cast("double") / (n * (n - lit(1.0))))
+    agg.select(col("n_a"), col("n_b"), u.as("u"),
+      (u / (na * nb)).as("auc"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0,
+        round((u - na * nb / lit(2.0)) / sqrt(sigma2), 9)).as("z"))
+  }
+
   /** Precision-recall curve: one row per DISTINCT score value s,
     * evaluating the classifier "predict positive ⟺ score ≥ s" —
     * `(threshold, tp, fp, fn, precision, recall)`, exact integer

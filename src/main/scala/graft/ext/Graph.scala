@@ -154,6 +154,48 @@ object Graph {
       .agg(count(lit(1)).as("degree"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al.),
+    * DETERMINISTIC variant: `rounds` fixed synchronous rounds; each
+    * node adopts the most frequent label among its NEIGHBORS, ties
+    * broken to the smallest label (classic LPA breaks ties randomly
+    * and updates asynchronously — neither of which an oracle can
+    * replay). Communities are not components: a bridge edge keeps two
+    * dense blobs in one connected component, but their interior label
+    * mass outvotes the bridge, so LPA separates them.
+    *
+    * Shape per round: one equi-join (edges × labels, |E| rows), a
+    * (node, label) count aggregate, and a min-struct argmax
+    * ((−count, label) minimum — the highest count with the smallest
+    * label, no per-node sort). `rounds` is a small fixed constant —
+    * the same bounded fixed-point discipline as [[pageRank]]/[[kCore]]
+    * — and each round barriers through a lazy localCheckpoint so the
+    * iteration count, not plan depth, is what grows. Input edges must
+    * be SYMMETRIC (both directions present, no duplicates); isolated
+    * nodes (no edges) are out of scope — they'd keep their own label.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = edges.select(col("src"), col("dst"))
+      .localCheckpoint(false)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("dst"), col("label")),
+          Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
+          .as("__b"))
+        .select(col("src").as("node"), col("__b").getField("l")
+          .as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   /** Per-node local clustering coefficient: tri(v) / C(deg(v), 2) —
     * how close each node's neighborhood is to a clique (community
     * cohesion, spam-graph detection; the per-node refinement of

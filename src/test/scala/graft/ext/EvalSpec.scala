@@ -267,6 +267,30 @@ class EvalSpec extends SparkTestBase {
     assert(hits >= (500 * 0.8 * 0.95).toLong, s"coverage $hits/500")
   }
 
+  test("mannWhitney: hand-computed U with ties, null z on degenerate") {
+    import spark.implicits._
+    // A = {1,3,3,5}, B = {2,3,4}: U = 0 + 1.5 + 1.5 + 3 = 6 = n_a*n_b/2
+    // -> z = 0; tie sum = 3^3-3 = 24
+    val df = (Seq(1.0, 3.0, 3.0, 5.0).map((_, true)) ++
+      Seq(2.0, 3.0, 4.0).map((_, false))).toDF("v", "a")
+    val r = graft.ext.Eval.mannWhitney(df, col("v"), col("a")).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 3L, 6.0)))
+    assert(r.getDouble(4) == 0.0, s"z ${r.getDouble(4)}")
+    // no ties, clean separation: U=6, mu=3, sigma^2 = 6/12*6 = 3
+    val df2 = (Seq(10.0, 20.0, 30.0).map((_, true)) ++
+      Seq(1.0, 2.0).map((_, false))).toDF("v", "a")
+    val r2 = graft.ext.Eval.mannWhitney(df2, col("v"), col("a")).head()
+    assert(r2.getDouble(2) == 6.0 && r2.getDouble(3) == 1.0)
+    val want = BigDecimal(3.0 / math.sqrt(3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r2.getDouble(4) == want, s"z ${r2.getDouble(4)} vs $want")
+    // every value identical -> sigma = 0 -> null z, not infinity
+    val r3 = graft.ext.Eval.mannWhitney(
+      Seq((7.0, true), (7.0, false), (7.0, true)).toDF("v", "a"),
+      col("v"), col("a")).head()
+    assert(r3.isNullAt(4), r3.toString)
+  }
+
   test("ksTest: hand-computed D, zero on identical samples") {
     import spark.implicits._
     val a = Seq(1, 1, 2, 3).toDF("v")   // F_a: 1->.5, 2->.75, 3->1

@@ -189,4 +189,39 @@ class GraphSpec extends SparkTestBase {
     val got = bfs(sym(pairs: _*), seeds, hops = 3)
     assert(got == dist)
   }
+
+  private def lpa(edges: org.apache.spark.sql.DataFrame, rounds: Int) =
+    Graph.labelPropagation(edges, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: triangle converges to its min label") {
+    // K3: round 1 -> (1->2, 2->1, 3->1); round 2 -> all 1
+    assert(lpa(sym((1L, 2L), (1L, 3L), (2L, 3L)), rounds = 2) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("labelPropagation: hand-replayed rounds on two bridged " +
+    "triangles (deterministic min-label tie-break)") {
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    // round 1 (labels = node ids; most-frequent neighbor, min ties):
+    //   1:{2,3}->2  2:{1,3}->1  3:{1,2,4}->1  4:{3,5,6}->3
+    //   5:{4,6}->4  6:{4,5}->4
+    assert(lpa(edges, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // round 2 replays over those labels:
+    //   1:{1,1}->1  2:{2,1}->1  3:{2,1,3}->1  4:{1,4,4}->4
+    //   5:{3,4}->3  6:{3,4}->3
+    assert(lpa(edges, 2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: two clean cliques keep separate communities " +
+    "(where components would merge them via any path)") {
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L))
+    val got = lpa(edges, 2)
+    assert(got.filterKeys(_ <= 3L).values.toSet == Set(1L))
+    assert(got.filterKeys(_ >= 7L).values.toSet == Set(7L))
+  }
 }
