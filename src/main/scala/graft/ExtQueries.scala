@@ -2951,6 +2951,53 @@ object ExtQueries {
         .orderBy(col("converted"), col("bounce"), col("browse_only"))
     }),
 
+    // CUPED variance reduction (Deng et al.): per-user pre-period
+    // purchase revenue (first 15 days) as the covariate for the
+    // post-period metric — Y' = Y − θ(X − E[X]) with pooled θ =
+    // cov/var from exact DECIMAL moments, adjusted values 9dp-pinned
+    // before re-aggregation (an IEEE double sum over rows would be
+    // order-dependent). Outputs per variant the before/after variance
+    // and the reduction; 6dp output pin (the seasonal_decompose
+    // double→DECIMAL cross-engine convention).
+    "x_cuped" -> ((s, dir) => {
+      val p = Events.loadEvents(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", expr("ts_sec div 86400"))
+        .localCheckpoint(false) // min-day scalar + the per-user split
+      val d0 = p.agg(min(col("day")).as("__d0"))
+      val perUser = p.crossJoin(broadcast(d0))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("day") < col("__d0") + 15, col("value"))
+            .otherwise(lit(0.0)).cast(DecimalType(18, 2)))
+            .cast("double").as("x"),
+          sum(when(col("day") >= col("__d0") + 15, col("value"))
+            .otherwise(lit(0.0)).cast(DecimalType(18, 2)))
+            .cast("double").as("y"))
+        .withColumn("variant",
+          when(Sampling.bucketOf(col("user_id"), 7) < 500000L, "A")
+            .otherwise("B"))
+      graft.ext.Experiment.cuped(perUser, "variant", col("x"), col("y"))
+        .select(col("variant"), col("n"),
+          round(col("mean_y"), 6).as("mean_y"),
+          round(col("mean_y_adj"), 6).as("mean_y_adj"),
+          round(col("var_y"), 6).as("var_y"),
+          round(col("var_y_adj"), 6).as("var_y_adj"),
+          round(col("var_reduction"), 6).as("var_reduction"))
+        .orderBy(col("variant"))
+    }),
+
+    // Empirical-Bayes beta-binomial shrinkage of per-part return
+    // rates — "rank by rate" without small-n keys owning the extremes
+    // (a 1-of-1 return should not outrank 96-of-100): method-of-
+    // moments Beta prior from the 9dp-pinned rate distribution,
+    // per-key shrinkage row-local against the 1-row broadcast prior.
+    "x_eb_shrink" -> ((s, dir) =>
+      graft.ext.Experiment.ebShrinkRates(T(s, dir, "lineitem"),
+          "l_partkey", col("l_returnflag") === "R")
+        .filter(col("l_partkey") <= 400)
+        .orderBy(col("l_partkey"))),
+
     // Mann-Whitney U rank-sum test — the NONPARAMETRIC twin of
     // x_ab_test below (revenue is skewed; the Welch z assumes what it
     // shouldn't): does variant A's purchase-value distribution
@@ -6570,6 +6617,108 @@ object ExtQueries {
           FROM (SELECT * FROM v WHERE variant = 'A') a
           CROSS JOIN (SELECT * FROM v WHERE variant = 'B') b"""
     },
+
+    // mirrors the engine's exact chain: DECIMAL(18,2) per-user period
+    // sums -> DECIMAL(18,4) quantization -> exact DECIMAL moments ->
+    // 9dp-pinned theta/E[X]/adjusted values -> exact DECIMAL
+    // re-aggregation -> 6dp output pin
+    "x_cuped" -> {
+      val bucket = Sampling.bucketSql("user_id", 7)
+      s"""WITH p AS (
+            SELECT user_id, value,
+              CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) // 86400 AS day
+            FROM events WHERE event_type = 'purchase'),
+          d0 AS (SELECT MIN(day) AS d0 FROM p),
+          u AS (
+            SELECT user_id,
+              CAST(SUM(CAST(CASE WHEN day < d0 + 15 THEN value
+                ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS x,
+              CAST(SUM(CAST(CASE WHEN day >= d0 + 15 THEN value
+                ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS y
+            FROM p CROSS JOIN d0 GROUP BY 1),
+          q AS (
+            SELECT CASE WHEN $bucket < 500000 THEN 'A' ELSE 'B' END
+                AS variant,
+              CAST(x AS DECIMAL(18,4)) AS xq,
+              CAST(y AS DECIMAL(18,4)) AS yq
+            FROM u WHERE x IS NOT NULL AND y IS NOT NULL),
+          m AS (
+            SELECT COUNT(*) AS n,
+              CAST(SUM(xq) AS DOUBLE) AS sx,
+              CAST(SUM(yq) AS DOUBLE) AS sy,
+              CAST(SUM(CAST(xq * yq AS DECIMAL(38,8))) AS DOUBLE)
+                AS sxy,
+              CAST(SUM(CAST(xq * xq AS DECIMAL(38,8))) AS DOUBLE)
+                AS sxx
+            FROM q),
+          t AS (SELECT
+              round((sxy - sx * sy / n) / (sxx - sx * sx / n), 9)
+                AS theta,
+              round(sx / n, 9) AS mx
+            FROM m),
+          a AS (
+            SELECT variant, yq,
+              round(CAST(yq AS DOUBLE)
+                - theta * (CAST(xq AS DOUBLE) - mx), 9) AS yadj
+            FROM q CROSS JOIN t),
+          g AS (
+            SELECT variant, COUNT(*) AS n,
+              CAST(SUM(yq) AS DOUBLE) AS vsy,
+              CAST(SUM(CAST(yq * yq AS DECIMAL(38,8))) AS DOUBLE)
+                AS vsyy,
+              CAST(SUM(CAST(yadj AS DECIMAL(28,9))) AS DOUBLE) AS vsa,
+              CAST(SUM(CAST(round(yadj * yadj, 9) AS DECIMAL(38,9)))
+                AS DOUBLE) AS vsaa
+            FROM a GROUP BY 1)
+          SELECT variant, n,
+            round(vsy / n, 6) AS mean_y,
+            round(vsa / n, 6) AS mean_y_adj,
+            round((vsyy - vsy * vsy / n) / (n - 1), 6) AS var_y,
+            round((vsaa - vsa * vsa / n) / (n - 1), 6) AS var_y_adj,
+            round(1.0 - ((vsaa - vsa * vsa / n) / (n - 1))
+              / ((vsyy - vsy * vsy / n) / (n - 1)), 6) AS var_reduction
+          FROM g ORDER BY variant"""
+    },
+
+    // mirrors the engine: 9dp-pinned per-key rates, exact DECIMAL
+    // prior moments, method-of-moments alpha/beta, row-local shrinkage
+    "x_eb_shrink" ->
+      """WITH pk AS (
+            SELECT l_partkey, COUNT(*) AS n,
+              CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS s
+            FROM lineitem GROUP BY 1),
+          pr AS (SELECT l_partkey, n, s,
+              round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_raw
+            FROM pk),
+          mo AS (
+            SELECT COUNT(*) AS k,
+              CAST(SUM(CAST(p_raw AS DECIMAL(28,9))) AS DOUBLE) AS sp,
+              CAST(SUM(CAST(round(p_raw * p_raw, 9) AS DECIMAL(38,9)))
+                AS DOUBLE) AS spp
+            FROM pr),
+          pm AS (SELECT sp / k AS m,
+              (spp - sp * sp / k) / (k - 1) AS var
+            FROM mo),
+          ab AS (
+            SELECT
+              CASE WHEN var > 0 AND m * (1.0 - m) > var
+                THEN round(m * (m * (1.0 - m) / var - 1), 9) END
+                AS alpha,
+              CASE WHEN var > 0 AND m * (1.0 - m) > var
+                THEN round((1.0 - m) * (m * (1.0 - m) / var - 1), 9)
+                END AS beta
+            FROM pm)
+          SELECT l_partkey, n, s, p_raw,
+            round(alpha, 9) AS alpha, round(beta, 9) AS beta,
+            CASE WHEN alpha IS NOT NULL
+              THEN round((CAST(s AS DOUBLE) + alpha)
+                / (CAST(n AS DOUBLE) + alpha + beta), 9)
+              ELSE p_raw END AS p_shrunk
+          FROM pr CROSS JOIN ab
+          WHERE l_partkey <= 400
+          ORDER BY l_partkey""",
 
     // U from per-distinct-value counts (pairs below + half-ties);
     // tie-corrected normal z, 9dp-pinned; op order mirrors the engine

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -545,6 +545,80 @@ object StreamOps {
       batch.groupBy(col(dayCol).as("day"))
         .agg(hll_sketch_agg(col(userCol), lit(lgK)).as("s_hll")),
       tablePath, batchId)
+
+  /** Streaming feed of the SPRT walk (`x_sprt`'s batch form): each
+    * micro-batch reduces to one (variant, n, n_conv) partial row per
+    * variant, committed exactly-once under `batch_id=<id>` — counts
+    * merge additively, so replay-safety comes entirely from the
+    * epoch-keyed commit, and the walk itself is DERIVED at read
+    * ([[readSprt]]) rather than stored: no read-modify-write state,
+    * nothing to corrupt on restart.
+    */
+  def sprtStateSink(events: DataFrame, variantCol: String,
+                    convCol: Column, tablePath: String,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sprtStateBatch(batch, variantCol, convCol, tablePath, id); ()
+      }
+      .start()
+
+  /** One SPRT-state commit (the foreachBatch body, callable directly). */
+  def sprtStateBatch(batch: DataFrame, variantCol: String,
+                     convCol: Column, tablePath: String,
+                     batchId: Long): Boolean =
+    !batch.isEmpty && commitBatchOnce(
+      batch.groupBy(col(variantCol).as("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(convCol.cast("long")).as("n_conv")),
+      tablePath, batchId)
+
+  /** The SPRT decision walk over the streamed state: cumulative LLR
+    * per variant across committed epochs (windows PARTITIONED BY
+    * variant over the bounded epoch axis), thresholds from (α, β),
+    * sticky first-crossing — identical math to `x_sprt`'s batch form,
+    * with epochs standing in for days. ln terms are in-plan
+    * `round(log(..), 9)` literals (the PMI convention).
+    */
+  def readSprt(spark: SparkSession, tablePath: String,
+               p0: Double, p1: Double, alpha: Double,
+               beta: Double): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct p0, p1 in (0,1); got $p0, $p1")
+    val l1 = round(log(lit(p1) / lit(p0)), 9)
+    val l0 = round(log(lit(1.0 - p1) / lit(1.0 - p0)), 9)
+    val ub = round(log(lit(1.0 - beta) / lit(alpha)), 9)
+    val lb = round(log(lit(beta) / lit(1.0 - alpha)), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("variant")).orderBy(col("batch_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val byVariant = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("variant"))
+    spark.read.parquet(tablePath)
+      // partition discovery infers batch_id as int; pin the contract
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_conv", sum(col("n_conv")).over(w))
+      .withColumn("llr", round(col("cum_conv") * l1 +
+        (col("cum_n") - col("cum_conv")) * l0, 6))
+      .withColumn("decision",
+        when(col("llr") >= ub, "accept_h1")
+          .when(col("llr") <= lb, "accept_h0")
+          .otherwise("continue"))
+      .withColumn("stop_epoch",
+        min(when(col("decision") =!= "continue", col("batch_id")))
+          .over(byVariant))
+      .withColumn("stopped", col("stop_epoch").isNotNull &&
+        col("batch_id") >= col("stop_epoch"))
+      .select(col("variant"), col("batch_id"), col("n"), col("n_conv"),
+        col("cum_n"), col("cum_conv"), col("llr"), col("decision"),
+        col("stopped"))
+      .orderBy(col("variant"), col("batch_id"))
+  }
 
   /** DAU/MAU stickiness over the streamed per-day sketch table: union
     * each day's epoch partials, then union each trailing-`window`

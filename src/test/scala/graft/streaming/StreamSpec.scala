@@ -946,6 +946,57 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sprtStateSink: epoch-keyed partials + derived walk == " +
+    "hand-replayed LLR; replay commits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("sprt").toString
+    val mem = MemoryStream[(String, Boolean)]
+    val q = sprtStateSink(mem.toDF().toDF("variant", "conv"),
+      "variant", col("conv"),
+      tablePath = s"$tmp/state", checkpointDir = s"$tmp/ckpt")
+    // variant A converts at ~0.5 (crosses H1 fast vs p0=.15/p1=.20),
+    // variant B at ~0.05 (crosses H0)
+    def epoch(seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 200).map(i => ("A", rnd.nextDouble() < 0.5)) ++
+        (0 until 200).map(i => ("B", rnd.nextDouble() < 0.05))
+    }
+    try {
+      mem.addData(epoch(1): _*); q.processAllAvailable()
+      mem.addData(epoch(2): _*); q.processAllAvailable()
+      val walk = readSprt(spark, s"$tmp/state",
+        p0 = 0.15, p1 = 0.20, alpha = 0.05, beta = 0.10)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(4), r.getLong(5), r.getDouble(6), r.getString(7)))
+        .toMap
+      // hand-replay the identical math from the raw epochs
+      def pin(x: Double, s: Int) = BigDecimal(x)
+        .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val l1 = pin(math.log(0.20 / 0.15), 9)
+      val l0 = pin(math.log(0.80 / 0.85), 9)
+      val byEpoch = Seq(0L -> epoch(1), 1L -> epoch(2))
+      for (v <- Seq("A", "B")) {
+        var (cn, cs) = (0L, 0L)
+        for ((id, data) <- byEpoch) {
+          val mine = data.filter(_._1 == v)
+          cn += mine.size; cs += mine.count(_._2)
+          val llr = pin(cs * l1 + (cn - cs) * l0, 6)
+          val (gn, gs, gl, _) = walk((v, id))
+          assert((gn, gs, gl) == ((cn, cs, llr)),
+            s"$v epoch $id: ($gn,$gs,$gl) vs ($cn,$cs,$llr)")
+        }
+      }
+      // the designed outcomes: A accepts H1, B accepts H0
+      assert(walk(("A", 1L))._4 == "accept_h1")
+      assert(walk(("B", 1L))._4 == "accept_h0")
+      // epoch replay is a no-op
+      val replayed = sprtStateBatch(epoch(1).toDF("variant", "conv"),
+        "variant", col("conv"), s"$tmp/state", batchId = 0L)
+      assert(!replayed)
+      assert(spark.read.parquet(s"$tmp/state").count() == 4)
+    } finally q.stop()
+  }
+
   test("ksDriftSink: an empty micro-batch writes nothing (no NaN row)") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("ksdrift0").toString
