@@ -1531,6 +1531,17 @@ object ExtQueries {
         ORDER BY g_yr, g_st, yr NULLS FIRST, o_orderstatus NULLS FIRST""")
     }),
 
+    // Full Pearson correlation matrix of four lineitem numerics in
+    // ONE scan: a single aggregate carries all per-column and cross
+    // DECIMAL moments (order-free — the built-in corr's float
+    // recurrences are not layout-stable), the matrix unfolds from the
+    // checkpointed 1-row moment table. The EDA opener over a wide
+    // fact table priced at exactly one pass.
+    "x_corr_matrix" -> ((s, dir) =>
+      graft.agg.Robust.corrMatrix(T(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))),
+
     // Bivariate statistical aggregates: correlation, covariance, and
     // least-squares regression per group — single-pass decomposable
     // moments, one shuffle (rounded: the moment recurrences differ
@@ -2949,6 +2960,49 @@ object ExtQueries {
         .groupBy(col("converted"), col("bounce"), col("browse_only"))
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("converted"), col("bounce"), col("browse_only"))
+    }),
+
+    // Per-stage funnel significance: the ordered view→click→purchase
+    // funnel split by the A/B hash variant, each adjacent-stage
+    // conversion compared by a pooled two-proportion z — "did the
+    // variant move CLICK→PURCHASE, not just the blended rate". Reach
+    // counts come from two Behavior.funnel runs (3 rows each); the
+    // previous-stage denominators come from a 3-row self-join, so no
+    // window at all; z is one 9dp-pinned IEEE chain over exact counts.
+    "x_funnel_sig" -> ((s, dir) => {
+      val ev = Events.loadEvents(s, dir)
+        .withColumn("variant",
+          when(Sampling.bucketOf(col("user_id"), 7) < 500000L, "A")
+            .otherwise("B"))
+        .localCheckpoint(false) // two funnel passes share the scan
+      def reach(v: String, out: String) =
+        Behavior.funnel(ev.filter(col("variant") === v), "user_id",
+            "ts_sec", "event_type", Seq("view", "click", "purchase"),
+            maxGapSec = 86400)
+          .select(col("stage"), col("step"), col("n_users").as(out))
+      val j = reach("A", "n_a")
+        .join(reach("B", "n_b").drop("step"), Seq("stage"))
+        .localCheckpoint(false) // 3 rows: numerators AND denominators
+      val prev = j.select((col("stage") + 1).as("stage"),
+        col("n_a").as("d_a"), col("n_b").as("d_b"))
+      j.join(prev, Seq("stage"))
+        .select(col("stage"), col("step"), col("d_a"), col("n_a"),
+          col("d_b"), col("n_b"),
+          (col("n_a").cast("double") / col("d_a").cast("double"))
+            .as("p_a"),
+          (col("n_b").cast("double") / col("d_b").cast("double"))
+            .as("p_b"))
+        .withColumn("__p", (col("n_a") + col("n_b")).cast("double") /
+          (col("d_a") + col("d_b")).cast("double"))
+        .withColumn("z",
+          when(col("__p") > 0 && col("__p") < 1 &&
+              col("d_a") > 0 && col("d_b") > 0,
+            round((col("p_a") - col("p_b")) /
+              sqrt(col("__p") * (lit(1.0) - col("__p")) *
+                (lit(1.0) / col("d_a").cast("double") +
+                  lit(1.0) / col("d_b").cast("double"))), 9)))
+        .drop("__p")
+        .orderBy(col("stage"))
     }),
 
     // CUPED variance reduction (Deng et al.): per-user pre-period
@@ -6616,6 +6670,99 @@ object ExtQueries {
               / sqrt(a.variance / a.n + b.variance / b.n) AS z_score
           FROM (SELECT * FROM v WHERE variant = 'A') a
           CROSS JOIN (SELECT * FROM v WHERE variant = 'B') b"""
+    },
+
+    // exact DECIMAL(18,4) moments mirrored term for term; r unfolds
+    // with the same op order; zero-variance pairs null out
+    "x_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val short = cs.map(c => c -> c.stripPrefix("l_").take(2)).toMap
+      val sel = cs.map(c =>
+        s"CAST($c AS DECIMAL(18,4)) AS ${short(c)}").mkString(", ")
+      val notNull = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      // operands up-cast to DECIMAL(19,4) before multiplying: DuckDB
+      // stores width<=18 in int64 and its raw product overflows on
+      // price-sized values; width 19 forces int128, result (38,8)
+      // exact — identical values to Spark's (18,4)x(18,4)->(37,8)
+      def wide(c: String) = s"CAST($c AS DECIMAL(19,4))"
+      val moments = (cs.map(c =>
+        s"CAST(SUM(${short(c)}) AS DOUBLE) AS s_${short(c)}") ++
+        cs.map(c => s"CAST(SUM(CAST(${wide(short(c))} * " +
+          s"${wide(short(c))} AS " +
+          s"DECIMAL(38,8))) AS DOUBLE) AS ss_${short(c)}") ++
+        (for (i <- cs.indices; j <- (i + 1) until cs.size) yield
+          s"CAST(SUM(CAST(${wide(short(cs(i)))} * ${wide(short(cs(j)))} AS " +
+            s"DECIMAL(38,8))) AS DOUBLE) AS x_${short(cs(i))}_${short(cs(j))}"))
+        .mkString(",\n              ")
+      val rows = (for (i <- cs.indices; j <- (i + 1) until cs.size)
+        yield {
+          val (a, b) = (short(cs(i)), short(cs(j)))
+          s"""SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, n,
+             CASE WHEN (ss_$a - s_$a * s_$a / n)
+                 * (ss_$b - s_$b * s_$b / n) > 0
+               THEN round((x_${a}_$b - s_$a * s_$b / n)
+                 / sqrt((ss_$a - s_$a * s_$a / n)
+                   * (ss_$b - s_$b * s_$b / n)), 9) END AS r
+           FROM m"""
+        }).mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT $sel FROM lineitem WHERE $notNull),
+          m AS (SELECT COUNT(*) AS n, $moments FROM d)
+          $rows ORDER BY col_a, col_b"""
+    },
+
+    // two Behavior.funnel replays split by the hash variant; pooled
+    // two-proportion z with the engine's exact op order
+    "x_funnel_sig" -> {
+      val bucket = Sampling.bucketSql("user_id", 7)
+      s"""WITH e AS (
+            SELECT user_id, event_type,
+              CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS sec,
+              CASE WHEN $bucket < 500000 THEN 'A' ELSE 'B' END
+                AS variant
+            FROM events),
+          s1 AS (SELECT variant, user_id, MIN(sec) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY 1, 2),
+          s2 AS (SELECT e.user_id, MIN(sec) AS t2 FROM e
+                 JOIN s1 USING (user_id)
+                 WHERE event_type = 'click'
+                   AND sec >= t1 AND sec <= t1 + 86400 GROUP BY 1),
+          s3 AS (SELECT e.user_id, MIN(sec) AS t3 FROM e
+                 JOIN s2 USING (user_id)
+                 WHERE event_type = 'purchase'
+                   AND sec >= t2 AND sec <= t2 + 86400 GROUP BY 1),
+          r AS (SELECT s1.variant, COUNT(t1) AS n1, COUNT(t2) AS n2,
+                  COUNT(t3) AS n3
+                FROM s1 LEFT JOIN s2 USING (user_id)
+                  LEFT JOIN s3 USING (user_id)
+                GROUP BY 1),
+          w AS (SELECT
+              MAX(CASE WHEN variant = 'A' THEN n1 END) AS a1,
+              MAX(CASE WHEN variant = 'A' THEN n2 END) AS a2,
+              MAX(CASE WHEN variant = 'A' THEN n3 END) AS a3,
+              MAX(CASE WHEN variant = 'B' THEN n1 END) AS b1,
+              MAX(CASE WHEN variant = 'B' THEN n2 END) AS b2,
+              MAX(CASE WHEN variant = 'B' THEN n3 END) AS b3
+            FROM r),
+          st AS (
+            SELECT CAST(2 AS INTEGER) AS stage, 'click' AS step,
+              a1 AS d_a, a2 AS n_a, b1 AS d_b, b2 AS n_b FROM w
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), 'purchase',
+              a2, a3, b2, b3 FROM w),
+          pp AS (
+            SELECT stage, step, d_a, n_a, d_b, n_b,
+              CAST(n_a AS DOUBLE) / CAST(d_a AS DOUBLE) AS p_a,
+              CAST(n_b AS DOUBLE) / CAST(d_b AS DOUBLE) AS p_b,
+              CAST(n_a + n_b AS DOUBLE) / CAST(d_a + d_b AS DOUBLE)
+                AS p
+            FROM st)
+          SELECT stage, step, d_a, n_a, d_b, n_b, p_a, p_b,
+            CASE WHEN p > 0 AND p < 1 AND d_a > 0 AND d_b > 0
+              THEN round((p_a - p_b) / sqrt(p * (1.0 - p)
+                * (1.0 / d_a + 1.0 / d_b)), 9) END AS z
+          FROM pp ORDER BY stage"""
     },
 
     // mirrors the engine's exact chain: DECIMAL(18,2) per-user period

@@ -235,6 +235,49 @@ object Robust {
           (col("n") * col("__tot")).cast("double")).as("gini"))
   }
 
+  /** Full Pearson correlation matrix of `cols` in ONE scan: a single
+    * aggregate emits n, per-column Σx / Σx² and all k(k−1)/2 cross
+    * sums Σxy as exact DECIMAL accumulations (quantized to 4 dp —
+    * order-free under any partitioning, unlike the built-in `corr`'s
+    * float recurrences), then every pairwise r unfolds row-locally
+    * from the checkpointed 1-row moment table:
+    *   r = (Σxy − ΣxΣy/n) / √((Σx²−Σx²/n)(Σy²−Σy²/n)), 9 dp pin.
+    * k² arithmetic on ONE row vs k² built-in corr calls that each
+    * carry their own moment state — same single scan, deterministic
+    * output. Complete-case semantics: rows with any null column drop.
+    * A zero-variance column yields null r against everything.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val d = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c =>
+        col(c).cast(DecimalType(18, 4)).as(c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (i, j)
+    val aggs = (count(lit(1)).as("__n") +:
+      cols.map(c => sum(col(c)).cast("double").as(s"__s_$c"))) ++
+      cols.map(c => sum((col(c) * col(c)).cast(DecimalType(38, 8)))
+        .cast("double").as(s"__ss_$c")) ++
+      pairs.map { case (i, j) =>
+        sum((col(cols(i)) * col(cols(j))).cast(DecimalType(38, 8)))
+          .cast("double").as(s"__x_${i}_$j") }
+    val m = d.agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(false) // one row, unfolded k(k-1)/2 times
+    val nD = col("__n").cast("double")
+    def varTerm(c: String) =
+      col(s"__ss_$c") - col(s"__s_$c") * col(s"__s_$c") / nD
+    pairs.map { case (i, j) =>
+      val (a, b) = (cols(i), cols(j))
+      val num = col(s"__x_${i}_$j") - col(s"__s_$a") * col(s"__s_$b") / nD
+      val prod = varTerm(a) * varTerm(b)
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n"),
+        when(prod > 0, round(num / sqrt(prod), 9)).as("r"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Weights are an INTEGRAL contract: each weight is rounded half-up
     * to a long before use, and rows whose rounded weight is 0 drop
     * (a raw `cast("long")` would let 0.6 pass a `> 0` filter yet

@@ -467,6 +467,44 @@ object StreamOps {
         col("n_a").as("n_ref"), col("n_b").as("n_batch"),
         col("ks_d"), (col("ks_d") > alarmAt).as("alarm"))
 
+  /** CATEGORICAL drift monitor — the third leg of the drift family
+    * ([[driftSink]] = binned-numeric PSI, [[ksDriftSink]] =
+    * binning-free numeric CDFs; this = category distributions):
+    * per micro-batch, the chi-squared independence statistic between
+    * "is reference" and the category column
+    * ([[graft.ext.Eval.chiSquared]]) — high chi2 ⟺ the live category
+    * mix differs from the reference mix. One
+    * `(batch_id, n, dof, chi2, alarm)` row per epoch; compare chi2
+    * against the χ²_dof critical value for the chosen significance.
+    * Empty batches skip (no distribution to compare).
+    */
+  def chi2DriftSink(stream: DataFrame, catCol: String, ref: DataFrame,
+                    refCatCol: String, alarmAt: Double, outDir: String,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          chi2DriftBatch(batch, catCol, ref, refCatCol, alarmAt, id)
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+
+  /** One chi-squared drift evaluation (the foreachBatch body). */
+  def chi2DriftBatch(batch: DataFrame, catCol: String, ref: DataFrame,
+                     refCatCol: String, alarmAt: Double,
+                     batchId: Long): DataFrame = {
+    val union = ref.select(col(refCatCol).as("__c"))
+      .withColumn("__r", lit(true))
+      .unionByName(batch.select(col(catCol).as("__c"))
+        .withColumn("__r", lit(false)))
+    graft.ext.Eval.chiSquared(union, col("__c"), col("__r"))
+      .select(lit(batchId).as("batch_id"), col("n"), col("dof"),
+        col("chi2"), (col("chi2") > alarmAt).as("alarm"))
+  }
+
   // ---- incremental sketch state (quantiles, DAU/MAU) ------------------
 
   /** Streaming QUANTILE state maintenance — the stream feed of

@@ -126,6 +126,40 @@ class RobustSpec extends SparkTestBase {
     assert(math.abs(got - want) < 1e-9, s"$got vs $want")
   }
 
+  test("corrMatrix: one-pass matrix — exact +1/-1, hand r, " +
+    "zero-variance nulls, complete-case drops") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0, Some(1.0)),
+      (2.0, 4.0, -2.0, 5.0, Some(9.0)),
+      (3.0, 6.0, -3.0, 5.0, None),
+      (4.0, 8.0, -4.0, 5.0, Some(4.0))
+    ).toDF("a", "b", "c", "k", "m")
+    val got = Robust.corrMatrix(df, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("a", "b")) == Some(1.0))    // b = 2a exactly
+    assert(got(("a", "c")) == Some(-1.0))   // c = -a exactly
+    assert(got(("b", "c")) == Some(-1.0))
+    // constant column: zero variance -> null against everything
+    assert(got(("a", "k")) == None && got(("b", "k")) == None &&
+      got(("c", "k")) == None)
+    assert(got.size == 6)
+    // complete-case: the null-m row drops for EVERY pair when m is in
+    // the column set, and r matches the hand formula on the 3 rows
+    val withM = Robust.corrMatrix(df, Seq("a", "m"))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).head
+    val (xs, ys) = (Seq(1.0, 2.0, 4.0), Seq(1.0, 9.0, 4.0))
+    val n = 3.0
+    val hand = (xs.zip(ys).map { case (x, y) => x * y }.sum -
+      xs.sum * ys.sum / n) /
+      math.sqrt((xs.map(x => x * x).sum - xs.sum * xs.sum / n) *
+        (ys.map(y => y * y).sum - ys.sum * ys.sum / n))
+    val pinned = BigDecimal(hand)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(withM._1 == 3L && math.abs(withM._2 - pinned) < 1e-9,
+      s"$withM vs $pinned")
+  }
+
   test("weightedMedian: lower-median rule, weights dominate counts") {
     val df = Seq(
       // group a: value 10 carries 1, value 20 carries 5 -> median 20

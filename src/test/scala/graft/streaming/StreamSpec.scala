@@ -946,6 +946,37 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chi2DriftSink: same category mix is quiet, a shifted mix " +
+    "alarms; empty batch writes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("chi2drift").toString
+    val ref = (0 until 300).map(i => s"c${i % 3}").toDF("cat")
+    val mem = MemoryStream[String]
+    val q = chi2DriftSink(
+      mem.toDF().filter(col("value") =!= "skip")
+        .withColumnRenamed("value", "cat"),
+      "cat", ref, "cat", alarmAt = 9.21, // chi2_{2, 0.01}
+      outDir = s"$tmp/out", checkpointDir = s"$tmp/ckpt")
+    try {
+      mem.addData((0 until 150).map(i => s"c${i % 3}"): _*) // same mix
+      q.processAllAvailable()
+      mem.addData(Seq.fill(5)("skip"): _*) // filtered -> empty batch
+      q.processAllAvailable()
+      mem.addData((0 until 150).map(_ => "c0"): _*) // all one category
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out").orderBy("batch_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(3),
+          r.getBoolean(4)))
+      assert(out.length == 2, out.toSeq.toString) // empty batch skipped
+      assert(out(0)._2 == 0.0 && !out(0)._3, out.toSeq.toString)
+      assert(out(1)._3 && out(1)._2 > 9.21, out.toSeq.toString)
+      // the foreachBatch body equals the batch operator on same input
+      val direct = chi2DriftBatch((0 until 150).map(_ => "c0").toDF("cat"),
+        "cat", ref, "cat", 9.21, 2L).collect().head
+      assert(direct.getDouble(3) == out(1)._2)
+    } finally q.stop()
+  }
+
   test("sprtStateSink: epoch-keyed partials + derived walk == " +
     "hand-replayed LLR; replay commits nothing") {
     implicit val sqlCtx = spark.sqlContext
