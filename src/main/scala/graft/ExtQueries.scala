@@ -2112,6 +2112,31 @@ object ExtQueries {
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))),
 
+    // Neyman-allocated stratified sample: a 3000-row budget split
+    // n_h ∝ N_h·σ_h across return-flag strata over the price column
+    // (the survey-sampling optimum — big AND variable strata earn
+    // budget), drawn through the deterministic hash filter. Output is
+    // the allocation plan plus the realized per-stratum counts; the
+    // oracle replays moments, allocation, and the hash twin.
+    "x_sample_neyman" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .withColumn("__k", concat_ws("_", col("l_orderkey"),
+          col("l_linenumber")))
+        .localCheckpoint(false) // allocation moments + the sample pass
+      val alloc = Sampling.neymanAllocation(li, "l_returnflag",
+        "l_extendedprice", totalN = 3000)
+      val sampled = Sampling.neymanSample(li, "__k", "l_returnflag",
+          "l_extendedprice", totalN = 3000, seed = 11)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"))
+      alloc.join(sampled, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("sigma"), 6).as("sigma"), col("share"),
+          col("n_target"), col("rate"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Domain-mixture resampling: rebalance four sources to a 40/30/20/10
     // target mixture (no upsampling — the most-constrained domain keeps
     // 100%); other sources are dropped. Per-row survival audit.
@@ -7309,6 +7334,56 @@ object ExtQueries {
                                     WHEN 'fr' THEN 100000
                                     ELSE 1000000 END
           GROUP BY 1 ORDER BY 1"""
+    },
+
+    // mirrors the engine's chain: DECIMAL(18,4) moments (operands
+    // up-cast to (19,4) — the DuckDB int64 decimal-multiply overflow),
+    // 9dp sigma, 6dp-pinned weights totalled in DECIMAL, 9dp
+    // shares/rates, hash-twin sample counts
+    "x_sample_neyman" -> {
+      val k = "CAST(l_orderkey AS VARCHAR) || '_' || " +
+        "CAST(l_linenumber AS VARCHAR)"
+      val bucket = Sampling.bucketSql(k, 11)
+      s"""WITH v AS (
+            SELECT l_returnflag AS g,
+              CAST(l_extendedprice AS DECIMAL(18,4)) AS vq
+            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          ps AS (
+            SELECT g, COUNT(*) AS n_rows,
+              CAST(SUM(vq) AS DOUBLE) AS s,
+              CAST(SUM(CAST(CAST(vq AS DECIMAL(19,4))
+                * CAST(vq AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+                AS DOUBLE) AS ss
+            FROM v GROUP BY 1),
+          sg AS (
+            SELECT g, n_rows,
+              CASE WHEN n_rows > 1 THEN
+                round(sqrt(greatest((ss - s * s / n_rows)
+                  / (n_rows - 1), 0.0)), 9)
+              ELSE 0.0 END AS sigma
+            FROM ps),
+          w AS (SELECT g, n_rows, sigma,
+              round(CAST(n_rows AS DOUBLE) * sigma, 6) AS wp
+            FROM sg),
+          tw AS (SELECT CAST(SUM(CAST(wp AS DECIMAL(28,6))) AS DOUBLE)
+              AS tw FROM w),
+          al AS (
+            SELECT g, n_rows, sigma,
+              round(wp / tw, 9) AS share,
+              least(n_rows, CAST(round(3000.0 * round(wp / tw, 9), 0)
+                AS BIGINT)) AS n_target,
+              round(least(1.0, 3000.0 * round(wp / tw, 9)
+                / CAST(n_rows AS DOUBLE)), 9) AS rate
+            FROM w CROSS JOIN tw),
+          smp AS (
+            SELECT l_returnflag AS g, COUNT(*) AS n_sampled
+            FROM lineitem JOIN al ON lineitem.l_returnflag = al.g
+            WHERE $bucket < CAST(floor(rate * 1000000) AS BIGINT)
+            GROUP BY 1)
+          SELECT al.g AS l_returnflag, n_rows,
+            round(sigma, 6) AS sigma, share, n_target, rate,
+            COALESCE(n_sampled, 0) AS n_sampled
+          FROM al LEFT JOIN smp USING (g) ORDER BY 1"""
     },
 
     "x_sample_reservoir" -> {

@@ -98,6 +98,70 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Neyman allocation (survey-sampling optimum): for a fixed total
+    * budget `totalN`, allocate per-stratum sample sizes
+    * n_h ∝ N_h · σ_h — strata that are big AND variable earn budget;
+    * a huge uniform stratum needs almost none. This minimizes the
+    * variance of the stratified mean estimator at fixed cost.
+    *
+    * One DECIMAL-moment aggregate per stratum → (N_h, sample σ_h);
+    * the weight N_h·σ_h pins at 6 dp and totals in exact DECIMAL
+    * (order-free), shares/rates pin at 9 dp. Rates cap at 1
+    * (n_h ≤ N_h); a zero-variance or single-row stratum gets σ = 0
+    * and thus no budget — the formula's statement that such strata
+    * contribute nothing to estimator variance.
+    *
+    * Returns the |strata|-row plan: (stratum, n_rows, sigma, share,
+    * n_target, rate). Feed it to [[neymanSample]] for the rows.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String,
+                       valueCol: String, totalN: Long): DataFrame = {
+    require(totalN > 0, s"totalN must be > 0, got $totalN")
+    val v = col(valueCol).cast(org.apache.spark.sql.types
+      .DecimalType(18, 4))
+    val nD = col("n_rows").cast("double")
+    val perStratum = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(v).cast("double").as("__s"),
+        sum((v * v).cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+          .cast("double").as("__ss"))
+      .withColumn("sigma", when(col("n_rows") > 1,
+        round(sqrt(greatest(
+          (col("__ss") - col("__s") * col("__s") / nD) / (nD - 1),
+          lit(0.0))), 9)).otherwise(lit(0.0)))
+      .withColumn("__wp", round(nD * col("sigma"), 6))
+      .localCheckpoint(false) // weight total + the share unfold
+    val tot = perStratum.agg(
+      sum(col("__wp").cast(org.apache.spark.sql.types
+        .DecimalType(28, 6))).cast("double").as("__tw"))
+    perStratum.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("__wp") / col("__tw"), 9))
+      .withColumn("n_target", least(col("n_rows"),
+        round(lit(totalN.toDouble) * col("share")).cast("long")))
+      .withColumn("rate", round(least(lit(1.0),
+        lit(totalN.toDouble) * col("share") / nD), 9))
+      .select(col(strataCol), col("n_rows"), col("sigma"),
+        col("share"), col("n_target"), col("rate"))
+  }
+
+  /** Draw the Neyman-allocated sample: the [[neymanAllocation]] rates
+    * applied through the deterministic hash filter (the
+    * [[stratifiedSample]] mechanism — row-identity-keyed, so the
+    * realized sample is partitioning- and engine-invariant and
+    * concentrates on n_h per stratum without any coordination).
+    */
+  def neymanSample(df: DataFrame, keyCol: String, strataCol: String,
+                   valueCol: String, totalN: Long,
+                   seed: Int = 0): DataFrame = {
+    val alloc = neymanAllocation(df, strataCol, valueCol, totalN)
+      .select(col(strataCol), col("rate"))
+    df.join(broadcast(alloc), Seq(strataCol))
+      .filter(bucketOf(col(keyCol), seed) <
+        floor(col("rate") * Buckets).cast("long"))
+      .drop("rate")
+  }
+
   /** Fixed-size uniform sample — the distributed, deterministic form of
     * reservoir sampling: keep the `k` rows with the smallest
     * (hash(key), key). Equivalent in distribution to a uniform

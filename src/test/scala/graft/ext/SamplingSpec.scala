@@ -212,4 +212,40 @@ class SamplingSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(!z.values.exists(_ == "embargo"))
   }
+
+  test("neymanAllocation: budget follows N_h*sigma_h — a huge uniform " +
+    "stratum earns nothing, realized sizes track targets") {
+    val rnd = new scala.util.Random(7)
+    // stratum a: 4000 rows, constant value (sigma = 0)
+    // stratum b: 1000 rows, sd ~ 10; stratum c: 1000 rows, sd ~ 100
+    val rows =
+      (0 until 4000).map(i => (s"k$i", "a", 50.0)) ++
+      (0 until 1000).map(i => (s"k${9000 + i}", "b",
+        50.0 + rnd.nextGaussian() * 10)) ++
+      (0 until 1000).map(i => (s"k${20000 + i}", "c",
+        50.0 + rnd.nextGaussian() * 100))
+    val df = rows.toDF("k", "g", "v")
+    val alloc = Sampling.neymanAllocation(df, "g", "v", totalN = 600)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    val (na, sa, sha, ta, ra) = alloc("a")
+    assert(na == 4000L && sa == 0.0 && sha == 0.0 && ta == 0L &&
+      ra == 0.0, alloc("a").toString)
+    // c's sd is ~10x b's at equal size -> ~10x the budget share
+    val shareRatio = alloc("c")._3 / alloc("b")._3
+    assert(shareRatio > 5 && shareRatio < 20, s"ratio $shareRatio")
+    assert(alloc("b")._4 + alloc("c")._4 <= 600 + 1)
+    // realized hash-sample sizes land near the targets
+    val got = Sampling.neymanSample(df, "k", "g", "v", totalN = 600,
+        seed = 3)
+      .groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("a"))
+    for (g <- Seq("b", "c")) {
+      val target = alloc(g)._4.toDouble
+      assert(math.abs(got(g) - target) <= 4 * math.sqrt(target) + 2,
+        s"$g realized ${got(g)} vs target $target")
+    }
+  }
 }
