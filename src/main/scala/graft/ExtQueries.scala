@@ -1542,6 +1542,26 @@ object ExtQueries {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("col_a"), col("col_b"))),
 
+    // Incremental CORRELATION maintenance — the cross-moment fourth
+    // tier of AggState (sums/HLL/KLL/moments): two disjoint slices
+    // partialized to per-group DECIMAL moment rows, merged by exact
+    // sums (merged state == one-pass state BIT-FOR-BIT, no bound
+    // booleans needed), read out as the per-group correlation matrix.
+    // The oracle computes the matrix directly from the full table —
+    // merge-exactness IS the check.
+    "x_incr_corr" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val keys = Seq("l_returnflag")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val evens = graft.agg.AggState.partializeMoments(
+        li.filter(col("l_orderkey") % 2 === 0), keys, cols)
+      val odds = graft.agg.AggState.partializeMoments(
+        li.filter(col("l_orderkey") % 2 =!= 0), keys, cols)
+      graft.agg.AggState.finalizedCorr(
+          graft.agg.AggState.mergeMoments(keys, evens, odds), cols)
+        .orderBy(col("l_returnflag"), col("col_a"), col("col_b"))
+    }),
+
     // Bivariate statistical aggregates: correlation, covariance, and
     // least-squares regression per group — single-pass decomposable
     // moments, one shuffle (rounded: the moment recurrences differ
@@ -6734,6 +6754,46 @@ object ExtQueries {
       s"""WITH d AS (SELECT $sel FROM lineitem WHERE $notNull),
           m AS (SELECT COUNT(*) AS n, $moments FROM d)
           $rows ORDER BY col_a, col_b"""
+    },
+
+    // direct per-group DECIMAL-moment correlations over the FULL
+    // table — the engine's two-slice merge must equal this exactly
+    // (exact sums merge losslessly); operands up-cast to (19,4) for
+    // DuckDB's int64 multiply
+    "x_incr_corr" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val short = Map("l_quantity" -> "qu", "l_extendedprice" -> "ex",
+        "l_discount" -> "di")
+      val sel = cs.map(c =>
+        s"CAST($c AS DECIMAL(18,4)) AS ${short(c)}").mkString(", ")
+      val notNull = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      def wide(c: String) = s"CAST($c AS DECIMAL(19,4))"
+      val moments = (cs.map(c =>
+        s"CAST(SUM(${short(c)}) AS DOUBLE) AS s_${short(c)}") ++
+        cs.map(c => s"CAST(SUM(CAST(${wide(short(c))} * " +
+          s"${wide(short(c))} AS DECIMAL(38,8))) AS DOUBLE) " +
+          s"AS ss_${short(c)}") ++
+        (for (i <- cs.indices; j <- (i + 1) until cs.size) yield
+          s"CAST(SUM(CAST(${wide(short(cs(i)))} * " +
+            s"${wide(short(cs(j)))} AS DECIMAL(38,8))) AS DOUBLE) " +
+            s"AS x_${short(cs(i))}_${short(cs(j))}"))
+        .mkString(",\n              ")
+      val rows = (for (i <- cs.indices; j <- (i + 1) until cs.size)
+        yield {
+          val (a, b) = (short(cs(i)), short(cs(j)))
+          s"""SELECT g AS l_returnflag, '${cs(i)}' AS col_a,
+             '${cs(j)}' AS col_b, n,
+             CASE WHEN (ss_$a - s_$a * s_$a / n)
+                 * (ss_$b - s_$b * s_$b / n) > 0
+               THEN round((x_${a}_$b - s_$a * s_$b / n)
+                 / sqrt((ss_$a - s_$a * s_$a / n)
+                   * (ss_$b - s_$b * s_$b / n)), 9) END AS r
+           FROM m"""
+        }).mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT l_returnflag AS g, $sel FROM lineitem
+            WHERE $notNull),
+          m AS (SELECT g, COUNT(*) AS n, $moments FROM d GROUP BY 1)
+          $rows ORDER BY l_returnflag, col_a, col_b"""
     },
 
     // two Behavior.funnel replays split by the hash variant; pooled

@@ -136,4 +136,81 @@ object AggState {
         .as(s"p${math.round(r * 100)}")) :+
       kll_sketch_get_n_double(col("s_kll")).as("n"): _*)
   }
+
+  // ---- cross-moment state (covariance / correlation) -------------------
+
+  /** CROSS-MOMENT state — the fourth tier, for everything bivariate:
+    * covariance, correlation, and OLS slopes all derive from
+    * (n, Σx, Σx², Σxy), and those moments merge EXACTLY when kept in
+    * DECIMAL (unlike finished correlations, and unlike the built-in
+    * `corr`'s float recurrences, which neither merge nor replay
+    * layout-stably). A 100 TB feature store materializes one moment
+    * row per (group, slice) — a few dozen DECIMAL cells — and answers
+    * any later correlation matrix over any slice union without
+    * re-scanning; merged state is bit-identical to the one-pass state
+    * because every cell is an exact sum. Columns quantize to 4 dp on
+    * entry (the [[graft.agg.Robust.corrMatrix]] convention — this is
+    * its grouped, incremental sibling).
+    */
+  def partializeMoments(df: DataFrame, keys: Seq[String],
+                        cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val d = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select((keys.map(col) ++ cols.map(c =>
+        col(c).cast(DecimalType(18, 4)).as(c))): _*)
+    val aggs = (count(lit(1)).as("s_cnt") +:
+      cols.map(c => sum(col(c)).as(s"s_$c"))) ++
+      cols.map(c => sum((col(c) * col(c)).cast(DecimalType(38, 8)))
+        .as(s"ss_$c")) ++
+      (for (i <- cols.indices; j <- (i + 1) until cols.size) yield
+        sum((col(cols(i)) * col(cols(j))).cast(DecimalType(38, 8)))
+          .as(s"x_${cols(i)}__${cols(j)}"))
+    d.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge cross-moment states (same keys, same column set): every
+    * cell is an exact DECIMAL sum, so this is one group-by of sums —
+    * bit-identical to having aggregated the union in one pass.
+    */
+  def mergeMoments(keys: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "need at least one state table")
+    // moment cells by naming convention (s_cnt/s_/ss_/x_) — NOT "every
+    // non-key column": a rollup to coarser keys (including the global
+    // Seq.empty) must DROP the finer key columns, not try to sum them
+    val momentCols = states.head.columns.filter(c =>
+      c == "s_cnt" || c.startsWith("s_") || c.startsWith("ss_") ||
+        c.startsWith("x_"))
+    states.map(_.select((keys ++ momentCols).map(col): _*))
+      .reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(momentCols.head)).as(momentCols.head),
+        momentCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** Read-side correlation matrix of a cross-moment state: long-format
+    * (keys..., col_a, col_b, n, r) with the
+    * [[graft.agg.Robust.corrMatrix]] formula — 9 dp pin, null on zero
+    * variance. The state is checkpointed once and unfolded k(k−1)/2
+    * times.
+    */
+  def finalizedCorr(state: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val s = state.localCheckpoint(false)
+    val keys = s.columns.filter(c => !c.startsWith("s_") &&
+      !c.startsWith("ss_") && !c.startsWith("x_"))
+    val nD = col("s_cnt").cast("double")
+    def varTerm(c: String) = col(s"ss_$c").cast("double") -
+      col(s"s_$c").cast("double") * col(s"s_$c").cast("double") / nD
+    (for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (a, b) = (cols(i), cols(j))
+      val num = col(s"x_${a}__$b").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double") / nD
+      val prod = varTerm(a) * varTerm(b)
+      s.select(keys.toIndexedSeq.map(col) ++ Seq(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col("s_cnt").as("n"),
+        when(prod > 0, round(num / sqrt(prod), 9)).as("r")): _*)
+    }).reduce(_ unionByName _)
+  }
 }

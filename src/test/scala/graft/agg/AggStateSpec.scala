@@ -80,6 +80,29 @@ class AggStateSpec extends SparkTestBase {
     assert(left.exceptAll(right).isEmpty && right.exceptAll(left).isEmpty)
   }
 
+  test("cross-moment state: merged slices == one-pass BIT-FOR-BIT; " +
+    "rollup to coarser keys; corr reads agree") {
+    val o = Tables.load(spark, sf, "orders")
+    val keys = Seq("o_orderstatus")
+    val cols = Seq("o_totalprice", "o_custkey")
+    val slices = (0 until 3).map(i => AggState.partializeMoments(
+      o.filter(col("o_orderkey") % 3 === i), keys, cols))
+    val merged = AggState.mergeMoments(keys, slices: _*)
+    val onePass = AggState.partializeMoments(o, keys, cols)
+    // every cell is an exact DECIMAL sum -> bit equality, no tolerance
+    assert(merged.exceptAll(onePass).isEmpty &&
+      onePass.exceptAll(merged).isEmpty)
+    val a = AggState.finalizedCorr(merged, cols).collect().toSet
+    val b = AggState.finalizedCorr(onePass, cols).collect().toSet
+    assert(a == b && a.nonEmpty)
+    // the stored fine state answers the coarser (global) query too
+    val global = AggState.finalizedCorr(
+      AggState.mergeMoments(Seq.empty, merged), cols).collect()
+    val direct = AggState.finalizedCorr(
+      AggState.partializeMoments(o, Seq.empty, cols), cols).collect()
+    assert(global.toSeq == direct.toSeq && global.length == 1)
+  }
+
   test("quantile state: small sketches are exact, merge == one-pass") {
     import spark.implicits._
     // n < k per group: no KLL compaction, the sketch stores every value
