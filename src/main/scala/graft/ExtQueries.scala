@@ -1542,6 +1542,37 @@ object ExtQueries {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("col_a"), col("col_b"))),
 
+    // Pareto / ABC revenue concentration: "how many parts hold 50 /
+    // 80 / 90 / 95 / 99 % of revenue" — rank AND inclusive cumulative
+    // revenue both from the two-phase bucketed machinery
+    // (Ranks.rowNumberDesc + cumSumDesc), so the classic
+    // sort-and-running-total readout carries NO single-partition sort
+    // of the |parts|-sized table; DECIMAL cum sums, 9dp-pinned shares.
+    "x_pareto" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .as("rev"))
+        .localCheckpoint(false) // ranked + cum passes + the total
+      val total = rev.agg(sum(col("rev")).as("__t"))
+      val ranked = graft.ops.Ranks.rowNumberDesc(
+        graft.ops.Ranks.cumSumDesc(rev, "rev", "l_partkey", "rev",
+          out = "cum"),
+        "rev", "l_partkey")
+      ranked.crossJoin(broadcast(total))
+        .select(col("__rank").as("rank"),
+          round(col("cum").cast("double") / col("__t").cast("double"),
+            9).as("share"))
+        .select(col("rank"), col("share"),
+          explode(array(Seq(0.5, 0.8, 0.9, 0.95, 0.99).map(lit): _*))
+            .as("threshold"))
+        .filter(col("share") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(min(col("rank")).as("n_parts"),
+          min_by(col("share"), col("rank")).as("share_at"))
+        .orderBy(col("threshold"))
+    }),
+
     // Incremental CORRELATION maintenance — the cross-moment fourth
     // tier of AggState (sums/HLL/KLL/moments): two disjoint slices
     // partialized to per-group DECIMAL moment rows, merged by exact
@@ -6755,6 +6786,32 @@ object ExtQueries {
           m AS (SELECT COUNT(*) AS n, $moments FROM d)
           $rows ORDER BY col_a, col_b"""
     },
+
+    // a plain global window is fine ORACLE-side; the engine's
+    // two-phase form must reproduce it exactly
+    "x_pareto" ->
+      """WITH pr AS (
+            SELECT l_partkey,
+              SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+            FROM lineitem GROUP BY 1),
+          t AS (SELECT SUM(rev) AS tot FROM pr),
+          r AS (
+            SELECT l_partkey, rev,
+              CAST(row_number() OVER (ORDER BY rev DESC, l_partkey)
+                AS BIGINT) AS rank,
+              SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM pr),
+          s AS (SELECT rank,
+              round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+                AS share
+            FROM r CROSS JOIN t),
+          th AS (SELECT unnest([0.5, 0.8, 0.9, 0.95, 0.99])
+              AS threshold)
+          SELECT threshold, MIN(rank) AS n_parts,
+            min_by(share, rank) AS share_at
+          FROM th JOIN s ON s.share >= th.threshold
+          GROUP BY 1 ORDER BY 1""",
 
     // direct per-group DECIMAL-moment correlations over the FULL
     // table — the engine's two-slice merge must equal this exactly

@@ -105,6 +105,76 @@ object Ranks {
         "__bt2", "__soff")
   }
 
+  /** Exact INCLUSIVE cumulative sum of `valCol` over the total order
+    * `(keyCol DESC, tieCol ASC)` with no single-partition sort — the
+    * prefix-SUM sibling of [[rowNumberDesc]], same decomposition with
+    * value sums in place of counts:
+    *
+    *   cum(row) = Σ{key' > key} + Σ{key' = key ∧ tie' ≤ tie}
+    *
+    * Phase 1 runs on the per-distinct-key SUMS table (Σ above =
+    * total − strictly-below − own); phase 2 tie-buckets within equal
+    * keys. Pass `valCol` as DECIMAL: every partial is then an exact
+    * sum and the cumulative is order-free under any partitioning (a
+    * double here would re-introduce accumulation-order dependence).
+    * Same contracts as [[rowNumberDesc]] (numeric non-null key,
+    * unique numeric tie).
+    */
+  def cumSumDesc(df: DataFrame, keyCol: String, tieCol: String,
+                 valCol: String, out: String = "__cum",
+                 buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val key = col(keyCol); val tie = col(tieCol)
+    val fracs = array((1 until buckets).map(i =>
+      lit(i.toDouble / buckets)): _*)
+    val stats = df.agg(
+      percentile_approx(key, fracs, lit(10000)).as("__kb"),
+      percentile_approx(tie, fracs, lit(10000)).as("__tb"))
+    val b = df.crossJoin(broadcast(stats))
+      .withColumn("__bk", aggregate(col("__kb"), lit(0),
+        (acc, x) => acc + when(x <= key, 1).otherwise(0)))
+      .withColumn("__bt", aggregate(col("__tb"), lit(0),
+        (acc, x) => acc + when(x <= tie, 1).otherwise(0)))
+      .drop("__kb", "__tb")
+      .localCheckpoint(false)
+    // phase 1: per-distinct-key sums; Σ{key' < key} via the bucketed
+    // two-phase prefix; Σ above = total − below − own
+    val perKey = b.groupBy(col("__bk"), key.as("__k"))
+      .agg(sum(col(valCol)).as("__vs"))
+    val intraW = Window.partitionBy(col("__bk")).orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val interW = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketTotals = perKey.groupBy(col("__bk"))
+      .agg(sum(col("__vs")).as("__bv"))
+      .withColumn("__boff", sum(col("__bv")).over(interW))
+      .select(col("__bk").as("__bk2"), col("__boff"))
+    val total = perKey.agg(sum(col("__vs")).as("__tot"))
+    val perKeyAbove = perKey
+      .join(bucketTotals, col("__bk") === col("__bk2"))
+      .crossJoin(broadcast(total))
+      .withColumn("__ltv", coalesce(col("__boff"), lit(0)) +
+        coalesce(sum(col("__vs")).over(intraW), lit(0)))
+      .select(col("__k"),
+        (col("__tot") - col("__ltv") - col("__vs")).as("__above"))
+    // phase 2: within-key inclusive running sum via tie buckets
+    val subW = Window.partitionBy(col("__k2")).orderBy(col("__bt2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subOff = b.groupBy(key.as("__k2"), col("__bt").as("__bt2"))
+      .agg(sum(col(valCol)).as("__sv"))
+      .withColumn("__soff", sum(col("__sv")).over(subW))
+      .select(col("__k2"), col("__bt2"), col("__soff"))
+    val runW = Window.partitionBy(key, col("__bt")).orderBy(tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("__run", sum(col(valCol)).over(runW))
+      .join(perKeyAbove, key === col("__k"))
+      .join(subOff, key === col("__k2") && col("__bt") === col("__bt2"))
+      .withColumn(out, col("__above") +
+        coalesce(col("__soff"), lit(0)) + col("__run"))
+      .drop("__bk", "__bt", "__run", "__k", "__above", "__k2",
+        "__bt2", "__soff")
+  }
+
   /** SQL-standard `NTILE(k)` of an exact 1-based `rank` among `n` rows:
     * the first `n mod k` tiles hold `⌈n/k⌉` rows, the rest `⌊n/k⌋` —
     * bit-identical to the window function, computed row-locally.

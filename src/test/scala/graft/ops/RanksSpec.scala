@@ -63,6 +63,31 @@ class RanksSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("cumSumDesc == inclusive window cumsum on ties-heavy data, " +
+    "exact DECIMAL") {
+    for ((n, keys, buckets) <- Seq((400, 6, 8), (37, 3, 256))) {
+      val rnd = new scala.util.Random(n)
+      val df = (0 until n).map(i => (rnd.nextInt(keys).toLong,
+          i.toLong, BigDecimal(rnd.nextInt(10000)) / 100))
+        .toDF("k", "t", "v")
+        .withColumn("v", col("v").cast("decimal(18,2)"))
+      val got = Ranks.cumSumDesc(df, "k", "t", "v", out = "cum",
+          buckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getDecimal(3)).toMap
+      val w = Window.orderBy(col("k").desc, col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("cum", sum(col("v")).over(w))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getDecimal(3)).toMap
+      got.foreach { case (key, cum) =>
+        assert(cum.compareTo(want(key)) == 0,
+          s"at $key: $cum vs ${want(key)}")
+      }
+      assert(got.size == n)
+    }
+  }
+
   test("ntileDesc output carries no internal helper columns") {
     val df = randomFrame(50, 4, seed = 7)
     val out = Ranks.ntileDesc(df, "k", "t", k = 5, out = "q")
