@@ -169,18 +169,33 @@ object AggState {
     d.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The exact moment-cell names [[partializeMoments]] emits for a
+    * measure set, anchored on the unambiguous `ss_<c>` cells (only ever
+    * produced for measures): `s_cnt`, `s_<c>`/`ss_<c>` per measure, and
+    * `x_<a>__<b>` per measure pair present. A bare prefix test would
+    * misclassify a KEY that happens to start with `s_` (e.g. TPC-H's
+    * `s_suppkey`) as a moment cell and silently sum it.
+    */
+  private def momentCells(columns: Seq[String]): Seq[String] = {
+    val measures = columns.filter(_.startsWith("ss_")).map(_.drop(3)).toSet
+    val crosses = (for (a <- measures; b <- measures if a != b)
+      yield s"x_${a}__$b").toSet
+    columns.filter(c => c == "s_cnt" ||
+      (c.startsWith("s_") && measures.contains(c.drop(2))) ||
+      c.startsWith("ss_") || crosses.contains(c))
+  }
+
   /** Merge cross-moment states (same keys, same column set): every
     * cell is an exact DECIMAL sum, so this is one group-by of sums —
     * bit-identical to having aggregated the union in one pass.
     */
   def mergeMoments(keys: Seq[String], states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "need at least one state table")
-    // moment cells by naming convention (s_cnt/s_/ss_/x_) — NOT "every
+    // moment cells by the partializeMoments convention, NOT "every
     // non-key column": a rollup to coarser keys (including the global
     // Seq.empty) must DROP the finer key columns, not try to sum them
-    val momentCols = states.head.columns.filter(c =>
-      c == "s_cnt" || c.startsWith("s_") || c.startsWith("ss_") ||
-        c.startsWith("x_"))
+    val momentCols = momentCells(states.head.columns.toIndexedSeq)
+      .filterNot(keys.contains)
     states.map(_.select((keys ++ momentCols).map(col): _*))
       .reduce(_ unionByName _)
       .groupBy(keys.map(col): _*)
@@ -197,8 +212,13 @@ object AggState {
   def finalizedCorr(state: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
     val s = state.localCheckpoint(false)
-    val keys = s.columns.filter(c => !c.startsWith("s_") &&
-      !c.startsWith("ss_") && !c.startsWith("x_"))
+    // keys = whatever is not an EXPECTED moment cell for this measure
+    // set (exact names, not prefixes — a key named s_region must stay
+    // a key; see momentCells)
+    val cells = (Set("s_cnt") ++ cols.flatMap(c => Seq(s"s_$c", s"ss_$c"))
+      ++ (for (i <- cols.indices; j <- (i + 1) until cols.size)
+        yield s"x_${cols(i)}__${cols(j)}")).toSet
+    val keys = s.columns.filterNot(cells.contains)
     val nD = col("s_cnt").cast("double")
     def varTerm(c: String) = col(s"ss_$c").cast("double") -
       col(s"s_$c").cast("double") * col(s"s_$c").cast("double") / nD

@@ -152,11 +152,18 @@ object Eval {
     * IEEE chain is engine-portable to far below that). Degenerate
     * inputs (a group empty, or every value identical → σ = 0) emit a
     * null z rather than ±∞.
+    *
+    * The tie cube t³ is computed in DECIMAL(38,0), not Long: a single
+    * value with t > ⌊2^63^(1/3)⌋ ≈ 2.09M tied rows would silently
+    * overflow a Long product in non-ANSI mode — exactly the hot-tied-
+    * value shape the bucketed machinery exists for. DECIMAL keeps the
+    * term exact up to t ≈ 4.6·10¹² tied rows per value (t³ < 10³⁸),
+    * the documented contract.
     */
   def mannWhitney(df: DataFrame, valueCol: Column,
                   groupACol: Column): DataFrame = {
     val counts = bucketScores(scoreCounts(df, valueCol, groupACol), None)
-    val t = col("__pos") + col("__neg")
+    val t = (col("__pos") + col("__neg")).cast(DecimalType(20, 0))
     val agg = strictlyBelow(counts, Seq("__neg"))
       .agg(sum(col("__pos")).as("n_a"), sum(col("__neg")).as("n_b"),
         sum(col("__pos") * (lit(2L) * col("__lt___neg") + col("__neg")))

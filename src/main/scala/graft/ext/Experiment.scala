@@ -53,8 +53,15 @@ object Experiment {
       sum((col("__x") * col("__x")).cast(DecimalType(38, 8)))
         .cast("double").as("__sxx"))
     val nD = col("__n").cast("double")
-    val theta = (col("__sxy") - col("__sx") * col("__sy") / nD) /
-      (col("__sxx") - col("__sx") * col("__sx") / nD)
+    // zero-variance covariate → θ = 0/0 = NaN, which would propagate
+    // through __yadj and the DECIMAL casts would silently null the
+    // adjusted sums; a constant X carries no information, so fall back
+    // to θ = 0 (no adjustment — Y' = Y, var_reduction = 0), mirroring
+    // ebShrinkRates' degenerate-prior passthrough
+    val varX = col("__sxx") - col("__sx") * col("__sx") / nD
+    val theta = when(varX > 0,
+      (col("__sxy") - col("__sx") * col("__sy") / nD) / varX)
+      .otherwise(lit(0.0))
     val pinned = moments.select(col("__n"),
       round(theta, 9).as("__theta"),
       round(col("__sx") / nD, 9).as("__mx"))

@@ -135,12 +135,21 @@ object Sampling {
     val tot = perStratum.agg(
       sum(col("__wp").cast(org.apache.spark.sql.types
         .DecimalType(28, 6))).cast("double").as("__tw"))
+    // degenerate input (every stratum zero-variance or single-row) →
+    // total weight 0: emit null shares/targets/rates rather than let
+    // 0/0 = NaN flow silently into the plan — there is no defensible
+    // allocation to report, and [[neymanSample]] then selects nothing
     perStratum.crossJoin(broadcast(tot))
-      .withColumn("share", round(col("__wp") / col("__tw"), 9))
-      .withColumn("n_target", least(col("n_rows"),
-        round(lit(totalN.toDouble) * col("share")).cast("long")))
-      .withColumn("rate", round(least(lit(1.0),
-        lit(totalN.toDouble) * col("share") / nD), 9))
+      .withColumn("share",
+        when(col("__tw") > 0, round(col("__wp") / col("__tw"), 9)))
+      // least() skips nulls, so guard explicitly: a null share must
+      // yield null target/rate, not n_rows / 1.0
+      .withColumn("n_target", when(col("share").isNotNull,
+        least(col("n_rows"),
+          round(lit(totalN.toDouble) * col("share")).cast("long"))))
+      .withColumn("rate", when(col("share").isNotNull,
+        round(least(lit(1.0),
+          lit(totalN.toDouble) * col("share") / nD), 9)))
       .select(col(strataCol), col("n_rows"), col("sigma"),
         col("share"), col("n_target"), col("rate"))
   }
@@ -153,14 +162,25 @@ object Sampling {
     */
   def neymanSample(df: DataFrame, keyCol: String, strataCol: String,
                    valueCol: String, totalN: Long,
-                   seed: Int = 0): DataFrame = {
-    val alloc = neymanAllocation(df, strataCol, valueCol, totalN)
-      .select(col(strataCol), col("rate"))
-    df.join(broadcast(alloc), Seq(strataCol))
+                   seed: Int = 0): DataFrame =
+    neymanSample(df, keyCol, strataCol,
+      neymanAllocation(df, strataCol, valueCol, totalN), seed)
+
+  /** [[neymanSample]] with a PRECOMPUTED allocation plan (the
+    * [[neymanAllocation]] output, or any (stratum, rate) table) — the
+    * single-scan form: the convenience overload re-aggregates `df` to
+    * derive the allocation, scanning the corpus twice; at 100 TB the
+    * allocation should be computed once, persisted/inspected, and the
+    * draw made against it. Rows in strata absent from `alloc` (or with
+    * a null rate — the degenerate-allocation signal) are dropped.
+    */
+  def neymanSample(df: DataFrame, keyCol: String, strataCol: String,
+                   alloc: DataFrame, seed: Int): DataFrame =
+    df.join(broadcast(alloc.select(col(strataCol), col("rate"))),
+        Seq(strataCol))
       .filter(bucketOf(col(keyCol), seed) <
         floor(col("rate") * Buckets).cast("long"))
       .drop("rate")
-  }
 
   /** Fixed-size uniform sample — the distributed, deterministic form of
     * reservoir sampling: keep the `k` rows with the smallest

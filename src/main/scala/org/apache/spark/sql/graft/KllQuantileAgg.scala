@@ -43,7 +43,11 @@ case class KllMergeAgg(child: Expression, k: Int,
 
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
+  // null (not empty-sketch bytes) when every input sketch in the group
+  // is null — the built-in aggregates' contract; empty-sketch bytes
+  // would make the downstream kll_sketch_get_quantile_double reader
+  // THROW at read time instead of yielding null
+  override def nullable: Boolean = true
   override def prettyName: String = "kll_merge"
   override def children: Seq[Expression] = Seq(child)
 
@@ -66,7 +70,8 @@ case class KllMergeAgg(child: Expression, k: Int,
     buf
   }
 
-  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def eval(buf: KllDoublesSketch): Any =
+    if (buf.isEmpty) null else buf.toByteArray
 
   override def serialize(buf: KllDoublesSketch): Array[Byte] =
     buf.toByteArray

@@ -103,6 +103,45 @@ class AggStateSpec extends SparkTestBase {
     assert(global.toSeq == direct.toSeq && global.length == 1)
   }
 
+  test("cross-moment state: a grouping key named with a moment-like " +
+    "prefix (s_*) stays a key — never summed as a moment cell") {
+    import spark.implicits._
+    // TPC-H supplier columns are exactly this shape (s_suppkey,
+    // s_nationkey); a prefix-based cell classifier would silently sum
+    // the key and drop it from the group-by
+    val df = Seq(("s1", 1.0, 2.0), ("s1", 3.0, 5.0), ("s2", 2.0, 9.0),
+      ("s2", 4.0, 1.0), ("s2", 6.0, 4.0)).toDF("s_region", "a", "b")
+    val keys = Seq("s_region")
+    val cols = Seq("a", "b")
+    val slices = (0 until 2).map(i => AggState.partializeMoments(
+      df.filter(crc32(col("s_region")) % 2 === i), keys, cols))
+    val merged = AggState.mergeMoments(keys, slices: _*)
+    assert(merged.columns.contains("s_region"),
+      s"key lost: ${merged.columns.mkString(",")}")
+    val onePass = AggState.partializeMoments(df, keys, cols)
+    assert(merged.exceptAll(onePass).isEmpty &&
+      onePass.exceptAll(merged).isEmpty)
+    val corr = AggState.finalizedCorr(merged, cols)
+    assert(corr.columns.take(1).toSeq == Seq("s_region"))
+    assert(corr.count() == 2)
+  }
+
+  test("quantile state: all-null sketch group merges to null, and the " +
+    "read side yields null (not an empty-sketch throw)") {
+    import spark.implicits._
+    val state = Seq("a", "a").toDF("g")
+      .select(col("g"), lit(null).cast("binary").as("s_kll"))
+      .unionByName(AggState.partializeQuantile(
+        Seq(("b", 1.0), ("b", 2.0)).toDF("g", "v"), Seq("g"), "v"))
+    val out = AggState.finalizedQuantile(
+        AggState.mergeQuantile(Seq("g"), state), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").isNullAt(1) && out("a").isNullAt(2),
+      s"expected null read for the all-null group: ${out("a")}")
+    // inclusive-rank p50 of {1,2} = smallest value reaching rank 0.5
+    assert(out("b").getDouble(1) == 1.0 && out("b").getLong(2) == 2L)
+  }
+
   test("quantile state: small sketches are exact, merge == one-pass") {
     import spark.implicits._
     // n < k per group: no KLL compaction, the sketch stores every value

@@ -291,6 +291,39 @@ class EvalSpec extends SparkTestBase {
     assert(r3.isNullAt(4), r3.toString)
   }
 
+  test("mannWhitney: a hot value with >2.09M tied rows (t^3 > 2^63) " +
+    "keeps the tie correction exact — no silent Long overflow") {
+    import spark.implicits._
+    // one value tied across 2.4M rows (t^3 ~ 1.4e19 > Long.MaxValue)
+    // plus two clean values; expected z from exact BigInt arithmetic
+    val tied = 2400000L
+    val aTied = tied / 2
+    val df = spark.range(tied)
+      .select(lit(0.0).as("v"), (col("id") % 2 === 0).as("a"))
+      .unionAll(spark.range(50)
+        .select(lit(1.0).as("v"), lit(true).as("a")))
+      .unionAll(spark.range(30)
+        .select(lit(2.0).as("v"), lit(false).as("a")))
+    val r = graft.ext.Eval.mannWhitney(df, col("v"), col("a")).head()
+    val (na, nb) = (aTied + 50, tied - aTied + 30)
+    assert((r.getLong(0), r.getLong(1)) == ((na, nb)))
+    // U = sum over A-values of (#B below + #B tied / 2):
+    //   v=0: aTied * (0 + (tied - aTied)/2); v=1: 50 * (tied - aTied)
+    val u = aTied.toDouble * (tied - aTied) / 2.0 +
+      50.0 * (tied - aTied)
+    assert(r.getDouble(2) == u, s"u ${r.getDouble(2)} vs $u")
+    val n = na + nb
+    val ties = (BigInt(tied).pow(3) - tied) + (BigInt(50).pow(3) - 50) +
+      (BigInt(30).pow(3) - 30)
+    assert(ties > BigInt(Long.MaxValue), "test must exceed Long range")
+    val sigma2 = na.toDouble * nb / 12.0 *
+      ((n + 1.0) - ties.toDouble / (n.toDouble * (n - 1.0)))
+    val want = BigDecimal(
+        (u - na.toDouble * nb / 2.0) / math.sqrt(sigma2))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == want, s"z ${r.getDouble(4)} vs $want")
+  }
+
   test("ksTest: hand-computed D, zero on identical samples") {
     import spark.implicits._
     val a = Seq(1, 1, 2, 3).toDF("v")   // F_a: 1->.5, 2->.75, 3->1

@@ -36,6 +36,23 @@ class ExperimentSpec extends SparkTestBase {
     assert(t.getDouble(3) == 2.0 && t.getDouble(5) == 0.0, t.toString)
   }
 
+  test("cuped: zero-variance covariate passes Y through unadjusted " +
+    "(theta = 0), never NaN/null") {
+    // constant X -> var(X) = 0 -> theta would be 0/0; the guard must
+    // fall back to no adjustment: mean_y_adj == mean_y, var_y_adj ==
+    // var_y, var_reduction == 0, and nothing comes back null
+    val df = Seq(("A", 7.0, 1.0), ("A", 7.0, 3.0),
+      ("B", 7.0, 2.0), ("B", 7.0, 6.0)).toDF("v", "x", "y")
+    val out = Experiment.cuped(df, "v", col("x"), col("y")).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert((0 until r.length).forall(!r.isNullAt(_)), r.toString)
+      assert(r.getDouble(2) == r.getDouble(3), s"mean shifted: $r")
+      assert(r.getDouble(4) == r.getDouble(5), s"var shifted: $r")
+      assert(r.getDouble(6) == 0.0, s"reduction not 0: $r")
+    }
+  }
+
   test("ebShrinkRates: small-n keys collapse to the prior mean, " +
     "large-n keys keep their data; degenerate prior passes through") {
     val rnd = new scala.util.Random(31)

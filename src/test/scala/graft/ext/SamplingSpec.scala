@@ -248,4 +248,36 @@ class SamplingSpec extends SparkTestBase {
         s"$g realized ${got(g)} vs target $target")
     }
   }
+
+  test("neymanSample: precomputed-allocation overload draws the same " +
+    "sample as the convenience form (single corpus scan)") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 2000).map(i => (s"k$i", s"g${i % 3}",
+      rnd.nextGaussian() * (i % 3 + 1))).toDF("k", "g", "v")
+    val alloc = Sampling.neymanAllocation(df, "g", "v", totalN = 300)
+    val viaAlloc = Sampling.neymanSample(df, "k", "g", alloc, seed = 3)
+      .select("k").collect().map(_.getString(0)).toSet
+    val direct = Sampling.neymanSample(df, "k", "g", "v", totalN = 300,
+      seed = 3).select("k").collect().map(_.getString(0)).toSet
+    assert(viaAlloc == direct && viaAlloc.nonEmpty)
+  }
+
+  test("neymanAllocation: all-degenerate strata emit null shares/" +
+    "targets/rates (not NaN/1.0), and the sample is empty") {
+    // every stratum zero-variance -> total weight 0: there is no
+    // defensible allocation; least() skips nulls so the rate guard
+    // must hold explicitly (a silent 1.0 would sample EVERYTHING)
+    val df = (0 until 100).map(i => (s"k$i", s"g${i % 2}", 5.0))
+      .toDF("k", "g", "v")
+    val alloc = Sampling.neymanAllocation(df, "g", "v", totalN = 10)
+      .collect()
+    assert(alloc.length == 2)
+    alloc.foreach { r =>
+      assert(r.getDouble(2) == 0.0, s"sigma: $r")       // sigma = 0
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+        s"expected null share/target/rate: $r")
+    }
+    assert(Sampling.neymanSample(df, "k", "g", "v", totalN = 10)
+      .isEmpty)
+  }
 }
