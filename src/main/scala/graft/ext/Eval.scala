@@ -93,9 +93,13 @@ object Eval {
         val fracs = array((1 until 256).map(i => lit(i / 256.0)): _*)
         val bounds = grouped.agg(
           percentile_approx(col("__s"), fracs, lit(10000)).as("__bounds"))
+        // codegen'd binary search; the double cast is monotonic and
+        // equality-preserving, so the bucket stays an order-preserving
+        // coarsening (see Ranks)
         grouped.crossJoin(broadcast(bounds))
-          .withColumn("__b", aggregate(col("__bounds"), lit(0),
-            (acc, b) => acc + when(b <= col("__s"), 1).otherwise(0)))
+          .withColumn("__b", graft.functions.native_fns.bucket_index(
+            col("__bounds").cast("array<double>"),
+            col("__s").cast("double")))
           .drop("__bounds")
     }
 

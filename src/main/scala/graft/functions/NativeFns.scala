@@ -48,6 +48,14 @@ object native_fns {
   def jaro_winkler(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.JaroWinklerExpr.jaro_winkler(a, b)
 
+  /** Equi-depth bucket id `#{bounds <= value}` via a codegen'd binary
+    * search over an ascending bounds array — the bucket-assignment
+    * kernel of the two-phase rank machinery (O(log |bounds|) probes vs
+    * the interpreted HOF scan's O(|bounds|) lambda steps per row).
+    */
+  def bucket_index(bounds: Column, value: Column): Column =
+    org.apache.spark.sql.graft.BucketIndex.bucket_index(bounds, value)
+
   /** Misra-Gries heavy-hitter sketch aggregate (TypedImperativeAggregate,
     * O(k) state, mergeable): `map<string,bigint>` of ≤ k candidates,
     * complete for true frequency > N/(k+1).

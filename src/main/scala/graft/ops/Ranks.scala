@@ -61,12 +61,15 @@ object Ranks {
       percentile_approx(tie, fracs, lit(10000)).as("__tb"),
       count(lit(1)).as(outN))
     // order-preserving equi-depth buckets, each a pure function of its
-    // column — equal values always share a bucket
+    // column — equal values always share a bucket. bucket_index is the
+    // codegen'd binary search (double space: the cast is monotonic and
+    // equality-preserving, so both properties survive; two distinct
+    // values collapsing to one double merely merge buckets)
     val b = df.crossJoin(broadcast(stats))
-      .withColumn("__bk", aggregate(col("__kb"), lit(0),
-        (acc, x) => acc + when(x <= key, 1).otherwise(0)))
-      .withColumn("__bt", aggregate(col("__tb"), lit(0),
-        (acc, x) => acc + when(x <= tie, 1).otherwise(0)))
+      .withColumn("__bk", graft.functions.native_fns.bucket_index(
+        col("__kb").cast("array<double>"), key.cast("double")))
+      .withColumn("__bt", graft.functions.native_fns.bucket_index(
+        col("__tb").cast("array<double>"), tie.cast("double")))
       .drop("__kb", "__tb")
       .localCheckpoint(false) // read by phase 1, phase 2, and the join
     // ---- phase 1: lt = #{key' < key} on the per-distinct-key table --
@@ -131,10 +134,10 @@ object Ranks {
       percentile_approx(key, fracs, lit(10000)).as("__kb"),
       percentile_approx(tie, fracs, lit(10000)).as("__tb"))
     val b = df.crossJoin(broadcast(stats))
-      .withColumn("__bk", aggregate(col("__kb"), lit(0),
-        (acc, x) => acc + when(x <= key, 1).otherwise(0)))
-      .withColumn("__bt", aggregate(col("__tb"), lit(0),
-        (acc, x) => acc + when(x <= tie, 1).otherwise(0)))
+      .withColumn("__bk", graft.functions.native_fns.bucket_index(
+        col("__kb").cast("array<double>"), key.cast("double")))
+      .withColumn("__bt", graft.functions.native_fns.bucket_index(
+        col("__tb").cast("array<double>"), tie.cast("double")))
       .drop("__kb", "__tb")
       .localCheckpoint(false)
     // phase 1: per-distinct-key sums; Σ{key' < key} via the bucketed

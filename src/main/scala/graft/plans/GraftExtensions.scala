@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.stripAccentsDescriptor)
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftExtensions.bucketIndexDescriptor)
     // whole-operator tier: grouped top-k via per-key bounded heaps
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
     // optimizer tier: window row_number top-k idiom → the heap operator
@@ -94,9 +95,18 @@ object GraftExtensions {
     arity("jaro_winkler", 2)(children =>
       org.apache.spark.sql.graft.JaroWinklerExpr(children(0), children(1))))
 
+  val bucketIndexDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bucket_index"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.graft.BucketIndex].getName,
+      "bucket_index"),
+    arity("bucket_index", 2)(children =>
+      org.apache.spark.sql.graft.BucketIndex(children(0), children(1))))
+
   private val allDescriptors = Seq(cleanTextDescriptor,
     quantizedDotDescriptor, unicodeNormalizeDescriptor,
-    stripAccentsDescriptor, rollingHashDescriptor, jaroWinklerDescriptor)
+    stripAccentsDescriptor, rollingHashDescriptor, jaroWinklerDescriptor,
+    bucketIndexDescriptor)
 
   /** Imperative registration on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
