@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Machine-readable audit of a physical plan's scale-killers — the
+  * parser behind the permanent PlanAuditSpec gate.
+  *
+  * Round-7 history is the reason this exists as CODE and not a manual
+  * sweep: the round-7 "zero SinglePartition" claim grepped the one-line
+  * spelling `Exchange SinglePartition`, which the FORMATTED explain
+  * never prints (it splits the node header `(13) Exchange` from its
+  * `Arguments: SinglePartition, ...` line), so the claim silently went
+  * stale. This parser reads the formatted explain the way the round-8
+  * manual audit did: every node's detail block (Input/Arguments/
+  * Functions), plus the tree section for child resolution, across the
+  * main plan AND all `===== Subqueries =====` sections.
+  *
+  * What it surfaces (the three shapes that cannot survive a 100×
+  * scale-up when they sit over data-sized input):
+  *   - Exchange nodes with `SinglePartition` arguments — legitimate
+  *     only over bounded tables (1-row global-agg partials, ≤256-row
+  *     bucket totals, documented bounded domains);
+  *   - `CartesianProduct` — never legitimate on this surface;
+  *   - Window nodes whose windowspecdefinition has NO partition keys —
+  *     a global sort of the window's input through one task.
+  */
+object PlanAudit {
+
+  /** One operator node of a formatted plan: header id/name plus the
+    * detail-block fields (`Input`, `Arguments`, `Functions`, ...) and
+    * the id of its first child in the tree (unary operators' only
+    * child — enough for Exchange provenance). */
+  case class Node(id: Int, name: String, fields: Map[String, String],
+                  firstChild: Option[Int]) {
+    def input: String = fields.getOrElse("Input", "")
+    def arguments: String = fields.getOrElse("Arguments", "")
+    def functions: String = fields.getOrElse("Functions", "")
+  }
+
+  /** The audit-relevant view of one query plan. */
+  case class Report(nodes: Map[Int, Node],
+                    singlePartitionExchanges: Seq[Node],
+                    cartesianProducts: Seq[Node],
+                    globalWindows: Seq[Node]) {
+    /** The producer feeding an exchange (partial-agg detection). */
+    def childOf(n: Node): Option[Node] = n.firstChild.flatMap(nodes.get)
+  }
+
+  private val TreeLine =
+    """^([ :+\-]*)\*?\s*([A-Za-z][^()]*?)\s*\((\d+)\)\s*$""".r
+  private val DetailHeader = """^\((\d+)\)\s+(\S.*?)\s*$""".r
+  private val FieldLine = """^([A-Za-z][A-Za-z ]*?)(?: \[\d+\])?: (.*)$""".r
+
+  /** Parse a formatted explain string into audit nodes. */
+  def parse(formatted: String): Map[Int, Node] = {
+    val lines = formatted.linesIterator.toVector
+    // pass 1: tree lines -> (depth, id) in order; child = next tree
+    // line one level deeper (trees restart in subquery sections, but
+    // depth+1 adjacency still only matches within one tree)
+    val tree = lines.flatMap {
+      case TreeLine(prefix, _, id) => Some((prefix.length, id.toInt))
+      case _ => None
+    }
+    val firstChild: Map[Int, Int] = tree.zipWithIndex.flatMap {
+      case ((depth, id), i) =>
+        tree.drop(i + 1).headOption.collect {
+          case (d, cid) if d == depth + 3 => id -> cid
+        }
+    }.toMap
+    // pass 2: detail blocks "(id) Name" followed by "Field: value"
+    val nodes = scala.collection.mutable.Map[Int, Node]()
+    var current: Option[(Int, String)] = None
+    var fields = Map.empty[String, String]
+    def flush(): Unit = current.foreach { case (id, name) =>
+      // keep the FIRST block per id (subquery reuse can repeat ids)
+      if (!nodes.contains(id))
+        nodes(id) = Node(id, name, fields, firstChild.get(id))
+    }
+    lines.foreach {
+      case DetailHeader(id, name) if !name.contains("Reuses operator") =>
+        flush(); current = Some((id.toInt, name)); fields = Map.empty
+      case FieldLine(k, v) if current.isDefined =>
+        fields = fields.updated(k.trim, v)
+      case l if l.trim.isEmpty => flush(); current = None
+      case _ => ()
+    }
+    flush()
+    nodes.toMap
+  }
+
+  /** True when a windowspecdefinition in `arguments` has no partition
+    * columns: partition keys precede the ordering expressions, and
+    * ordering expressions are marked ` ASC`/` DESC`, so a spec whose
+    * FIRST top-level argument carries a sort marker is global. */
+  private[plans] def hasGlobalWindowSpec(arguments: String): Boolean = {
+    var idx = arguments.indexOf("windowspecdefinition(")
+    while (idx >= 0) {
+      val start = idx + "windowspecdefinition(".length
+      // first top-level argument: scan to the first ',' (or the
+      // spec's closing ')') at paren depth 0
+      var depth = 0
+      var i = start
+      var end = -1
+      while (i < arguments.length && end < 0) {
+        arguments(i) match {
+          case ',' if depth == 0 => end = i
+          case ')' if depth == 0 => end = i
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      val firstArg =
+        arguments.substring(start, if (end >= 0) end else arguments.length)
+      if (firstArg.contains(" ASC") || firstArg.contains(" DESC"))
+        return true
+      idx = arguments.indexOf("windowspecdefinition(", idx + 1)
+    }
+    false
+  }
+
+  /** Audit one DataFrame's physical plan (triggers planning only). */
+  def audit(df: DataFrame): Report = {
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val nodes = parse(formatted)
+    Report(
+      nodes,
+      nodes.values.toSeq.sortBy(_.id).filter(n =>
+        n.name.startsWith("Exchange") &&
+          n.arguments.startsWith("SinglePartition")),
+      nodes.values.toSeq.sortBy(_.id)
+        .filter(_.name.startsWith("CartesianProduct")),
+      nodes.values.toSeq.sortBy(_.id).filter(n =>
+        n.name.startsWith("Window") &&
+          hasGlobalWindowSpec(n.arguments)))
+  }
+
+  /** A single-partition exchange whose producer is a map-side partial
+    * aggregate with NO grouping keys is the unavoidable final pass of
+    * a GLOBAL aggregate: its input is one pre-combined row per
+    * upstream partition (KBs), not the data. Spark aggregate nodes are
+    * entirely Partial or entirely Final, and a keys-empty aggregate
+    * feeding a SinglePartition exchange is exactly the 1-row-per-
+    * partition shape (grouped partials shuffle by hashpartitioning,
+    * never SinglePartition). */
+  def isPartialAggFinalPass(report: Report, ex: Node): Boolean =
+    report.childOf(ex).exists { c =>
+      c.name.contains("Aggregate") &&
+        (c.fields.getOrElse("Keys", "") == "[]" ||
+          (!c.fields.contains("Keys") && c.functions.contains("partial_")))
+    }
+}
