@@ -334,48 +334,89 @@ object Dedup {
     * never paired directly — the transitive cluster a dedup job needs to
     * keep exactly one representative per group.
     *
-    * Algorithm: min-label propagation — each node starts labeled with
-    * its own id; each round every node takes the min of its own and its
-    * neighbors' labels; fixpoint in O(cluster diameter) rounds. Near-dup
-    * clusters are dense (LSH pairs most members directly), so diameter
-    * is small; `maxIter` bounds the adversarial path-graph case. Each
-    * round is two shuffles (join on dst + group-by src) over the PAIR
-    * list — never the corpus — and `localCheckpoint` truncates lineage
-    * so plans don't grow exponentially across rounds. This is the
-    * driver-coordinated iterative shape Spark graph libraries use;
-    * datasets-scale alternatives (alternating small-star/large-star)
-    * swap in behind the same contract if diameters ever get large.
+    * Algorithm: alternating large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * O(log n) rounds on ANY graph, unlike min-label propagation's
+    * O(diameter) (an adversarial near-dup chain at corpus scale would
+    * make round count data-dependent). Each round:
+    *   - large-star: every node links its LARGER neighbors to the
+    *     minimum of its closed neighborhood — emit (v, m(u)) for
+    *     v ∈ Γ(u), v > u, m(u) = min(Γ(u) ∪ {u});
+    *   - small-star: every node links its smaller neighbors and itself
+    *     to their minimum — per u over (hi=u, lo<u) edges, emit
+    *     (v, m) for v ∈ N ∪ {u} \ {m}, m = min(N ∪ {u}).
+    * Both keep every edge strictly (hi > lo), both are one group-by +
+    * one join over the PAIR list — never the corpus — and the fixpoint
+    * is the star forest (every node → its component min). Convergence
+    * is checked by exact set equality of consecutive edge sets (count
+    * + one-sided exceptAll — sound because both are distinct);
+    * `localCheckpoint` truncates lineage so plans don't grow across
+    * rounds. `maxIter` still bounds the loop: ⌈log₂ n⌉ + a few rounds
+    * suffice, so the default 20 covers graphs to ~10⁵ nodes per
+    * component and beyond.
     *
-    * Returns (doc_id, cluster_id), one row per distinct doc in `pairs`.
+    * Returns (doc_id, cluster_id), one row per distinct doc in `pairs`
+    * (self-pairs label themselves). If `maxIter` is exhausted before
+    * the fixpoint, labels are the best-known minimum (still a valid
+    * clustering refinement, possibly not fully transitive).
     */
   def connectedComponents(pairs: DataFrame,
                           idACol: String = "id_a", idBCol: String = "id_b",
-                          maxIter: Int = 20): DataFrame = {
-    val p = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // both directions: label flows low→high and high→low
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+                          maxIter: Int = 20): DataFrame =
+    connectedComponentsStats(pairs, idACol, idBCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds executed —
+    * the observable the O(log n) convergence spec pins. */
+  def connectedComponentsStats(pairs: DataFrame,
+                               idACol: String = "id_a",
+                               idBCol: String = "id_b",
+                               maxIter: Int = 20): (DataFrame, Int) = {
+    val ids = pairs.select(col(idACol).as("doc_id"))
+      .union(pairs.select(col(idBCol).as("doc_id")))
+      .distinct()
+      .localCheckpoint(false)
+    var e = pairs
+      .select(greatest(col(idACol), col(idBCol)).as("hi"),
+        least(col(idACol), col(idBCol)).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
       .localCheckpoint(true)
-    var converged = false
+    var eCount = e.count()
+    var converged = eCount == 0
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbor = edges
-        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
+      // large-star: neighborhoods in both directions, larger neighbors
+      // re-point at the closed-neighborhood minimum
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      val e1 = nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("u"), col("mv")).as("lo"))
+        .distinct()
+        .localCheckpoint(true) // read by both small-star passes
+      // small-star: per hi, all (strictly smaller) members re-point at
+      // the group minimum, hi itself included
+      val mins2 = e1.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        .localCheckpoint(true) // read by part1's join and as part2
+      val next = e1.join(mins2, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mins2.select(col("hi"), col("m").as("lo")))
+        .distinct()
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
+      e = next
+      eCount = nextCount
       i += 1
     }
-    p.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val labels = e.groupBy(col("hi").as("doc_id"))
+      .agg(min(col("lo")).as("cluster_id"))
+    (ids.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")),
+      i)
   }
 
   // ---- SimHash --------------------------------------------------------

@@ -100,6 +100,32 @@ class DedupPropertySpec extends SparkTestBase {
     assert(got.size == 10 && got.values.forall(_ == 0L))
   }
 
+  test("connected components: a 256-node chain converges in O(log n) " +
+    "star rounds, not O(diameter)") {
+    import spark.implicits._
+    // an adversarial dedup chain (each doc pairs only with the next):
+    // min-label propagation needs n-1 = 255 rounds; the large-star/
+    // small-star contraction must finish in ~log2(256) = 8 + slack
+    val n = 256L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsStats(pairs)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      s"wrong labels: ${got.filter(_._2 != 0L).take(5)}")
+    assert(rounds <= 12, s"took $rounds rounds — not O(log n)")
+  }
+
+  test("connected components: self-pairs and isolated ids label " +
+    "themselves; string ids order lexicographically") {
+    import spark.implicits._
+    val pairs = Seq(("solo", "solo"), ("b", "c"), ("c", "a"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("solo" -> "solo", "a" -> "a", "b" -> "a",
+      "c" -> "a"), got.toString)
+  }
+
   test("property: exact dedup survivors have no duplicate texts") {
     val base = corpus(31L, 25)
     val df = (base ++ base.map { case (id, t) => (id + 1000, t) })
