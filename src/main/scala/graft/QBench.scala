@@ -6,8 +6,33 @@ import org.apache.spark.sql.SparkSession
   * Same harness shape as [[Bench]] (warm run, median of three) but scoped
   * to the named queries, for iterating on one operator without paying the
   * full-suite cost.
+  *
+  * Every run also MERGES its medians into `bench_isolated.json`
+  * (query → isolated median seconds) — the per-query artifact that
+  * makes round-over-round comparisons attributable: the in-suite
+  * Bench totals carry 20-40% shared-machine drift, so a code-change
+  * claim needs the isolated number persisted, not quoted from prose.
   */
 object QBench {
+
+  /** Merge medians into bench_isolated.json (flat {"name":sec,...},
+    * later runs overwrite same-name entries). */
+  def persistIsolated(medians: Map[String, Double]): Unit = {
+    val path = java.nio.file.Paths.get("bench_isolated.json")
+    val existing: Map[String, Double] =
+      if (java.nio.file.Files.exists(path)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val merged = (existing ++ medians).toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}\n")
+    java.nio.file.Files.write(path,
+      merged.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.tail.toSeq else Seq("x_json_extract")
@@ -16,6 +41,7 @@ object QBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    val medians = scala.collection.mutable.Map[String, Double]()
     for (n <- names) {
       // build time covers query CONSTRUCTION — lazily-planned queries
       // spend ~0 here, but fixture-style queries (the COW mutations)
@@ -31,8 +57,11 @@ object QBench {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
       }.sorted
+      medians(n) = BigDecimal(ts(1)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
       println(f"QBENCH $n build=$build%.3f warm=$warm%.3f median=${ts(1)}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
+    persistIsolated(medians.toMap)
     spark.stop()
   }
 }

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
     ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     ext.injectFunction(GraftExtensions.bucketIndexDescriptor)
+    // aggregate tier (TypedImperativeAggregates)
+    ext.injectFunction(GraftExtensions.mgSketchDescriptor)
+    ext.injectFunction(GraftExtensions.kllMergeDescriptor)
     // whole-operator tier: grouped top-k via per-key bounded heaps
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
     // optimizer tier: window row_number top-k idiom → the heap operator
@@ -103,10 +106,47 @@ object GraftExtensions {
     arity("bucket_index", 2)(children =>
       org.apache.spark.sql.graft.BucketIndex(children(0), children(1))))
 
+  /** The `k` parameter of the aggregate tier must be a foldable
+    * integer: it sizes driver/executor state at PLAN time (exactly
+    * like the form argument of unicode_normalize). */
+  private def literalK(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+        if v != null && Seq[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(dt) =>
+      v.toString.toInt
+    case _ => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INVALID_PARAMETER_VALUE.PATTERN",
+      messageParameters = Map("parameter" -> "k",
+        "functionName" -> name, "value" -> "non-literal"))
+  }
+
+  // aggregate tier: the analyzer wraps a bare AggregateFunction from a
+  // registry builder in its AggregateExpression, same as built-ins
+  val mgSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mg_sketch"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.graft.MisraGriesAgg].getName,
+      "mg_sketch"),
+    arity("mg_sketch", 2)(children =>
+      org.apache.spark.sql.graft.MisraGriesAgg(children(0),
+        literalK("mg_sketch", children(1)))))
+
+  val kllMergeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kll_merge"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.graft.KllMergeAgg].getName,
+      "kll_merge"),
+    arity("kll_merge", 2)(children =>
+      org.apache.spark.sql.graft.KllMergeAgg(children(0),
+        literalK("kll_merge", children(1)))))
+
   private val allDescriptors = Seq(cleanTextDescriptor,
     quantizedDotDescriptor, unicodeNormalizeDescriptor,
     stripAccentsDescriptor, rollingHashDescriptor, jaroWinklerDescriptor,
-    bucketIndexDescriptor)
+    bucketIndexDescriptor, mgSketchDescriptor, kllMergeDescriptor)
 
   /** Imperative registration on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -551,6 +551,49 @@ object StreamOps {
       graft.agg.AggState.mergeQuantile(keys,
         spark.read.parquet(tablePath)), ranks)
 
+  /** Streaming CROSS-MOMENT state maintenance — the stream feed of
+    * `x_incr_corr`'s persisted moment table, completing the fourth
+    * state tier's batch/stream symmetry (distinct/quantile/stickiness
+    * gained sinks in round 8; this is the covariance/correlation
+    * tier): each micro-batch is partialized to per-key exact-DECIMAL
+    * moment cells ([[graft.agg.AggState.partializeMoments]]) and
+    * committed EXACTLY-ONCE under `tablePath/batch_id=<id>` via
+    * [[commitBatchOnce]]. Because every cell is an exact sum, the
+    * streamed-then-merged state is BIT-IDENTICAL to a one-pass batch
+    * aggregate — no estimator caveat like HLL's. Per-batch cost ∝
+    * batch; any later correlation matrix over any epoch range merges
+    * at read ([[readMomentsState]]). Empty batches commit nothing.
+    */
+  def momentsStateSink(stream: DataFrame, keys: Seq[String],
+                       cols: Seq[String], tablePath: String,
+                       checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        momentsStateBatch(batch, keys, cols, tablePath, id); ()
+      }
+      .start()
+
+  /** One moment-state commit (the foreachBatch body, callable
+    * directly); returns whether this call committed the epoch. */
+  def momentsStateBatch(batch: DataFrame, keys: Seq[String],
+                        cols: Seq[String], tablePath: String,
+                        batchId: Long): Boolean =
+    !batch.isEmpty && commitBatchOnce(
+      graft.agg.AggState.partializeMoments(batch, keys, cols),
+      tablePath, batchId)
+
+  /** Read path of the streamed moment state: merge every committed
+    * epoch's cells per key (exact DECIMAL sums — lossless under any
+    * epoch split) and unfold the long-format correlation matrix.
+    */
+  def readMomentsState(spark: SparkSession, tablePath: String,
+                       keys: Seq[String], cols: Seq[String]): DataFrame =
+    graft.agg.AggState.finalizedCorr(
+      graft.agg.AggState.mergeMoments(keys,
+        spark.read.parquet(tablePath)), cols)
+
   /** Streaming DAU/MAU state — the stream feed of
     * `x_stickiness_sketch`'s per-day HLL table: each micro-batch
     * reduces to one HLL partial per active day (KB sketches — user ids

@@ -59,4 +59,38 @@ class MisraGriesSpec extends SparkTestBase {
       .select(col("lang"), col("token"), col("count").as("n"))
     assert(q.collect().toSet == exact.collect().toSet)
   }
+
+  test("SQL registration: mg_sketch and kll_merge parse in SQL and " +
+    "match the Column API bit-for-bit; non-literal k rejected") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("t")
+    df.createOrReplaceTempView("mg_in")
+    val viaSql = spark.sql("SELECT mg_sketch(t, 16) AS sk FROM mg_in")
+      .collect()(0).getMap[String, Long](0)
+    val viaCol = df.agg(native_fns.mg_sketch(col("t"), 16).as("sk"))
+      .collect()(0).getMap[String, Long](0)
+    assert(viaSql == viaCol && viaSql("a") == 5L)
+    // kll_merge: fold per-slice sketches in SQL, read with built-ins —
+    // n < k so the sketch is exact and the paths must agree exactly
+    val vals = (1 to 40).map(i => ("g", i.toDouble)).toDF("g", "v")
+    graft.agg.AggState.partializeQuantile(vals, Seq("g"), "v")
+      .unionByName(graft.agg.AggState.partializeQuantile(
+        vals.withColumn("v", col("v") + 40), Seq("g"), "v"))
+      .createOrReplaceTempView("kll_state")
+    val sqlQ = spark.sql(
+      """SELECT g, kll_sketch_get_quantile_double(
+        |         kll_merge(s_kll, 200), 0.5) AS p50
+        |FROM kll_state GROUP BY g""".stripMargin)
+      .collect()(0).getDouble(1)
+    val colQ = graft.agg.AggState.finalizedQuantile(
+      graft.agg.AggState.mergeQuantile(Seq("g"),
+        spark.table("kll_state")), Seq(0.5))
+      .collect()(0).getDouble(1)
+    assert(sqlQ == colQ && sqlQ == 40.0, s"$sqlQ vs $colQ")
+    // state size is a plan-time parameter: non-literal k must fail
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mg_sketch(t, CAST(length(t) AS INT)) FROM mg_in")
+        .collect()
+    }
+  }
 }

@@ -897,6 +897,50 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("momentsStateSink: streamed cross-moment state == one-pass " +
+    "batch BIT-FOR-BIT; replay commits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("mstate").toString
+    val mem = MemoryStream[(String, Double, Double)]
+    val q = momentsStateSink(
+      mem.toDF().toDF("g", "x", "y"), Seq("g"), Seq("x", "y"),
+      tablePath = s"$tmp/state", checkpointDir = s"$tmp/ckpt")
+    val rnd = new scala.util.Random(17)
+    val all = (0 until 200).map { i =>
+      val x = rnd.nextDouble() * 10
+      (if (i % 2 == 0) "a" else "b", x, 2 * x + rnd.nextGaussian())
+    }
+    try {
+      val (first, rest) = all.splitAt(70)
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(rest: _*); q.processAllAvailable()
+      // moment cells are exact DECIMAL sums, so the streamed-merged
+      // correlation read is bit-identical to the one-pass batch —
+      // no tolerance, unlike the sketch tiers
+      val streamed = readMomentsState(spark, s"$tmp/state", Seq("g"),
+        Seq("x", "y")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val onePass = graft.agg.AggState.finalizedCorr(
+        graft.agg.AggState.partializeMoments(
+          all.toDF("g", "x", "y"), Seq("g"), Seq("x", "y")),
+        Seq("x", "y")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == onePass, s"$streamed vs $onePass")
+      assert(streamed.size == 2 &&
+        streamed.forall { case (_, _, _, n, r) => n == 100L && r > 0.9 })
+      // epoch replay is a no-op (marker already present)
+      val replayed = momentsStateBatch(first.toDF("g", "x", "y"),
+        Seq("g"), Seq("x", "y"), s"$tmp/state", batchId = 0L)
+      assert(!replayed)
+      assert(readMomentsState(spark, s"$tmp/state", Seq("g"),
+        Seq("x", "y")).collect().map(r => (r.getString(0),
+          r.getString(1), r.getString(2), r.getLong(3),
+          r.getDouble(4))).toSet == streamed)
+    } finally q.stop()
+  }
+
   test("stickinessStateSink: streamed per-day HLL == batch twin, " +
     "bounds vs exact hold") {
     implicit val sqlCtx = spark.sqlContext
