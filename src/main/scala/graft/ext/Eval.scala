@@ -463,35 +463,40 @@ object Eval {
   /** Two-sample Kolmogorov-Smirnov statistic: D = max |F_a(v) − F_b(v)|
     * over the pooled value domain — the scale-free drift test PSI's
     * fixed bins approximate ([[psiBins]] needs a binning choice; KS
-    * does not). Output one row: (n_a, n_b, ks_d).
+    * does not). Output one row: (n_a, n_b, ks_d). `valueCol` must be
+    * numeric (a CDF difference is defined over an ordered numeric
+    * domain; the equi-depth bucketing needs percentile_approx).
     *
     * Relational shape: per-(value, side) counts → pooled per-value
-    * rows → ONE ordered window over the |distinct values| table for
-    * both running sums (the bounded-domain single-key argument — use
-    * on bounded/binned domains; a near-unique column would make the
-    * window data-sized). D is a max of exact-integer-ratio
-    * differences: |ca·nb − cb·na| stays in Long and one IEEE division
-    * at the end makes the statistic bit-portable.
+    * rows → the SAME two-phase bucketed prefix as [[auc]] for both
+    * inclusive running sums (strictly-below + own count), so there is
+    * NO data-sized global window — raw continuous scores with
+    * near-unique values are fine; the only partition-free window is
+    * the ≤256-row bucket-totals table. (Until round 9 this used one
+    * ordered window over the distinct-value table with a
+    * bounded-domain contract; the bucketed form removes the
+    * contract.) D is a max of exact-integer-ratio differences:
+    * |ca·nb − cb·na| stays in Long and one IEEE division at the end
+    * makes the statistic bit-portable.
     */
   def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    val av = a.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
-      .groupBy(col("__v")).agg(count(lit(1)).as("__ca"))
-    val bv = b.select(col(valueCol).as("__v")).filter(col("__v").isNotNull)
-      .groupBy(col("__v")).agg(count(lit(1)).as("__cb"))
-    val pooled = av.join(bv, Seq("__v"), "full_outer")
-      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+    val av = a.select(col(valueCol).as("__s")).filter(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(count(lit(1)).as("__ca"))
+    val bv = b.select(col(valueCol).as("__s")).filter(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(count(lit(1)).as("__cb"))
+    val pooled = av.join(bv, Seq("__s"), "full_outer")
+      .select(col("__s"), coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
-    val w = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = pooled.agg(sum(col("__ca")).as("n_a"),
+    val counts = bucketScores(pooled, None)
+      .localCheckpoint(false) // totals + both prefix passes
+    val totals = counts.agg(sum(col("__ca")).as("n_a"),
       sum(col("__cb")).as("n_b"))
-    pooled
-      .withColumn("__fa", sum(col("__ca")).over(w))
-      .withColumn("__fb", sum(col("__cb")).over(w))
+    strictlyBelow(counts, Seq("__ca", "__cb"))
       .crossJoin(broadcast(totals))
       .groupBy(col("n_a"), col("n_b"))
-      .agg(max(abs(col("__fa") * col("n_b") - col("__fb") * col("n_a")))
-        .as("__num"))
+      .agg(max(abs(
+        (col("__lt___ca") + col("__ca")) * col("n_b") -
+          (col("__lt___cb") + col("__cb")) * col("n_a"))).as("__num"))
       .select(col("n_a"), col("n_b"),
         (col("__num").cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("ks_d"))

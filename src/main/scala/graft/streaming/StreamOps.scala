@@ -439,9 +439,10 @@ object StreamOps {
     * [[driftSink]]'s PSI, which needs a bin choice; KS compares raw
     * CDFs, so it also catches within-bin shape shifts PSI smooths
     * away. One `(batch_id, n_ref, n_batch, ks_d, alarm)` row appended
-    * per epoch. The value domain should be bounded/binned upstream
-    * (the ksTest contract); the reference is re-read per batch — keep
-    * it aggregated or persisted.
+    * per epoch. The value domain may be raw/continuous (ksTest runs
+    * on the bucketed two-phase prefix — no data-sized window); the
+    * reference is re-read per batch — keep it aggregated or
+    * persisted.
     */
   def ksDriftSink(stream: DataFrame, valueCol: String, ref: DataFrame,
                   alarmAt: Double, outDir: String, checkpointDir: String)

@@ -38,8 +38,6 @@ class PlanAuditSpec extends SparkTestBase {
       "bounded-domain contract of the isotonic series)"),
     "x_kaplan_meier" -> ("global windows over the DISTINCT event " +
       "durations table - follow-up-bounded by the KM contract"),
-    "x_ks_test" -> ("one ordered window over the pooled distinct " +
-      "value domain - bounded/binned by the ksTest contract"),
     "x_vocab_coverage" -> "global window over the top-500 vocab table")
 
   /** Bucket-machinery columns: the ≤`buckets`-row bucket-totals tables
