@@ -58,23 +58,26 @@ object Similarity {
     * the original, and Johnson–Lindenstrauss bounds the dot-product
     * distortion.
     *
-    * Plan shape: one row-local projection per vector (`zip_with` against
-    * the literal sign rows + an `aggregate` fold) — no shuffle, no join,
-    * no per-row hashing; the sign matrix rides the plan as literals the
-    * same way k-means codebooks do.
+    * Plan shape: one row-local projection per vector — no shuffle, no
+    * join, no per-row hashing; the sign matrix rides the plan as
+    * literals the same way k-means codebooks do. Each coordinate is
+    * one fused codegen'd [[dotQ]] loop against its literal sign row
+    * (the composed zip_with+aggregate form ran outDim interpreted HOF
+    * folds per row); the quantized vector is materialized ONCE in its
+    * own projection — HOFs sit outside codegen CSE (the round-1
+    * shinglesOf lesson), so leaving `quantize` inline would re-run the
+    * transform once per output coordinate.
     */
   def randomProject(emb: DataFrame, idCol: String, vecCol: String,
                     inDim: Int, outDim: Int, seed: Int = 0): DataFrame = {
     require(inDim > 0 && outDim > 0, "dims must be positive")
     val signs = signProjSigns(inDim, outDim, seed)
-    val q = quantize(col(vecCol))
     val proj = array(signs.toIndexedSeq.map { row =>
-      aggregate(
-        zip_with(q, lit(row), (x, s) => x * s),
-        lit(0L), (acc, v) => acc + coalesce(v, lit(0L))
-      ).cast("double")
+      graft.functions.native_fns
+        .quantized_dot(col("__q"), lit(row)).cast("double")
     }: _*)
-    emb.select(col(idCol), proj.as("proj"))
+    emb.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .select(col(idCol), proj.as("proj"))
   }
 
   /** Exact integer dot product of two quantized vectors (cast to double
