@@ -90,6 +90,27 @@ object Similarity {
   def dotQ(a: Column, b: Column): Column =
     graft.functions.native_fns.quantized_dot(a, b).cast("double")
 
+  /** (dist, cell) structs against every literal codebook centroid, for
+    * a MATERIALIZED quantized vector column `v` whose self-dot `vv`
+    * was precomputed once per row (in a separate projection — HOF and
+    * repeated-subexpression results must be materialized attributes,
+    * the randomProject/shinglesOf rule): squared L2 decomposes as
+    * `‖v‖² − 2·v·c + ‖c‖²`, every term an exact integer, so the value
+    * is bit-identical to the zip_with `Σ(x−y)²` fold it replaces while
+    * running ONE fused codegen'd quantized_dot per centroid (the fold
+    * was |dim| interpreted lambda steps per centroid) and sharing the
+    * `‖v‖²` leg across all |codebook| evaluations. ‖c‖² folds at plan
+    * time.
+    */
+  private def centroidDists(v: Column, vv: Column,
+                            codebook: Seq[(Long, Seq[Long])]): Seq[Column] =
+    codebook.map { case (cell, cvec) =>
+      val cc = cvec.map(x => x * x).sum
+      struct((vv - lit(2L) * graft.functions.native_fns
+          .quantized_dot(v, lit(cvec.toArray)) + lit(cc)).as("dist"),
+        lit(cell).as("cell"))
+    }
+
   /** Built-in composition of the same dot product (equivalence oracle
     * for [[dotQ]]; allocates a zipped array per evaluation).
     */
@@ -282,16 +303,13 @@ object Similarity {
   def lloydStep(emb: DataFrame, idCol: String, vecCol: String,
                 codebook: Seq[(Long, Seq[Long])]): DataFrame = {
     require(codebook.nonEmpty, "empty codebook")
-    val scored = codebook.map { case (cell, cvec) =>
-      val dist = aggregate(
-        zip_with(col("v"), lit(cvec.toArray), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
-      struct(dist.as("dist"), lit(cell).as("cell"))
-    }
     val assigned = emb
       .select(col(idCol), quantize(col(vecCol)).as("v"))
+      .withColumn("__vv", graft.functions.native_fns
+        .quantized_dot(col("v"), col("v")))
       .select(col(idCol), col("v"),
-        array_min(array(scored: _*)).getField("cell").as("cell"))
+        array_min(array(centroidDists(col("v"), col("__vv"),
+          codebook): _*)).getField("cell").as("cell"))
     assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
@@ -317,14 +335,11 @@ object Similarity {
   def silhouette(emb: DataFrame, idCol: String, vecCol: String,
                  codebook: Seq[(Long, Seq[Long])]): DataFrame = {
     require(codebook.size >= 2, "silhouette needs >= 2 clusters")
-    val scored = codebook.map { case (cell, cvec) =>
-      val dist = aggregate(
-        zip_with(col("__v"), lit(cvec.toArray), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
-      struct(dist.as("dist"), lit(cell).as("cell"))
-    }
     emb.select(col(idCol), quantize(col(vecCol)).as("__v"))
-      .withColumn("__all", array_sort(array(scored: _*)))
+      .withColumn("__vv", graft.functions.native_fns
+        .quantized_dot(col("__v"), col("__v")))
+      .withColumn("__all", array_sort(array(centroidDists(col("__v"),
+        col("__vv"), codebook): _*)))
       .select(col(idCol),
         col("__all").getItem(0).getField("cell").as("cell"),
         sqrt(col("__all").getItem(0).getField("dist").cast("double"))
@@ -378,14 +393,11 @@ object Similarity {
     */
   def inertia(emb: DataFrame, idCol: String, vecCol: String,
               codebook: Seq[(Long, Seq[Long])]): Double = {
-    val dists = codebook.map { case (cell, cvec) =>
-      val dist = aggregate(
-        zip_with(col("v"), lit(cvec.toArray), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
-      struct(dist.as("dist"), lit(cell).as("cell"))
-    }
     emb.select(quantize(col(vecCol)).as("v"))
-      .select(array_min(array(dists: _*)).getField("dist").as("d"))
+      .withColumn("__vv", graft.functions.native_fns
+        .quantized_dot(col("v"), col("v")))
+      .select(array_min(array(centroidDists(col("v"), col("__vv"),
+        codebook): _*)).getField("dist").as("d"))
       .agg(sum(col("d"))).head().getLong(0).toDouble
   }
 
@@ -402,14 +414,11 @@ object Similarity {
                       k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && codebook.nonEmpty)
-    def scored = codebook.map { case (cell, cvec) =>
-      val dist = aggregate(
-        zip_with(col("v"), lit(cvec.toArray), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
-      struct(dist.as("dist"), lit(cell).as("cell"))
-    }
+    def scored = centroidDists(col("v"), col("__vv"), codebook)
     def assign(vecs: DataFrame, probes: Int): DataFrame = {
       val base = vecs.select(col(idCol), quantize(col(vecCol)).as("v"))
+        .withColumn("__vv", graft.functions.native_fns
+          .quantized_dot(col("v"), col("v")))
       if (probes == 1)
         base.select(col(idCol), col("v"),
           array_min(array(scored: _*)).getField("cell").as("cell"))
@@ -453,23 +462,21 @@ object Similarity {
                codebook: Seq[(Long, Seq[Long])],
                threshold: Double): DataFrame = {
     require(codebook.nonEmpty, "empty codebook")
-    val scored = codebook.map { case (cell, cvec) =>
-      val dist = aggregate(
-        zip_with(col("v"), lit(cvec.toArray), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
-      struct(dist.as("dist"), lit(cell).as("cell"))
-    }
     // referenced three times (both pair sides + the survivor anti-join);
     // the |codebook| distance evaluations per row are the dominant
     // compute, so materialize the assignment ONCE (lazy checkpoint)
     // rather than re-running it per reference
     val assigned = emb
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("v"))
+      .withColumn("__vv", graft.functions.native_fns
+        .quantized_dot(col("v"), col("v")))
       .select(col("__id"), col("v"),
-        array_min(array(scored: _*)).getField("cell").as("cell"),
+        array_min(array(centroidDists(col("v"), col("__vv"),
+          codebook): _*)).getField("cell").as("cell"),
         // norm once per VECTOR, not per pair — cuts the pair-stage
-        // dot products 3x; sqrt here equals sqrt-at-pair-time exactly
-        sqrt(dotQ(col("v"), col("v"))).as("nrm"))
+        // dot products 3x; sqrt here equals sqrt-at-pair-time exactly;
+        // ‖v‖² is already materialized for the centroid distances
+        sqrt(col("__vv").cast("double")).as("nrm"))
       .localCheckpoint(false)
     val a = assigned.select(col("cell"), col("__id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
