@@ -42,9 +42,12 @@ class PlanAuditSpec extends SparkTestBase {
 
   /** Bucket-machinery columns: the ≤`buckets`-row bucket-totals tables
     * of ops/Ranks and ext/Eval.strictlyBelow (`__b`, `__bk`, `__bt_*`,
-    * `__bucket`, `__btot`, ...). */
+    * `__bucket`, `__btot`, ...). Token-anchored, not substring: a
+    * column NAMED with the `__b` prefix qualifies, an unrelated name
+    * merely containing "__b" does not. */
   private def isBucketBounded(input: String): Boolean =
-    input.contains("__b")
+    input.stripPrefix("[").stripSuffix("]").split(", ")
+      .exists(_.startsWith("__b"))
 
   test("every query plan: SinglePartition exchanges, global windows " +
     "and cartesian products only over bounded inputs") {
