@@ -115,6 +115,37 @@ class DedupPropertySpec extends SparkTestBase {
     assert(rounds <= 12, s"took $rounds rounds — not O(log n)")
   }
 
+  test("property: connected components == driver-side union-find on " +
+    "random graphs (mixed components, dups, self-loops)") {
+    import spark.implicits._
+    for (seed <- Seq(3, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      // sparse random graph + guaranteed dups/self-loops
+      val edges = (0 until 150).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val pairs = (edges ++ edges.take(10)).toDF("id_a", "id_b")
+      // reference: classic union-find with min-label extraction
+      val parent = Array.tabulate(n.toLong.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val expected = touched.map(id =>
+        id -> {
+          // min label of the component = the root after full path walk
+          var r = id.toInt; while (parent(r) != r) r = parent(r); r.toLong
+        }).toMap
+      val got = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed: " +
+        s"${(got.toSet -- expected.toSet).take(5)} vs expected " +
+        s"${(expected.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("connected components: self-pairs and isolated ids label " +
     "themselves; string ids order lexicographically") {
     import spark.implicits._
