@@ -44,6 +44,13 @@ object Audit {
           hits += 1
           println(s"AUDIT $n GLOBALWINDOW id=${w.id} input=${w.input}")
         }
+        report.broadcastNestedLoops
+          .filterNot(PlanAudit.isScalarBroadcastBNLJ(report, _))
+          .foreach { b =>
+            hits += 1
+            println(s"AUDIT $n BNLJ id=${b.id} args=" +
+              s"${b.arguments.take(80)}")
+          }
       } catch {
         case e: Throwable =>
           hits += 1

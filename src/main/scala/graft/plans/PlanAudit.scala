@@ -15,23 +15,27 @@ import org.apache.spark.sql.DataFrame
   * Functions), plus the tree section for child resolution, across the
   * main plan AND all `===== Subqueries =====` sections.
   *
-  * What it surfaces (the three shapes that cannot survive a 100×
+  * What it surfaces (the four shapes that cannot survive a 100×
   * scale-up when they sit over data-sized input):
   *   - Exchange nodes with `SinglePartition` arguments — legitimate
   *     only over bounded tables (1-row global-agg partials, ≤256-row
   *     bucket totals, documented bounded domains);
   *   - `CartesianProduct` — never legitimate on this surface;
   *   - Window nodes whose windowspecdefinition has NO partition keys —
-  *     a global sort of the window's input through one task.
+  *     a global sort of the window's input through one task;
+  *   - `BroadcastNestedLoopJoin` whose build side is NOT the
+  *     structural 1-row scalar-attach shape (keys-empty aggregate
+  *     broadcast) — a data-dependent nested loop unless the build is
+  *     bounded by construction and inventoried.
   */
 object PlanAudit {
 
   /** One operator node of a formatted plan: header id/name plus the
-    * detail-block fields (`Input`, `Arguments`, `Functions`, ...) and
-    * the id of its first child in the tree (unary operators' only
-    * child — enough for Exchange provenance). */
+    * detail-block fields (`Input`, `Arguments`, `Functions`, ...), the
+    * ids of its tree children, and — for ReusedExchange — the id of
+    * the exchange it aliases. */
   case class Node(id: Int, name: String, fields: Map[String, String],
-                  firstChild: Option[Int]) {
+                  children: Seq[Int], reuses: Option[Int] = None) {
     def input: String = fields.getOrElse("Input", "")
     def arguments: String = fields.getOrElse("Arguments", "")
     def functions: String = fields.getOrElse("Functions", "")
@@ -41,9 +45,14 @@ object PlanAudit {
   case class Report(nodes: Map[Int, Node],
                     singlePartitionExchanges: Seq[Node],
                     cartesianProducts: Seq[Node],
-                    globalWindows: Seq[Node]) {
+                    globalWindows: Seq[Node],
+                    broadcastNestedLoops: Seq[Node]) {
     /** The producer feeding an exchange (partial-agg detection). */
-    def childOf(n: Node): Option[Node] = n.firstChild.flatMap(nodes.get)
+    def childOf(n: Node): Option[Node] =
+      n.children.headOption.flatMap(nodes.get)
+    /** Resolve ReusedExchange aliases to the real node. */
+    def resolve(n: Node): Node =
+      n.reuses.flatMap(nodes.get).getOrElse(n)
   }
 
   private val TreeLine =
@@ -51,21 +60,25 @@ object PlanAudit {
   private val DetailHeader = """^\((\d+)\)\s+(\S.*?)\s*$""".r
   private val FieldLine = """^([A-Za-z][A-Za-z ]*?)(?: \[\d+\])?: (.*)$""".r
 
+  private val ReuseHeader =
+    """^\((\d+)\)\s+ReusedExchange \[Reuses operator id: (\d+)\].*$""".r
+
   /** Parse a formatted explain string into audit nodes. */
   def parse(formatted: String): Map[Int, Node] = {
     val lines = formatted.linesIterator.toVector
-    // pass 1: tree lines -> (depth, id) in order; child = next tree
-    // line one level deeper (trees restart in subquery sections, but
-    // depth+1 adjacency still only matches within one tree)
+    // pass 1: tree lines -> (depth, id) in order; children of a node
+    // at depth d = the depth d+3 entries before the next entry at
+    // depth <= d (trees restart in subquery sections; the depth gate
+    // keeps blocks separate)
     val tree = lines.flatMap {
       case TreeLine(prefix, _, id) => Some((prefix.length, id.toInt))
       case _ => None
     }
-    val firstChild: Map[Int, Int] = tree.zipWithIndex.flatMap {
+    val childMap: Map[Int, Seq[Int]] = tree.zipWithIndex.map {
       case ((depth, id), i) =>
-        tree.drop(i + 1).headOption.collect {
-          case (d, cid) if d == depth + 3 => id -> cid
-        }
+        id -> tree.drop(i + 1)
+          .takeWhile { case (d, _) => d > depth }
+          .collect { case (d, cid) if d == depth + 3 => cid }
     }.toMap
     // pass 2: detail blocks "(id) Name" followed by "Field: value"
     val nodes = scala.collection.mutable.Map[Int, Node]()
@@ -74,10 +87,16 @@ object PlanAudit {
     def flush(): Unit = current.foreach { case (id, name) =>
       // keep the FIRST block per id (subquery reuse can repeat ids)
       if (!nodes.contains(id))
-        nodes(id) = Node(id, name, fields, firstChild.get(id))
+        nodes(id) = Node(id, name, fields, childMap.getOrElse(id, Nil))
     }
     lines.foreach {
-      case DetailHeader(id, name) if !name.contains("Reuses operator") =>
+      case ReuseHeader(id, target) =>
+        flush(); current = None
+        val nid = id.toInt
+        if (!nodes.contains(nid))
+          nodes(nid) = Node(nid, "ReusedExchange", Map.empty,
+            childMap.getOrElse(nid, Nil), reuses = Some(target.toInt))
+      case DetailHeader(id, name) =>
         flush(); current = Some((id.toInt, name)); fields = Map.empty
       case FieldLine(k, v) if current.isDefined =>
         fields = fields.updated(k.trim, v)
@@ -134,7 +153,9 @@ object PlanAudit {
         .filter(_.name.startsWith("CartesianProduct")),
       nodes.values.toSeq.sortBy(_.id).filter(n =>
         n.name.startsWith("Window") &&
-          hasGlobalWindowSpec(n.arguments)))
+          hasGlobalWindowSpec(n.arguments)),
+      nodes.values.toSeq.sortBy(_.id)
+        .filter(_.name.startsWith("BroadcastNestedLoopJoin")))
   }
 
   /** A single-partition exchange whose producer is a map-side partial
@@ -151,4 +172,36 @@ object PlanAudit {
         (c.fields.getOrElse("Keys", "") == "[]" ||
           (!c.fields.contains("Keys") && c.functions.contains("partial_")))
     }
+
+  /** A BroadcastNestedLoopJoin is the SCALAR-ATTACH shape (a 1-row
+    * broadcast crossJoined onto the stream — corpus totals, percentile
+    * bounds, fitted parameters) when its broadcast side bottoms out in
+    * a keys-empty aggregate: the exchange then carries exactly one row
+    * by construction, and a 1-row build side is a constant attach, not
+    * a nested loop. Walks through row-preserving-or-reducing wrappers
+    * (Project/Filter/Subquery) and resolves ReusedExchange aliases. A
+    * BNLJ whose build side is anything else (a data-dependent
+    * non-equi broadcast join) is NOT excused by this rule and must be
+    * inventoried per query. */
+  def isScalarBroadcastBNLJ(report: Report, bnlj: Node): Boolean = {
+    def descend(n: Node, depth: Int): Boolean = {
+      if (depth > 8) false
+      else {
+        val r = report.resolve(n)
+        if (r.name.contains("Aggregate"))
+          r.fields.getOrElse("Keys", "x") == "[]"
+        else if (r.name.startsWith("Project") ||
+                 r.name.startsWith("Filter") ||
+                 r.name.startsWith("Subquery") ||
+                 r.name.startsWith("BroadcastExchange") ||
+                 r.name.startsWith("ColumnarToRow"))
+          r.children.headOption.flatMap(report.nodes.get)
+            .exists(descend(_, depth + 1))
+        else false
+      }
+    }
+    bnlj.children.flatMap(report.nodes.get)
+      .exists(c => (c.name.startsWith("BroadcastExchange") ||
+        c.name.startsWith("ReusedExchange")) && descend(c, 0))
+  }
 }

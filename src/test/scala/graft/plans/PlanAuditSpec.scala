@@ -40,6 +40,23 @@ class PlanAuditSpec extends SparkTestBase {
       "durations table - follow-up-bounded by the KM contract"),
     "x_vocab_coverage" -> "global window over the top-500 vocab table")
 
+  /** BroadcastNestedLoopJoins whose build side is NOT the structural
+    * 1-row scalar shape but IS bounded by construction — each entry
+    * names the bound (the round-5 manual BNLJ audit, now enforced). */
+  private val bnljInventory: Map[String, String] = Map(
+    "x_ab_test" -> "per-variant (2-row) aggregate combine",
+    "x_ann_brute_topk" -> ("deliberate baseline: literal query-id set " +
+      "broadcast against one corpus scan"),
+    "x_ann_ivf_topk" -> "C-row coarse-centroid table legs (IVF)",
+    "x_ann_ivf_probe2" -> "C-row coarse-centroid table legs (IVF)",
+    "x_ann_ivfpq_topk" -> "C-row coarse-centroid table legs (IVF+PQ)",
+    "x_chi2" -> ("marginal x marginal cell-grid enumeration - bounded " +
+      "by the discrete domains (zero-observed cells need their " +
+      "expected mass)"),
+    "x_domain_centroids" -> "|domains|-row centroid table",
+    "x_hybrid_rrf" -> "literal query-id vector set broadcast (fusion)",
+    "x_theta_setops" -> "per-segment sketch-pair combine rows")
+
   /** Bucket-machinery columns: the ≤`buckets`-row bucket-totals tables
     * of ops/Ranks and ext/Eval.strictlyBelow (`__b`, `__bk`, `__bt_*`,
     * `__bucket`, `__btot`, ...). Token-anchored, not substring: a
@@ -71,6 +88,12 @@ class PlanAuditSpec extends SparkTestBase {
           .foreach(w => violations += s"$name: global window " +
             s"id=${w.id} over ${w.input}")
       }
+      if (!bnljInventory.contains(name)) {
+        report.broadcastNestedLoops
+          .filterNot(PlanAudit.isScalarBroadcastBNLJ(report, _))
+          .foreach(b => violations += s"$name: non-scalar " +
+            s"BroadcastNestedLoopJoin id=${b.id}")
+      }
     }
     assert(audited == SparkEntry.queries.size)
     assert(violations.isEmpty,
@@ -79,8 +102,32 @@ class PlanAuditSpec extends SparkTestBase {
     // the inventory can only shrink deliberately: every entry must
     // still name a live query (a renamed/removed query must clean up
     // its allowance, not leave a stale hole for a future query)
-    val stale = boundedInventory.keySet -- SparkEntry.queries.keySet
+    val stale = (boundedInventory.keySet ++ bnljInventory.keySet) --
+      SparkEntry.queries.keySet
     assert(stale.isEmpty, s"stale inventory entries: $stale")
+  }
+
+  test("a planted data-sized broadcast nested loop IS flagged, while " +
+    "the 1-row scalar crossJoin shape is structurally excused") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // data-sized build side under a non-equi condition -> must flag
+    val bad = orders.join(broadcast(li),
+      col("o_orderkey") > col("l_orderkey"))
+    val badReport = PlanAudit.audit(bad)
+    assert(badReport.broadcastNestedLoops.nonEmpty)
+    assert(badReport.broadcastNestedLoops.exists(b =>
+      !PlanAudit.isScalarBroadcastBNLJ(badReport, b)),
+      "data-sized BNLJ wrongly excused as scalar")
+    // 1-row scalar attach (keys-empty aggregate broadcast) -> excused
+    val stats = li.agg(sum(col("l_quantity")).as("__tot"))
+    val good = orders.crossJoin(broadcast(stats))
+    val goodReport = PlanAudit.audit(good)
+    assert(goodReport.broadcastNestedLoops.nonEmpty,
+      "expected the scalar crossJoin to plan as BNLJ")
+    assert(goodReport.broadcastNestedLoops.forall(b =>
+      PlanAudit.isScalarBroadcastBNLJ(goodReport, b)),
+      "scalar 1-row broadcast wrongly flagged")
   }
 
   test("a planted data-sized global window IS flagged (the gate bites)") {
