@@ -3374,6 +3374,7 @@ object ExtQueries {
       val recs = sym.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= 3)
         .select(col("item_a"), col("item_b"))
+        .localCheckpoint(false) // both rec directions below
       val testPairs = test.groupBy(col("b"))
         .agg(sort_array(collect_set(col("i"))).as("items"))
         .select(explode(flatten(transform(col("items"), (x, j) =>
@@ -3382,6 +3383,7 @@ object ExtQueries {
               greatest(size(col("items")) - j - 1, lit(0))),
             y => struct(x.as("a"), y.as("c")))))).as("p"))
         .select(col("p.a"), col("p.c")).distinct()
+        .localCheckpoint(false) // the hits semi-join AND the count
       val hits = testPairs
         .join(recs.select(col("item_a").as("a"), col("item_b").as("c"))
           .unionByName(recs.select(col("item_b").as("a"),
