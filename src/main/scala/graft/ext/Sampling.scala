@@ -15,6 +15,16 @@ import graft.functions.Hashing
   * day — which is what dataset reproducibility actually requires, and
   * what makes these operators oracle-checkable. All decisions are
   * row-local expressions; no shuffle, no state.
+  *
+  * Shared RATE RESOLUTION contract: every sampler here quantizes its
+  * keep-rate to the `Buckets = 1e6` hash grid — a rate below 1e-6
+  * realizes ZERO rows (e.g. a Neyman stratum allocated n_target ≥ 1
+  * out of > 1e6·n_target rows). This is the deliberate price of
+  * row-local decisions: a hash threshold needs a fixed grid, and 1e-6
+  * already exceeds the sub-percent resolution any statistical
+  * allocation of a 1e6-row stratum is meaningful at. Callers needing
+  * exact small-k draws should use [[reservoirSample]] (exact k, one
+  * extra top-k pass) instead of a rate.
   */
 object Sampling {
 
