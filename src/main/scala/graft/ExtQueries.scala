@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Dsir, Eval, Events, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Dsir, Eval, Events, Multimodal, Pca, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
 import graft.ops.{EditDistJoin, Quality}
 import graft.functions.Hashing
 
@@ -188,6 +188,22 @@ object ExtQueries {
         .withColumnRenamed("node", "doc_id")
         .withColumnRenamed("label", "community")
         .orderBy(col("doc_id"))
+    }),
+
+    // Partition quality of those communities: Newman modularity over
+    // the same minhash doc graph — exact integer edge/degree sums into
+    // ONE final IEEE division (engine- and partitioning-exact), per-
+    // community aggregation with map-side combine. Edges checkpointed
+    // once: both the LPA rounds and the modularity join read them.
+    "x_modularity" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidatePairs(T(s, dir, "documents"),
+        "doc_id", "text", bands = 4, rowsPerBand = 2, maxBucket = 0)
+      val edges = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          cand.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(false)
+      graft.ext.Graph.modularity(edges,
+        graft.ext.Graph.labelPropagation(edges, rounds = 2))
     }),
 
     "x_dedup_embedding" -> ((s, dir) =>
@@ -517,6 +533,34 @@ object ExtQueries {
           "embedding", inDim = 64, outDim = 8, seed = 0)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "val")))
         .orderBy(col("vec_id"), col("dim"))),
+
+    // PCA step 1, the only corpus-sized pass: exact integer co-moment
+    // sums over the quantized vectors (one shuffle of ≤ dim(dim+1)/2
+    // groups after map-side combine — never a corpus self-join), with
+    // the covariance as one IEEE expression over those exact integers.
+    "x_pca_cov" -> ((s, dir) =>
+      Pca.comoments(T(s, dir, "embeddings"), "embedding", dim = 64)
+        .orderBy(col("i"), col("j"))),
+
+    // PCA end-to-end identity: fit (driver Jacobi on the collected
+    // dim×dim model), project onto the FULL basis (row-local fused
+    // double_dot against literal eigenvectors), and report projected
+    // variance over the DATA-derived trace — an orthonormal basis
+    // preserves total variance, so fit+project must yield 1.000000.
+    "x_pca_var" -> ((s, dir) =>
+      Pca.varianceRatio(T(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64)),
+
+    // Matryoshka eval: recall@10 of truncated-dimension exact cosine
+    // (first 8/16/32 dims) against the full 64-dim ranking — one
+    // corpus scan fanned by a row-local dims explode, broadcast query
+    // side, (d, query) windows; the recall join touches only rank
+    // lists.
+    "x_matryoshka_recall" -> ((s, dir) =>
+      Similarity.truncatedRecall(T(s, dir, "embeddings"), "vec_id",
+          "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+          dims = Seq(8, 16, 32), fullDim = 64)
+        .orderBy(col("query_id"), col("d"))),
 
     // ---- text analysis ------------------------------------------------
 
@@ -4114,6 +4158,48 @@ object ExtQueries {
         SELECT node AS doc_id, label AS community
         FROM l2 ORDER BY doc_id"""
 
+  /** Same minhash graph + 2-round LPA CTEs as [[labelPropOracle]], then
+    * Newman modularity of that partition as exact integer sums into one
+    * final division — mirrors Graph.modularity operation-for-operation.
+    */
+  private def modularityOracle: String =
+    s"""WITH $minhashCtes,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION ALL SELECT id_b, id_a FROM cand),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        n1 AS (SELECT e.src, l.label, COUNT(*) AS c
+               FROM edges e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+        l1 AS (SELECT src AS node, label FROM (
+                 SELECT src, label, row_number() OVER (
+                   PARTITION BY src ORDER BY c DESC, label) AS rn
+                 FROM n1) WHERE rn = 1),
+        n2 AS (SELECT e.src, l.label, COUNT(*) AS c
+               FROM edges e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+        l2 AS (SELECT src AS node, label FROM (
+                 SELECT src, label, row_number() OVER (
+                   PARTITION BY src ORDER BY c DESC, label) AS rn
+                 FROM n2) WHERE rn = 1),
+        em AS (
+          SELECT a.label AS ca, b.label AS cb
+          FROM edges JOIN l2 a ON edges.src = a.node
+                     JOIN l2 b ON edges.dst = b.node),
+        perc AS (
+          SELECT ca, COUNT(*) AS deg,
+            SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS lin
+          FROM em GROUP BY ca),
+        tot AS (
+          SELECT CAST(SUM(deg) AS BIGINT) AS twoM,
+            CAST(SUM(lin) AS BIGINT) AS sin,
+            CAST(SUM(deg * deg) AS BIGINT) AS sdeg2
+          FROM perc),
+        nc AS (SELECT COUNT(DISTINCT label) AS n_communities FROM l2)
+        SELECT nc.n_communities AS n_communities,
+          CAST(twoM // 2 AS BIGINT) AS m_edges,
+          CAST(twoM * sin - sdeg2 AS DOUBLE)
+            / CAST(twoM * twoM AS DOUBLE) AS modularity
+        FROM tot, nc"""
+
   private def clustersOracle: String =
     s"""WITH RECURSIVE $minhashCtes,
         edges AS (
@@ -4308,6 +4394,8 @@ object ExtQueries {
     "x_dedup_clusters" -> clustersOracle,
 
     "x_label_prop" -> labelPropOracle,
+
+    "x_modularity" -> modularityOracle,
 
     "x_split_leakfree" ->
       s"""WITH RECURSIVE $minhashCtes,
@@ -4946,6 +5034,71 @@ object ExtQueries {
           SELECT vec_id, CAST(j AS INTEGER) AS dim,
             CAST(SUM(term) AS DOUBLE) AS val
           FROM cells GROUP BY 1, 2 ORDER BY vec_id, dim""",
+
+    // exact integer co-moment sums re-derived over the explicit (i, j)
+    // upper-triangle index grid; covariance mirrors the Spark formula
+    // operation-for-operation on the same exact integers.
+    "x_pca_cov" ->
+      s"""WITH e AS (SELECT $qvec AS q FROM embeddings),
+          pairs AS (
+            SELECT i.i AS i, j.j AS j, q[i.i] AS xi, q[j.j] AS xj
+            FROM e CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
+            WHERE j.j >= i.i)
+          SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+            COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS sx,
+            CAST(SUM(xj) AS BIGINT) AS sy,
+            CAST(SUM(xi * xj) AS BIGINT) AS sxy,
+            (CAST(SUM(xi * xj) AS DOUBLE) - CAST(SUM(xi) AS DOUBLE)
+               * CAST(SUM(xj) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+              / CAST(COUNT(*) AS DOUBLE) AS cov
+          FROM pairs GROUP BY 1, 2 ORDER BY i, j""",
+
+    // identity oracle: an orthonormal eigenbasis preserves total
+    // variance, so Σ Var(projected component) / trace(covariance)
+    // rounded to 6dp must be EXACTLY 1.0 — the denominator comes from
+    // the exact co-moment diagonal (data), the numerator from the
+    // driver eigensolve + fused double_dot projection, so a broken
+    // rotation cannot cancel. No SQL eigensolver exists; this identity
+    // is what a second engine CAN check, and PcaSpec pins the rest
+    // (eigen-residuals, orthonormality, reconstruction) in-process.
+    "x_pca_var" ->
+      ("SELECT CAST(64 AS INTEGER) AS n_components, " +
+        "CAST(1.0 AS DOUBLE) AS var_ratio"),
+
+    // full re-derivation: per-d truncated quantization, cosine top-10
+    // windows, hits against the d=64 reference list.
+    "x_matryoshka_recall" -> {
+      val tq = "list_transform(embedding[1:d], " +
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+      s"""WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+          q AS (SELECT vec_id AS query_id, d, $tq AS qv
+                FROM embeddings CROSS JOIN dims
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+          c AS (SELECT vec_id AS cand_id, d, $tq AS cv
+                FROM embeddings CROSS JOIN dims),
+          scored AS (
+            SELECT query_id, cand_id, q.d, ${cosSql("qv", "cv")} AS cosine
+            FROM c JOIN q ON c.d = q.d AND q.query_id <> c.cand_id),
+          topk AS (
+            SELECT query_id, cand_id, d FROM (
+              SELECT query_id, cand_id, d, row_number() OVER (
+                PARTITION BY d, query_id ORDER BY cosine DESC, cand_id)
+                AS rk
+              FROM scored) WHERE rk <= 10),
+          fullk AS (SELECT query_id, cand_id FROM topk WHERE d = 64),
+          hits AS (
+            SELECT t.query_id AS query_id, t.d AS d, COUNT(*) AS n_hits
+            FROM topk t JOIN fullk f
+              ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+            GROUP BY 1, 2),
+          dom AS (SELECT DISTINCT query_id, d FROM q)
+          SELECT dom.query_id AS query_id, dom.d AS d,
+            CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+            CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / 10.0 AS recall
+          FROM dom LEFT JOIN hits
+            ON dom.query_id = hits.query_id AND dom.d = hits.d
+          ORDER BY query_id, d"""
+    },
 
     "x_silhouette" ->
       s"""WITH cents AS (

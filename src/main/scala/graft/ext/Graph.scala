@@ -248,6 +248,57 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering_coef"))
   }
 
+  /** Newman modularity Q of a community assignment over a SYMMETRIC
+    * edge set (both directions present, no duplicate rows — the
+    * [[labelPropagation]] input contract), the standard "are these
+    * communities better than chance" score for a partition:
+    *
+    *   Q = Σ_c ( L_c/2m − (D_c/2m)² )
+    *
+    * with L_c = directed edge rows internal to community c, D_c = the
+    * degree mass of c (directed rows whose src is in c), 2m = total
+    * directed rows. Computed EXACTLY in integers via the equivalent
+    *   Q = (2m·Σ_c L_c − Σ_c D_c²) / (2m)²
+    * — two integer sums and ONE IEEE division at the end, so the value
+    * is order/partitioning-independent and engine-exact (the
+    * [[triangleCount]] convention; contract: Σ D_c² < 2^63, i.e.
+    * degree mass per community below ~3·10^9 — shard and merge the
+    * integer cells beyond that).
+    *
+    * Plan shape: two broadcast-joinable label lookups against the edge
+    * list (the communities table is |V|-sized; AQE broadcasts it when
+    * small, shuffles an equi-join when not), a per-community count
+    * aggregate (map-side combine, ≤ |communities| groups), and a
+    * bounded global fold of the per-community rows. Output: one row
+    * (n_communities, m_edges, modularity). Nodes missing from
+    * `communities` would drop their edge rows — assign every node
+    * (labelPropagation emits all of them).
+    */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val comm = communities
+      .select(col("node"), col("label"))
+      .localCheckpoint(false)
+    val e = edges.select(col("src"), col("dst"))
+      .join(comm.select(col("node").as("src"), col("label").as("ca")),
+        Seq("src"))
+      .join(comm.select(col("node").as("dst"), col("label").as("cb")),
+        Seq("dst"))
+    val perC = e.groupBy(col("ca")).agg(
+      count(lit(1)).as("deg"),
+      sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("lin"))
+    val folded = perC.agg(
+      sum(col("deg")).as("twoM"),
+      sum(col("lin")).as("sin"),
+      sum(col("deg") * col("deg")).as("sdeg2"))
+    val nComm = comm.agg(
+      count_distinct(col("label")).as("n_communities"))
+    folded.crossJoin(broadcast(nComm))
+      .select(col("n_communities"),
+        (col("twoM") / 2).cast("long").as("m_edges"),
+        ((col("twoM") * col("sin") - col("sdeg2")).cast("double") /
+          (col("twoM") * col("twoM")).cast("double")).as("modularity"))
+  }
+
   def triangleCount(edges: DataFrame): DataFrame = {
     // canon/deg/oriented are each referenced 3+ times downstream
     // (wedge sides, closing-edge probe, node/edge counts); without a

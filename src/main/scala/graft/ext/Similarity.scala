@@ -946,6 +946,67 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Matryoshka/truncated-dimension retrieval quality: for each query
+    * and each prefix length `d` in `dims`, the recall@k of exact
+    * cosine top-k computed on the FIRST d DIMENSIONS against the
+    * top-k at `fullDim` — the standard eval before shipping
+    * truncated (matryoshka) embeddings to an ANN index, answering
+    * "how many dims can we drop before retrieval degrades".
+    *
+    * Output: (query_id, d, n_hits, recall), one row per query × d;
+    * d = fullDim reports recall 1.0 by construction (the sanity row).
+    *
+    * Plan shape: the corpus is scanned ONCE — a row-local explode of
+    * the literal `dims` array fans each vector into its |dims| prefix
+    * quantizations (quantize AFTER slice ≡ slice after quantize,
+    * elementwise), then the usual brute-force shape: broadcast of the
+    * |queries|·|dims| query rows, equi-join on d, one window keyed by
+    * (d, query_id). Recall joins each (d, query) top-k against the
+    * fullDim top-k of the same query — |queries|·|dims|·k rows, never
+    * the corpus. Integer dots → one IEEE division per pair, so ranks
+    * and recalls are engine-exact.
+    */
+  def truncatedRecall(emb: DataFrame, idCol: String, vecCol: String,
+                      queryIds: Seq[Long], k: Int, dims: Seq[Int],
+                      fullDim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= fullDim),
+      s"dims must be within [1, $fullDim]")
+    val allDims = (dims :+ fullDim).distinct
+    val dimsArr = array(allDims.map(lit): _*)
+    def expand(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), explode(dimsArr).as("d"),
+          col(vecCol).as("__v"))
+        .select(col(idAs), col("d"),
+          quantize(slice(col("__v"), lit(1), col("d"))).as(vecAs))
+    val q = expand(emb.filter(col(idCol).isin(queryIds: _*)),
+      "query_id", "qv")
+    val c = expand(emb, "cand_id", "cv")
+    val w = Window.partitionBy(col("d"), col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val topk = c
+      .join(broadcast(q), Seq("d"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("d"), col("query_id"), col("cand_id"),
+        cosineQ(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      // referenced twice below (per-d lists and the fullDim reference
+      // list) — materialize once, the sims convention
+      .localCheckpoint(false)
+    val full = topk.filter(col("d") === fullDim)
+      .select(col("query_id"), col("cand_id"))
+    val hits = topk
+      .join(full, Seq("query_id", "cand_id"))
+      .groupBy(col("query_id"), col("d"))
+      .agg(count(lit(1)).as("n_hits"))
+    q.select(col("query_id"), col("d")).distinct()
+      .join(hits, Seq("query_id", "d"), "left")
+      .select(col("query_id"), col("d"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
+  }
+
   def nearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
                         maxId: Long, threshold: Double): DataFrame = {
     val a = emb.filter(col(idCol) < maxId)

@@ -14,6 +14,13 @@ object native_fns {
   def quantized_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.QuantizedDot.quantized_dot(a, b)
 
+  /** Fused dot product over double vectors (the model-application
+    * sibling of quantized_dot — PCA projection against irrational
+    * literal eigenvectors).
+    */
+  def double_dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DoubleDot.double_dot(a, b)
+
   /** Karp-Rabin polynomial fingerprint of a string's UTF-8 bytes. */
   def rolling_hash(c: Column): Column =
     org.apache.spark.sql.graft.RollingHash.rolling_hash(c)

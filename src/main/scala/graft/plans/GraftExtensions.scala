@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cleanTextDescriptor)
     ext.injectFunction(GraftExtensions.quantizedDotDescriptor)
+    ext.injectFunction(GraftExtensions.doubleDotDescriptor)
     ext.injectFunction(GraftExtensions.unicodeNormalizeDescriptor)
     ext.injectFunction(GraftExtensions.stripAccentsDescriptor)
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
@@ -63,6 +64,13 @@ object GraftExtensions {
     FunctionIdentifier("quantized_dot"),
     new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
     arity("quantized_dot", 2)(children => QuantizedDot(children(0), children(1))))
+
+  val doubleDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("double_dot"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.graft.DoubleDot].getName, "double_dot"),
+    arity("double_dot", 2)(children =>
+      org.apache.spark.sql.graft.DoubleDot(children(0), children(1))))
 
   val unicodeNormalizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("unicode_normalize"),
@@ -144,7 +152,7 @@ object GraftExtensions {
         literalK("kll_merge", children(1)))))
 
   private val allDescriptors = Seq(cleanTextDescriptor,
-    quantizedDotDescriptor, unicodeNormalizeDescriptor,
+    quantizedDotDescriptor, doubleDotDescriptor, unicodeNormalizeDescriptor,
     stripAccentsDescriptor, rollingHashDescriptor, jaroWinklerDescriptor,
     bucketIndexDescriptor, mgSketchDescriptor, kllMergeDescriptor)
 

@@ -224,4 +224,59 @@ class GraphSpec extends SparkTestBase {
     assert(got.filterKeys(_ <= 3L).values.toSet == Set(1L))
     assert(got.filterKeys(_ >= 7L).values.toSet == Set(7L))
   }
+
+  private def modOf(edges: org.apache.spark.sql.DataFrame,
+                    comm: Seq[(Long, Long)]) = {
+    val r = Graph.modularity(edges, comm.toDF("node", "label")).head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  test("modularity: two triangles with a bridge, hand formula") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4: 7 undirected edges,
+    // 2m=14, internal rows 6+6, degree mass 7+7
+    // Q = (14·12 − (49+49)) / 196 = 70/196
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val (nc, m, q) = modOf(edges,
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 2L))
+    assert(nc == 2 && m == 7)
+    assert(q == 70.0 / 196.0)
+  }
+
+  test("modularity: everything in one community scores exactly 0") {
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L))
+    // Q = (2m·2m − (2m)²)/(2m)² = 0 — L_c = 2m, D_c = 2m
+    val (nc, m, q) = modOf(edges,
+      Seq(1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 9L))
+    assert(nc == 1 && m == 3 && q == 0.0)
+  }
+
+  test("modularity: singleton communities on a clique are negative") {
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L))
+    // no internal rows; D_c = 2 per node → Q = −3·4/36 = −1/3
+    val (nc, m, q) = modOf(edges, Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(nc == 3 && m == 3)
+    assert(q == -1.0 / 3.0)
+  }
+
+  test("modularity agrees with labelPropagation end-to-end and is " +
+    "partitioning-invariant") {
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (3L, 7L))
+    def run(parts: Int) = {
+      val e = edges.repartition(parts)
+      Graph.modularity(e, Graph.labelPropagation(e, rounds = 2))
+        .head()
+    }
+    val a = run(1)
+    val b = run(6)
+    assert(a.getLong(0) == b.getLong(0) &&
+      a.getLong(1) == b.getLong(1) &&
+      a.getDouble(2) == b.getDouble(2))
+    // synchronous 2-round LPA settles at {1,2,3}, {7}, {8,9} here
+    // (the bridge node oscillates — classic sync-LPA behavior, pinned):
+    // 2m=14, Σlin=6+0+2, Σdeg²=7²+3²+4² → Q=(14·8−74)/196
+    assert(a.getLong(0) == 3 && a.getLong(1) == 7)
+    assert(a.getDouble(2) == 38.0 / 196.0)
+  }
 }
