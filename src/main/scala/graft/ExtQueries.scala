@@ -3355,6 +3355,24 @@ object ExtQueries {
         "l_quantity")
     }),
 
+    // Wasserstein-1 drift between early and late price distributions —
+    // the mass-transport complement of x_ks_test, over the near-unique
+    // cents domain (~60k distinct values: the two-phase bucketed
+    // machinery is the point). Cents via the quantize convention
+    // (round(x·100) — a double price never lands on an exact .5 tie,
+    // so HALF_UP and banker's rounding agree cross-engine); exact
+    // integer gaps × exact integer CDF numerators, one final IEEE
+    // division; emd reported in cents.
+    "x_emd_drift" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .withColumn("__cents",
+          round(col("l_extendedprice") * 100).cast("long"))
+      Eval.emd1d(
+        li.filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp")),
+        li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")),
+        "__cents")
+    }),
+
     // Event-type Markov transition matrix: P(next | current) from each
     // user's ordered event stream — one window pass for adjacent pairs,
     // one group-by for counts, transition probabilities as exact
@@ -6729,6 +6747,41 @@ object ExtQueries {
            CAST(MAX(abs(fa * t.nb - fb * t.na)) AS DOUBLE)
              / CAST(t.na * t.nb AS DOUBLE) AS ks_d
          FROM c CROSS JOIN t GROUP BY t.na, t.nb""",
+
+    // the same pooled-CDF frame as x_ks_test, integrated over the value
+    // axis: HUGEINT products mirror the engine's exact DECIMAL(38,0)
+    // terms (both are the same exact integer, cast to double once).
+    "x_emd_drift" ->
+      """WITH av AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             COUNT(*) AS ca
+           FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+           GROUP BY 1),
+         bv AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             COUNT(*) AS cb
+           FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           GROUP BY 1),
+         p AS (
+           SELECT COALESCE(av.v, bv.v) AS v, COALESCE(ca, 0) AS ca,
+             COALESCE(cb, 0) AS cb
+           FROM av FULL OUTER JOIN bv ON av.v = bv.v),
+         t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM p),
+         c AS (
+           SELECT v,
+             CAST(SUM(ca) OVER w AS BIGINT) AS fa,
+             CAST(SUM(cb) OVER w AS BIGINT) AS fb,
+             lead(v) OVER (ORDER BY v) AS nxt
+           FROM p WINDOW w AS (ORDER BY v ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(SUM(CAST(nxt - v AS HUGEINT)
+               * CAST(abs(fa * t.nb - fb * t.na) AS HUGEINT)) AS DOUBLE)
+             / CAST(t.na * t.nb AS DOUBLE) AS emd
+         FROM c CROSS JOIN t
+         WHERE nxt IS NOT NULL
+         GROUP BY t.na, t.nb""",
 
     "x_theil_sen" ->
       """WITH monthly AS (

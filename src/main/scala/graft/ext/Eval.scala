@@ -501,4 +501,71 @@ object Eval {
         (col("__num").cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("ks_d"))
   }
+
+  /** Two-sample 1-D earth-mover's (Wasserstein-1) distance — the
+    * fourth drift leg: PSI needs a binning choice, KS sees only the
+    * worst POINT of CDF disagreement, chi² is categorical; EMD
+    * integrates |F_a − F_b| over the value axis, so it weights drift
+    * by HOW FAR mass moved (the standard score/embedding-drift
+    * measure). For discrete samples:
+    *   EMD = Σ_i (v_{i+1} − v_i) · |F_a(v_i) − F_b(v_i)|
+    * over the sorted pooled distinct values.
+    *
+    * Exactness contract (the quantize convention): `valueCol` must be
+    * EXACT-integer-valued (cast to long by the caller — e.g. cents of
+    * a DECIMAL(12,2) price). Then every gap and every CDF numerator is
+    * an exact integer, each term is an exact DECIMAL(38,0) product,
+    * the sum is order/partitioning-independent, and the statistic is
+    * bit-portable through its one final IEEE division. Output one row:
+    * (n_a, n_b, emd) with emd in the caller's integer units.
+    *
+    * Relational shape: the [[ksTest]] two-phase bucketed prefix gives
+    * both inclusive CDFs with no data-sized global window; the
+    * successor value v_{i+1} is the intra-bucket `lead` (window
+    * partitioned by bucket) patched at each bucket's last row by the
+    * next bucket's minimum — a lead over the ≤256-row bucket-minimum
+    * table, the same bounded partition-free class as the bucket-totals
+    * prefix (bucket_index is an order-preserving, equality-preserving
+    * coarsening, so "min of the next non-empty bucket" IS the global
+    * successor). The global maximum value has no successor and
+    * contributes nothing (F_a = F_b = 1 there anyway).
+    */
+  def emd1d(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val av = a.select(col(valueCol).cast("long").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(count(lit(1)).as("__ca"))
+    val bv = b.select(col(valueCol).cast("long").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(count(lit(1)).as("__cb"))
+    val pooled = av.join(bv, Seq("__s"), "full_outer")
+      .select(col("__s"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val counts = bucketScores(pooled, None)
+      .localCheckpoint(false) // totals, prefixes, bucket minima
+    val totals = counts.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    val wIntra = Window.partitionBy(col("__b")).orderBy(col("__s"))
+    // ≤256 rows: minimum value per non-empty bucket, each row's
+    // successor bucket-minimum via the bounded partition-free lead
+    val bnext = counts.groupBy(col("__b")).agg(min(col("__s")).as("__bmin"))
+      .withColumn("__bnext",
+        lead(col("__bmin"), 1).over(Window.orderBy(col("__b"))))
+      .select(col("__b"), col("__bnext"))
+    strictlyBelow(counts, Seq("__ca", "__cb"))
+      .withColumn("__nx", lead(col("__s"), 1).over(wIntra))
+      .join(broadcast(bnext), Seq("__b"))
+      .withColumn("__next", coalesce(col("__nx"), col("__bnext")))
+      .filter(col("__next").isNotNull)
+      .crossJoin(broadcast(totals))
+      .withColumn("__term",
+        (col("__next") - col("__s")).cast(DecimalType(38, 0)) *
+          abs((col("__lt___ca") + col("__ca")) * col("n_b") -
+            (col("__lt___cb") + col("__cb")) * col("n_a"))
+            .cast(DecimalType(38, 0)))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("__term")).as("__num"))
+      .select(col("n_a"), col("n_b"),
+        (col("__num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("emd"))
+  }
 }

@@ -468,6 +468,36 @@ object StreamOps {
         col("n_a").as("n_ref"), col("n_b").as("n_batch"),
         col("ks_d"), (col("ks_d") > alarmAt).as("alarm"))
 
+  /** FOURTH drift leg — earth-mover's distance per micro-batch
+    * ([[driftSink]] = binned PSI, [[ksDriftSink]] = worst-point CDF
+    * gap, [[chi2DriftSink]] = category mixes; this = mass-transport
+    * cost, which weights drift by HOW FAR the distribution moved —
+    * a uniform small shift that KS underweights shows up here in
+    * value units). `valueCol` must be exact-integer-valued (the
+    * [[graft.ext.Eval.emd1d]] contract — pre-scale decimals to
+    * cents); `alarmAt` is in those units. Empty batches skip.
+    */
+  def emdDriftSink(stream: DataFrame, valueCol: String, ref: DataFrame,
+                   alarmAt: Double, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          emdDriftBatch(batch, valueCol, ref, alarmAt, id)
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+
+  /** One EMD evaluation (the foreachBatch body, callable directly). */
+  def emdDriftBatch(batch: DataFrame, valueCol: String, ref: DataFrame,
+                    alarmAt: Double, batchId: Long): DataFrame =
+    graft.ext.Eval.emd1d(ref, batch, valueCol)
+      .select(lit(batchId).as("batch_id"),
+        col("n_a").as("n_ref"), col("n_b").as("n_batch"),
+        col("emd"), (col("emd") > alarmAt).as("alarm"))
+
   /** CATEGORICAL drift monitor — the third leg of the drift family
     * ([[driftSink]] = binned-numeric PSI, [[ksDriftSink]] =
     * binning-free numeric CDFs; this = category distributions):

@@ -343,4 +343,54 @@ class EvalSpec extends SparkTestBase {
     val d = Eval.ksTest(a, b, "v").as[(Long, Long, Double)].head()._3
     assert(d >= 0.35, s"shift not detected: $d")
   }
+
+  test("emd1d: hand-computed transport cost, zero on identical samples") {
+    import spark.implicits._
+    // F_a at 1:.5, 2:.75, 3:1 ; F_b at 1:0, 2:.25, 3:.75, 4:1
+    // gaps all 1 → EMD = |.5−0| + |.75−.25| + |1−.75| = 1.25
+    val a = Seq(1, 1, 2, 3).toDF("v")
+    val b = Seq(2, 3, 3, 4).toDF("v")
+    val (na, nb, e) = Eval.emd1d(a, b, "v")
+      .as[(Long, Long, Double)].head()
+    assert((na, nb) == ((4L, 4L)))
+    assert(e == 1.25)
+    val (_, _, z) = Eval.emd1d(a, a, "v").as[(Long, Long, Double)].head()
+    assert(z == 0.0)
+  }
+
+  test("emd1d: a pure location shift costs exactly the shift " +
+    "(where KS saturates at the overlap)") {
+    import spark.implicits._
+    val a = (0 until 400).map(_ % 20).toDF("v")
+    val b = (0 until 400).map(i => i % 20 + 7).toDF("v")
+    val e = Eval.emd1d(a, b, "v").as[(Long, Long, Double)].head()._3
+    assert(e == 7.0, s"shift transport: $e")
+  }
+
+  test("emd1d: value gaps weight the cost (same counts, farther mass)") {
+    import spark.implicits._
+    val a = Seq(0, 0, 0, 0).toDF("v")
+    val near = Seq(10, 10, 10, 10).toDF("v")
+    val far = Seq(1000, 1000, 1000, 1000).toDF("v")
+    val eNear = Eval.emd1d(a, near, "v").as[(Long, Long, Double)].head()._3
+    val eFar = Eval.emd1d(a, far, "v").as[(Long, Long, Double)].head()._3
+    assert(eNear == 10.0 && eFar == 1000.0)
+    // KS cannot tell these apart — both are total separation
+    val kNear = Eval.ksTest(a, near, "v").as[(Long, Long, Double)].head()._3
+    val kFar = Eval.ksTest(a, far, "v").as[(Long, Long, Double)].head()._3
+    assert(kNear == 1.0 && kFar == 1.0)
+  }
+
+  test("emd1d is partitioning-invariant (exact integer terms)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val a = Seq.fill(500)(rnd.nextInt(10000).toLong).toDF("v")
+    val b = Seq.fill(400)(rnd.nextInt(10000) + 2000L).toDF("v")
+    val one = Eval.emd1d(a.repartition(1), b.repartition(1), "v")
+      .as[(Long, Long, Double)].head()
+    val many = Eval.emd1d(a.repartition(7), b.repartition(5), "v")
+      .as[(Long, Long, Double)].head()
+    assert(one == many)
+    assert(one._3 > 0.0)
+  }
 }

@@ -861,6 +861,34 @@ class StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("emdDriftSink: a far shift alarms where a near shift stays " +
+    "quiet (KS would rate them equally)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("emddrift").toString
+    val ref = (0 until 100).map(i => i % 10).toDF("v")
+    val mem = MemoryStream[Int]
+    val q = emdDriftSink(mem.toDF().withColumnRenamed("value", "v"),
+      "v", ref, alarmAt = 50.0,
+      outDir = s"$tmp/out", checkpointDir = s"$tmp/ckpt")
+    try {
+      mem.addData(0 until 50 map (_ % 10 + 3): _*) // shift 3: EMD = 3
+      q.processAllAvailable()
+      mem.addData(0 until 50 map (_ % 10 + 100): _*) // shift 100
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out").orderBy("batch_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4)))
+      assert(out.length == 2)
+      assert(out(0)._3 == 3.0 && !out(0)._4, out.toSeq.toString)
+      assert(out(1)._3 == 100.0 && out(1)._4, out.toSeq.toString)
+      // the foreachBatch body equals the batch operator on same inputs
+      val direct = emdDriftBatch((0 until 50).map(_ % 10 + 100).toDF("v"),
+        "v", ref, 50.0, 1L).collect().head
+      assert(direct.getDouble(3) == out(1)._3)
+    } finally q.stop()
+  }
+
   test("quantileStateSink: streamed KLL state == one-pass batch state; " +
     "replay commits nothing") {
     implicit val sqlCtx = spark.sqlContext
