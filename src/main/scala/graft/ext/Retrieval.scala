@@ -46,19 +46,28 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75,
                maxDf: Long = 0): DataFrame = {
     // Postings (id, token, tf): the one corpus-sized shuffle — it IS the
-    // inverted-index build. Document length and the query term lists are
-    // deliberately NOT derived from it: both are row-local projections of
-    // the source (dl = token count, qterms = distinct tokens of 5 rows),
-    // so they cost a scan, not a shuffle, and the tf exchange is reused
-    // only where a postings aggregate is genuinely needed (dfreq).
+    // inverted-index build. Referenced twice downstream (the dfreq
+    // aggregate and the candidate scoring join) and Catalyst inlines the
+    // whole tokenize+explode+aggregate subtree per reference with no
+    // ReusedExchange (the broadcast wrapping differs) — the lazy
+    // localCheckpoint computes the postings ONCE (the x_rec_eval
+    // convention; measured: the corpus was tokenized twice per query).
+    // Document length and the query term lists are deliberately NOT
+    // derived from it: both are row-local projections of the source
+    // (dl = token count, qterms = distinct tokens of the query rows).
     val tf = df
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("token"))
       .groupBy(col("id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
 
+    // dl also feeds two consumers (the 1-row stats aggregate and the
+    // candidate join); it is scan+project only, but the scan re-reads
+    // the full text column — checkpoint the (id, dl) pairs instead.
     val dl = df.select(col(idCol).as("id"),
       size(split(lower(col(textCol)), " ")).cast("long").as("dl"))
+      .localCheckpoint(false)
     // N and avgdl as one broadcast row. avgdl = Σdl / N with an integer
     // numerator — exact regardless of partitioning (sums of integral
     // doubles < 2^53 are order-independent).
