@@ -149,12 +149,7 @@ object ExtQueries {
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(
           pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      // NOT persisted: measured 2.2 s as-is vs 3.5 s with .persist() —
-      // Catalyst's ReusedExchange already shares the jaccard-derivation
-      // shuffles across nodes/deg/iterations within the one plan, and a
-      // cache replaces that with block-store reads plus a slow first
-      // materialization. Persist only helps when iterations run as
-      // SEPARATE actions (the Graph.pageRank Scaladoc case).
+        .localCheckpoint(false)
       graft.ext.Graph.pageRank(edges, iters = 3, dampingPct = 85)
         .withColumnRenamed("node", "doc_id")
         .orderBy(col("doc_id"))
@@ -3718,7 +3713,10 @@ object ExtQueries {
     // the oracle replays the same candidate blocks.
     "x_knn_graph" -> ((s, dir) => {
       val cand = Similarity.nearDupPairs(T(s, dir, "embeddings"),
-        "vec_id", "embedding", maxId = 150L, threshold = -1.0)
+          "vec_id", "embedding", maxId = 150L, threshold = -1.0)
+        // referenced by BOTH directions of the symmetric union — the
+        // LSH candidate derivation ran twice (8 scans, no reuse)
+        .localCheckpoint(false)
       val sym = cand.select(col("id_a").as("vec_id"), col("id_b").as("nb"),
           col("cosine"))
         .unionByName(cand.select(col("id_b").as("vec_id"),

@@ -177,9 +177,12 @@ object TextAnalysis {
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n_docs"))
+    // tf feeds dfreq AND the weighting join — one tokenize pass, not
+    // two (the bm25TopK/unigramLogProb convention)
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
     tf.join(dfreq, Seq("token"))
@@ -269,8 +272,12 @@ object TextAnalysis {
   def unigramLogProb(df: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // tf feeds BOTH the corpus model aggregate and the scoring join —
+    // barrier it so the tokenize+aggregate runs once (the bm25TopK
+    // convention; Catalyst inlines the subtree per reference)
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
     val total = counts.agg(sum(col("c")).cast("double").as("__total"))
     tf.join(counts, Seq("token"))
@@ -442,7 +449,10 @@ object TextAnalysis {
   def qualityQuantileGate(df: DataFrame, idCol: String, textCol: String,
                           p: Double, exact: Boolean = false): DataFrame = {
     require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
-    val lm = unigramLogProb(df, idCol, textCol)
+    // the LM scoring pass feeds BOTH the threshold aggregate and the
+    // gate filter — without a barrier the whole unigram pipeline runs
+    // twice (measured: 6 scans, no reuse)
+    val lm = unigramLogProb(df, idCol, textCol).localCheckpoint(false)
     val thrAgg =
       if (exact) expr(s"percentile(avg_neg_logprob, $p)")
       else percentile_approx(col("avg_neg_logprob"), lit(p), lit(10000))
