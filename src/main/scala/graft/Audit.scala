@@ -28,6 +28,20 @@ object Audit {
     names.foreach { n =>
       try {
         val report = PlanAudit.audit(SparkEntry.queries(n)(spark, sfDir))
+        // scan census: a high parquet-scan count with zero reuse is the
+        // signature of a multi-referenced subtree Catalyst re-inlines
+        // per reference (the x_pagerank/bm25/quality_gate class —
+        // measured 2-5x wins from barriering those). Not gated (multi
+        // scans are often by-design: different projections, one-row
+        // aggregates); printed so rounds can DIFF the census.
+        // parquet scans only: checkpointed frames re-read as cheap
+        // "Scan ExistingRDD" and do not indicate recompute
+        val scans = report.nodes.values
+          .count(_.name.startsWith("Scan parquet"))
+        val reused = report.nodes.values.count(_.reuses.nonEmpty)
+        if (scans >= 4 && reused == 0)
+          println(s"AUDIT $n SCANCENSUS scans=$scans reused=0 " +
+            "(multi-referenced subtree? check for a missing barrier)")
         report.singlePartitionExchanges
           .filterNot(PlanAudit.isPartialAggFinalPass(report, _))
           .foreach { ex =>
