@@ -537,6 +537,20 @@ object ExtQueries {
       Pca.comoments(T(s, dir, "embeddings"), "embedding", dim = 64)
         .orderBy(col("i"), col("j"))),
 
+    // Incremental PCA fit state: per-slice co-moment tables merged into
+    // the global table (every cell an exact integer sum — the AggState
+    // merge-exactness pattern). Same oracle as x_pca_cov: the merged
+    // path must reproduce the one-pass table bit-for-bit, which IS the
+    // 100 TB fit story (one pass per new shard, no history recompute).
+    "x_pca_incremental" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Pca.mergeComoments(
+          Pca.comoments(emb.filter(col("vec_id") < 250), "embedding", 64)
+            .unionByName(Pca.comoments(
+              emb.filter(col("vec_id") >= 250), "embedding", 64)))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // PCA end-to-end identity: fit (driver Jacobi on the collected
     // dim×dim model), project onto the FULL basis (row-local fused
     // double_dot against literal eigenvectors), and report projected
@@ -4027,6 +4041,26 @@ object ExtQueries {
   /** Portable quantized-vector expression (DuckDB side). */
   private val qvec =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Exact co-moment / covariance re-derivation over the explicit
+    * (i, j) upper-triangle index grid — shared by x_pca_cov (one-pass)
+    * and x_pca_incremental (sliced + merged; same answer by the
+    * merge-exactness contract).
+    */
+  private def pcaCovOracle: String =
+    s"""WITH e AS (SELECT $qvec AS q FROM embeddings),
+        pairs AS (
+          SELECT i.i AS i, j.j AS j, q[i.i] AS xi, q[j.j] AS xj
+          FROM e CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
+          WHERE j.j >= i.i)
+        SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+          COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS sx,
+          CAST(SUM(xj) AS BIGINT) AS sy,
+          CAST(SUM(xi * xj) AS BIGINT) AS sxy,
+          (CAST(SUM(xi * xj) AS DOUBLE) - CAST(SUM(xi) AS DOUBLE)
+             * CAST(SUM(xj) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+            / CAST(COUNT(*) AS DOUBLE) AS cov
+        FROM pairs GROUP BY 1, 2 ORDER BY i, j"""
   private def cosSql(a: String, b: String) =
     s"list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))"
 
@@ -5054,20 +5088,12 @@ object ExtQueries {
     // exact integer co-moment sums re-derived over the explicit (i, j)
     // upper-triangle index grid; covariance mirrors the Spark formula
     // operation-for-operation on the same exact integers.
-    "x_pca_cov" ->
-      s"""WITH e AS (SELECT $qvec AS q FROM embeddings),
-          pairs AS (
-            SELECT i.i AS i, j.j AS j, q[i.i] AS xi, q[j.j] AS xj
-            FROM e CROSS JOIN range(1, 65) i(i) CROSS JOIN range(1, 65) j(j)
-            WHERE j.j >= i.i)
-          SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
-            COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS sx,
-            CAST(SUM(xj) AS BIGINT) AS sy,
-            CAST(SUM(xi * xj) AS BIGINT) AS sxy,
-            (CAST(SUM(xi * xj) AS DOUBLE) - CAST(SUM(xi) AS DOUBLE)
-               * CAST(SUM(xj) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-              / CAST(COUNT(*) AS DOUBLE) AS cov
-          FROM pairs GROUP BY 1, 2 ORDER BY i, j""",
+    "x_pca_cov" -> pcaCovOracle,
+
+    // deliberately the SAME oracle as x_pca_cov: the sliced-and-merged
+    // state must reproduce the one-pass table bit-for-bit — merge-
+    // exactness IS the check (the x_incr_corr convention).
+    "x_pca_incremental" -> pcaCovOracle,
 
     // identity oracle: an orthonormal eigenbasis preserves total
     // variance, so Σ Var(projected component) / trace(covariance)

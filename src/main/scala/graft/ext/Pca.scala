@@ -99,13 +99,38 @@ object Pca {
             col("n").cast("double")) / col("n").cast("double"))
   }
 
+  /** Merge co-moment tables (the mergeable-state tier, AggState's
+    * pattern applied to the PCA model): every cell is a plain integer
+    * sum, so per-shard / per-day [[comoments]] outputs fold LOSSLESSLY
+    * into the global table — `merge(comoments(A), comoments(B)) ==
+    * comoments(A ∪ B)` bit-for-bit, which is the 100 TB fit path (one
+    * pass per new shard, never a recompute over history). Input: any
+    * union of co-moment tables (the `cov` column, if present, is
+    * dropped and re-derived — it is a RATIO, not mergeable state).
+    */
+  def mergeComoments(cells: DataFrame): DataFrame =
+    cells
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
+      .withColumn("cov",
+        (col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") /
+            col("n").cast("double")) / col("n").cast("double"))
+
   /** Fit a PCA model: run [[comoments]], collect the bounded triangle,
     * assemble the symmetric covariance, Jacobi-eigensolve on the
     * driver. The collect is dim(dim+1)/2 rows of five numbers — model
     * state, not data.
     */
-  def fit(emb: DataFrame, vecCol: String, dim: Int): PcaModel = {
-    val rows = comoments(emb, vecCol, dim)
+  def fit(emb: DataFrame, vecCol: String, dim: Int): PcaModel =
+    fitCells(comoments(emb, vecCol, dim), dim)
+
+  /** Fit from an existing co-moment table (one-pass or merged shard
+    * states — identical models either way, since the cells are exact).
+    */
+  def fitCells(cells: DataFrame, dim: Int): PcaModel = {
+    val rows = cells
       .select(col("i"), col("j"), col("n"), col("sx"), col("sy"),
         col("sxy"), col("cov"))
       .collect()

@@ -83,6 +83,30 @@ class PcaSpec extends SparkTestBase {
     assert(math.abs(cov11 - (14.0 - 2.0 * 2.0 / 3.0) / 3.0) < 1e-12)
   }
 
+  test("merged shard co-moments == one-pass co-moments bit-for-bit; " +
+    "fitCells agrees") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val onePass = Pca.comoments(emb, "embedding", dim = 64)
+    val merged = Pca.mergeComoments(
+      Pca.comoments(emb.filter(col("vec_id") % 3 === 0), "embedding", 64)
+        .unionByName(Pca.comoments(
+          emb.filter(col("vec_id") % 3 === 1), "embedding", 64))
+        .unionByName(Pca.comoments(
+          emb.filter(col("vec_id") % 3 === 2), "embedding", 64)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("i", "j").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5),
+          java.lang.Double.doubleToLongBits(r.getDouble(6)))).toSeq
+    assert(rows(onePass) == rows(merged))
+    // the model from merged state is the model from one-pass state
+    val mA = Pca.fitCells(onePass, 64)
+    val mB = Pca.fitCells(merged, 64)
+    assert(mA.eigenvalues.toSeq == mB.eigenvalues.toSeq)
+    assert(mA.components.map(_.toSeq).toSeq ==
+      mB.components.map(_.toSeq).toSeq)
+  }
+
   test("fit + full projection preserves total variance (the x_pca_var identity)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val out = Pca.varianceRatio(emb, "vec_id", "embedding", dim = 64)
