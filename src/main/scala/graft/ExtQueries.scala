@@ -201,6 +201,27 @@ object ExtQueries {
         graft.ext.Graph.labelPropagation(edges, rounds = 2))
     }),
 
+    // Personalized PageRank from seed docs 0-4 over the same jaccard
+    // graph as x_pagerank — "importance relative to these exemplars",
+    // the seed-expansion primitive for curated data selection. Same
+    // fixed-point integer arithmetic; rank rows cover seeds ∪ the
+    // 3-hop reach (frontier-sized state, never |V|-sized).
+    "x_ppr" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id",
+        "text", n = 1, candidates = col("doc_id") < 150,
+        minJaccard = 0.8, maxDf = 0)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(false)
+      graft.ext.Graph.personalizedPageRank(edges,
+          T(s, dir, "documents").filter(col("doc_id") < 5)
+            .select(col("doc_id").as("node")),
+          iters = 3, dampingPct = 85)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "x_dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
         maxId = 300L, threshold = 0.3)),
@@ -4966,6 +4987,48 @@ object ExtQueries {
          ${iterCte("r3", "r2")}
          SELECT src AS doc_id,
            CAST(pr AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS pagerank
+         FROM r3 ORDER BY 1"""
+    },
+
+    // same graph as x_pagerank, jump mass to the seed set only; the
+    // union leg keeps seeds alive before any ranked node reaches them.
+    "x_ppr" -> {
+      def iterCte(cur: String, prev: String) =
+        s"""$cur AS (
+            SELECT src, SUM(pr) AS pr FROM (
+              SELECT e.dst AS src,
+                (SUM($prev.pr // deg.d) * 85) // 100 AS pr
+              FROM e JOIN $prev ON e.src = $prev.src
+              JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+              UNION ALL SELECT src, pr FROM jumps) u GROUP BY src)"""
+      s"""WITH d AS (
+           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS g
+           FROM documents WHERE doc_id < 150),
+         docs AS (SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM d),
+         jp AS (
+           SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na,
+               b.ng AS nb, COUNT(*) AS inter
+             FROM docs a JOIN docs b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst FROM jp
+               UNION ALL SELECT id_b, id_a FROM jp),
+         nodes AS (SELECT DISTINCT src FROM e),
+         s AS (SELECT src FROM nodes WHERE src < 5),
+         ns AS (SELECT COUNT(*) AS n FROM s),
+         deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+         r0 AS (SELECT src, 1000000000000 // ns.n AS pr
+                FROM s CROSS JOIN ns),
+         jumps AS (SELECT src, ((1000000000000 * 15) // 100) // ns.n AS pr
+                   FROM s CROSS JOIN ns),
+         ${iterCte("r1", "r0")},
+         ${iterCte("r2", "r1")},
+         ${iterCte("r3", "r2")}
+         SELECT src AS doc_id,
+           CAST(pr AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS ppr
          FROM r3 ORDER BY 1"""
     },
 

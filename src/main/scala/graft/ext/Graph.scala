@@ -66,6 +66,60 @@ object Graph {
       (col("pr").cast("double") / lit(Scale.toDouble)).as("pagerank"))
   }
 
+  /** Personalized PageRank: the jump mass returns to a SEED SET
+    * instead of the whole graph — "importance relative to these
+    * documents", the standard seed-expansion primitive for curated
+    * data selection (start from hand-picked exemplars, rank the
+    * corpus-similarity graph around them). Same fixed-point integer
+    * arithmetic as [[pageRank]] (1e-12 units, `DIV`, exact long sums —
+    * bit-identical on any engine/partitioning; both engines' integer
+    * division agree because mass is never negative).
+    *
+    * Iteration (all-integer): r' = jump⋅1_seeds + ⌊d⋅Σ_in r/deg⌋,
+    * expressed as the damped-contribution aggregate UNION ALL the
+    * static per-seed jump rows, summed by node — the union keeps seeds
+    * alive even when no ranked node points at them yet. Rank rows
+    * cover seeds ∪ nodes reached within `iters` hops (mass outside is
+    * exactly 0 and never materializes — frontier-sized state, the BFS
+    * property, not |V|-sized). Seeds outside the graph are ignored
+    * (they can neither give nor receive mass).
+    *
+    * At 100 TB: checkpoint `edges` before calling (re-joined per
+    * iteration, the [[pageRank]] contract).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    // seeds ∩ graph; referenced by init AND every iteration's jump leg
+    val s = edges.select(col("src")).distinct()
+      .join(seeds.select(col("node").as("src")), Seq("src"), "left_semi")
+      .localCheckpoint(false)
+    val ns = s.agg(count(lit(1)).as("__ns"))
+    val init = s.crossJoin(broadcast(ns))
+      .select(col("src"), expr(s"$Scale DIV __ns").as("pr"))
+    val jumps = s.crossJoin(broadcast(ns))
+      .select(col("src"),
+        expr(s"(($Scale * ${100 - dampingPct}) DIV 100) DIV __ns")
+          .as("pr"))
+      .localCheckpoint(false)
+    (1 to iters).foldLeft(init) { (ranks, _) =>
+      edges
+        .join(ranks, Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("pr DIV __d").as("__c"))
+        .groupBy(col("dst"))
+        .agg(expr(s"(SUM(__c) * $dampingPct) DIV 100").as("pr"))
+        .select(col("dst").as("src"), col("pr"))
+        .unionByName(jumps)
+        .groupBy(col("src"))
+        .agg(sum(col("pr")).as("pr"))
+    }.select(col("src").as("node"),
+      (col("pr").cast("double") / lit(Scale.toDouble)).as("ppr"))
+  }
+
   /** Bounded-hop BFS shortest-path distances from a seed set over a
     * SYMMETRIC edge list (`src`, `dst`): the k-hop-neighborhood
     * primitive behind "docs within 2 similarity hops of a curated

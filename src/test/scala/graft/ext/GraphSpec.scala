@@ -225,6 +225,52 @@ class GraphSpec extends SparkTestBase {
     assert(got.filterKeys(_ >= 7L).values.toSet == Set(7L))
   }
 
+  private def ppr(edges: org.apache.spark.sql.DataFrame,
+                  seeds: Seq[Long], iters: Int) =
+    Graph.personalizedPageRank(edges,
+        seeds.toDF("node"), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("personalizedPageRank: one iteration matches the hand formula; " +
+    "mass stays near the seed") {
+    // path 1-2-3-4, seed {1}: r0 = {1: S}
+    // r1(2) = 0.85·(S/1) = 0.85S (node 2 gets 1's whole rank, deg(1)=1)
+    // r1(1) = jump = 0.15S;  3, 4 unreached
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L))
+    val r1 = ppr(edges, Seq(1L), iters = 1)
+    assert(r1.keySet == Set(1L, 2L))
+    assert(r1(1L) == 0.15)
+    assert(r1(2L) == 0.85)
+    // three iterations: reach extends hop by hop, seed keeps its jump
+    val r3 = ppr(edges, Seq(1L), iters = 3)
+    assert(r3.keySet == Set(1L, 2L, 3L, 4L))
+    assert(r3(1L) > r3(3L) && r3(2L) > r3(4L), r3.toString)
+  }
+
+  test("personalizedPageRank: seeds outside the graph are ignored; " +
+    "uniform seeding over the whole graph ranks like pageRank") {
+    val edges = sym((1L, 2L), (2L, 3L))
+    // seed 99 has no edges: mass comes only from seed 1
+    val r = ppr(edges, Seq(1L, 99L), iters = 2)
+    assert(!r.contains(99L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // mass conserved
+    // seeding EVERY node = plain PageRank (same jump per node)
+    val all = ppr(edges, Seq(1L, 2L, 3L), iters = 3)
+    val pr = Graph.pageRank(edges, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(all == pr)
+  }
+
+  test("personalizedPageRank is partitioning-invariant") {
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    def run(parts: Int) =
+      Graph.personalizedPageRank(edges.repartition(parts),
+          Seq(1L, 4L).toDF("node"), iters = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq
+    assert(run(1) == run(7))
+  }
+
   private def modOf(edges: org.apache.spark.sql.DataFrame,
                     comm: Seq[(Long, Long)]) = {
     val r = Graph.modularity(edges, comm.toDF("node", "label")).head()
