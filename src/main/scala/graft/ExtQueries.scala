@@ -185,6 +185,24 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Modularity-greedy communities (one Louvain level, parity-
+    // alternating synchronous rounds) over the same minhash graph —
+    // the quality-aware upgrade of x_label_prop: nodes move by ΔQ,
+    // so high-degree bridges can't pull dense blobs together. 4
+    // rounds = two full passes per parity.
+    "x_louvain" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidatePairs(T(s, dir, "documents"),
+        "doc_id", "text", bands = 4, rowsPerBand = 2, maxBucket = 0)
+      val edges = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          cand.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(false)
+      graft.ext.Graph.modularityGreedy(edges, rounds = 4)
+        .withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("label", "community")
+        .orderBy(col("doc_id"))
+    }),
+
     // Partition quality of those communities: Newman modularity over
     // the same minhash doc graph — exact integer edge/degree sums into
     // ONE final IEEE division (engine- and partitioning-exact), per-
@@ -4271,6 +4289,55 @@ object ExtQueries {
             / CAST(twoM * twoM AS DOUBLE) AS modularity
         FROM tot, nc"""
 
+  /** Same minhash graph as [[labelPropOracle]], four parity-alternating
+    * modularity-greedy rounds unrolled — mirrors Graph.modularityGreedy
+    * operation-for-operation in exact integers. Every label table is
+    * `AS MATERIALIZED`: each round references its predecessor FOUR
+    * times (mass, k_{i,c}, own-community union, own-label join), and
+    * DuckDB's default CTE inlining would re-derive the whole minhash
+    * prefix 4^rounds times (measured: the inlined form did not return
+    * in 6 minutes; materialized, milliseconds).
+    */
+  private def louvainOracle: String = {
+    def round(prev: String, cur: String, r: Int) =
+      s"""dm$r AS (SELECT l.label AS label, SUM(dg.k) AS D
+             FROM $prev l JOIN deg dg ON l.node = dg.node GROUP BY 1),
+          ki$r AS (SELECT e.src AS src, l.label AS label, COUNT(*) AS kic
+             FROM e JOIN $prev l ON e.dst = l.node GROUP BY 1, 2),
+          ca$r AS (SELECT src, label, SUM(kic) AS kic FROM (
+               SELECT src, label, kic FROM ki$r
+               UNION ALL SELECT node AS src, label, 0 AS kic FROM $prev) u
+             GROUP BY 1, 2),
+          sc$r AS (SELECT c.src AS src, c.label AS label, o.label AS own,
+               tm.m2 * c.kic - dg.k *
+                 (d.D - CASE WHEN c.label = o.label THEN dg.k ELSE 0 END)
+                 AS score
+             FROM ca$r c JOIN dm$r d ON c.label = d.label
+             JOIN deg dg ON c.src = dg.node
+             JOIN $prev o ON c.src = o.node
+             CROSS JOIN tm),
+          $cur AS MATERIALIZED (SELECT src AS node,
+               CASE WHEN (src + $r) % 2 = 0 THEN best ELSE own END AS label
+             FROM (SELECT src, own, label AS best,
+                     row_number() OVER (PARTITION BY src
+                       ORDER BY score DESC, label) AS rn
+                   FROM sc$r) WHERE rn = 1)"""
+    s"""WITH $minhashCtes,
+        e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION ALL SELECT id_b, id_a FROM cand),
+        deg AS MATERIALIZED (
+          SELECT src AS node, COUNT(*) AS k FROM e GROUP BY 1),
+        tm AS (SELECT COUNT(*) AS m2 FROM e),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+                            FROM e),
+        ${round("l0", "l1", 1)},
+        ${round("l1", "l2", 2)},
+        ${round("l2", "l3", 3)},
+        ${round("l3", "l4", 4)}
+        SELECT node AS doc_id, label AS community
+        FROM l4 ORDER BY doc_id"""
+  }
+
   private def clustersOracle: String =
     s"""WITH RECURSIVE $minhashCtes,
         edges AS (
@@ -4467,6 +4534,8 @@ object ExtQueries {
     "x_label_prop" -> labelPropOracle,
 
     "x_modularity" -> modularityOracle,
+
+    "x_louvain" -> louvainOracle,
 
     "x_split_leakfree" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -302,6 +302,84 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering_coef"))
   }
 
+  /** Deterministic synchronous modularity-greedy community rounds —
+    * one level of Louvain (Blondel et al. 2008) without coarsening,
+    * the quality-aware upgrade of [[labelPropagation]]: where LPA
+    * follows raw neighbor-label counts, each node here moves to the
+    * neighbor community with the largest MODULARITY GAIN, so a few
+    * high-degree bridge edges cannot pull two dense blobs together
+    * (their mass term `k_i·D_c` penalizes joining a huge community).
+    *
+    * Per round, every node i picks argmax over its neighbor
+    * communities ∪ its own of the integer score
+    *   2m·k_{i,c} − k_i·(D_c − [c = c_i]·k_i)
+    * (the ΔQ ranking with positive constants dropped; D_c excludes i
+    * itself when evaluating staying home — the standard
+    * remove-then-compare formulation), ties to the smallest community
+    * label. Classic Louvain scans nodes asynchronously in arbitrary
+    * order — unreplayable by an oracle — while a naive synchronous
+    * sweep OSCILLATES on symmetric structures (two nodes swap into
+    * each other's community forever; hand-traced on twin triangles).
+    * The deterministic middle ground is PARITY ALTERNATION, the
+    * coloring trick of distributed Louvain implementations: on round
+    * r only nodes with (node + r) mod 2 = 0 may move, the rest hold —
+    * symmetric swaps are impossible because at most one endpoint of
+    * any edge moves per round. Fixed `rounds` (use ≥ 2·expected
+    * passes, each parity moves every other round); each round: two
+    * label joins, two bounded aggregates, one argmax — all exact
+    * integer arithmetic (contract: 2m·max-degree < 2^63). Input edges
+    * must be SYMMETRIC, no duplicates, no self-loops.
+    */
+  def modularityGreedy(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__k"))
+      .localCheckpoint(false)
+    val twoM = sym.agg(count(lit(1)).as("__2m"))
+    var labels = deg.select(col("node"), col("node").as("label"))
+      .localCheckpoint(false)
+    for (r <- 1 to rounds) {
+      // degree mass per community under the current assignment
+      val dmass = labels
+        .join(deg, Seq("node"))
+        .groupBy(col("label")).agg(sum(col("__k")).as("__D"))
+      // edges from i into community c (via dst labels)
+      val kic = sym
+        .join(labels.select(col("node").as("dst"), col("label")),
+          Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("__kic"))
+      // own community enters with k_{i,c_i} = 0 when no neighbor
+      // shares it; the sum-merge collapses the duplicate otherwise
+      val cand = kic
+        .unionByName(labels.select(col("node").as("src"), col("label"))
+          .withColumn("__kic", lit(0L)))
+        .groupBy(col("src"), col("label"))
+        .agg(sum(col("__kic")).as("__kic"))
+      labels = cand
+        .join(dmass, Seq("label"))
+        .join(deg.select(col("node").as("src"), col("__k")), Seq("src"))
+        .join(labels.select(col("node").as("src"),
+          col("label").as("__own")), Seq("src"))
+        .crossJoin(broadcast(twoM))
+        .select(col("src"), col("label"), col("__own"),
+          (col("__2m") * col("__kic") - col("__k") *
+            (col("__D") - when(col("label") === col("__own"),
+              col("__k")).otherwise(lit(0L)))).as("__score"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("__score")).as("ns"),
+          col("label").as("l"))).as("__b"),
+          first(col("__own")).as("__own"))
+        .select(col("src").as("node"),
+          when(pmod(col("src") + lit(r.toLong), lit(2L)) === 0,
+            col("__b").getField("l"))
+            .otherwise(col("__own")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   /** Newman modularity Q of a community assignment over a SYMMETRIC
     * edge set (both directions present, no duplicate rows — the
     * [[labelPropagation]] input contract), the standard "are these

@@ -277,6 +277,52 @@ class GraphSpec extends SparkTestBase {
     (r.getLong(0), r.getLong(1), r.getDouble(2))
   }
 
+  private def greedy(edges: org.apache.spark.sql.DataFrame, rounds: Int) =
+    Graph.modularityGreedy(edges, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("modularityGreedy: twin triangles with a bridge resolve to the " +
+    "two triangles (hand-traced parity rounds; naive sync oscillates)") {
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (3L, 7L))
+    val got = greedy(edges, rounds = 4)
+    // hand trace: r1 (odd movers) 1→2, 3→1, 7→8, 9→8; r2 (even) 2, 8
+    // stay; r3 (odd): 3 joins {1,2}'s community 2, others hold; r4
+    // stable → {1,2,3} under label 2, {7,8,9} under label 8
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      7L -> 8L, 8L -> 8L, 9L -> 8L))
+    // and the partition is the modularity optimum for this graph:
+    // Q = (14·12 − (7² + 7²)) / 196
+    val q = Graph.modularity(edges,
+      Graph.modularityGreedy(edges, 4)).head().getDouble(2)
+    assert(q == 70.0 / 196.0)
+  }
+
+  test("modularityGreedy beats LPA where a hub ties LPA apart") {
+    // star hub 0 bridging two triangles: LPA's raw counts let the hub
+    // flip-flop; greedy's mass penalty keeps the triangles whole
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (0L, 1L), (0L, 7L))
+    val comm = Graph.modularityGreedy(edges, rounds = 6)
+    val labels = comm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each triangle ends in ONE community
+    assert(Set(labels(1L), labels(2L), labels(3L)).size == 1)
+    assert(Set(labels(7L), labels(8L), labels(9L)).size == 1)
+    assert(labels(1L) != labels(7L))
+    val q = Graph.modularity(edges, comm).head().getDouble(2)
+    assert(q > 0.3, s"greedy modularity $q")
+  }
+
+  test("modularityGreedy is partitioning-invariant") {
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    def run(parts: Int) =
+      Graph.modularityGreedy(edges.repartition(parts), rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    assert(run(1) == run(5))
+  }
+
   test("modularity: two triangles with a bridge, hand formula") {
     // triangles {1,2,3} and {4,5,6}, bridge 3-4: 7 undirected edges,
     // 2m=14, internal rows 6+6, degree mass 7+7
