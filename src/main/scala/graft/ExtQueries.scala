@@ -2611,7 +2611,10 @@ object ExtQueries {
       val uniq = Dedup.dropExactDups(docs, "doc_id", "text")
       val quality = uniq.filter(size(split(lower(col("text")), " ")) >= 30)
       val en = quality.filter(TextAnalysis.langId(col("text")) === "en")
+      // referenced by BOTH the contamination report and the anti-join
+      // base — the dedup→quality→langid chain would run twice
       val corpus = en.filter(col("doc_id") % 97 =!= 0)
+        .localCheckpoint(false)
       val bench = docs.filter(col("doc_id") % 97 === 0)
       val contaminated = Dedup
         .contaminationReport(corpus, bench, "doc_id", "text", n = 4)
