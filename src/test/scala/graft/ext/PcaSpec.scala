@@ -83,6 +83,29 @@ class PcaSpec extends SparkTestBase {
     assert(math.abs(cov11 - (14.0 - 2.0 * 2.0 / 3.0) / 3.0) < 1e-12)
   }
 
+  test("property: comoments == plain-Scala quantize-and-sum replay " +
+    "on random vectors") {
+    val dim = 6
+    val vecs = Seq.fill(40)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    // math.round (half toward +inf) == Spark round (HALF_UP away from
+    // zero) here because an exact .5 tie is impossible: inputs are
+    // j/2^23 and 1000·j/2^23 is never n + 1/2 (125 does not divide a
+    // power of two) — the same no-tie argument as the price quantize
+    val q = vecs.map(_.map(x => math.round(x.toDouble * 1000)))
+    val want = (for (i <- 1 to dim; j <- i to dim) yield {
+      val xs = q.map(_(i - 1)); val ys = q.map(_(j - 1))
+      (i, j, q.size.toLong, xs.sum, ys.sum,
+        xs.zip(ys).map { case (a, b) => a * b }.sum)
+    }).toSeq
+    val got = Pca.comoments(
+        vecs.zipWithIndex.map { case (v, k) => (k.toLong, v) }
+          .toDF("vec_id", "embedding"), "embedding", dim)
+      .orderBy("i", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+  }
+
   test("merged shard co-moments == one-pass co-moments bit-for-bit; " +
     "fitCells agrees") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
