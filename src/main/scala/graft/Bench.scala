@@ -1,6 +1,59 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Infer the current round from the driver's committed artifacts:
+    * max n over BENCH_r{N}.json files in cwd, plus one (the driver
+    * writes round N's artifact AFTER this bench runs). Defaults to 0
+    * when none exist (fresh checkout / local experiments).
+    */
+  def inferRound(): Int = {
+    val dir = java.nio.file.Paths.get(".")
+    val re = """BENCH_r(\d+)\.json""".r
+    val it = java.nio.file.Files.list(dir).iterator()
+    var maxN = -1
+    while (it.hasNext) {
+      it.next().getFileName.toString match {
+        case re(n) => maxN = math.max(maxN, n.toInt)
+        case _ =>
+      }
+    }
+    maxN + 1
+  }
+
+  /** The driver captures only the LAST 2000 chars of stdout into the
+    * BENCH_r{N}.json artifact and tries to parse them — a 271-query
+    * map is ~11 KB, so a full-map final line truncates at the front
+    * and the artifact's `parsed` field comes back null (rounds 7-9).
+    * This builds a line that FITS: headline total + as many of the
+    * slowest queries as the budget allows (slowest first — they are
+    * the ones regressions hide in) + a pointer to the full-map file.
+    */
+  def compactLine(results: Map[String, Double], total: Double,
+                  sfDir: String, fullFile: String,
+                  budget: Int = 1900): String = {
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${results.values.count(_ < 0)},"full_map":"$fullFile","queries":{"""
+    val tail = "}}"
+    val entries = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+      .map { case (k, v) => f""""$k":$v%.3f""" }
+    val sb = new StringBuilder(head)
+    var first = true
+    entries.foreach { e =>
+      val add = (if (first) 0 else 1) + e.length
+      if (sb.length + add + tail.length <= budget) {
+        if (!first) sb.append(',')
+        sb.append(e)
+        first = false
+      }
+    }
+    sb.append(tail)
+    sb.toString
+  }
+
+  private def writeFile(path: String, content: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,7 +81,7 @@ object Bench {
     // pipeline persists its candidate-pair list for its own three-way
     // reuse; that cache is dead once the query is timed) and nudge GC so
     // the ContextCleaner reclaims dead broadcasts/shuffles — without
-    // this, 61 queries x 4 executions accumulate driver/executor garbage
+    // this, 271 queries x 4 executions accumulate driver/executor garbage
     // and late queries absorb multi-second full-GC pauses that read as
     // phantom engine cost (round 3 recorded 5.8 s in-suite for a query
     // that measures 0.5 s in a clean JVM).
@@ -46,17 +99,24 @@ object Bench {
         name -> times(1)
       } catch { case _: Throwable => name -> -1.0 }
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the line is ~150 queries wide and a tail-capture can truncate it
-    // (round 4 lost the total that way): persist it to disk too, and
-    // make the stdout copy the LAST thing this process prints
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Full map to disk twice: the stable working file AND a
+    // round-stamped artifact that survives round close in git —
+    // round-over-round attribution reads BENCH_full_r{N}.json instead
+    // of reverse-engineering a truncated stdout tail (round-8/9
+    // verdict task).
+    val round = try inferRound() catch { case _: Throwable => -1 }
+    val fullFile = s"BENCH_full_r$round.json"
+    writeFile("bench.json", line + "\n")
+    writeFile(fullFile, line + "\n")
     spark.stop()
-    println(line)
+    // stdout carries ONLY the compact line, as the very last thing
+    // printed, so the driver's 2000-char tail capture parses it.
+    println(compactLine(results, total, sfDir, fullFile))
   }
 }

@@ -354,14 +354,16 @@ object ExtQueries {
     // model (256 broadcast buckets, Laplace-smoothed target/raw
     // log-ratio pinned to DECIMAL(28,9)), per-doc decimal-exact weight
     // sum, top-50 by weight — the data-selection step of a pretraining
-    // pipeline, scan-shaped at corpus scale.
+    // pipeline. Single corpus scan: the (doc, flag, bucket, n) gram
+    // table is materialized once and feeds BOTH the model fit and the
+    // scoring join (the BM25 twice-computed-subtree fix, PERF.md).
     "x_dsir" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val model = Dsir.importanceModel(docs, "text",
+      val grams = Dsir.gramCounts(docs, "doc_id", "text",
         col("lang") === "en", buckets = 256)
+      val model = Dsir.modelFromCounts(grams, buckets = 256)
       Dsir.selectTopK(
-        Dsir.importanceScores(docs, "doc_id", "text", model,
-          buckets = 256), "doc_id", 50)
+        Dsir.scoresFromCounts(grams, "doc_id", model), "doc_id", 50)
     }),
 
     // PSI drift monitor between even- and odd-doc_id halves of the
@@ -5088,7 +5090,7 @@ object ExtQueries {
            WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
          e AS (SELECT id_a AS src, id_b AS dst FROM jp
                UNION ALL SELECT id_b, id_a FROM jp),
-         nodes AS (SELECT DISTINCT src FROM e),
+         nodes AS (SELECT src FROM e UNION SELECT dst FROM e),
          s AS (SELECT src FROM nodes WHERE src < 5),
          ns AS (SELECT COUNT(*) AS n FROM s),
          deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),

@@ -33,9 +33,31 @@ object QBench {
       merged.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** The `--top N` selector: the N slowest queries per the last full
+    * in-suite run (`bench.json`), so one round-close invocation
+    * refreshes the isolated medians for exactly the tail where
+    * regressions hide — mechanical drift-vs-code attribution instead
+    * of hand-picked coverage (round-9 verdict task #4).
+    */
+  def topFromBench(n: Int): Seq[String] = {
+    val path = java.nio.file.Paths.get("bench.json")
+    require(java.nio.file.Files.exists(path),
+      "bench.json not found: run graft.Bench first")
+    val txt = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val inner = txt.substring(txt.indexOf("\"queries\":{") + 11)
+    """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(inner)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (k, v) => v >= 0 && SparkEntry.queries.contains(k) }
+      .toSeq.sortBy(-_._2).take(n).map(_._1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.tail.toSeq else Seq("x_json_extract")
+    val names =
+      if (args.length > 2 && args(1) == "--top") topFromBench(args(2).toInt)
+      else if (args.length > 1) args.tail.toSeq
+      else Seq("x_json_extract")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()

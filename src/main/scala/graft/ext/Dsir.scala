@@ -18,6 +18,10 @@ import graft.functions.Hashing
   * is explode → bucket → broadcast-join → decimal-sum — scan-shaped,
   * no shuffle wider than the per-doc aggregation, so the whole selector
   * runs at corpus scale with a model that never grows past B rows.
+  * The single-scan composition ([[gramCounts]] → [[modelFromCounts]] +
+  * [[scoresFromCounts]]) tokenizes the corpus exactly ONCE and derives
+  * both the model and the scores from the materialized (doc, flag,
+  * bucket, n) table — bit-identical to fitting and scoring separately.
   *
   * Determinism contract: the only transcendental is the per-BUCKET
   * `ln(p_target/p_raw)`, computed once per bucket and pinned to
@@ -49,6 +53,49 @@ object Dsir {
       .agg(sum(col("__t").cast("long")).as("__ct"),
         count(lit(1)).as("__c"))
       .localCheckpoint(false)
+    modelFromBucketCounts(counts, buckets)
+  }
+
+  /** Per-(doc, target-flag, bucket) gram-count table — the ONE
+    * corpus-sized tokenize+hash pass, pre-aggregated to at most
+    * |docs|·min(grams/doc, B) rows and lazily checkpointed so BOTH the
+    * model fit ([[modelFromCounts]]) and the per-document scoring
+    * ([[scoresFromCounts]]) derive from the same materialized table.
+    * Without it the two consumers each inline [[ngramBuckets]] and the
+    * corpus is tokenized twice — the BM25 twice-computed-subtree class
+    * (PERF.md). Output: (idCol, __t INT, __b, __n). `targetCol` must be
+    * per-document constant (the DSIR setup: a domain label).
+    */
+  def gramCounts(df: DataFrame, idCol: String, textCol: String,
+                 targetCol: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    ngramBuckets(df, textCol, buckets)
+      .select(col(idCol), targetCol.cast("int").as("__t"), col("__b"))
+      .groupBy(col(idCol), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+  }
+
+  /** [[importanceModel]] fit from a [[gramCounts]] table instead of a
+    * fresh corpus pass — exact same integer bucket counts (Σ t·n and
+    * Σ n over (doc,t,b) cells equal the per-gram sums), so the model
+    * is bit-identical to the one-arg path.
+    */
+  def modelFromCounts(counts: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bucketCounts = counts
+      .groupBy(col("__b"))
+      .agg(sum(col("__t").cast("long") * col("__n")).as("__ct"),
+        sum(col("__n")).as("__c"))
+      .localCheckpoint(false)
+    modelFromBucketCounts(bucketCounts, buckets)
+  }
+
+  /** Shared model tail over the ≤B-row (__b, __ct, __c) bucket table
+    * (already materialized by the caller — referenced twice below).
+    */
+  private def modelFromBucketCounts(counts: DataFrame,
+                                    buckets: Int): DataFrame =
     counts
       .crossJoin(broadcast(counts.agg(
         sum(col("__ct")).as("__nt"),
@@ -62,7 +109,6 @@ object Dsir {
             (col("__n") - col("__nt") + lit(buckets.toLong))
               .cast("double")))
           .cast(DecimalType(28, 9)).as("log_ratio"))
-  }
 
   /** Per-document importance score: Σ over the doc's hashed ngrams of
     * the model's log-ratio — decimal-exact, order-independent. Output:
@@ -79,6 +125,25 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(col("log_ratio")).cast("double").as("weight"))
+
+  /** [[importanceScores]] from a [[gramCounts]] table: n·log_ratio per
+    * (doc, bucket) cell replaces n repeated decimal additions — and is
+    * bit-identical to them, PROVIDED the product stays inside
+    * DECIMAL(38,9). The count leg is cast to DECIMAL(9,0) (one bucket
+    * repeating > 10^9 times inside one document is not a real corpus)
+    * so 9 + 28 + 1 = 38: Spark keeps the full scale 9 instead of
+    * silently dropping to scale 6 the way a raw long×decimal multiply
+    * (precision 49 → capped) would.
+    */
+  def scoresFromCounts(counts: DataFrame, idCol: String,
+                       model: DataFrame): DataFrame =
+    counts
+      .join(broadcast(model.select(col("bucket").as("__b"),
+        col("log_ratio"))), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_ngrams"),
+        sum(col("__n").cast(DecimalType(9, 0)) * col("log_ratio"))
+          .cast("double").as("weight"))
 
   /** Top-k selection by importance weight (the resampling step's
     * deterministic top-quantile variant): global TakeOrderedAndProject

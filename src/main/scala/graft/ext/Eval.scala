@@ -494,12 +494,21 @@ object Eval {
     strictlyBelow(counts, Seq("__ca", "__cb"))
       .crossJoin(broadcast(totals))
       .groupBy(col("n_a"), col("n_b"))
+      // DECIMAL(19,0) casts BEFORE the cross-multiply: the inclusive
+      // CDF counts and totals are each long-ranged, so the products
+      // (≤ n_a·n_b < 2^126) need decimal headroom — in Long they would
+      // silently wrap once n_a·n_b approaches 2^63 (~3e9 rows/side,
+      // plausible at corpus scale)
       .agg(max(abs(
-        (col("__lt___ca") + col("__ca")) * col("n_b") -
-          (col("__lt___cb") + col("__cb")) * col("n_a"))).as("__num"))
+        (col("__lt___ca") + col("__ca")).cast(DecimalType(19, 0)) *
+          col("n_b").cast(DecimalType(19, 0)) -
+          (col("__lt___cb") + col("__cb")).cast(DecimalType(19, 0)) *
+            col("n_a").cast(DecimalType(19, 0)))).as("__num"))
       .select(col("n_a"), col("n_b"),
         (col("__num").cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("ks_d"))
+          (col("n_a").cast(DecimalType(19, 0)) *
+            col("n_b").cast(DecimalType(19, 0))).cast("double"))
+          .as("ks_d"))
   }
 
   /** Two-sample 1-D earth-mover's (Wasserstein-1) distance — the
@@ -558,14 +567,23 @@ object Eval {
       .filter(col("__next").isNotNull)
       .crossJoin(broadcast(totals))
       .withColumn("__term",
+        // every factor is cast to DECIMAL BEFORE any multiply: the
+        // CDF-difference leg is ≤ n_a·n_b < 2^126 — exact in
+        // DECIMAL(38,0), but silently wrapped in Long once n_a·n_b
+        // neared 2^63 (~3e9 rows per side). Residual bound: the full
+        // term gap·|ΔCDF| must fit DECIMAL(38,0) (< 10^38) — beyond
+        // that Spark yields null, never a wrong value.
         (col("__next") - col("__s")).cast(DecimalType(38, 0)) *
-          abs((col("__lt___ca") + col("__ca")) * col("n_b") -
-            (col("__lt___cb") + col("__cb")) * col("n_a"))
-            .cast(DecimalType(38, 0)))
+          abs((col("__lt___ca") + col("__ca")).cast(DecimalType(19, 0)) *
+              col("n_b").cast(DecimalType(19, 0)) -
+            (col("__lt___cb") + col("__cb")).cast(DecimalType(19, 0)) *
+              col("n_a").cast(DecimalType(19, 0))))
       .groupBy(col("n_a"), col("n_b"))
       .agg(sum(col("__term")).as("__num"))
       .select(col("n_a"), col("n_b"),
         (col("__num").cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("emd"))
+          (col("n_a").cast(DecimalType(19, 0)) *
+            col("n_b").cast(DecimalType(19, 0))).cast("double"))
+          .as("emd"))
   }
 }

@@ -81,8 +81,10 @@ object Graph {
     * alive even when no ranked node points at them yet. Rank rows
     * cover seeds ∪ nodes reached within `iters` hops (mass outside is
     * exactly 0 and never materializes — frontier-sized state, the BFS
-    * property, not |V|-sized). Seeds outside the graph are ignored
-    * (they can neither give nor receive mass).
+    * property, not |V|-sized). Seeds are intersected with src ∪ dst:
+    * a dst-only (sink) seed still receives its jump mass, as standard
+    * PPR requires on directed graphs; only seeds in NEITHER column —
+    * truly outside the graph — are ignored.
     *
     * At 100 TB: checkpoint `edges` before calling (re-joined per
     * iteration, the [[pageRank]] contract).
@@ -93,8 +95,16 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__d"))
-    // seeds ∩ graph; referenced by init AND every iteration's jump leg
-    val s = edges.select(col("src")).distinct()
+    // seeds ∩ (src ∪ dst): on a DIRECTED edge list a seed appearing
+    // only as a dst is a sink — it still receives its jump mass (and
+    // any link mass pointed at it) in standard PPR, it just cannot
+    // pass mass on (no out-edges → the contribution join drops it,
+    // the dangling-mass convention). src-only intersection would
+    // silently zero such seeds; seeds in NEITHER column stay excluded
+    // (truly outside the graph).
+    val s = edges.select(col("src"))
+      .unionByName(edges.select(col("dst").as("src")))
+      .distinct()
       .join(seeds.select(col("node").as("src")), Seq("src"), "left_semi")
       .localCheckpoint(false)
     val ns = s.agg(count(lit(1)).as("__ns"))

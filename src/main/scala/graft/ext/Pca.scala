@@ -137,18 +137,31 @@ object Pca {
     require(rows.nonEmpty, "empty input: nothing to fit")
     val cov = Array.ofDim[Double](dim, dim)
     val mean = new Array[Double](dim)
+    val diagSeen = new Array[Boolean](dim)
     var n = 0L
     rows.foreach { r =>
       val i = r.getInt(0) - 1
       val j = r.getInt(1) - 1
+      require(i >= 0 && j >= 0 && i < dim && j < dim,
+        s"cell (${i + 1},${j + 1}) outside declared dim=$dim")
       val c = r.getDouble(6)
       cov(i)(j) = c
       cov(j)(i) = c
       if (i == j) {
         mean(i) = r.getLong(3).toDouble / r.getLong(2).toDouble
-        n = r.getLong(2)
+        diagSeen(i) = true
+        // ragged inputs give each diagonal its own n; the model's n is
+        // the corpus row count = the largest per-dimension count
+        n = math.max(n, r.getLong(2))
       }
     }
+    // fail fast on silently-degraded models: a dimension with NO data
+    // would otherwise fit as mean 0 / zero variance with no signal
+    val missing = (0 until dim).filterNot(diagSeen)
+    require(missing.isEmpty,
+      s"no data for dimension(s) ${missing.map(_ + 1).mkString(", ")}: " +
+        s"every diagonal co-moment cell (i,i), i in 1..$dim, must be " +
+        "present — is `dim` larger than the actual vector width?")
     val (vals, vecs) = jacobiEigen(cov)
     PcaModel(dim, n, mean, vals, vecs)
   }
@@ -285,7 +298,13 @@ object Pca {
     */
   def varianceRatio(emb: DataFrame, idCol: String, vecCol: String,
                     dim: Int): DataFrame = {
-    val model = fit(emb, vecCol, dim)
+    // ONE co-moment corpus pass, lazily materialized: both the fit
+    // collect and the trace filter below read the same ≤dim(dim+1)/2
+    // cached rows (inlining would run the corpus scan twice — the
+    // twice-computed-subtree class). The denominator stays
+    // data-derived, so the identity-check property is preserved.
+    val cells = comoments(emb, vecCol, dim).localCheckpoint(false)
+    val model = fitCells(cells, dim)
     val proj = project(emb, idCol, vecCol, model, k = dim)
     val perComp = proj
       .select(posexplode(col("proj")).as(Seq("__j", "p")))
@@ -294,7 +313,7 @@ object Pca {
         sum(col("p") * col("p")).as("spp"))
       .select(((col("spp") - col("sp") * col("sp") / col("n")) /
         col("n")).as("v"))
-    val traceCov = comoments(emb, vecCol, dim)
+    val traceCov = cells
       .filter(col("i") === col("j"))
       .agg(sum(col("cov")).as("trace"))
     perComp.agg(sum(col("v")).as("pvar"))
