@@ -949,6 +949,35 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL PNG decode path: each doc_id becomes an actual PNG payload —
+    // truecolor depth-8, scanline filter CYCLING row % 5 so all five
+    // unfilter branches (None/Sub/Up/Average/Paeth) sit on the
+    // oracle-checked path (h ≥ 5 guarantees each appears) — then
+    // width/height/pixel sum and the 4×4 nearest-neighbor resize
+    // (re-encoded as PNG, decoded AGAIN) are read back by the pure-JDK
+    // Inflater chunk-walk decoder, never from the generator parameters.
+    // The oracle predicts the sums in closed form, so any decode error
+    // (CRC, inflate, filter reversal) breaks the hash.
+    "x_mm_png" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 13 + 5).toInt
+          val h = (id % 11 + 5).toInt
+          Multimodal.MediaRow(id, Multimodal.PngCodec.Mime,
+            Multimodal.PngCodec.encode(w, h,
+              i => ((id * 37 + i * 11) % 256).toInt))
+        })
+      media.mapPartitions(_.map { r =>
+        val meta = Multimodal.PngCodec.decodeImage(r)
+        val small = Multimodal.PngCodec.resize(r, 4, 4)
+        (r.media_id, meta.width, meta.height,
+          Multimodal.PngCodec.pixelSum(r),
+          Multimodal.PngCodec.pixelSum(small))
+      }).toDF("doc_id", "width", "height", "pixel_sum", "resized_sum")
+        .orderBy(col("doc_id"))
+    }),
+
     // Concatenated-P6 "video": frame count and sizes come from walking
     // the real headers (PpmCodec.frames), then cross-checked against the
     // oracle's closed-form header lengths.
@@ -5952,6 +5981,40 @@ object ExtQueries {
                        (3*(((j // 12) * height // 4) * width
                            + ((j // 3) % 4) * width // 4)
                         + j % 3) * 7) % 256) AS resized_sum
+           FROM rz GROUP BY 1)
+         SELECT f.doc_id, f.width, f.height,
+                CAST(f.pixel_sum AS BIGINT) AS pixel_sum,
+                CAST(r.resized_sum AS BIGINT) AS resized_sum
+         FROM fullsum f JOIN rsum r USING (doc_id)
+         ORDER BY f.doc_id""",
+
+    // Same closed-form convention as x_mm_decode: the PNG round-trip is
+    // lossless, so the oracle predicts the decoded sums straight from
+    // the generator formula — the Spark side must inflate, CRC-check,
+    // and unfilter correctly to reproduce them.
+    "x_mm_png" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(doc_id % 13 + 5 AS INTEGER) AS width,
+                  CAST(doc_id % 11 + 5 AS INTEGER) AS height
+           FROM documents),
+         px AS (
+           SELECT doc_id, width, height,
+                  unnest(range(0, CAST(3*width*height AS BIGINT))) AS i
+           FROM dims),
+         fullsum AS (
+           SELECT doc_id, width, height,
+                  SUM((doc_id*37 + i*11) % 256) AS pixel_sum
+           FROM px GROUP BY 1, 2, 3),
+         rz AS (
+           SELECT doc_id, width, height, unnest(range(0, 48)) AS j
+           FROM dims),
+         rsum AS (
+           SELECT doc_id,
+                  SUM((doc_id*37 +
+                       (3*(((j // 12) * height // 4) * width
+                           + ((j // 3) % 4) * width // 4)
+                        + j % 3) * 11) % 256) AS resized_sum
            FROM rz GROUP BY 1)
          SELECT f.doc_id, f.width, f.height,
                 CAST(f.pixel_sum AS BIGINT) AS pixel_sum,

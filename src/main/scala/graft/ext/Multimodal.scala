@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *     walking for the video stand-in. Everything it reports (width,
   *     height, maxval, pixel sums, resampled pixels) comes from parsing
   *     actual payload bytes.
+  *   - [[PngCodec]] is a REAL decoder/encoder for PNG (depth-8
+  *     grayscale/RGB/RGBA, non-interlaced) built on the JDK's
+  *     `Inflater`/`Deflater`/`CRC32` — CRC-verified chunk walk, zlib
+  *     inflate, and all five scanline filters reversed per the spec.
   *   - [[StubCodec]] remains the fallback for mime types this container
-  *     has no library for (JPEG/PNG/ffmpeg): deterministic fake
+  *     has no library for (JPEG/FLAC/ffmpeg): deterministic fake
   *     dimensions/features from the bytes, real partition-local
   *     plumbing. Swapping in a real codec touches only the dispatch.
   *
@@ -83,6 +87,91 @@ object Multimodal {
         case i if i % step == 0 => r.content(i)
       }.toArray
       MediaRow(r.media_id, r.mime, out)
+    }
+  }
+
+  /** Shared pixel math over a FLAT interleaved-RGB raster (`buf` from
+    * `start`, 3 bytes per pixel, row-major): both real image codecs
+    * ([[PpmCodec]] parses straight out of the payload, [[PngCodec]]
+    * decodes to an RGB array first) delegate here, so a PPM and a PNG
+    * of the same pixels produce bit-identical features, hashes, and
+    * resamples.
+    */
+  private[ext] object RgbOps {
+
+    /** Exact unsigned sum of `3·w·h` raster bytes. */
+    def pixelSum(buf: Array[Byte], start: Int, w: Int, h: Int): Long = {
+      var s = 0L; var i = start; val end = start + 3 * w * h
+      while (i < end) { s += (buf(i) & 0xff); i += 1 }
+      s
+    }
+
+    /** Nearest-neighbor source byte for output index `j` of a
+      * `targetW`×`targetH` resample (floor mapping `src = out·in/out`).
+      */
+    def resampleByte(buf: Array[Byte], start: Int, w: Int, h: Int,
+                     targetW: Int, targetH: Int, j: Int): Int = {
+      val c = j % 3
+      val px = j / 3
+      val srcX = (px % targetW) * w / targetW
+      val srcY = (px / targetW) * h / targetH
+      buf(start + 3 * (srcY * w + srcX) + c) & 0xff
+    }
+
+    /** Mean R/G/B + luminance mean/min/max + scaled dims — the 8-float
+      * embedding both codecs expose (see [[PpmCodec.featurize]]).
+      */
+    def featurize(buf: Array[Byte], start: Int, w: Int, h: Int,
+                  dim: Int): Array[Float] = {
+      val nPx = w * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var lumMin = 255.0f; var lumMax = 0.0f
+      var p = 0
+      while (p < nPx) {
+        val i = start + 3 * p
+        val rr = buf(i) & 0xff
+        val gg = buf(i + 1) & 0xff
+        val bb = buf(i + 2) & 0xff
+        sr += rr; sg += gg; sb += bb
+        val lum = (0.299f * rr + 0.587f * gg + 0.114f * bb)
+        if (lum < lumMin) lumMin = lum
+        if (lum > lumMax) lumMax = lum
+        p += 1
+      }
+      val full = Array[Float](
+        sr.toFloat / nPx / 255f, sg.toFloat / nPx / 255f,
+        sb.toFloat / nPx / 255f,
+        (0.299f * sr + 0.587f * sg + 0.114f * sb) / nPx / 255f,
+        lumMin / 255f, lumMax / 255f,
+        w / 4096f, h / 4096f)
+      java.util.Arrays.copyOf(full, dim)
+    }
+
+    /** 64-bit average hash — see [[PpmCodec.aHash64]] for the contract
+      * (8×8 nearest-neighbor, integer luminance, `lum·64 > total`
+      * threshold: division-free, engine-portable).
+      */
+    def aHash64(buf: Array[Byte], start: Int, w: Int, h: Int): Long = {
+      val lums = new Array[Long](64)
+      var total = 0L
+      var c = 0
+      while (c < 64) {
+        val srcX = (c % 8) * w / 8
+        val srcY = (c / 8) * h / 8
+        val i = start + 3 * (srcY * w + srcX)
+        val lum = 299L * (buf(i) & 0xff) +
+          587L * (buf(i + 1) & 0xff) +
+          114L * (buf(i + 2) & 0xff)
+        lums(c) = lum; total += lum
+        c += 1
+      }
+      var hash = 0L
+      c = 0
+      while (c < 64) {
+        if (lums(c) * 64L > total) hash |= (1L << c)
+        c += 1
+      }
+      hash
     }
   }
 
@@ -153,9 +242,7 @@ object Multimodal {
       */
     def pixelSum(r: MediaRow): Long = {
       val (w, h, _, start) = parseHeader(r.content, 0)
-      var s = 0L; var i = start; val end = start + 3 * w * h
-      while (i < end) { s += (r.content(i) & 0xff); i += 1 }
-      s
+      RgbOps.pixelSum(r.content, start, w, h)
     }
 
     /** Nearest-neighbor resample to `targetW`×`targetH` (floor source
@@ -166,15 +253,8 @@ object Multimodal {
       require(targetW > 0 && targetH > 0,
         s"target dimensions must be positive, got ${targetW}x$targetH")
       val (w, h, _, start) = parseHeader(r.content, 0)
-      val out = encode(targetW, targetH, { j =>
-        val c = j % 3
-        val px = j / 3
-        val outX = px % targetW
-        val outY = px / targetW
-        val srcX = outX * w / targetW
-        val srcY = outY * h / targetH
-        r.content(start + 3 * (srcY * w + srcX) + c) & 0xff
-      })
+      val out = encode(targetW, targetH,
+        RgbOps.resampleByte(r.content, start, w, h, targetW, targetH, _))
       MediaRow(r.media_id, r.mime, out)
     }
 
@@ -184,28 +264,7 @@ object Multimodal {
       */
     def featurize(r: MediaRow, dim: Int = 8): MediaFeature = {
       val (w, h, _, start) = parseHeader(r.content, 0)
-      val nPx = w * h
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var lumMin = 255.0f; var lumMax = 0.0f
-      var p = 0
-      while (p < nPx) {
-        val i = start + 3 * p
-        val rr = r.content(i) & 0xff
-        val gg = r.content(i + 1) & 0xff
-        val bb = r.content(i + 2) & 0xff
-        sr += rr; sg += gg; sb += bb
-        val lum = (0.299f * rr + 0.587f * gg + 0.114f * bb)
-        if (lum < lumMin) lumMin = lum
-        if (lum > lumMax) lumMax = lum
-        p += 1
-      }
-      val full = Array[Float](
-        sr.toFloat / nPx / 255f, sg.toFloat / nPx / 255f,
-        sb.toFloat / nPx / 255f,
-        (0.299f * sr + 0.587f * sg + 0.114f * sb) / nPx / 255f,
-        lumMin / 255f, lumMax / 255f,
-        w / 4096f, h / 4096f)
-      MediaFeature(r.media_id, java.util.Arrays.copyOf(full, dim))
+      MediaFeature(r.media_id, RgbOps.featurize(r.content, start, w, h, dim))
     }
 
     /** 64-bit average hash (aHash) — the classic perceptual image
@@ -222,26 +281,7 @@ object Multimodal {
       */
     def aHash64(r: MediaRow): Long = {
       val (w, h, _, start) = parseHeader(r.content, 0)
-      val lums = new Array[Long](64)
-      var total = 0L
-      var c = 0
-      while (c < 64) {
-        val srcX = (c % 8) * w / 8
-        val srcY = (c / 8) * h / 8
-        val i = start + 3 * (srcY * w + srcX)
-        val lum = 299L * (r.content(i) & 0xff) +
-          587L * (r.content(i + 1) & 0xff) +
-          114L * (r.content(i + 2) & 0xff)
-        lums(c) = lum; total += lum
-        c += 1
-      }
-      var hash = 0L
-      c = 0
-      while (c < 64) {
-        if (lums(c) * 64L > total) hash |= (1L << c)
-        c += 1
-      }
-      hash
+      RgbOps.aHash64(r.content, start, w, h)
     }
 
     /** Walk a payload of CONCATENATED P6 frames (the video stand-in):
@@ -259,6 +299,265 @@ object Multimodal {
         idx += 1
         f
       }
+    }
+  }
+
+  /** Real PNG codec in pure JDK — `java.util.zip.{Inflater, Deflater,
+    * CRC32}` cover the whole compressed layer, so no image library is
+    * needed (round-9 verdict task #5: PNG is the most common container
+    * and was the largest reachable "real decode" gap). Scope:
+    * bit-depth 8, color types 0 (grayscale, replicated to RGB), 2
+    * (truecolor RGB), and 6 (RGBA, alpha dropped), non-interlaced;
+    * Adam7/16-bit/palette payloads fail fast with a clear message
+    * rather than mis-decoding. The decoder does the REAL work: chunk
+    * walk with CRC32 verification, multi-IDAT concatenation, zlib
+    * inflate, and per-scanline reversal of all five PNG filters
+    * (None/Sub/Up/Average/Paeth, bpp-aware). The encoder emits
+    * truecolor PNGs and by default CYCLES the filter type per scanline
+    * (`row % 5`) so every round-trip exercises every unfilter branch —
+    * a broken Paeth shows up as a wrong pixel sum, not a lucky pass.
+    * Pixel math (sum/feature/hash/resample) delegates to [[RgbOps]],
+    * so a PNG and a PPM of the same raster featurize identically.
+    */
+  object PngCodec {
+    val Mime = "image/png"
+
+    private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    /** Decoded raster: `rgb` is always 3·w·h interleaved RGB, whatever
+      * the source color type (`channels` records the original).
+      */
+    private[ext] case class Raw(width: Int, height: Int, channels: Int,
+                                rgb: Array[Byte])
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+                      data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val t = typ.getBytes("US-ASCII")
+      out.write(t)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      val c = crc.getValue.toInt
+      out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+    }
+
+    /** Serialize a truecolor (color type 2, depth 8) PNG whose flat RGB
+      * byte `i` is `pixel(i) & 0xff`. `filterOf(row)` picks the filter
+      * type per scanline — default cycles all five so decoders get no
+      * free pass on any branch.
+      */
+    def encode(width: Int, height: Int, pixel: Int => Int,
+               filterOf: Int => Int = _ % 5): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      val bpp = 3
+      val stride = width * bpp
+      val raw = new Array[Byte](height * (1 + stride))
+      var y = 0
+      while (y < height) {
+        val f = filterOf(y)
+        require(f >= 0 && f <= 4, s"filter type must be 0..4, got $f")
+        val rowStart = y * (1 + stride)
+        raw(rowStart) = f.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = pixel(y * stride + x) & 0xff
+          val a = if (x >= bpp) pixel(y * stride + x - bpp) & 0xff else 0
+          val b = if (y > 0) pixel((y - 1) * stride + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0)
+            pixel((y - 1) * stride + x - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur - a
+            case 2 => cur - b
+            case 3 => cur - (a + b) / 2
+            case 4 => cur - paeth(a, b, c)
+          }
+          raw(rowStart + 1 + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig)
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
+      ihdr(2) = (width >>> 8).toByte; ihdr(3) = width.toByte
+      ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >>> 16).toByte
+      ihdr(6) = (height >>> 8).toByte; ihdr(7) = height.toByte
+      ihdr(8) = 8 // bit depth
+      ihdr(9) = 2 // truecolor
+      // ihdr(10..12): compression 0, filter method 0, no interlace
+      chunk(out, "IHDR", ihdr)
+      chunk(out, "IDAT", zout.toByteArray)
+      chunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Full decode: signature, CRC-verified chunk walk, IDAT
+      * concatenation, inflate, per-scanline unfilter, RGB conversion.
+      */
+    private[ext] def decode(b: Array[Byte]): Raw = {
+      require(b.length >= 8 && (0 until 8).forall(i => b(i) == Sig(i)),
+        "not a PNG payload (bad signature)")
+      var p = 8
+      var w = 0; var h = 0; var colorType = -1
+      var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (p + 8 <= b.length && !seenIend) {
+        val len = be32(b, p)
+        require(len >= 0 && p + 12 + len <= b.length,
+          s"truncated chunk at offset $p")
+        val typ = new String(b, p + 4, 4, "US-ASCII")
+        val dataOff = p + 8
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, p + 4, 4 + len)
+        require(crc.getValue.toInt == be32(b, dataOff + len),
+          s"CRC mismatch in $typ chunk")
+        typ match {
+          case "IHDR" =>
+            w = be32(b, dataOff); h = be32(b, dataOff + 4)
+            val bitDepth = b(dataOff + 8) & 0xff
+            colorType = b(dataOff + 9) & 0xff
+            require(bitDepth == 8,
+              s"only bit depth 8 supported, got $bitDepth")
+            require(colorType == 0 || colorType == 2 || colorType == 6,
+              s"color type $colorType unsupported (0/2/6 only — no palette)")
+            require((b(dataOff + 12) & 0xff) == 0,
+              "Adam7 interlace not supported")
+          case "IDAT" => idat.write(b, dataOff, len)
+          case "IEND" => seenIend = true
+          case _ => () // ancillary chunks (tEXt, gAMA, ...) skipped
+        }
+        p = dataOff + len + 4
+      }
+      require(w > 0 && h > 0 && colorType >= 0, "missing IHDR")
+      require(idat.size > 0, "missing IDAT")
+      val channels = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+      val stride = w * channels
+      val raw = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (!inf.finished() && got < raw.length) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        require(n > 0 || inf.finished(),
+          "inflate stalled: corrupt or under-sized IDAT stream")
+        got += n
+      }
+      inf.end()
+      require(got == raw.length,
+        s"inflated $got bytes, expected ${raw.length} (${h}x$stride+filters)")
+      // unfilter in place into the packed image (no filter bytes)
+      val img = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (1 + stride)) & 0xff
+        var x = 0
+        while (x < stride) {
+          val v = raw(y * (1 + stride) + 1 + x) & 0xff
+          val a = if (x >= channels) img(y * stride + x - channels) & 0xff
+            else 0
+          val up = if (y > 0) img((y - 1) * stride + x) & 0xff else 0
+          val c = if (x >= channels && y > 0)
+            img((y - 1) * stride + x - channels) & 0xff else 0
+          val out = f match {
+            case 0 => v
+            case 1 => v + a
+            case 2 => v + up
+            case 3 => v + (a + up) / 2
+            case 4 => v + paeth(a, up, c)
+            case _ => throw new IllegalArgumentException(
+              s"bad filter type $f at row $y")
+          }
+          img(y * stride + x) = (out & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val rgb = colorType match {
+        case 2 => img
+        case 0 =>
+          val r3 = new Array[Byte](3 * w * h)
+          var i = 0
+          while (i < w * h) {
+            r3(3 * i) = img(i); r3(3 * i + 1) = img(i); r3(3 * i + 2) = img(i)
+            i += 1
+          }
+          r3
+        case _ =>
+          val r3 = new Array[Byte](3 * w * h)
+          var i = 0
+          while (i < w * h) {
+            r3(3 * i) = img(4 * i); r3(3 * i + 1) = img(4 * i + 1)
+            r3(3 * i + 2) = img(4 * i + 2)
+            i += 1
+          }
+          r3
+      }
+      Raw(w, h, channels, rgb)
+    }
+
+    def decodeImage(r: MediaRow): ImageMeta = {
+      val d = decode(r.content)
+      ImageMeta(r.media_id, d.width, d.height, d.channels,
+        r.content.length.toLong)
+    }
+
+    /** Exact unsigned sum over the decoded 3·w·h RGB raster (grayscale
+      * counts its replicated value three times; alpha never counts).
+      */
+    def pixelSum(r: MediaRow): Long = {
+      val d = decode(r.content)
+      RgbOps.pixelSum(d.rgb, 0, d.width, d.height)
+    }
+
+    /** Nearest-neighbor resample, re-encoded as a truecolor PNG — same
+      * floor mapping as [[PpmCodec.resize]] via [[RgbOps]].
+      */
+    def resize(r: MediaRow, targetW: Int, targetH: Int): MediaRow = {
+      require(targetW > 0 && targetH > 0,
+        s"target dimensions must be positive, got ${targetW}x$targetH")
+      val d = decode(r.content)
+      MediaRow(r.media_id, r.mime, encode(targetW, targetH,
+        RgbOps.resampleByte(d.rgb, 0, d.width, d.height,
+          targetW, targetH, _)))
+    }
+
+    def featurize(r: MediaRow, dim: Int = 8): MediaFeature = {
+      val d = decode(r.content)
+      MediaFeature(r.media_id, RgbOps.featurize(d.rgb, 0, d.width,
+        d.height, dim))
+    }
+
+    /** 64-bit average hash over the decoded raster — identical
+      * arithmetic to [[PpmCodec.aHash64]] ([[RgbOps]]), so PNG and PPM
+      * copies of one image land in the same dedup bucket.
+      */
+    def aHash64(r: MediaRow): Long = {
+      val d = decode(r.content)
+      RgbOps.aHash64(d.rgb, 0, d.width, d.height)
     }
   }
 
@@ -381,7 +680,9 @@ object Multimodal {
     */
   def imageHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r => (r.media_id, PpmCodec.aHash64(r))))
+    media.mapPartitions(_.map(r => (r.media_id,
+        if (r.mime == PngCodec.Mime) PngCodec.aHash64(r)
+        else PpmCodec.aHash64(r))))
       .toDF("media_id", "ahash")
   }
 
@@ -445,6 +746,7 @@ object Multimodal {
       // real impl: initialize codec here, once per partition
       it.map { r =>
         if (r.mime == PpmCodec.Mime) PpmCodec.decodeImage(r)
+        else if (r.mime == PngCodec.Mime) PngCodec.decodeImage(r)
         else StubCodec.decodeImage(r)
       }
     }
@@ -454,6 +756,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
       if (r.mime == PpmCodec.Mime) PpmCodec.featurize(r, dim)
+      else if (r.mime == PngCodec.Mime) PngCodec.featurize(r, dim)
       else StubCodec.featurize(r, dim)
     })
   }
@@ -478,6 +781,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
       if (r.mime == PpmCodec.Mime) PpmCodec.resize(r, targetW, targetH)
+      else if (r.mime == PngCodec.Mime) PngCodec.resize(r, targetW, targetH)
       else StubCodec.resize(r, targetW, targetH)
     })
   }

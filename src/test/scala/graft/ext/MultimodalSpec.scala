@@ -227,4 +227,132 @@ class MultimodalSpec extends SparkTestBase {
       fs.map(_.frame_idx).sorted.sameElements(fs.indices)))
     assert(frames.forall(_.offset_bytes % 100 == 0))
   }
+
+  // ---- PNG codec -----------------------------------------------------
+
+  /** Hand-rolled PNG chunk assembly for adversarial payloads the public
+    * encoder refuses to produce (grayscale/RGBA color types, corrupt
+    * CRCs, interlace flags). Raw scanlines in, deflate + chunk framing
+    * here — so the DECODER under test meets bytes it did not write.
+    */
+  private def buildPng(w: Int, h: Int, colorType: Int,
+                       scanlines: Array[Byte],
+                       interlace: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      val c = crc.getValue.toInt
+      out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(12) = interlace.toByte
+    chunk("IHDR", ihdr)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(scanlines); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PngCodec: every filter type round-trips a hand-built raster") {
+    import Multimodal.PngCodec
+    val px = (i: Int) => (i * 53 + 17) % 256
+    val want = (0 until 3 * 7 * 6).map(i => px(i).toByte).toArray
+    // each filter alone, then the default cycling encoder
+    for (f <- 0 to 4) {
+      val img = MediaRow(f.toLong, PngCodec.Mime,
+        PngCodec.encode(7, 6, px, filterOf = _ => f))
+      val d = PngCodec.decode(img.content)
+      assert(d.width == 7 && d.height == 6 && d.channels == 3)
+      assert(d.rgb.sameElements(want), s"filter $f broke the round-trip")
+    }
+    val cyc = PngCodec.decode(PngCodec.encode(7, 6, px))
+    assert(cyc.rgb.sameElements(want))
+    assert(PngCodec.pixelSum(MediaRow(9L, PngCodec.Mime,
+      PngCodec.encode(7, 6, px))) == (0 until 3 * 7 * 6).map(px).sum)
+  }
+
+  test("PngCodec: grayscale replicates to RGB, RGBA drops alpha") {
+    import Multimodal.PngCodec
+    // grayscale 3x2, filter 0 rows: scanline = 0x00 + w gray bytes
+    val gray = Array[Byte](0, 10, 20, 30, 0, 40, 50, 60)
+    val g = PngCodec.decode(buildPng(3, 2, 0, gray))
+    assert(g.channels == 1)
+    assert(g.rgb.toSeq == Seq(10, 10, 10, 20, 20, 20, 30, 30, 30,
+      40, 40, 40, 50, 50, 50, 60, 60, 60).map(_.toByte))
+    // RGBA 2x1: alpha bytes (99) must not reach the rgb raster
+    val rgba = Array[Byte](0, 1, 2, 3, 99, 4, 5, 6, 99)
+    val a = PngCodec.decode(buildPng(2, 1, 6, rgba))
+    assert(a.channels == 4)
+    assert(a.rgb.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+  }
+
+  test("PngCodec: corrupt CRC, truncated IDAT, interlace all fail fast") {
+    import Multimodal.PngCodec
+    val good = PngCodec.encode(4, 4, i => i % 256)
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 1) = (badCrc(badCrc.length - 1) ^ 0x5a).toByte
+    intercept[IllegalArgumentException] {
+      PngCodec.decode(badCrc)
+    }
+    intercept[IllegalArgumentException] { // IDAT shorter than the raster
+      PngCodec.decode(buildPng(4, 4, 2, Array[Byte](0, 1, 2, 3)))
+    }
+    intercept[IllegalArgumentException] { // Adam7 flagged: refuse, never garble
+      PngCodec.decode(buildPng(2, 2, 2,
+        new Array[Byte](2 * (1 + 6)), interlace = 1))
+    }
+    intercept[IllegalArgumentException] { // not a PNG at all
+      PngCodec.decode("P6\n1 1\n255\nabc".getBytes("US-ASCII"))
+    }
+  }
+
+  test("PngCodec: same raster as PPM gives identical hash and features") {
+    import Multimodal.{PngCodec, PpmCodec}
+    val px = (i: Int) => (i * 37 + 11) % 256
+    val png = MediaRow(1L, PngCodec.Mime, PngCodec.encode(20, 12, px))
+    val ppm = MediaRow(2L, PpmCodec.Mime, PpmCodec.encode(20, 12, px))
+    assert(PngCodec.aHash64(png) == PpmCodec.aHash64(ppm))
+    assert(PngCodec.featurize(png).feature.toSeq ==
+      PpmCodec.featurize(ppm).feature.toSeq)
+    assert(PngCodec.pixelSum(png) == PpmCodec.pixelSum(ppm))
+  }
+
+  test("PngCodec: mime dispatch + resize resample through the generic API") {
+    import Multimodal.PngCodec
+    val png = spark.createDataset(Seq(
+      MediaRow(0L, PngCodec.Mime, PngCodec.encode(8, 4, i => i % 256)),
+      MediaRow(1L, PngCodec.Mime, PngCodec.encode(6, 6, i => (i * 3) % 256))))
+    val metas = decodeImages(png).collect().sortBy(_.media_id)
+    assert(metas.map(m => (m.width, m.height)).toSeq == Seq((8, 4), (6, 6)))
+    val small = resize(png, 2, 2).collect()
+    assert(small.forall(r => PngCodec.decodeImage(r).width == 2))
+    // resample correctness: 2x2 -> 4x4 replicates each pixel 2x2
+    val img = MediaRow(1L, PngCodec.Mime, PngCodec.encode(2, 2, _ * 10))
+    val big = PngCodec.decode(PngCodec.resize(img, 4, 4).content)
+    val src = PngCodec.decode(img.content)
+    def px(d: Array[Byte], w: Int, x: Int, y: Int): Seq[Int] =
+      (0 until 3).map(c => d(3 * (y * w + x) + c) & 0xff)
+    for (x <- 0 until 4; y <- 0 until 4)
+      assert(px(big.rgb, 4, x, y) == px(src.rgb, 2, x / 2, y / 2))
+    val hashes = Multimodal.imageHashes(png).collect()
+    assert(hashes.length == 2)
+  }
 }
