@@ -203,6 +203,27 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // FULL multi-level Louvain over the same minhash graph: 2 levels ×
+    // 2 parity rounds. After level 1, communities contract to
+    // supernodes (edge weights re-aggregated, internal mass as
+    // self-loops with 2× weight) and level 2 re-runs the WEIGHTED
+    // greedy on the coarse graph — merging whole level-1 communities
+    // that no single-node move could join. The oracle unrolls the
+    // identical weighted integer rounds per level, contraction
+    // included.
+    "x_louvain_ml" -> ((s, dir) => {
+      val cand = Dedup.minhashCandidatePairs(T(s, dir, "documents"),
+        "doc_id", "text", bands = 4, rowsPerBand = 2, maxBucket = 0)
+      val edges = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          cand.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(false)
+      graft.ext.Graph.louvain(edges, levels = 2, roundsPerLevel = 2)
+        .withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("label", "community")
+        .orderBy(col("doc_id"))
+    }),
+
     // Partition quality of those communities: Newman modularity over
     // the same minhash doc graph — exact integer edge/degree sums into
     // ONE final IEEE division (engine- and partitioning-exact), per-
@@ -4354,7 +4375,9 @@ object ExtQueries {
                CASE WHEN (src + $r) % 2 = 0 THEN best ELSE own END AS label
              FROM (SELECT src, own, label AS best,
                      row_number() OVER (PARTITION BY src
-                       ORDER BY score DESC, label) AS rn
+                       ORDER BY score DESC,
+                         CASE WHEN label = own THEN 0 ELSE 1 END,
+                         label) AS rn
                    FROM sc$r) WHERE rn = 1)"""
     s"""WITH $minhashCtes,
         e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cand
@@ -4370,6 +4393,79 @@ object ExtQueries {
         ${round("l3", "l4", 4)}
         SELECT node AS doc_id, label AS community
         FROM l4 ORDER BY doc_id"""
+  }
+
+  /** [[louvainOracle]]'s weighted two-level extension: the same
+    * parity-alternating integer rounds with COUNT(*) generalized to
+    * SUM(w) (every sum cast back to BIGINT — DuckDB widens integer
+    * sums to HUGEINT) and self-loops excluded from k_{i,c}, plus the
+    * level-1 → level-2 contraction (group-by on endpoint labels; both
+    * directed rows of an internal edge land on the (c,c) self-loop, so
+    * its weight is 2× internal — exactly Graph.contract). Final select
+    * composes the two mappings. Same AS MATERIALIZED discipline as
+    * louvainOracle: each label table is referenced four times per
+    * round.
+    */
+  private def louvainMlOracle: String = {
+    def round(e: String, deg: String, tm: String, prev: String,
+              cur: String, r: Int) =
+      s"""dm$cur AS (SELECT l.label AS label,
+               CAST(SUM(dg.k) AS BIGINT) AS D
+             FROM $prev l JOIN $deg dg ON l.node = dg.node GROUP BY 1),
+          ki$cur AS (SELECT e.src AS src, l.label AS label,
+               CAST(SUM(e.w) AS BIGINT) AS kic
+             FROM $e e JOIN $prev l ON e.dst = l.node
+             WHERE e.src <> e.dst GROUP BY 1, 2),
+          ca$cur AS (SELECT src, label, CAST(SUM(kic) AS BIGINT) AS kic
+             FROM (
+               SELECT src, label, kic FROM ki$cur
+               UNION ALL SELECT node AS src, label, 0 AS kic FROM $prev) u
+             GROUP BY 1, 2),
+          sc$cur AS (SELECT c.src AS src, c.label AS label, o.label AS own,
+               $tm.m2 * c.kic - dg.k *
+                 (d.D - CASE WHEN c.label = o.label THEN dg.k ELSE 0 END)
+                 AS score
+             FROM ca$cur c JOIN dm$cur d ON c.label = d.label
+             JOIN $deg dg ON c.src = dg.node
+             JOIN $prev o ON c.src = o.node
+             CROSS JOIN $tm),
+          $cur AS MATERIALIZED (SELECT src AS node,
+               CASE WHEN (src + $r) % 2 = 0 THEN best ELSE own END AS label
+             FROM (SELECT src, own, label AS best,
+                     row_number() OVER (PARTITION BY src
+                       ORDER BY score DESC,
+                         CASE WHEN label = own THEN 0 ELSE 1 END,
+                         label) AS rn
+                   FROM sc$cur) WHERE rn = 1)"""
+    s"""WITH $minhashCtes,
+        e1 AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst, CAST(1 AS BIGINT) AS w FROM cand
+          UNION ALL SELECT id_b, id_a, CAST(1 AS BIGINT) FROM cand),
+        deg1 AS MATERIALIZED (
+          SELECT src AS node, CAST(SUM(w) AS BIGINT) AS k
+          FROM e1 GROUP BY 1),
+        tm1 AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM e1),
+        a0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, src AS label FROM e1),
+        ${round("e1", "deg1", "tm1", "a0", "a1", 1)},
+        ${round("e1", "deg1", "tm1", "a1", "a2", 2)},
+        e2 AS MATERIALIZED (
+          SELECT x.label AS src, y.label AS dst,
+            CAST(SUM(e.w) AS BIGINT) AS w
+          FROM e1 e JOIN a2 x ON e.src = x.node
+          JOIN a2 y ON e.dst = y.node
+          GROUP BY 1, 2),
+        deg2 AS MATERIALIZED (
+          SELECT src AS node, CAST(SUM(w) AS BIGINT) AS k
+          FROM e2 GROUP BY 1),
+        tm2 AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM e2),
+        b0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, src AS label FROM e2),
+        ${round("e2", "deg2", "tm2", "b0", "b1", 1)},
+        ${round("e2", "deg2", "tm2", "b1", "b2", 2)}
+        SELECT m.node AS doc_id, f.label AS community
+        FROM a2 m JOIN b2 f ON m.label = f.node
+        ORDER BY doc_id"""
   }
 
   private def clustersOracle: String =
@@ -4570,6 +4666,7 @@ object ExtQueries {
     "x_modularity" -> modularityOracle,
 
     "x_louvain" -> louvainOracle,
+    "x_louvain_ml" -> louvainMlOracle,
 
     "x_split_leakfree" ->
       s"""WITH RECURSIVE $minhashCtes,

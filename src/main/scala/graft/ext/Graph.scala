@@ -325,8 +325,11 @@ object Graph {
     *   2m·k_{i,c} − k_i·(D_c − [c = c_i]·k_i)
     * (the ΔQ ranking with positive constants dropped; D_c excludes i
     * itself when evaluating staying home — the standard
-    * remove-then-compare formulation), ties to the smallest community
-    * label. Classic Louvain scans nodes asynchronously in arbitrary
+    * remove-then-compare formulation). Ties go to the OWN community
+    * first (Blondel's rule: move only on STRICTLY positive gain —
+    * zero-gain moves are where synchronous rounds can jointly lower Q),
+    * then to the smallest label among equally-scored strict improvers.
+    * Classic Louvain scans nodes asynchronously in arbitrary
     * order — unreplayable by an oracle — while a naive synchronous
     * sweep OSCILLATES on symmetric structures (two nodes swap into
     * each other's community forever; hand-traced on twin triangles).
@@ -340,13 +343,33 @@ object Graph {
     * integer arithmetic (contract: 2m·max-degree < 2^63). Input edges
     * must be SYMMETRIC, no duplicates, no self-loops.
     */
-  def modularityGreedy(edges: DataFrame, rounds: Int): DataFrame = {
+  def modularityGreedy(edges: DataFrame, rounds: Int): DataFrame =
+    modularityGreedyWeighted(
+      edges.select(col("src"), col("dst"), lit(1L).as("w")), rounds)
+
+  /** Weighted [[modularityGreedy]] — the per-level engine of the full
+    * multi-level [[louvain]]: identical parity-alternating integer
+    * rounds, generalized from edge COUNTS to integer edge WEIGHTS so
+    * it runs on contracted graphs. Input rows (src, dst, w): both
+    * directions present for src ≠ dst; a SELF-LOOP row (i, i, w)
+    * carries the contracted community's internal mass with w = 2×
+    * internal weight (the standard Louvain coarsening convention), so
+    * strength k_i = Σ_dst w(i,·) counts internal edges twice and
+    * 2m = Σ w is conserved across levels. Self-loops are excluded
+    * from k_{i,c} (they move WITH i, contributing equally to every
+    * candidate community — the remove-then-compare formulation) but
+    * included in k_i and hence D_c. With w ≡ 1 and no self-loops this
+    * is bit-identical to the unweighted operator (sums of ones are
+    * counts). Contract: 2m·max-strength < 2^63.
+    */
+  def modularityGreedyWeighted(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val sym = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val deg = sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("__k"))
+    val sym = edges.select(col("src"), col("dst"), col("w"))
       .localCheckpoint(false)
-    val twoM = sym.agg(count(lit(1)).as("__2m"))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("__k"))
+      .localCheckpoint(false)
+    val twoM = sym.agg(sum(col("w")).as("__2m"))
     var labels = deg.select(col("node"), col("node").as("label"))
       .localCheckpoint(false)
     for (r <- 1 to rounds) {
@@ -354,12 +377,14 @@ object Graph {
       val dmass = labels
         .join(deg, Seq("node"))
         .groupBy(col("label")).agg(sum(col("__k")).as("__D"))
-      // edges from i into community c (via dst labels)
+      // weight from i into community c (via dst labels); self-loops
+      // excluded — they follow i into any community and cancel
       val kic = sym
+        .filter(col("src") =!= col("dst"))
         .join(labels.select(col("node").as("dst"), col("label")),
           Seq("dst"))
         .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("__kic"))
+        .agg(sum(col("w")).as("__kic"))
       // own community enters with k_{i,c_i} = 0 when no neighbor
       // shares it; the sum-merge collapses the duplicate otherwise
       val cand = kic
@@ -379,6 +404,14 @@ object Graph {
               col("__k")).otherwise(lit(0L)))).as("__score"))
         .groupBy(col("src"))
         .agg(min(struct((-col("__score")).as("ns"),
+          // Blondel's positive-gain rule: the OWN community wins score
+          // ties, so zero-gain moves never happen — without this, two
+          // non-adjacent nodes can make simultaneous ΔQ=0 joins whose
+          // JOINT effect is negative (hand-traced: hub-bridged
+          // triangles collapse to one community, Q 0.125 → 0). Among
+          // strictly-better non-own communities, smallest label.
+          when(col("label") === col("__own"), lit(0L)).otherwise(lit(1L))
+            .as("oo"),
           col("label").as("l"))).as("__b"),
           first(col("__own")).as("__own"))
         .select(col("src").as("node"),
@@ -388,6 +421,70 @@ object Graph {
         .localCheckpoint(false)
     }
     labels
+  }
+
+  /** Louvain graph contraction: community → supernode, edge weights
+    * re-aggregated. Internal edges collapse into the supernode's
+    * SELF-LOOP row automatically — both directed rows of an internal
+    * edge land on (c, c), so the self-loop weight is exactly 2× the
+    * community's internal weight, which is what
+    * [[modularityGreedyWeighted]]'s strength accounting expects.
+    * Output: (src, dst, w) over community ids, still symmetric,
+    * Σ w conserved.
+    */
+  def contract(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("node"), col("label"))
+      .localCheckpoint(false)
+    edges
+      .join(lab.select(col("node").as("src"), col("label").as("__cs")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("__cd")),
+        Seq("dst"))
+      .groupBy(col("__cs").as("src"), col("__cd").as("dst"))
+      .agg(sum(col("w")).as("w"))
+  }
+
+  /** Full multi-level Louvain (Blondel et al. 2008): run the
+    * parity-alternating greedy for `roundsPerLevel` rounds, CONTRACT
+    * communities to supernodes ([[contract]] — weight re-aggregation,
+    * internal mass as self-loops), and repeat on the coarsened graph,
+    * composing the level mappings back down to original nodes. Level-2
+    * moves relocate whole level-1 communities at once — exactly the
+    * merges one flat level cannot reach once every single-node move is
+    * locally unprofitable — and because each accepted move has
+    * modularity gain ≥ staying put ON THE CONTRACTED GRAPH, and
+    * contracted-graph modularity equals original-graph modularity of
+    * the composed assignment, Q is non-decreasing across rounds AND
+    * levels (pinned by GraphSpec).
+    *
+    * Scale shape per level: the same two label joins + bounded
+    * aggregates as one flat level, but on a graph that SHRINKS
+    * geometrically (each contraction divides nodes by the mean
+    * community size), so total cost ≈ one flat run plus a fast tail —
+    * the reason Louvain is the standard 10^9-edge community algorithm.
+    * Input: SYMMETRIC unweighted edges (src, dst), no self-loops, no
+    * duplicates — the [[modularityGreedy]] contract. Output: (node,
+    * label) at ORIGINAL node granularity; labels are level-deep
+    * community representatives.
+    */
+  def louvain(edges: DataFrame, levels: Int,
+              roundsPerLevel: Int): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    var g = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+      .localCheckpoint(false)
+    var mapping: DataFrame = null
+    for (lvl <- 1 to levels) {
+      val lab = modularityGreedyWeighted(g, roundsPerLevel)
+      mapping =
+        if (mapping == null) lab.localCheckpoint(false)
+        else mapping
+          .join(lab.select(col("node").as("label"),
+            col("label").as("__nl")), Seq("label"))
+          .select(col("node"), col("__nl").as("label"))
+          .localCheckpoint(false)
+      if (lvl < levels) g = contract(g, lab).localCheckpoint(false)
+    }
+    mapping
   }
 
   /** Newman modularity Q of a community assignment over a SYMMETRIC

@@ -67,7 +67,9 @@ class GraphPropertySpec extends SparkTestBase {
         val best = cand.toSeq.map { case (c, k) =>
           val d = dmass(c) - (if (c == own) deg(i) else 0L)
           (c, m2 * k - deg(i) * d)
-        }.minBy { case (c, s) => (-s, c) }._1
+        // ties prefer OWN (Blondel's strictly-positive-gain rule),
+        // then smallest label — mirrors Graph.modularityGreedyWeighted
+        }.minBy { case (c, s) => (-s, if (c == own) 0L else 1L, c) }._1
         i -> (if ((i + r) % 2 == 0) best else own)
       }.toMap
       lbl = next

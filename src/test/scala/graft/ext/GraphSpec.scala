@@ -323,6 +323,73 @@ class GraphSpec extends SparkTestBase {
     assert(run(1) == run(5))
   }
 
+  test("contract: exact supernode edge weights, internal mass as 2x " +
+    "self-loops, total weight conserved") {
+    val edges = sym((1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (3L, 7L))
+      .withColumn("w", lit(1L))
+    val labels = Seq((1L, 2L), (2L, 2L), (3L, 2L),
+      (7L, 8L), (8L, 8L), (9L, 8L)).toDF("node", "label")
+    val got = Graph.contract(edges, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // each triangle: 3 undirected internal edges = 6 directed rows →
+    // self-loop weight 6; the bridge keeps one row per direction
+    assert(got == Map((2L, 2L) -> 6L, (8L, 8L) -> 6L,
+      (2L, 8L) -> 1L, (8L, 2L) -> 1L))
+    assert(got.values.sum == 14L) // Σw == 2m of the input, conserved
+  }
+
+  test("modularityGreedyWeighted: self-loop mass penalizes joining; a " +
+    "heavy enough bridge merges two supernodes") {
+    // two supernodes with self-loop 4 (= 2 internal edges each)
+    def g(bridge: Long) = Seq((1L, 1L, 4L), (2L, 2L, 4L),
+      (1L, 2L, bridge), (2L, 1L, bridge)).toDF("src", "dst", "w")
+    def run(bridge: Long) =
+      Graph.modularityGreedyWeighted(g(bridge), rounds = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // join scores 2m·w12 vs k1·k2: 14·3=42 < 49 stays; 18·5=90 > 81
+    // merges (node 1 is round 1's mover, so the merged label is 2)
+    assert(run(3L) == Map(1L -> 1L, 2L -> 2L))
+    assert(run(5L) == Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("louvain: one level == modularityGreedy; Q never decreases " +
+    "across levels (contracted moves are whole-community moves)") {
+    val twin = sym((1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (3L, 7L))
+    val hub = sym((1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (0L, 1L), (0L, 7L))
+    // ring of six triangles bridged corner to corner
+    val ring = sym((0 until 6).flatMap { t =>
+      val b = 10L * t
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2),
+        (b + 2, (10L * ((t + 1) % 6)) + 1))
+    }: _*)
+    for (edges <- Seq(twin, hub, ring)) {
+      val flat = Graph.modularityGreedy(edges, rounds = 2)
+      val lv1 = Graph.louvain(edges, levels = 1, roundsPerLevel = 2)
+      assert(flat.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        .sameElements(
+          lv1.collect().map(r => (r.getLong(0), r.getLong(1))).sorted))
+      val q1 = Graph.modularity(edges, lv1).head().getDouble(2)
+      val q2 = Graph.modularity(edges,
+        Graph.louvain(edges, levels = 2, roundsPerLevel = 2))
+        .head().getDouble(2)
+      val q3 = Graph.modularity(edges,
+        Graph.louvain(edges, levels = 3, roundsPerLevel = 2))
+        .head().getDouble(2)
+      assert(q2 >= q1, s"level 2 dropped Q: $q2 < $q1")
+      assert(q3 >= q2, s"level 3 dropped Q: $q3 < $q2")
+    }
+    // twin triangles: merging the two communities would land Q at
+    // exactly 0 (< 70/196), so level 2 must KEEP them apart
+    val deep = Graph.louvain(twin, levels = 2, roundsPerLevel = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(deep(1L), deep(2L), deep(3L)).size == 1)
+    assert(deep(1L) != deep(7L))
+  }
+
   test("modularity: two triangles with a bridge, hand formula") {
     // triangles {1,2,3} and {4,5,6}, bridge 3-4: 7 undirected edges,
     // 2m=14, internal rows 6+6, degree mass 7+7
