@@ -167,6 +167,24 @@ object ExtQueries {
           bands = 4, rowsPerBand = 2, maxBucket = 0))
         .orderBy(col("doc_id"))),
 
+    // Incremental component maintenance: the SAME pair graph split into
+    // two arbitrary batches — full closure over batch 1, then
+    // Dedup.incrementalComponents folds batch 2 in by projecting its
+    // endpoints onto stored representatives and closing only that
+    // batch-sized graph. The oracle is x_dedup_clusters' full recursive
+    // closure over ALL pairs: the incremental path must be
+    // bit-identical to recomputing from scratch.
+    "x_cc_incremental" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidatePairs(T(s, dir, "documents"),
+        "doc_id", "text", bands = 4, rowsPerBand = 2, maxBucket = 0)
+        .localCheckpoint(false)
+      val stored = Dedup.connectedComponents(
+        pairs.filter((col("id_a") + col("id_b")) % 2 === 0))
+      Dedup.incrementalComponents(stored,
+          pairs.filter((col("id_a") + col("id_b")) % 2 =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // Label-propagation communities over the same LSH pair graph —
     // the density-sensitive refinement of x_dedup_clusters'
     // components (a bridge edge keeps two blobs in one component; LPA
@@ -4660,6 +4678,8 @@ object ExtQueries {
     "x_dedup_pipeline" -> dedupPipelineOracle,
 
     "x_dedup_clusters" -> clustersOracle,
+    // the incremental fold must equal the full recomputed closure
+    "x_cc_incremental" -> clustersOracle,
 
     "x_label_prop" -> labelPropOracle,
 

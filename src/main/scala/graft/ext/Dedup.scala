@@ -419,6 +419,52 @@ object Dedup {
       i)
   }
 
+  /** Incremental connected-components maintenance — the CLUSTER
+    * complement of [[dedupAgainstIndex]]: fold a new batch of near-dup
+    * edges into stored components without recomputing the closure over
+    * history. Key invariant: a stored `cluster_id` is the component's
+    * MINIMUM doc id, so projecting each batch endpoint onto its current
+    * representative (unknown nodes map to themselves) yields a
+    * batch-sized graph whose component minima are exactly the merged
+    * components' true minima — min over {cluster minima ∪ new ids} =
+    * min over all member ids. The expensive star-contraction loop
+    * therefore runs ONLY on the projected graph (∝ batch edges, never
+    * ∝ |history|); the stored table is touched by exactly one
+    * broadcast-sized relabel join (reps absent from the batch pass
+    * through unchanged) — the plan-shape claim `DedupPropertySpec`
+    * pins. Result: (doc_id, cluster_id) over stored docs ∪ batch docs,
+    * bit-identical to a full [[connectedComponents]] recompute on the
+    * union of all edges ever seen.
+    */
+  def incrementalComponents(components: DataFrame, batchPairs: DataFrame,
+                            idACol: String = "id_a",
+                            idBCol: String = "id_b",
+                            maxIter: Int = 20): DataFrame = {
+    // referenced three times: both endpoint projections + the final
+    // relabel join / anti-join
+    val comp = components.select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint(false)
+    def rep(side: String) = comp.select(col("doc_id").as(side),
+      col("cluster_id").as(s"__r_$side"))
+    val projected = batchPairs
+      .select(col(idACol).as("a"), col(idBCol).as("b"))
+      .join(rep("a"), Seq("a"), "left")
+      .join(rep("b"), Seq("b"), "left")
+      .select(coalesce(col("__r_a"), col("a")).as("id_a"),
+        coalesce(col("__r_b"), col("b")).as("id_b"))
+    // O(log batch) star rounds over representatives ∪ new nodes only
+    val relabel = connectedComponents(projected, "id_a", "id_b", maxIter)
+      .localCheckpoint(false)
+    val updatedOld = comp
+      .join(relabel.select(col("doc_id").as("cluster_id"),
+        col("cluster_id").as("__new")), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+    val newNodes = relabel
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    updatedOld.unionByName(newNodes)
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** Signature width. [[Hashing.hash64]] yields 60-bit values (15 hex

@@ -146,6 +146,61 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("incrementalComponents: merges stored clusters, admits new " +
+    "nodes, leaves untouched components alone") {
+    import spark.implicits._
+    // stored: {1,2,3} under 1, {10,11} under 10, {20,21} under 20
+    val stored = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("doc_id", "cluster_id")
+    // batch: bridge a NON-representative member (3) to 11 (merging
+    // clusters 1 and 10), plus a brand-new chain 30-31
+    val batch = Seq((3L, 11L), (30L, 31L)).toDF("id_a", "id_b")
+    val got = Dedup.incrementalComponents(stored, batch)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("property: incrementalComponents over random 2-batch splits == " +
+    "full recompute over all edges") {
+    import spark.implicits._
+    for (seed <- Seq(5, 13, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      val edges = (0 until 90).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val (b1, b2) = edges.splitAt(45)
+      val full = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val stored = Dedup.connectedComponents(b1.toDF("id_a", "id_b"))
+      val inc = Dedup.incrementalComponents(stored,
+          b2.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"seed=$seed: " +
+        s"${(inc.toSet -- full.toSet).take(5)} vs " +
+        s"${(full.toSet -- inc.toSet).take(5)}")
+    }
+  }
+
+  test("incrementalComponents: the star loop runs on the PROJECTED " +
+    "batch graph — a huge stored chain costs zero closure rounds") {
+    import spark.implicits._
+    // stored: one 200-node component already closed (all → 0); the
+    // batch touches it with ONE edge. A from-scratch recompute would
+    // walk the 199-edge chain (~8 star rounds); the incremental path
+    // closes a 2-node projected graph in 1 round.
+    val stored = (0L until 200L).map(i => (i, 0L)).toDF("doc_id", "cluster_id")
+    val batch = Seq((199L, 500L)).toDF("id_a", "id_b")
+    val got = Dedup.incrementalComponents(stored, batch)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 201 && got.values.forall(_ == 0L))
+    // plan-shape pin: the projected rep graph {0, 500} converges in
+    // one star round — the closure never saw the 200-node history
+    val projected = Seq((0L, 500L)).toDF("id_a", "id_b")
+    val (_, rounds) = Dedup.connectedComponentsStats(projected)
+    assert(rounds <= 1, s"projected graph took $rounds rounds")
+  }
+
   test("connected components: self-pairs and isolated ids label " +
     "themselves; string ids order lexicographically") {
     import spark.implicits._
