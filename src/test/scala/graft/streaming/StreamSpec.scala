@@ -421,6 +421,72 @@ class StreamSpec extends SparkTestBase {
     assert(got.exists(_._5), "expected at least one alarm in the drift")
   }
 
+  test("cusumStream: THE IN-ORDER ARRIVAL CONTRACT — cross-batch " +
+    "disorder steps the recurrence at arrival position, diverging from " +
+    "the time-ordered batch operator by design") {
+    // CusumProcessor sorts within a micro-batch but carries state in
+    // ARRIVAL order across batches: an event that arrives in a later
+    // batch with an earlier timestamp continues the recurrence from
+    // the current state — it is NOT retro-inserted (that would need
+    // unbounded buffering; bound lateness with the source's watermark
+    // if it matters). This test pins the contract in both directions:
+    // the stream equals a plain-Scala arrival-order replay exactly,
+    // and does NOT equal the time-sorted batch operator.
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ck = java.nio.file.Files.createTempDirectory("cusum_ck2").toString
+    val mem = MemoryStream[Event]
+    val q = StreamOps.cusumStream(mem.toDS(), target = 10.0, slack = 1.0,
+        threshold = 5.0)
+      .writeStream.format("memory").queryName("cusum_disorder")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .start()
+    // batch 1 arrives FIRST but holds the LATER timestamps (sec
+    // 100..103); batch 2 arrives second with sec 0..3 — cross-batch
+    // disorder on one user, constant drift value 13
+    val late = (100 until 104).map(s => Event(ts(s), 1L, "m", 13.0))
+    val early = (0 until 4).map(s => Event(ts(s), 1L, "m", 13.0))
+    try {
+      mem.addData(late: _*); q.processAllAvailable()
+      mem.addData(early: _*); q.processAllAvailable()
+    } finally {
+      q.stop()
+      prior match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val got = spark.table("cusum_disorder")
+      .select("sec", "cusum_pos", "cusum_neg", "alarm")
+      .as[(Long, Double, Double, Boolean)].collect().toSet
+    // arrival-order replay: sp += (13 - 10 - 1) = 2 per event, so the
+    // LATE-timestamp rows see sp 2,4,6,8 and the early ones 10..16
+    def replay(order: Seq[Event]): Set[(Long, Double, Double, Boolean)] = {
+      var sp = 0.0; var sn = 0.0
+      order.map { e =>
+        sp = math.max(0.0, sp + (e.value - 10.0 - 1.0))
+        sn = math.max(0.0, sn + (10.0 - e.value - 1.0))
+        (e.ts.getTime / 1000, sp, sn, sp > 5.0 || sn > 5.0)
+      }.toSet
+    }
+    assert(got == replay(late ++ early),
+      "stream must equal the ARRIVAL-order recurrence")
+    val timeOrdered = replay(early ++ late)
+    assert(got != timeOrdered,
+      "disorder must be observable: arrival order is the contract, " +
+        "not event-time order — if these match, the processor started " +
+        "retro-inserting and the documented contract changed")
+    // and under in-order arrival the two notions coincide (the parity
+    // the previous test pins end-to-end against Forecast.cusum)
+    assert(replay(early ++ late) == replay((early ++ late).sortBy(_.ts.getTime)))
+  }
+
   test("textIndexSink: live segments == one-shot index; replayed epoch " +
     "commits nothing; uncommitted segment invisible to queries") {
     implicit val sqlCtx = spark.sqlContext
