@@ -197,19 +197,33 @@ object ScaleBench {
         record("pagerank_3it", factor, s, n)
         // connected components: the star loop executes EAGERLY during
         // construction (per-round convergence counts), so the honest
-        // number is one construction+count, and the ROUND COUNT is the
-        // O(log n) evidence — it must stay flat as the graph grows
-        val t0 = System.nanoTime()
-        val (labels, ccRounds) = Dedup.connectedComponentsStats(pairs)
-        val nLab = labels.count()
-        record("conn_components", factor,
-          (System.nanoTime() - t0) / 1e9, nLab)
-        record("cc_star_rounds(count)", factor, ccRounds.toDouble, nLab)
+        // number is a construction+count — best of two, because a
+        // single shot is exposed to one GC pause across ~10 jobs
+        // (measured: a 13 s blip on a 4 s loop). The ROUND COUNT is
+        // the O(log n) evidence — it must stay flat as the graph grows.
+        def ccOnce(): (Double, Int, Long) = {
+          val t0 = System.nanoTime()
+          val (labels, r) = Dedup.connectedComponentsStats(pairs)
+          val n = labels.count()
+          ((System.nanoTime() - t0) / 1e9, r, n)
+        }
+        val best = Seq(ccOnce(), ccOnce()).minBy(_._1)
+        record("conn_components", factor, best._1, best._3)
+        record("cc_star_rounds(count)", factor, best._2.toDouble, best._3)
       }
       locally {
         val (s, n) = timeDf(
           SparkEntry.queries("x_llm_pipeline2")(spark, dir), runs)
         record("llm_pipeline2", factor, s, n)
+      }
+      // events-table headliners (10M rows at ×100): windowed
+      // sessionization, the 3-step funnel, and the adjacent-pair
+      // Markov transitions — the behavioral family's contract is
+      // shuffles bounded by |users|/|groups|, so these must stay
+      // near-flat as event volume grows
+      for (q <- Seq("x_events_sessions_win", "x_funnel", "x_markov")) {
+        val (s, n) = timeDf(SparkEntry.queries(q)(spark, dir), runs)
+        record(q.stripPrefix("x_"), factor, s, n)
       }
       System.gc()
     }
