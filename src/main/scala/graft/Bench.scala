@@ -10,14 +10,17 @@ object Bench {
   def inferRound(): Int = {
     val dir = java.nio.file.Paths.get(".")
     val re = """BENCH_r(\d+)\.json""".r
-    val it = java.nio.file.Files.list(dir).iterator()
+    val stream = java.nio.file.Files.list(dir)
     var maxN = -1
-    while (it.hasNext) {
-      it.next().getFileName.toString match {
-        case re(n) => maxN = math.max(maxN, n.toInt)
-        case _ =>
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        it.next().getFileName.toString match {
+          case re(n) => maxN = math.max(maxN, n.toInt)
+          case _ =>
+        }
       }
-    }
+    } finally stream.close()
     maxN + 1
   }
 

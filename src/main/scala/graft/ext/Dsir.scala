@@ -133,7 +133,10 @@ object Dsir {
     * repeating > 10^9 times inside one document is not a real corpus)
     * so 9 + 28 + 1 = 38: Spark keeps the full scale 9 instead of
     * silently dropping to scale 6 the way a raw long×decimal multiply
-    * (precision 49 → capped) would.
+    * (precision 49 → capped) would. If a count DOES exceed the
+    * DECIMAL(9,0) cast (nulling the term and silently dropping it from
+    * `weight` while `n_ngrams` kept the raw sum — an inconsistent
+    * score), the per-doc max-count guard raise_error()s instead.
     */
   def scoresFromCounts(counts: DataFrame, idCol: String,
                        model: DataFrame): DataFrame =
@@ -142,8 +145,16 @@ object Dsir {
         col("log_ratio"))), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum(col("__n")).as("n_ngrams"),
+        max(col("__n")).as("__mx"),
         sum(col("__n").cast(DecimalType(9, 0)) * col("log_ratio"))
-          .cast("double").as("weight"))
+          .cast("double").as("__w"))
+      .select(col(idCol), col("n_ngrams"),
+        when(col("__mx") < 1000000000L, col("__w"))
+          .otherwise(raise_error(concat(
+            lit("scoresFromCounts: per-doc bucket count "), col("__mx"),
+            lit(" exceeds DECIMAL(9,0); weight would silently drop the term")))
+            .cast("double"))
+          .as("weight"))
 
   /** Top-k selection by importance weight (the resampling step's
     * deterministic top-quantile variant): global TakeOrderedAndProject

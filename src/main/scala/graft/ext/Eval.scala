@@ -571,19 +571,26 @@ object Eval {
         // CDF-difference leg is ≤ n_a·n_b < 2^126 — exact in
         // DECIMAL(38,0), but silently wrapped in Long once n_a·n_b
         // neared 2^63 (~3e9 rows per side). Residual bound: the full
-        // term gap·|ΔCDF| must fit DECIMAL(38,0) (< 10^38) — beyond
-        // that Spark yields null, never a wrong value.
+        // term gap·|ΔCDF| must fit DECIMAL(38,0) (< 10^38). Past that
+        // Spark nulls the product — and sum() would silently SKIP the
+        // null term, understating the EMD. The agg below counts null
+        // terms and raise_error()s instead of returning a wrong value.
         (col("__next") - col("__s")).cast(DecimalType(38, 0)) *
           abs((col("__lt___ca") + col("__ca")).cast(DecimalType(19, 0)) *
               col("n_b").cast(DecimalType(19, 0)) -
             (col("__lt___cb") + col("__cb")).cast(DecimalType(19, 0)) *
               col("n_a").cast(DecimalType(19, 0))))
       .groupBy(col("n_a"), col("n_b"))
-      .agg(sum(col("__term")).as("__num"))
+      .agg(sum(col("__term")).as("__num"),
+        (count(lit(1)) - count(col("__term"))).as("__overflowed"))
       .select(col("n_a"), col("n_b"),
-        (col("__num").cast("double") /
-          (col("n_a").cast(DecimalType(19, 0)) *
-            col("n_b").cast(DecimalType(19, 0))).cast("double"))
+        when(col("__overflowed") === 0L,
+          col("__num").cast("double") /
+            (col("n_a").cast(DecimalType(19, 0)) *
+              col("n_b").cast(DecimalType(19, 0))).cast("double"))
+          .otherwise(raise_error(concat(lit("emd1d: "), col("__overflowed"),
+            lit(" term(s) overflowed DECIMAL(38,0); result would understate EMD")))
+            .cast("double"))
           .as("emd"))
   }
 }

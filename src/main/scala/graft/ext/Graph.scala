@@ -451,11 +451,16 @@ object Graph {
     * composing the level mappings back down to original nodes. Level-2
     * moves relocate whole level-1 communities at once — exactly the
     * merges one flat level cannot reach once every single-node move is
-    * locally unprofitable — and because each accepted move has
-    * modularity gain ≥ staying put ON THE CONTRACTED GRAPH, and
-    * contracted-graph modularity equals original-graph modularity of
-    * the composed assignment, Q is non-decreasing across rounds AND
-    * levels (pinned by GraphSpec).
+    * locally unprofitable. Each accepted move has modularity gain ≥
+    * staying put ON THE CONTRACTED GRAPH (with the strictly-positive
+    * own-community tie rule killing the zero-gain oscillation class),
+    * and contracted-graph modularity equals original-graph modularity
+    * of the composed assignment. That makes each move individually
+    * non-lowering, but simultaneous strictly-positive moves by two
+    * same-parity nodes can in principle still jointly lower Q —
+    * parity alternation only serializes edge-adjacent swaps — so
+    * monotonicity across rounds/levels is pinned empirically on the
+    * GraphSpec graphs, not guaranteed in general.
     *
     * Scale shape per level: the same two label joins + bounded
     * aggregates as one flat level, but on a graph that SHRINKS

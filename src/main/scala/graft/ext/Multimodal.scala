@@ -437,6 +437,10 @@ object Multimodal {
           s"CRC mismatch in $typ chunk")
         typ match {
           case "IHDR" =>
+            // spec-mandated 13 bytes; a shorter IHDR with a valid CRC
+            // would otherwise read depth/color/interlace from the CRC
+            // or the following chunk's bytes
+            require(len == 13, s"IHDR chunk length must be 13, got $len")
             w = be32(b, dataOff); h = be32(b, dataOff + 4)
             val bitDepth = b(dataOff + 8) & 0xff
             colorType = b(dataOff + 9) & 0xff
