@@ -1017,6 +1017,82 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL JPEG decode path (JDK ImageIO — no new dependency): each
+    // doc_id becomes an actual JPEG of a smooth grayscale gradient
+    // (r=g=b = x·255/w — zero chroma, so 4:2:0 subsampling loses
+    // nothing and only DCT quantization error remains). JPEG is LOSSY,
+    // so the oracle can't replay pixels; per the x_approx_sketches
+    // convention the Spark side grades its own decode against the
+    // generator formula — exact dims plus two tolerance booleans (mean
+    // abs deviation ≤ 2/byte, max deviation ≤ 8; measured ≤ 1 on this
+    // gradient) — and the oracle re-derives dims and pins the booleans.
+    // Encode → decode → grade is one narrow mapPartitions chain.
+    "x_mm_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 13 + 8).toInt
+          val h = (id % 11 + 8).toInt
+          Multimodal.MediaRow(id, Multimodal.ImageIoCodec.JpegMime,
+            Multimodal.ImageIoCodec.encode(w, h,
+              i => (i / 3 % w).toInt * 255 / w,
+              Multimodal.ImageIoCodec.JpegMime))
+        })
+      media.mapPartitions(_.map { r =>
+        val (w, h, _, rgb) = Multimodal.ImageIoCodec.decodeRgb(r.content)
+        var sumDev = 0L; var maxDev = 0
+        var i = 0
+        while (i < rgb.length) {
+          val expected = (i / 3 % w) * 255 / w
+          val d = math.abs((rgb(i) & 0xff) - expected)
+          sumDev += d; if (d > maxDev) maxDev = d
+          i += 1
+        }
+        (r.media_id, w, h, sumDev <= 2L * rgb.length, maxDev <= 8)
+      }).toDF("doc_id", "width", "height", "sum_ok", "maxdev_ok")
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL BMP + GIF decode paths (JDK ImageIO), EXACT oracle: both
+    // containers round-trip losslessly for the rasters used here (BMP
+    // for any RGB raster; GIF because the grayscale raster has ≤256
+    // distinct colors, so the palette covers it — both pinned in
+    // MultimodalSpec), so unlike JPEG the oracle predicts full and
+    // resized pixel sums in closed form, x_mm_png style: any decode
+    // error in the JDK plumbing (or in our raster conversion) breaks
+    // the hash. Even docs carry BMP with a rich RGB formula; odd docs
+    // carry grayscale GIF. The 5×5 resize re-encodes in the SAME
+    // container and decodes AGAIN, so the write path is on the checked
+    // path too. Heights stay ≥ 5 everywhere (including the resize
+    // target): the JDK GIF writer's palette heuristic quantizes
+    // height-4 rasters to a web palette (measured: every h=4 GIF came
+    // back lossy, every h≥5 one exact), which would silently break the
+    // exact-sum contract.
+    "x_mm_imageio" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 9 + 4).toInt
+          val h = (id % 7 + 5).toInt
+          val mime = if (id % 2 == 0) Multimodal.ImageIoCodec.BmpMime
+            else Multimodal.ImageIoCodec.GifMime
+          val px: Int => Int =
+            if (id % 2 == 0) i => ((id * 31 + i * 7) % 256).toInt
+            else i => ((id * 29 + (i / 3) * 13) % 256).toInt
+          Multimodal.MediaRow(id, mime,
+            Multimodal.ImageIoCodec.encode(w, h, px, mime))
+        })
+      media.mapPartitions(_.map { r =>
+        val meta = Multimodal.ImageIoCodec.decodeImage(r)
+        val small = Multimodal.ImageIoCodec.resize(r, 5, 5)
+        (r.media_id, r.mime, meta.width, meta.height,
+          Multimodal.ImageIoCodec.pixelSum(r),
+          Multimodal.ImageIoCodec.pixelSum(small))
+      }).toDF("doc_id", "mime", "width", "height", "pixel_sum",
+          "resized_sum")
+        .orderBy(col("doc_id"))
+    }),
+
     // Concatenated-P6 "video": frame count and sizes come from walking
     // the real headers (PpmCodec.frames), then cross-checked against the
     // oracle's closed-form header lengths.
@@ -6134,6 +6210,61 @@ object ExtQueries {
                         + j % 3) * 11) % 256) AS resized_sum
            FROM rz GROUP BY 1)
          SELECT f.doc_id, f.width, f.height,
+                CAST(f.pixel_sum AS BIGINT) AS pixel_sum,
+                CAST(r.resized_sum AS BIGINT) AS resized_sum
+         FROM fullsum f JOIN rsum r USING (doc_id)
+         ORDER BY f.doc_id""",
+
+    // JPEG is lossy — the oracle re-derives the exact dims and pins the
+    // decode-tolerance booleans the Spark side computed against the
+    // generator formula (x_approx_sketches convention).
+    "x_mm_jpeg" ->
+      """SELECT doc_id,
+           CAST(doc_id % 13 + 8 AS INTEGER) AS width,
+           CAST(doc_id % 11 + 8 AS INTEGER) AS height,
+           TRUE AS sum_ok, TRUE AS maxdev_ok
+         FROM documents ORDER BY doc_id""",
+
+    // BMP (even docs, rich RGB) and GIF (odd docs, grayscale ≤256
+    // colors) round-trip losslessly, so full and 5x5-resized pixel sums
+    // are predicted in closed form exactly like x_mm_png. Heights ≥ 5
+    // dodge the JDK GIF writer's h=4 quantization quirk.
+    "x_mm_imageio" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(doc_id % 9 + 4 AS INTEGER) AS width,
+                  CAST(doc_id % 7 + 5 AS INTEGER) AS height,
+                  doc_id % 2 AS odd
+           FROM documents),
+         px AS (
+           SELECT doc_id, width, height, odd,
+                  unnest(range(0, CAST(3*width*height AS BIGINT))) AS i
+           FROM dims),
+         fullsum AS (
+           SELECT doc_id, width, height, odd,
+                  SUM(CASE WHEN odd = 0 THEN (doc_id*31 + i*7) % 256
+                      ELSE (doc_id*29 + (i // 3)*13) % 256 END) AS pixel_sum
+           FROM px GROUP BY 1, 2, 3, 4),
+         rz AS (
+           SELECT doc_id, width, height, odd, unnest(range(0, 75)) AS j
+           FROM dims),
+         rsum AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN odd = 0 THEN
+                      (doc_id*31 +
+                       (3*(((j // 15) * height // 5) * width
+                           + ((j // 3) % 5) * width // 5)
+                        + j % 3) * 7) % 256
+                    ELSE
+                      (doc_id*29 +
+                       (((j // 15) * height // 5) * width
+                        + ((j // 3) % 5) * width // 5) * 13) % 256
+                    END) AS resized_sum
+           FROM rz GROUP BY 1)
+         SELECT f.doc_id,
+                CASE WHEN f.odd = 0 THEN 'image/bmp'
+                     ELSE 'image/gif' END AS mime,
+                f.width, f.height,
                 CAST(f.pixel_sum AS BIGINT) AS pixel_sum,
                 CAST(r.resized_sum AS BIGINT) AS resized_sum
          FROM fullsum f JOIN rsum r USING (doc_id)

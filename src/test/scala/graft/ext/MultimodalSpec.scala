@@ -355,4 +355,96 @@ class MultimodalSpec extends SparkTestBase {
     val hashes = Multimodal.imageHashes(png).collect()
     assert(hashes.length == 2)
   }
+
+  test("ImageIoCodec: BMP round-trips any RGB raster losslessly") {
+    import Multimodal.ImageIoCodec
+    val px = (i: Int) => (i * 31 + 7) % 256
+    val bmp = MediaRow(1L, ImageIoCodec.BmpMime,
+      ImageIoCodec.encode(17, 9, px, ImageIoCodec.BmpMime))
+    val (w, h, _, rgb) = ImageIoCodec.decodeRgb(bmp.content)
+    assert((w, h) == (17, 9))
+    assert(rgb.indices.forall(i => (rgb(i) & 0xff) == px(i)))
+  }
+
+  test("ImageIoCodec: GIF round-trips a <=256-color (grayscale) raster; " +
+    "the JDK writer's h=4 quantization quirk stays quarantined") {
+    import Multimodal.ImageIoCodec
+    val gray = (i: Int) => ((i / 3) * 13 + 5) % 256 // r=g=b per pixel
+    val gif = MediaRow(1L, ImageIoCodec.GifMime,
+      ImageIoCodec.encode(11, 5, gray, ImageIoCodec.GifMime))
+    val (w, h, _, rgb) = ImageIoCodec.decodeRgb(gif.content)
+    assert((w, h) == (11, 5))
+    assert(rgb.indices.forall(i => (rgb(i) & 0xff) == gray(i)))
+    // the quirk the x_mm_imageio generator must keep dodging: height-4
+    // GIFs come back quantized. If a JDK update fixes it, this alerts
+    // us that the h>=5 constraint can be dropped.
+    val g4 = ImageIoCodec.decodeRgb(ImageIoCodec.encode(11, 4, gray,
+      ImageIoCodec.GifMime))._4
+    assert(g4.indices.exists(i => (g4(i) & 0xff) != gray(i)),
+      "JDK GIF writer now lossless at h=4 — x_mm_imageio can relax h>=5")
+  }
+
+  test("ImageIoCodec: JPEG is lossy but dims exact, smooth gradient " +
+    "stays within tight tolerance") {
+    import Multimodal.ImageIoCodec
+    val wD = 16; val hD = 12
+    val grad = (i: Int) => (i / 3 % wD) * 255 / wD
+    val jpg = MediaRow(1L, ImageIoCodec.JpegMime,
+      ImageIoCodec.encode(wD, hD, grad, ImageIoCodec.JpegMime))
+    val (w, h, _, rgb) = ImageIoCodec.decodeRgb(jpg.content)
+    assert((w, h) == (wD, hD))
+    val devs = rgb.indices.map(i => math.abs((rgb(i) & 0xff) - grad(i)))
+    assert(devs.max <= 8, s"max JPEG deviation ${devs.max} > 8")
+    assert(devs.sum <= 2L * rgb.length)
+  }
+
+  test("ImageIoCodec: same raster as PPM gives identical hash/features/" +
+    "sums (RgbOps delegation), and resize re-encodes in-container") {
+    import Multimodal.{ImageIoCodec, PpmCodec}
+    val px = (i: Int) => (i * 37 + 11) % 256
+    val bmp = MediaRow(1L, ImageIoCodec.BmpMime,
+      ImageIoCodec.encode(20, 12, px, ImageIoCodec.BmpMime))
+    val ppm = MediaRow(2L, PpmCodec.Mime, PpmCodec.encode(20, 12, px))
+    assert(ImageIoCodec.aHash64(bmp) == PpmCodec.aHash64(ppm))
+    assert(ImageIoCodec.featurize(bmp).feature.toSeq ==
+      PpmCodec.featurize(ppm).feature.toSeq)
+    assert(ImageIoCodec.pixelSum(bmp) == PpmCodec.pixelSum(ppm))
+    val small = ImageIoCodec.resize(bmp, 5, 6)
+    assert(small.mime == ImageIoCodec.BmpMime)
+    val smallPpm = PpmCodec.resize(ppm, 5, 6)
+    assert(ImageIoCodec.pixelSum(small) == PpmCodec.pixelSum(smallPpm))
+  }
+
+  test("ImageIoCodec: mime dispatch routes JPEG/GIF/BMP through the " +
+    "generic decode/featurize/resize API") {
+    import Multimodal.ImageIoCodec
+    val gray = (i: Int) => ((i / 3) * 7 + 3) % 256
+    val media = spark.createDataset(Seq(
+      MediaRow(0L, ImageIoCodec.BmpMime,
+        ImageIoCodec.encode(9, 7, i => (i * 5) % 256, ImageIoCodec.BmpMime)),
+      MediaRow(1L, ImageIoCodec.GifMime,
+        ImageIoCodec.encode(8, 6, gray, ImageIoCodec.GifMime)),
+      MediaRow(2L, ImageIoCodec.JpegMime,
+        ImageIoCodec.encode(10, 8, i => (i / 3 % 10) * 255 / 10,
+          ImageIoCodec.JpegMime))))
+    val metas = decodeImages(media).collect().sortBy(_.media_id)
+    assert(metas.map(m => (m.width, m.height)).toSeq ==
+      Seq((9, 7), (8, 6), (10, 8)))
+    val feats = featurize(media).collect()
+    assert(feats.forall(_.feature.length == 8))
+    val small = resize(media, 5, 5).collect().sortBy(_.media_id)
+    assert(small.forall(r =>
+      ImageIoCodec.decodeRgb(r.content)._1 == 5))
+    assert(small.map(_.mime).toSeq == media.collect().map(_.mime).toSeq)
+    val hashes = Multimodal.imageHashes(media).collect()
+    assert(hashes.length == 3)
+  }
+
+  test("ImageIoCodec: corrupt payload and unsupported mime fail fast") {
+    import Multimodal.ImageIoCodec
+    val junk = Array.fill[Byte](32)(0x5a)
+    val e = intercept[IllegalArgumentException](ImageIoCodec.decodeRgb(junk))
+    assert(e.getMessage.contains("could not decode"))
+    intercept[IllegalArgumentException](ImageIoCodec.formatOf("image/tiff"))
+  }
 }
