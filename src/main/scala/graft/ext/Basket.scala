@@ -86,35 +86,51 @@ object Basket {
     */
   /** Frequent triple mining: support per unordered item triple
     * (item_a < item_b < item_c), the 3-itemset step of association-rule
-    * mining. Same grouped row-local emission as [[pairSupport]] — C(b,3)
-    * structs from each basket's sorted item array, no self-joins — so
-    * the `maxBasket` guard is what bounds the cubic per-basket blowup
-    * (A-Priori's candidate pruning trades that for extra passes; with
-    * bounded baskets direct emission is one shuffle and strictly
-    * cheaper). `minSupport` prunes at the count aggregate, BEFORE any
-    * downstream join.
+    * mining. Shape: [[pairSupport]]'s row-local C(b,2) pair emission
+    * (keyed by basket) extended by ONE equi-join back to the exploded
+    * (basket, item) table with the range condition `item_c > item_b`
+    * inside the join — each (a,b) pair picks up exactly its valid
+    * third items, so join output is exactly the C(b,3) triples. The
+    * round-10 verdict measured the previous 3-level nested
+    * `transform`/`slice` HOF tower as the suite's slowest query (the
+    * known interpreted-HOF trap): two HOF levels + a codegen'd
+    * sort-merge join beat three interpreted levels building nested
+    * array-of-array-of-struct per row. Both join inputs descend from
+    * the same basket aggregate (localCheckpoint barrier), already
+    * hash-partitioned by `b`, so the join adds sorts but NO new
+    * shuffle. The `maxBasket` guard still bounds the cubic per-basket
+    * blowup (A-Priori's candidate pruning trades that for extra
+    * passes; with bounded baskets direct emission is one shuffle and
+    * strictly cheaper). `minSupport` prunes at the count aggregate,
+    * BEFORE any downstream join.
     */
   def tripleSupport(df: DataFrame, basketCol: String, itemCol: String,
                     maxBasket: Int = 1000,
                     minSupport: Long = 2): DataFrame = {
     val grouped = df.groupBy(col(basketCol).as("b"))
       .agg(sort_array(collect_set(col(itemCol))).as("items"))
-    val baskets =
+    val filtered =
       if (maxBasket > 0) grouped.filter(size(col("items")) <= maxBasket)
       else grouped
-    val n = size(col("items"))
-    // absolute positions: x at i (0-based); y at i+1+j (element j of the
-    // slice starting 1-based at i+2); z anywhere after y
-    val triples = flatten(transform(col("items"), (x, i) =>
-      flatten(transform(
-        slice(col("items"), i + lit(2), greatest(n - i - 1, lit(0))),
-        (y, j) => transform(
-          slice(col("items"), i + j + lit(3),
-            greatest(n - i - j - 2, lit(0))),
-          z => struct(x.as("item_a"), y.as("item_b"), z.as("item_c")))))))
-    baskets
-      .select(explode(triples).as("t"))
-      .select(col("t.item_a"), col("t.item_b"), col("t.item_c"))
+    // referenced by the pair emission AND the third-item explode —
+    // barrier so the collect_set aggregation runs once
+    val baskets = filtered.localCheckpoint(false)
+    val pairs = baskets
+      .select(col("b"),
+        explode(flatten(transform(col("items"), (x, j) =>
+          transform(
+            slice(col("items"), j + lit(2),
+              greatest(size(col("items")) - j - 1, lit(0))),
+            y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+      .select(col("b"), col("p.item_a"), col("p.item_b"))
+    // distinct column name on the right side: both join inputs descend
+    // from the same checkpointed plan, and same-name Dataset columns in
+    // a self-join resolve ambiguously (Spark warns "trivially true")
+    val thirds = baskets.select(col("b").as("__b_r"),
+      explode(col("items")).as("item_c"))
+    pairs
+      .join(thirds, col("b") === col("__b_r") &&
+        col("item_c") > col("item_b"))
       .groupBy(col("item_a"), col("item_b"), col("item_c"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
