@@ -599,6 +599,31 @@ object ExtQueries {
         centroidIds = (10L to 17L), codebookIds = (20L to 35L),
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, m = 8, nprobe = 2)),
 
+    // Incremental IVF index maintenance (the x_cc_incremental
+    // convention, round-10 verdict task #5): backfill vec_id < 250 as
+    // segment 0 (centroids 10..17 live in that slice, so the fixed
+    // centroid model equals the full-corpus one), append the rest as
+    // segment 1 (only the batch is scanned/assigned/written), then
+    // search the two-segment index at nprobe=2. The oracle is the
+    // FULL-REBUILD assignment (x_ann_ivf_probe2's SQL): segment-merged
+    // search must be bit-identical to rebuilding from scratch — the
+    // 100 TB maintenance path, per-refresh cost ∝ batch.
+    "x_ann_ivf_incremental" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString
+      try {
+        Similarity.initIvfIndex(emb.filter(col("vec_id") < 250),
+          "vec_id", "embedding", centroidIds = (10L to 17L), tmp)
+        Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250),
+          "vec_id", "embedding", tmp)
+        Similarity.ivfTopKSegmented(
+            emb.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L)),
+            "vec_id", "embedding", tmp, k = 10, nprobe = 2)
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp)
+    }),
+
     // Sign random projection 64→8 (JL dimensionality reduction): exact
     // integer sums over the quantized vectors against a literal ±1
     // matrix — row-local, shuffle-free, no transcendental. Exploded to
@@ -5802,6 +5827,36 @@ object ExtQueries {
     // nprobe=2: queries keep their TWO nearest cells; corpus vectors
     // still live in exactly one cell.
     "x_ann_ivf_probe2" ->
+      s"""WITH e AS (SELECT vec_id, $qvec AS v FROM embeddings),
+          cents AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+                    WHERE vec_id IN (10,11,12,13,14,15,16,17)),
+          scoredc AS (
+            SELECT e.vec_id, e.v, centroid_id,
+                   ${cosSql("e.v", "centv")} AS ccos
+            FROM e CROSS JOIN cents),
+          ranked_cells AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, centroid_id) AS rk FROM scoredc),
+          q AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS cell
+                FROM ranked_cells WHERE rk <= 2 AND vec_id IN (0, 1, 2, 3, 4)),
+          c AS (SELECT vec_id AS cand_id, v AS cv, centroid_id AS cell
+                FROM ranked_cells WHERE rk = 1),
+          scored AS (
+            SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cosine
+            FROM c JOIN q USING (cell) WHERE query_id <> cand_id),
+          ranked AS (
+            SELECT query_id, cand_id, cosine,
+              CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+            FROM scored)
+          SELECT query_id, cand_id, cosine, rank FROM ranked
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // The incremental two-segment index must equal a FULL REBUILD:
+    // same SQL as x_ann_ivf_probe2 (centroids 10..17 sit in the
+    // backfill slice, so the fixed centroid model is the full-corpus
+    // one, and per-vector cell assignment is batch-independent).
+    "x_ann_ivf_incremental" ->
       s"""WITH e AS (SELECT vec_id, $qvec AS v FROM embeddings),
           cents AS (SELECT vec_id AS centroid_id, v AS centv FROM e
                     WHERE vec_id IN (10,11,12,13,14,15,16,17)),

@@ -247,30 +247,12 @@ object Retrieval {
     * horizon (a replay older than both cannot occur). */
   def vacuumTextIndex(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, keepVersions: Int = 2): Seq[Long] = {
-    require(keepVersions >= 1, s"keepVersions must be >= 1")
-    val dir = new org.apache.hadoop.fs.Path(indexDir, VersionsDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return Seq.empty
-    val versions = fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      .toSeq.sorted
-    versions.dropRight(keepVersions).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, f"$v%020d"), false))
-    val retained = versions.takeRight(keepVersions)
-      .flatMap(v => readVersion(spark, indexDir, v)).toSet
-    val dead = (for {
-      table <- Seq("postings", "dfreq", "doclen", "stats")
-      p = new org.apache.hadoop.fs.Path(s"$indexDir/$table.parquet")
-      if fs.exists(p)
-      st <- fs.listStatus(p)
-      if st.isDirectory && st.getPath.getName.startsWith("seg=")
-      seg = st.getPath.getName.stripPrefix("seg=").toLong
-      if !retained.contains(seg)
-    } yield { fs.delete(st.getPath, true); seg }).distinct.sorted
-    dead
+    val retained = graft.io.Segments.retainVersions(spark, indexDir,
+      keepVersions)
+    graft.io.Segments.deleteDeadSegments(spark, indexDir,
+      Seq("postings.parquet", "dfreq.parquet", "doclen.parquet",
+        "stats.parquet"), retained)
   }
-
-  private val VersionsDir = "_versions"
 
   /** The ACTIVE segment set — the newest committed version file's
     * list. A version file is created atomically AFTER its segments'
@@ -278,63 +260,19 @@ object Retrieval {
     * write or an in-flight compaction is invisible by construction
     * (the [[graft.io.ZoneMap.commitManifest]] contract, carried to
     * segment SETS so compaction can atomically supersede many
-    * segments with one). */
+    * segments with one). Protocol lives in [[graft.io.Segments]],
+    * shared with the IVF vector index. */
   def committedSegments(spark: org.apache.spark.sql.SparkSession,
-                        indexDir: String): Seq[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(indexDir, VersionsDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Seq.empty
-    else {
-      val vs = fs.listStatus(dir).iterator.map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
-      if (vs.isEmpty) Seq.empty
-      else readVersion(spark, indexDir, vs.max)
-    }
-  }
+                        indexDir: String): Seq[Long] =
+    graft.io.Segments.committedSegments(spark, indexDir)
 
-  /** Union of every retained version's segment list — the replay-
-    * idempotence domain (a compacted-away epoch must stay a no-op). */
   private def allSegmentsEver(spark: org.apache.spark.sql.SparkSession,
-                              indexDir: String): Seq[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(indexDir, VersionsDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      .flatMap(v => readVersion(spark, indexDir, v)).toSeq.distinct.sorted
-  }
-
-  private def readVersion(spark: org.apache.spark.sql.SparkSession,
-                          indexDir: String, v: Long): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(
-      s"$indexDir/$VersionsDir", f"$v%020d")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val bytes = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      buf.toByteArray
-    } finally in.close()
-    val s = new String(bytes, "UTF-8").trim
-    if (s.isEmpty) Seq.empty
-    else s.split(",").iterator.map(_.trim.toLong).toSeq.sorted
-  }
+                              indexDir: String): Seq[Long] =
+    graft.io.Segments.allSegmentsEver(spark, indexDir)
 
   private def commitVersion(spark: org.apache.spark.sql.SparkSession,
-                            indexDir: String, segs: Seq[Long]): Long = {
-    val dir = new org.apache.hadoop.fs.Path(indexDir, VersionsDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next =
-      (if (!fs.exists(dir)) Seq.empty[Long]
-       else fs.listStatus(dir).iterator.map(_.getPath.getName)
-         .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq)
-        .maxOption.getOrElse(-1L) + 1L
-    val marker = new org.apache.hadoop.fs.Path(dir, f"$next%020d")
-    val out = fs.create(marker, false) // atomic claim of this version
-    try out.write(segs.distinct.sorted.mkString(",").getBytes("UTF-8"))
-    finally out.close()
-    next
-  }
+                            indexDir: String, segs: Seq[Long]): Long =
+    graft.io.Segments.commitVersion(spark, indexDir, segs)
 
   private def readNBuckets(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String, committed: Seq[Long]): Int = {

@@ -627,6 +627,162 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- segmented (incremental) IVF index --------------------------------
+  //
+  // saveIvfIndex is build-once: refreshing a 100 TB vector corpus by
+  // rebuilding the whole index per batch is the one maintenance shape
+  // that does NOT scale. This is the text-index treatment
+  // (Retrieval.appendTextIndexAs conventions, round-10 verdict task #5)
+  // applied to vectors — the Lucene segment model:
+  //
+  //   <indexDir>/centroids.parquet              (centroid_id, centv),
+  //                         fixed at init so every segment assigns with
+  //                         the SAME cells (append-time assignment must
+  //                         agree with init-time or probes miss vectors)
+  //   <indexDir>/vectors.parquet/seg=<s>/cell=<c>/   (id, v)
+  //   <indexDir>/_versions/<n>          committed segment sets
+  //                         (graft.io.Segments, shared with Retrieval)
+  //
+  // Append writes ONLY the batch's segment tree (cost ∝ batch); queries
+  // read every committed segment's PROBED cells (partition pruning on
+  // both seg and cell) and merge by simple union — exact, because cell
+  // membership is a per-vector property and segments hold disjoint ids.
+  // Compaction folds the committed segments into one (cuts file-open
+  // fan-out from |segments| back to 1 per cell); vacuum deletes
+  // superseded trees after a retention window. Contract: a vector id
+  // lives in exactly ONE segment (append-only corpus — dedup upstream).
+
+  private def ivfSegCentroids(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/centroids.parquet")
+
+  /** One segment's cell-partitioned vector tree; per-directory
+    * overwrite keeps retries idempotent, visibility comes from the
+    * caller's version commit. */
+  private def writeIvfSegment(vecs: DataFrame, idCol: String,
+                              vecCol: String, indexDir: String,
+                              seg: Long): Unit = {
+    val cents = ivfSegCentroids(vecs.sparkSession, indexDir)
+    assignCells(vecs, idCol, vecCol, cents, probes = 1)
+      .select(col(idCol).as("id"), col("v"), col("centroid_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/vectors.parquet/seg=$seg")
+  }
+
+  /** Backfill: own the directory, persist the centroid model, write
+    * segment 0, commit. `centroidIds` select the seed vectors from
+    * `emb` exactly like [[ivfTopK]]. */
+  def initIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                   centroidIds: Seq[Long], indexDir: String): Unit = {
+    val spark = emb.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    centroidsOf(emb, idCol, vecCol, centroidIds)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+    writeIvfSegment(emb, idCol, vecCol, indexDir, seg = 0L)
+    graft.io.Segments.commitVersion(spark, indexDir, Seq(0L))
+  }
+
+  /** Append a batch as the next segment: only the batch is scanned and
+    * assigned, only new `seg=` directories are written. */
+  def appendIvfIndex(newVecs: DataFrame, idCol: String,
+                     vecCol: String, indexDir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val ever = graft.io.Segments.allSegmentsEver(spark, indexDir)
+    require(ever.nonEmpty,
+      s"no committed segments under $indexDir — initIvfIndex first")
+    appendIvfIndexAs(newVecs, idCol, vecCol, indexDir, ever.max + 1L)
+  }
+
+  /** Append under an EXPLICIT segment id — the exactly-once form: a
+    * segment id that was EVER committed makes the call a no-op (a
+    * replayed micro-batch indexes nothing twice, even after compaction
+    * superseded its segment); a crashed half-written attempt is
+    * invisible and the retry overwrites its leftovers. */
+  def appendIvfIndexAs(newVecs: DataFrame, idCol: String, vecCol: String,
+                       indexDir: String, seg: Long): Unit = {
+    val spark = newVecs.sparkSession
+    if (graft.io.Segments.allSegmentsEver(spark, indexDir).contains(seg))
+      return
+    writeIvfSegment(newVecs, idCol, vecCol, indexDir, seg)
+    graft.io.Segments.commitVersion(spark, indexDir,
+      graft.io.Segments.committedSegments(spark, indexDir) :+ seg)
+  }
+
+  /** Fold the committed segments into ONE (the Lucene merge), derived
+    * from the index itself — vectors union verbatim, no re-assignment
+    * (cell membership is per-vector and centroids are fixed). Old
+    * trees stay for in-flight readers until [[vacuumIvfIndex]]. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): Long = {
+    val committed = graft.io.Segments.committedSegments(spark, indexDir)
+    require(committed.nonEmpty, s"nothing to compact under $indexDir")
+    val merged =
+      graft.io.Segments.allSegmentsEver(spark, indexDir).max + 1L
+    spark.read.parquet(s"$indexDir/vectors.parquet")
+      .filter(col("seg").isin(committed: _*))
+      .select(col("id"), col("v"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/vectors.parquet/seg=$merged")
+    graft.io.Segments.commitVersion(spark, indexDir, Seq(merged))
+    merged
+  }
+
+  /** Retention: keep the newest `keepVersions` versions, delete every
+    * segment tree no retained version references. Returns deleted
+    * segment ids. */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, keepVersions: Int = 2): Seq[Long] = {
+    val retained = graft.io.Segments.retainVersions(spark, indexDir,
+      keepVersions)
+    graft.io.Segments.deleteDeadSegments(spark, indexDir,
+      Seq("vectors.parquet"), retained)
+  }
+
+  /** The cells a query set probes against the segmented index — the
+    * KB-sized driver list ([[probeCells]] for the segmented layout). */
+  def probeCellsSeg(queries: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, nprobe: Int): Seq[Long] = {
+    val cents = ivfSegCentroids(queries.sparkSession, indexDir)
+    assignCells(queries, idCol, vecCol, cents, nprobe)
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  /** Search the segmented index: identical scoring/tie discipline to
+    * [[ivfTopK]]/[[ivfTopKIndexed]]; the vector scan carries partition
+    * filters on BOTH `seg` (committed set — torn segments invisible)
+    * and `cell` (probed set — IO ∝ nprobe/C of the index), and
+    * segments merge by union because their id sets are disjoint. */
+  def ivfTopKSegmented(queries: DataFrame, idCol: String, vecCol: String,
+                       indexDir: String, k: Int,
+                       nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = queries.sparkSession
+    val committed = graft.io.Segments.committedSegments(spark, indexDir)
+    require(committed.nonEmpty, s"no committed segments under $indexDir")
+    val cents = ivfSegCentroids(spark, indexDir)
+    val q = assignCells(queries, idCol, vecCol, cents, nprobe)
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("centroid_id").as("cell"))
+    val probed = probeCellsSeg(queries, idCol, vecCol, indexDir, nprobe)
+    val c = spark.read.parquet(s"$indexDir/vectors.parquet")
+      .filter(col("seg").isin(committed: _*) &&
+        col("cell").isin(probed: _*))
+      .select(col("id").as("cand_id"), col("v").as("cv"), col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineQ(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact squared L2 distance between quantized vectors via three
     * native dot products (d(a,b)² = a·a − 2a·b + b·b) — integer-exact
     * (quantized 64-dim coordinates keep every term far under 2^53), so

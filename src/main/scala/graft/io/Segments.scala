@@ -1,0 +1,124 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Versioned segment-set commit markers — the tiny filesystem protocol
+  * behind every SEGMENTED index in the engine (the text inverted index
+  * in [[graft.ext.Retrieval]], the IVF vector index in
+  * [[graft.ext.Similarity]]): a `_versions/<n>` marker file, created
+  * atomically AFTER its segments' tables land, names the exact segment
+  * set a reader may see. Consequences readers get for free:
+  *
+  *   - a torn or in-flight segment write (no marker) is invisible;
+  *   - compaction atomically supersedes many segments with one by
+  *     committing a new version whose set is just the merged segment;
+  *   - replay idempotence: a segment id that was EVER part of a
+  *     committed version must never be written again (the exactly-once
+  *     contract streaming epoch-commits rely on), which is why
+  *     [[allSegmentsEver]] spans every RETAINED version, not just the
+  *     newest.
+  *
+  * Extracted from Retrieval (round-11) so the text and vector indexes
+  * share one implementation instead of two copies of a consistency
+  * protocol. All operations are driver-side metadata on KB-sized
+  * marker files — never data IO.
+  */
+object Segments {
+
+  val VersionsDir = "_versions"
+
+  private def versionsPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, VersionsDir)
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All version numbers present, ascending. */
+  def listVersions(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val dir = versionsPath(indexDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .toSeq.sorted
+  }
+
+  /** The segment ids one version file names (sorted). */
+  def readVersion(spark: SparkSession, indexDir: String,
+                  v: Long): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(versionsPath(indexDir), f"$v%020d")
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toByteArray
+    } finally in.close()
+    val s = new String(bytes, "UTF-8").trim
+    if (s.isEmpty) Seq.empty
+    else s.split(",").iterator.map(_.trim.toLong).toSeq.sorted
+  }
+
+  /** Write the next version marker naming `segs` as the new active
+    * set; `create(p, false)` makes claiming a version number atomic.
+    * Returns the committed version number. */
+  def commitVersion(spark: SparkSession, indexDir: String,
+                    segs: Seq[Long]): Long = {
+    val dir = versionsPath(indexDir)
+    val fs = fsOf(spark, dir)
+    val next = listVersions(spark, indexDir).maxOption.getOrElse(-1L) + 1L
+    val marker = new org.apache.hadoop.fs.Path(dir, f"$next%020d")
+    val out = fs.create(marker, false) // atomic claim of this version
+    try out.write(segs.distinct.sorted.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    next
+  }
+
+  /** The ACTIVE segment set — the newest committed version's list. */
+  def committedSegments(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val vs = listVersions(spark, indexDir)
+    if (vs.isEmpty) Seq.empty else readVersion(spark, indexDir, vs.max)
+  }
+
+  /** Union of every retained version's segment list — the
+    * replay-idempotence domain (a compacted-away epoch must stay a
+    * no-op). */
+  def allSegmentsEver(spark: SparkSession, indexDir: String): Seq[Long] =
+    listVersions(spark, indexDir)
+      .flatMap(v => readVersion(spark, indexDir, v)).distinct.sorted
+
+  /** Retention step 1: keep the newest `keepVersions` marker files,
+    * delete the rest, and return the segment ids the RETAINED versions
+    * still reference (the survivors any vacuum must keep on disk). */
+  def retainVersions(spark: SparkSession, indexDir: String,
+                     keepVersions: Int): Set[Long] = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val dir = versionsPath(indexDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return Set.empty
+    val versions = listVersions(spark, indexDir)
+    versions.dropRight(keepVersions).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f"$v%020d"), false))
+    versions.takeRight(keepVersions)
+      .flatMap(v => readVersion(spark, indexDir, v)).toSet
+  }
+
+  /** Retention step 2: under each `<indexDir>/<table>` directory,
+    * delete every `seg=<s>` tree whose id is not in `retained`.
+    * Returns the deleted segment ids (distinct, sorted). */
+  def deleteDeadSegments(spark: SparkSession, indexDir: String,
+                         tables: Seq[String],
+                         retained: Set[Long]): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = fsOf(spark, root)
+    (for {
+      table <- tables
+      p = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+      if fs.exists(p)
+      st <- fs.listStatus(p)
+      if st.isDirectory && st.getPath.getName.startsWith("seg=")
+      seg = st.getPath.getName.stripPrefix("seg=").toLong
+      if !retained.contains(seg)
+    } yield { fs.delete(st.getPath, true); seg }).distinct.sorted
+  }
+}

@@ -63,4 +63,73 @@ class IvfIndexSpec extends SparkTestBase {
       s"expected ${probed.size} partitions read, " +
         s"metrics=${exec.metrics.get("numPartitions").map(_.value)}")
   }
+
+  test("segmented IVF: init+append == full rebuild == in-memory ivfTopK " +
+    "(bit-exact), at nprobe 1 and 2") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val inc = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    Similarity.initIvfIndex(emb.filter(col("vec_id") < 250), "vec_id",
+      "embedding", centroidIds, inc)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), "vec_id",
+      "embedding", inc)
+    Similarity.initIvfIndex(emb, "vec_id", "embedding", centroidIds, full)
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+    for (nprobe <- Seq(1, 2)) {
+      val got = Similarity.ivfTopKSegmented(queries, "vec_id", "embedding",
+        inc, k = 10, nprobe = nprobe).collect().toSeq
+      val rebuilt = Similarity.ivfTopKSegmented(queries, "vec_id",
+        "embedding", full, k = 10, nprobe = nprobe).collect().toSeq
+      val mem = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        centroidIds, queryIds, k = 10, nprobe = nprobe).collect().toSeq
+      assert(got == rebuilt, s"incremental != rebuild at nprobe=$nprobe")
+      assert(got == mem, s"segmented != in-memory at nprobe=$nprobe")
+    }
+    // probed-cell partition pruning carries to the segmented layout
+    val probed = Similarity.probeCellsSeg(queries, "vec_id", "embedding",
+      inc, nprobe = 1)
+    val scan = spark.read.parquet(s"$inc/vectors.parquet")
+      .filter(col("seg").isin(0L, 1L) && col("cell").isin(probed: _*))
+    val exec = scan.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(exec.partitionFilters.nonEmpty,
+      "seg/cell IN filters must prune partitions, not rows")
+    assert(scan.collect().map(_.getAs[Number]("cell").longValue())
+      .distinct.toSeq.sorted == probed)
+  }
+
+  test("segmented IVF: replayed epoch is a no-op; compaction folds to " +
+    "one segment and vacuum deletes superseded trees, search unchanged") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_seg").toString
+    Similarity.initIvfIndex(emb.filter(col("vec_id") < 250), "vec_id",
+      "embedding", centroidIds, dir)
+    val batch = emb.filter(col("vec_id") >= 250)
+    Similarity.appendIvfIndexAs(batch, "vec_id", "embedding", dir, seg = 7L)
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+    val before = Similarity.ivfTopKSegmented(queries, "vec_id",
+      "embedding", dir, k = 10, nprobe = 2).collect().toSeq
+    // replay: same explicit segment id again — nothing may change
+    Similarity.appendIvfIndexAs(batch, "vec_id", "embedding", dir, seg = 7L)
+    assert(graft.io.Segments.committedSegments(spark, dir) == Seq(0L, 7L),
+      "replayed epoch must not commit a new segment")
+    assert(Similarity.ivfTopKSegmented(queries, "vec_id", "embedding",
+      dir, k = 10, nprobe = 2).collect().toSeq == before)
+    // compact: one merged segment, identical answers
+    val merged = Similarity.compactIvfIndex(spark, dir)
+    assert(graft.io.Segments.committedSegments(spark, dir) == Seq(merged))
+    assert(Similarity.ivfTopKSegmented(queries, "vec_id", "embedding",
+      dir, k = 10, nprobe = 2).collect().toSeq == before)
+    // replay AFTER compaction superseded seg 7: still a no-op
+    Similarity.appendIvfIndexAs(batch, "vec_id", "embedding", dir, seg = 7L)
+    assert(graft.io.Segments.committedSegments(spark, dir) == Seq(merged))
+    // vacuum keepVersions=1: segments 0 and 7 physically deleted
+    val dead = Similarity.vacuumIvfIndex(spark, dir, keepVersions = 1)
+    assert(dead == Seq(0L, 7L), s"expected dead segs 0,7 got $dead")
+    val segDirs = new java.io.File(s"$dir/vectors.parquet").listFiles()
+      .filter(_.getName.startsWith("seg=")).map(_.getName).toSeq.sorted
+    assert(segDirs == Seq(s"seg=$merged"))
+    assert(Similarity.ivfTopKSegmented(queries, "vec_id", "embedding",
+      dir, k = 10, nprobe = 2).collect().toSeq == before)
+  }
 }
