@@ -254,6 +254,17 @@ object Retrieval {
         "stats.parquet"), retained)
   }
 
+  /** Consistency report for the index's segment store — one row per
+    * segment with status ok / historical / orphan / missing and a
+    * table-presence count ([[graft.io.Segments.fsck]] over the four
+    * index tables). `missing` on an ACTIVE segment means queries are
+    * losing rows NOW; `orphan` is reclaimable dead weight. */
+  def fsckIndex(spark: org.apache.spark.sql.SparkSession,
+                indexDir: String): DataFrame =
+    graft.io.Segments.fsck(spark, indexDir,
+      Seq("postings.parquet", "dfreq.parquet", "doclen.parquet",
+        "stats.parquet"))
+
   /** The ACTIVE segment set — the newest committed version file's
     * list. A version file is created atomically AFTER its segments'
     * tables land, so readers resolve a consistent set: a torn segment

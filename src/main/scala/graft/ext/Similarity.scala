@@ -740,6 +740,13 @@ object Similarity {
       Seq("vectors.parquet"), retained)
   }
 
+  /** Consistency report for the segmented vector index
+    * ([[graft.io.Segments.fsck]] over the vectors table):
+    * ok / historical / orphan / missing per segment. */
+  def fsckIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): DataFrame =
+    graft.io.Segments.fsck(spark, indexDir, Seq("vectors.parquet"))
+
   /** The cells a query set probes against the segmented index — the
     * KB-sized driver list ([[probeCells]] for the segmented layout). */
   def probeCellsSeg(queries: DataFrame, idCol: String, vecCol: String,

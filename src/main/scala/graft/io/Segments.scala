@@ -103,6 +103,53 @@ object Segments {
       .flatMap(v => readVersion(spark, indexDir, v)).toSet
   }
 
+  /** Manifest↔directory consistency report — [[graft.io.Cow.fsck]]'s
+    * classification carried to segment stores. One row per segment id
+    * seen on disk or in any retained version:
+    *
+    *   - `ok`: in the ACTIVE (newest) version and present in every
+    *     table directory — what queries actually read;
+    *   - `historical`: referenced only by an older retained version,
+    *     still on disk (awaiting [[retainVersions]]/vacuum);
+    *   - `orphan`: on disk but referenced by NO retained version — a
+    *     crashed half-write (never committed); harmless to readers
+    *     (never scanned: `seg` partition filters come from version
+    *     files) and reclaimed by the next vacuum's dead-segment sweep;
+    *   - `missing`: referenced by a retained version but absent from
+    *     one or more table directories — real corruption; if the
+    *     version is active, queries WILL lose rows.
+    *
+    * `n_tables_present`/`n_tables` diagnose partial trees (a segment
+    * present in postings but not doclen is `missing` with 3/4).
+    * Driver-side directory listings only — never data IO.
+    */
+  def fsck(spark: SparkSession, indexDir: String,
+           tables: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val active = committedSegments(spark, indexDir).toSet
+    val retained = allSegmentsEver(spark, indexDir).toSet
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = fsOf(spark, root)
+    val presentCount: Map[Long, Int] = (for {
+      table <- tables
+      p = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+      if fs.exists(p)
+      st <- fs.listStatus(p)
+      if st.isDirectory && st.getPath.getName.startsWith("seg=")
+    } yield st.getPath.getName.stripPrefix("seg=").toLong)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    (retained ++ presentCount.keySet).toSeq.sorted.map { s =>
+      val n = presentCount.getOrElse(s, 0)
+      val status =
+        if (active(s) && n == tables.size) "ok"
+        else if (active(s)) "missing"
+        else if (retained(s) && n > 0) "historical"
+        else if (n > 0) "orphan"
+        else "missing" // referenced by an old version only, and gone
+      (s, status, n, tables.size)
+    }.toDF("seg", "status", "n_tables_present", "n_tables")
+  }
+
   /** Retention step 2: under each `<indexDir>/<table>` directory,
     * delete every `seg=<s>` tree whose id is not in `retained`.
     * Returns the deleted segment ids (distinct, sorted). */

@@ -212,4 +212,45 @@ class RetrievalSpec extends SparkTestBase {
       dir, k = 10).orderBy("query_id", "rank").collect().toSeq
     assert(vacuumed == before)
   }
+
+  test("fsckIndex classifies ok / historical / orphan / missing " +
+    "segments (planted faults)") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("ti_fsck").toString
+    Retrieval.saveTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, nBuckets = 16)
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dir)
+    def statusOf(): Map[Long, (String, Int)] =
+      Retrieval.fsckIndex(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // healthy two-segment index: both active and complete
+    assert(statusOf() == Map(0L -> ("ok", 4), 1L -> ("ok", 4)))
+
+    // compaction supersedes 0,1 -> historical (still on disk, older
+    // version references them); merged segment is the active ok
+    val merged = Retrieval.compactTextIndex(spark, dir)
+    assert(statusOf() == Map(0L -> ("historical", 4),
+      1L -> ("historical", 4), merged -> ("ok", 4)))
+
+    // planted orphan: a segment tree no version ever committed (the
+    // crashed half-write shape — writeSegment done, commit never ran)
+    assert(new java.io.File(s"$dir/postings.parquet/seg=99").mkdirs())
+    assert(statusOf()(99L) == ("orphan", 1))
+
+    // planted corruption: delete the ACTIVE segment's doclen tree ->
+    // missing with 3 of 4 tables present
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(s"$dir/doclen.parquet/seg=$merged"))
+    assert(statusOf()(merged) == ("missing", 3))
+
+    // vacuum to the newest version: historical trees AND the orphan
+    // are reclaimed (deleteDeadSegments drops every tree no retained
+    // version references — the orphan is exactly such a tree), so the
+    // report shrinks to the one corrupted active segment
+    Retrieval.vacuumTextIndex(spark, dir, keepVersions = 1)
+    assert(statusOf() == Map(merged -> ("missing", 3)))
+  }
 }
