@@ -1155,33 +1155,55 @@ object StreamOps {
 
   /** Streaming CUSUM (`graft.ext.Forecast.cusum`'s recurrence carried
     * ACROSS micro-batches): per-key (S⁺, S⁻) in a ValueState, events
-    * sorted by time within each batch before stepping the recurrence —
-    * the sequential per-key scan, resumed from the state store instead
-    * of a partition iterator. Emits one row per event (Append).
+    * BUFFERED until the watermark passes them, then stepped through the
+    * recurrence in (time, value) order — the [[SessionProcessor]]
+    * buffer-within-watermark pattern applied to an order-dependent
+    * recurrence (round-10 verdict task #4; rounds ≤10 pinned an
+    * arrival-order contract instead). Emits one row per event (Append),
+    * delayed by the watermark.
     *
-    * Ordering contract: exact parity with the batch operator requires
-    * events to arrive in time order ACROSS batches (the in-order
-    * arrival contract [[curationSink]] documents); a late event steps
-    * the recurrence at arrival position, not event position — bound it
-    * with the source's watermark if late data matters.
+    * Ordering contract: equals the time-ordered batch operator for ANY
+    * arrival order whose lateness the watermark covers. An event is
+    * released only once the watermark is strictly past its timestamp,
+    * at which point (a) every earlier event already flushed sits before
+    * it in the recurrence and (b) no earlier event can still arrive
+    * (later ones are dropped by the engine's late-row filter) — so the
+    * recurrence consumes a totally ordered stream. State per key is
+    * (S⁺, S⁻) plus the events inside the watermark horizon + one
+    * timer — bounded by the delay window, the 100 TB contract.
     */
   class CusumProcessor(target: Double, slack: Double, threshold: Double)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, CusumOut] {
-    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
 
     @transient private var st: ValueState[CusumState] = _
+    @transient private var buf: ListState[Event] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[CusumState]("cusum",
         Encoders.product[CusumState], TTLConfig.NONE)
+      buf = getHandle.getListState[Event]("buffer",
+        Encoders.product[Event], TTLConfig.NONE)
+    }
 
-    override def handleInputRows(user: Long, rows: Iterator[Event],
-        tv: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[CusumOut] = {
+    private def rearm(pending: Seq[Event]): Unit = {
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // fires once the watermark is strictly past the earliest pending
+      // event — the release condition below
+      if (pending.nonEmpty)
+        getHandle.registerTimer(pending.map(_.ts.getTime).min + 1)
+    }
+
+    /** Release every buffered event the watermark has passed, in
+      * (time, value) order, through the recurrence; keep the rest. */
+    private def flush(user: Long, wm: Long): Iterator[CusumOut] = {
+      val (due, keep) = buf.get().toList.partition(_.ts.getTime < wm)
       var cur = if (st.exists()) st.get() else CusumState(0.0, 0.0)
-      val out = rows.toArray.sortBy(e => (e.ts.getTime, e.value)).map { e =>
+      val out = due.sortBy(e => (e.ts.getTime, e.value)).map { e =>
         val x = e.value
         val sp = math.max(0.0, cur.sp + (x - target - slack))
         val sn = math.max(0.0, cur.sn + (target - x - slack))
@@ -1190,19 +1212,41 @@ object StreamOps {
           sp > threshold || sn > threshold)
       }
       st.update(cur)
+      buf.clear()
+      if (keep.nonEmpty) buf.put(keep.toArray)
+      rearm(keep)
       out.iterator
     }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[CusumOut] = {
+      rows.foreach(buf.appendValue)
+      // opportunistic flush against the batch's watermark; the timer
+      // covers keys that receive no further input
+      flush(user, tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[CusumOut] =
+      flush(user, tv.getCurrentWatermarkInMs())
   }
 
-  /** Wire [[CusumProcessor]] over a stream of [[Event]]s keyed by user. */
+  /** Wire [[CusumProcessor]] over a stream of [[Event]]s keyed by user.
+    * `watermarkDelay` is the disorder tolerance: events later than it
+    * are dropped by the engine; everything inside it lands in exact
+    * time order. Output for an event appears once the watermark passes
+    * its timestamp (drive the watermark forward to drain the tail). */
   def cusumStream(events: Dataset[Event], target: Double, slack: Double,
-                  threshold: Double): Dataset[CusumOut] = {
+                  threshold: Double,
+                  watermarkDelay: String = "10 seconds"
+                 ): Dataset[CusumOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .transformWithState(new CusumProcessor(target, slack, threshold),
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   // ---- live inverted text index ---------------------------------------

@@ -396,6 +396,11 @@ class StreamSpec extends SparkTestBase {
     }
     try {
       evs.grouped(4).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // events now emit once the WATERMARK passes them: push it far past
+      // the data with sentinel events on an unrelated key (two batches,
+      // so the advanced watermark reaches the timer-firing batch)
+      mem.addData(Event(ts(59), 99L, "m", 10.0)); q.processAllAvailable()
+      mem.addData(Event(ts(59, 1), 99L, "m", 10.0)); q.processAllAvailable()
     } finally {
       q.stop()
       prior match {
@@ -406,6 +411,7 @@ class StreamSpec extends SparkTestBase {
       }
     }
     val got = spark.table("cusum_out")
+      .filter($"user_id".isin(1L, 2L))
       .select("user_id", "sec", "cusum_pos", "cusum_neg", "alarm")
       .as[(Long, Long, Double, Double, Boolean)].collect().toSet
     val batch = graft.ext.Forecast.cusum(
@@ -421,17 +427,14 @@ class StreamSpec extends SparkTestBase {
     assert(got.exists(_._5), "expected at least one alarm in the drift")
   }
 
-  test("cusumStream: THE IN-ORDER ARRIVAL CONTRACT — cross-batch " +
-    "disorder steps the recurrence at arrival position, diverging from " +
-    "the time-ordered batch operator by design") {
-    // CusumProcessor sorts within a micro-batch but carries state in
-    // ARRIVAL order across batches: an event that arrives in a later
-    // batch with an earlier timestamp continues the recurrence from
-    // the current state — it is NOT retro-inserted (that would need
-    // unbounded buffering; bound lateness with the source's watermark
-    // if it matters). This test pins the contract in both directions:
-    // the stream equals a plain-Scala arrival-order replay exactly,
-    // and does NOT equal the time-sorted batch operator.
+  test("cusumStream: WATERMARK-BOUNDED DISORDER — a whole batch of " +
+    "earlier-timestamped events arriving late is retro-inserted, so the " +
+    "stream equals the time-ordered batch operator, not arrival order") {
+    // Rounds <= 10 pinned an arrival-order contract here; the processor
+    // now buffers within the watermark (the sessionizeTws pattern), so
+    // an event is stepped through the recurrence only once the
+    // watermark is strictly past its timestamp — by then every earlier
+    // event has either flushed before it or been dropped as too late.
     implicit val sqlCtx = spark.sqlContext
     val prior = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
@@ -439,20 +442,25 @@ class StreamSpec extends SparkTestBase {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ck = java.nio.file.Files.createTempDirectory("cusum_ck2").toString
     val mem = MemoryStream[Event]
+    // delay must cover the planted disorder (late batch leads the
+    // early one by ~103 minutes of event time)
     val q = StreamOps.cusumStream(mem.toDS(), target = 10.0, slack = 1.0,
-        threshold = 5.0)
+        threshold = 5.0, watermarkDelay = "7200 seconds")
       .writeStream.format("memory").queryName("cusum_disorder")
       .outputMode("append")
       .option("checkpointLocation", ck)
       .start()
-    // batch 1 arrives FIRST but holds the LATER timestamps (sec
-    // 100..103); batch 2 arrives second with sec 0..3 — cross-batch
+    // batch 1 arrives FIRST but holds the LATER timestamps (minute
+    // 100..103); batch 2 arrives second with minute 0..3 — cross-batch
     // disorder on one user, constant drift value 13
     val late = (100 until 104).map(s => Event(ts(s), 1L, "m", 13.0))
     val early = (0 until 4).map(s => Event(ts(s), 1L, "m", 13.0))
     try {
       mem.addData(late: _*); q.processAllAvailable()
       mem.addData(early: _*); q.processAllAvailable()
+      // drive the watermark past everything so the buffer drains
+      mem.addData(Event(ts(10000), 99L, "m", 10.0)); q.processAllAvailable()
+      mem.addData(Event(ts(10001), 99L, "m", 10.0)); q.processAllAvailable()
     } finally {
       q.stop()
       prior match {
@@ -463,10 +471,11 @@ class StreamSpec extends SparkTestBase {
       }
     }
     val got = spark.table("cusum_disorder")
+      .filter($"user_id" === 1L)
       .select("sec", "cusum_pos", "cusum_neg", "alarm")
       .as[(Long, Double, Double, Boolean)].collect().toSet
-    // arrival-order replay: sp += (13 - 10 - 1) = 2 per event, so the
-    // LATE-timestamp rows see sp 2,4,6,8 and the early ones 10..16
+    // plain-Scala replay in a given order: sp += (13 - 10 - 1) = 2 per
+    // event; time order puts sp 2..8 on the early rows, 10..16 on late
     def replay(order: Seq[Event]): Set[(Long, Double, Double, Boolean)] = {
       var sp = 0.0; var sn = 0.0
       order.map { e =>
@@ -475,15 +484,13 @@ class StreamSpec extends SparkTestBase {
         (e.ts.getTime / 1000, sp, sn, sp > 5.0 || sn > 5.0)
       }.toSet
     }
-    assert(got == replay(late ++ early),
-      "stream must equal the ARRIVAL-order recurrence")
-    val timeOrdered = replay(early ++ late)
-    assert(got != timeOrdered,
-      "disorder must be observable: arrival order is the contract, " +
-        "not event-time order — if these match, the processor started " +
-        "retro-inserting and the documented contract changed")
-    // and under in-order arrival the two notions coincide (the parity
-    // the previous test pins end-to-end against Forecast.cusum)
+    assert(got == replay(early ++ late),
+      "stream must equal the TIME-ordered recurrence (the batch " +
+        "Forecast.cusum order) despite arrival disorder")
+    assert(got != replay(late ++ early),
+      "got the arrival-order answer: the watermark buffer regressed " +
+        "to stepping events at arrival position")
+    // cross-check: the time-ordered replay IS the sorted replay
     assert(replay(early ++ late) == replay((early ++ late).sortBy(_.ts.getTime)))
   }
 
