@@ -86,6 +86,70 @@ object ScaleBench {
     dir
   }
 
+  /** Locate the balanced `{...}` object of a top-level member; the
+    * file holds only identifier keys and numbers, so a brace count
+    * needs no string-escape handling. Returns (keyStart, objEnd+1,
+    * raw object). */
+  private def extractMember(json: String,
+                            key: String): Option[(Int, Int, String)] = {
+    val k = "\"" + key + "\":"
+    val i = json.indexOf(k)
+    if (i < 0) return None
+    var j = i + k.length
+    val start = j
+    var depth = 0
+    while (j < json.length) {
+      val c = json.charAt(j)
+      if (c == '{') depth += 1
+      else if (c == '}') {
+        depth -= 1
+        if (depth == 0) return Some((i, j + 1, json.substring(start, j + 1)))
+      }
+      j += 1
+    }
+    None
+  }
+
+  /** (batch members without outer braces, raw streaming object). */
+  private def splitSections(old: String): (String, Option[String]) =
+    extractMember(old, "streaming") match {
+      case None =>
+        (old.trim.stripPrefix("{").stripSuffix("}").trim, None)
+      case Some((i, e, raw)) =>
+        var s = i; var t = e
+        if (t < old.length && old.charAt(t) == ',') t += 1
+        else {
+          var p = i - 1
+          while (p >= 0 && old.charAt(p).isWhitespace) p -= 1
+          if (p >= 0 && old.charAt(p) == ',') s = p
+        }
+        val without = old.substring(0, s) + old.substring(t)
+        (without.trim.stripPrefix("{").stripSuffix("}").trim, Some(raw))
+    }
+
+  /** `scale_bench.json` = the batch operators' flat members plus one
+    * `"streaming"` object. Either writer ([[ScaleBench]] batch,
+    * [[StreamScaleBench]]) replaces ONLY its own section and carries
+    * the other forward from the existing file, so the two mains can
+    * run independently without clobbering each other's evidence. */
+  def writeScaleJson(batchBody: Option[String] = None,
+                     streaming: Option[String] = None): Unit = {
+    val path = java.nio.file.Paths.get("scale_bench.json")
+    val old =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else "{}"
+    val (oldBatch, oldStream) = splitSections(old)
+    val members = Seq(
+      batchBody.orElse(Some(oldBatch)).filter(_.nonEmpty),
+      streaming.orElse(oldStream).map(x => s""""streaming":$x"""))
+      .flatten.mkString(",")
+    java.nio.file.Files.write(path,
+      ("{" + members + "}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Warm once (pays codegen), then median of `runs` timed counts. */
   private def timeDf(df: DataFrame, runs: Int): (Double, Long) = {
     val rows = df.count()
@@ -237,14 +301,12 @@ object ScaleBench {
         byF.get(f).map { case (s, _) => f"$s%.2f s" }.getOrElse("—"))
       println(s"| $op | ${cells.mkString(" | ")} |")
     }
-    val json = results.map { case (op, byF) =>
+    val body = results.map { case (op, byF) =>
       s""""$op":{${byF.map { case (f, (s, n)) =>
         s""""$f":{"sec":$s,"rows":$n}"""
       }.mkString(",")}}"""
-    }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("scale_bench.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.mkString(",")
+    writeScaleJson(batchBody = Some(body))
     spark.stop()
   }
 }

@@ -913,12 +913,20 @@ object StreamOps {
       sessions = getHandle.getListState[SessionState]("sessions",
         Encoders.product[SessionState], TTLConfig.NONE)
 
-    private def rearm(open: List[SessionState]): Unit = {
-      getHandle.listTimers().foreach(t =>
-        getHandle.deleteTimer(t.asInstanceOf[Long]))
-      if (open.nonEmpty)
-        getHandle.registerTimer(
-          (open.map(_.lastSec).min + gapSec) * 1000 + 1)
+    /** Converge the key's timers to the one wanted expiry. Deleting
+      * only the STALE timers (and never the just-expired one, which
+      * the engine already consumed — `skip`) keeps the common
+      * no-change case free of state-store writes and the expiry path
+      * free of per-key "timer does not exist" WARN spam, which at
+      * replica scale was one log line per key per batch. */
+    private def rearm(open: List[SessionState], skip: Long = -1L): Unit = {
+      val want: Option[Long] =
+        if (open.nonEmpty) Some((open.map(_.lastSec).min + gapSec) * 1000 + 1)
+        else None
+      val have = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+      have.filterNot(t => want.contains(t) || t == skip)
+        .foreach(getHandle.deleteTimer)
+      want.filterNot(have.contains).foreach(getHandle.registerTimer)
     }
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
@@ -952,7 +960,7 @@ object StreamOps {
         (c.lastSec + gapSec) * 1000 < wm)
       sessions.clear()
       if (keep.nonEmpty) sessions.put(keep.toArray)
-      rearm(keep)
+      rearm(keep, skip = info.getExpiryTimeInMs())
       due.sortBy(_.start)
         .map(c => SessionOut(user, c.start, c.lastSec, c.n)).iterator
     }
@@ -1189,18 +1197,25 @@ object StreamOps {
         Encoders.product[Event], TTLConfig.NONE)
     }
 
-    private def rearm(pending: Seq[Event]): Unit = {
-      getHandle.listTimers().foreach(t =>
-        getHandle.deleteTimer(t.asInstanceOf[Long]))
-      // fires once the watermark is strictly past the earliest pending
-      // event — the release condition below
-      if (pending.nonEmpty)
-        getHandle.registerTimer(pending.map(_.ts.getTime).min + 1)
+    /** Converge to the one wanted timer (fires once the watermark is
+      * strictly past the earliest pending event); delete only STALE
+      * timers and never the just-expired one (`skip`) — the
+      * SessionProcessor.rearm discipline, which keeps the no-change
+      * case write-free and the logs clean of per-key delete WARNs. */
+    private def rearm(pending: Seq[Event], skip: Long = -1L): Unit = {
+      val want: Option[Long] =
+        if (pending.nonEmpty) Some(pending.map(_.ts.getTime).min + 1)
+        else None
+      val have = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+      have.filterNot(t => want.contains(t) || t == skip)
+        .foreach(getHandle.deleteTimer)
+      want.filterNot(have.contains).foreach(getHandle.registerTimer)
     }
 
     /** Release every buffered event the watermark has passed, in
       * (time, value) order, through the recurrence; keep the rest. */
-    private def flush(user: Long, wm: Long): Iterator[CusumOut] = {
+    private def flush(user: Long, wm: Long,
+                      skipTimer: Long = -1L): Iterator[CusumOut] = {
       val (due, keep) = buf.get().toList.partition(_.ts.getTime < wm)
       var cur = if (st.exists()) st.get() else CusumState(0.0, 0.0)
       val out = due.sortBy(e => (e.ts.getTime, e.value)).map { e =>
@@ -1214,7 +1229,7 @@ object StreamOps {
       st.update(cur)
       buf.clear()
       if (keep.nonEmpty) buf.put(keep.toArray)
-      rearm(keep)
+      rearm(keep, skip = skipTimer)
       out.iterator
     }
 
@@ -1228,7 +1243,8 @@ object StreamOps {
 
     override def handleExpiredTimer(user: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[CusumOut] =
-      flush(user, tv.getCurrentWatermarkInMs())
+      flush(user, tv.getCurrentWatermarkInMs(),
+        skipTimer = info.getExpiryTimeInMs())
   }
 
   /** Wire [[CusumProcessor]] over a stream of [[Event]]s keyed by user.
