@@ -2155,9 +2155,13 @@ object ExtQueries {
 
     // Built-in session_window sessionization (the Structured-Streaming-
     // native form; identical plan shape under readStream + watermark).
-    // Second-truncated timestamps for engine parity; Spark's session
-    // merge rule is strict overlap, so a gap of exactly 30 min starts a
-    // NEW session — the oracle flags `diff >= 1800`.
+    // Second-truncated timestamps for engine parity. Boundary rule,
+    // MEASURED (round-11 sf0.1 sweep, which planted exactly one
+    // 1800 s gap): Spark merges TOUCHING sessions — an event exactly
+    // gap seconds after the previous one joins the SAME session — so
+    // the oracle starts a new session only on `diff > 1800`, matching
+    // the lag-based twin x_events_sessions and SessionProcessor's
+    // inclusive [start-gap, last+gap] envelope.
     "x_events_sessions_win" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionAgg(
           Events.loadEvents(s, dir)
@@ -6508,8 +6512,12 @@ object ExtQueries {
           m AS (
             SELECT status, COUNT(*) AS nd,
               SUM(CAST(revenue AS DECIMAL(18,2))) AS s1,
-              SUM(CAST(revenue AS DECIMAL(18,2)) *
-                  CAST(revenue AS DECIMAL(18,2))) AS s2
+              -- 19,2 not 18,2: DuckDB keeps an 18+18 product in int64
+              -- and overflows at sf0.1 revenue magnitudes (~1.02e9 in
+              -- scaled units, squared > 2^63); 19+19 -> DECIMAL(38,4)
+              -- int128, matching Spark's exact DECIMAL(37,4) product
+              SUM(CAST(revenue AS DECIMAL(19,2)) *
+                  CAST(revenue AS DECIMAL(19,2))) AS s2
             FROM filled GROUP BY 1),
           z AS (
             SELECT f.status, f.day, f.revenue,
@@ -7887,7 +7895,7 @@ object ExtQueries {
          o AS (
            SELECT user_id, value, sec,
              CASE WHEN lag(sec) OVER w IS NULL
-                    OR sec - lag(sec) OVER w >= 1800 THEN 1
+                    OR sec - lag(sec) OVER w > 1800 THEN 1
                   ELSE 0 END AS is_new
            FROM t
            WINDOW w AS (PARTITION BY user_id ORDER BY sec)),

@@ -362,29 +362,29 @@ object SparkEntry {
            CAST(MIN(l_quantity) AS VARCHAR) AS q_min,
            CAST(MAX(l_quantity) AS VARCHAR) AS q_max,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS q_sum,
-           CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS q_sumsq,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))*CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS q_sumsq,
            COUNT(l_extendedprice) AS e_cnt,
            CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS e_distinct,
            CAST(MIN(l_extendedprice) AS VARCHAR) AS e_min,
            CAST(MAX(l_extendedprice) AS VARCHAR) AS e_max,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS e_sum,
-           CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS e_sumsq,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))*CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS e_sumsq,
            COUNT(l_returnflag) AS r_cnt,
            CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS r_distinct,
            MIN(l_returnflag) AS r_min, MAX(l_returnflag) AS r_max
          FROM lineitem)
          SELECT 'l_quantity' AS column, n, n - q_cnt AS nulls,
            q_distinct AS n_distinct, q_min AS min_value, q_max AS max_value,
-           q_sum / q_cnt AS mean_value,
+           round(q_sum / q_cnt, 6) AS mean_value,
            CASE WHEN q_cnt > 1 THEN
-             sqrt(GREATEST(0.0, (q_sumsq - q_sum*q_sum/q_cnt)/(q_cnt-1)))
+             round(sqrt(GREATEST(0.0, (q_sumsq - q_sum*q_sum/q_cnt)/(q_cnt-1))), 6)
            END AS stddev_value
          FROM agg
          UNION ALL
          SELECT 'l_extendedprice', n, n - e_cnt, e_distinct, e_min, e_max,
-           e_sum / e_cnt,
+           round(e_sum / e_cnt, 6),
            CASE WHEN e_cnt > 1 THEN
-             sqrt(GREATEST(0.0, (e_sumsq - e_sum*e_sum/e_cnt)/(e_cnt-1)))
+             round(sqrt(GREATEST(0.0, (e_sumsq - e_sum*e_sum/e_cnt)/(e_cnt-1))), 6)
            END
          FROM agg
          UNION ALL

@@ -36,7 +36,16 @@ object Profile {
         max(col(c)).cast("string").as(s"${c}__max"),
         (if (isNum) sum(col(c).cast(DecimalType(28, 6))).cast("double")
          else lit(null).cast("double")).as(s"${c}__sum"),
-        (if (isNum) sum((col(c) * col(c)).cast(DecimalType(38, 10))).cast("double")
+        // cast BEFORE squaring: the base value (~1e5) converts to
+        // scale-6 decimal inside double's 17 significant digits, so
+        // every engine rounds it identically, and the square is then
+        // EXACT decimal arithmetic. Squaring the double first made the
+        // scale-10 conversion of a ~1e9 product ambiguous beyond
+        // double precision — Spark and DuckDB disagreed by ULPs per
+        // row, surfacing as a 2-ULP stddev drift at sf0.1 (caught by
+        // the round-11 sf0.1 oracle sweep).
+        (if (isNum) sum(col(c).cast(DecimalType(18, 6)) *
+            col(c).cast(DecimalType(18, 6))).cast("double")
          else lit(null).cast("double")).as(s"${c}__sumsq")
       )
     }
@@ -62,8 +71,14 @@ object Profile {
         col(s"${c}__distinct").as("n_distinct"),
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"),
-        mean.as("mean_value"),
-        stddev.as("stddev_value")
+        // 6 dp: display statistics, and the honest cross-engine
+        // contract — the exact decimal Σx² can carry 16+ significant
+        // digits, where decimal→double casts are allowed to differ by
+        // an ULP between engines (measured Spark vs DuckDB at sf0.01,
+        // round-11 sweep); rounding the one IEEE output ends the
+        // low-bit lottery without touching the exact-sum arithmetic
+        round(mean, 6).as("mean_value"),
+        round(stddev, 6).as("stddev_value")
       )
     }
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")

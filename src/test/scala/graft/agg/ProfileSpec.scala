@@ -16,8 +16,9 @@ class ProfileSpec extends SparkTestBase {
     val x = rows("x")
     assert(x.getLong(1) == 4 && x.getLong(2) == 0)          // n, nulls
     assert(x.getDouble(6) == 2.5)                           // mean
-    // sample stddev of 1..4 = sqrt(5/3)
-    assert(math.abs(x.getDouble(7) - math.sqrt(5.0 / 3)) < 1e-12)
+    // sample stddev of 1..4 = sqrt(5/3), reported at 6 dp (display
+    // stat; ends the cross-engine decimal->double low-bit lottery)
+    assert(math.abs(x.getDouble(7) - math.sqrt(5.0 / 3)) < 5e-7)
     val s = rows("s")
     assert(s.getLong(2) == 1 && s.getLong(3) == 2)          // nulls, distinct
     assert(s.isNullAt(6) && s.isNullAt(7))                  // no numeric stats
