@@ -1003,7 +1003,14 @@ object StreamOps {
     * the RocksDB checkpointer; event-time timers only do work when
     * data moves the watermark.) Events within a micro-batch are
     * processed in event-time order (sorted per key); cross-batch order
-    * is the stream's own arrival order, the streaming-funnel contract.
+    * is the stream's own arrival order — the deliberate CEP contract
+    * (a conversion emits the moment its final stage ARRIVES, latency
+    * zero), distinct from [[CusumProcessor]], whose numeric recurrence
+    * is wrong under disorder and therefore buffers within the
+    * watermark at the cost of watermark-delay output latency. A
+    * time-ordered funnel wanting batch-`Behavior.funnel` parity under
+    * disorder would adopt that same buffer; the matching semantics
+    * here make arrival order a coherent, spec-pinned alternative.
     */
   class FunnelProcessor(steps: Seq[String], maxGapSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -1045,12 +1052,16 @@ object StreamOps {
           case None => ()
         }
       }
-      // re-arm the cleanup timer for whatever cursor remains
-      getHandle.listTimers().foreach(t =>
-        getHandle.deleteTimer(t.asInstanceOf[Long]))
-      if (cursor.exists())
-        getHandle.registerTimer(
-          (cursor.get().stageSec + maxGapSec) * 1000 + 1)
+      // re-arm the cleanup timer for whatever cursor remains —
+      // converging to the wanted expiry (the SessionProcessor.rearm
+      // discipline) instead of delete-all-then-register
+      val want: Option[Long] =
+        if (cursor.exists())
+          Some((cursor.get().stageSec + maxGapSec) * 1000 + 1)
+        else None
+      val have = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+      have.filterNot(want.contains).foreach(getHandle.deleteTimer)
+      want.filterNot(have.contains).foreach(getHandle.registerTimer)
       out.result().iterator
     }
 
@@ -1304,4 +1315,44 @@ object StreamOps {
     if (!batch.isEmpty)
       graft.ext.Retrieval.appendTextIndexAs(batch, idCol, textCol,
         indexDir, nBuckets, seg)
+
+  // ---- live IVF vector index -------------------------------------------
+
+  /** LIVE ANN index — [[textIndexSink]]'s twin for vectors: each
+    * micro-batch of embeddings lands as one committed segment of the
+    * segmented IVF index ([[graft.ext.Similarity.initIvfIndex]]
+    * layout), exactly once: the segment id is the epoch
+    * (`segBase + batch_id`) and
+    * [[graft.ext.Similarity.appendIvfIndexAs]] makes a replayed epoch
+    * a no-op while readers resolve only committed segments — a query
+    * racing the stream sees each batch atomically or not at all.
+    * Per-batch cost ∝ the batch (one assignment scan against the
+    * broadcast centroid model → one cell-partitioned segment write).
+    *
+    * Requires `initIvfIndex` to have seeded the index (the centroid
+    * model is FIXED at init — appends must assign with the same cells
+    * or probes would miss vectors). `segBase` keeps streaming epochs
+    * disjoint from backfill segment ids and must stay constant across
+    * restarts (idempotence is keyed on it). Compact with
+    * `compactIvfIndex` when query-side segment fan-out matters.
+    */
+  def ivfIndexSink(vectors: DataFrame, idCol: String, vecCol: String,
+                   indexDir: String, checkpointDir: String,
+                   segBase: Long = 1000000L
+                  ): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ivfIndexBatch(batch, idCol, vecCol, indexDir, segBase + id)
+      }
+      .start()
+
+  /** One vector-index step (the foreachBatch body, callable directly):
+    * append the batch as committed segment `seg`; a replayed epoch
+    * indexes nothing twice. */
+  def ivfIndexBatch(batch: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, seg: Long): Unit =
+    if (!batch.isEmpty)
+      graft.ext.Similarity.appendIvfIndexAs(batch, idCol, vecCol,
+        indexDir, seg)
 }

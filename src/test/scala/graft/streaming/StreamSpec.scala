@@ -551,6 +551,55 @@ class StreamSpec extends SparkTestBase {
     assert(torn == a, "uncommitted segment leaked into a query")
   }
 
+  test("ivfIndexSink: live vector segments == one-shot index; replayed " +
+    "epoch commits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Similarity
+    val live = java.nio.file.Files.createTempDirectory("ivf_live").toString
+    val whole = java.nio.file.Files.createTempDirectory("ivf_batch").toString
+    val emb = graft.io.Tables.load(spark, sf, "embeddings")
+    val centroidIds = 10L to 17L
+
+    // backfill seeds the index AND fixes the centroid model (ids 10-17
+    // sit in the backfill slice, so it equals the full-corpus model)
+    Similarity.initIvfIndex(emb.filter($"vec_id" < 250), "vec_id",
+      "embedding", centroidIds, live)
+    val tail = emb.filter($"vec_id" >= 250)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamOps.ivfIndexSink(stream, "vec_id", "embedding", live,
+      checkpointDir = s"$live/../ivf_ckpt_${System.nanoTime()}")
+    try {
+      tail.grouped((tail.size + 1) / 2).foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    Similarity.initIvfIndex(emb, "vec_id", "embedding", centroidIds, whole)
+    val queries = emb.filter($"vec_id".isin(0L, 1L, 2L, 3L, 4L))
+    val a = Similarity.ivfTopKSegmented(queries, "vec_id", "embedding",
+      live, k = 10, nprobe = 2).collect().toSeq
+    val b = Similarity.ivfTopKSegmented(queries, "vec_id", "embedding",
+      whole, k = 10, nprobe = 2).collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "live-streamed vector index diverged from the one-shot rebuild")
+
+    // replayed epoch: same seg id, different vectors — must be a no-op
+    val segsBefore = graft.io.Segments.committedSegments(spark, live)
+    StreamOps.ivfIndexBatch(
+      emb.filter($"vec_id" < 5).select($"vec_id" + 900000, $"embedding")
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", live,
+      seg = segsBefore.filter(_ >= 1000000L).head)
+    assert(graft.io.Segments.committedSegments(spark, live) == segsBefore)
+    assert(Similarity.ivfTopKSegmented(queries, "vec_id", "embedding",
+      live, k = 10, nprobe = 2).collect().toSeq == a,
+      "replayed epoch changed the vector index")
+  }
+
   test("incremental curation (foreachBatch + dedupAgainstIndex) == " +
     "the one-shot batch pipeline on the same documents") {
     implicit val sqlCtx = spark.sqlContext
