@@ -455,6 +455,31 @@ object ExtQueries {
         .orderBy(col("node"))
     }),
 
+    // Weighted bounded-hop shortest paths over the SAME doc-similarity
+    // graph as x_bfs_hops, edge cost = gram-set UNION size
+    // (na + nb − inter — an exact integer both engines derive
+    // identically, so the min-cost comparison has no float in it):
+    // cheapest ≤3-hop route from seed docs 0-4, frontier-pruned
+    // Bellman-Ford rounds. Oracle: the x_bfs_hops recursive CTE
+    // accumulating the same integer weights.
+    "x_sssp" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsCounts(T(s, dir, "documents"),
+          "doc_id", "text", n = 1, candidates = col("doc_id") < 150,
+          minJaccard = 0.8, maxDf = 0)
+        .select(col("id_a"), col("id_b"),
+          (col("na") + col("nb") - col("inter")).as("w"))
+      val edges = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+        .unionByName(pairs
+          .select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+        .localCheckpoint(false)  // re-joined every relaxation round
+      graft.ext.Graph.ssspBounded(edges,
+          T(s, dir, "documents").filter(col("doc_id") < 5)
+            .select(col("doc_id").as("node")),
+          maxHops = 3)
+        .orderBy(col("node"))
+    }),
+
     // 3-core of the co-purchase graph (4 peel rounds — converged on
     // this data, pinned by the spec's R vs R+1 check): the dense
     // repeatedly-co-bought backbone degree alone can't isolate.
@@ -5381,6 +5406,33 @@ object ExtQueries {
            FROM walk JOIN e ON walk.node = e.src
            WHERE walk.dist < 3)
          SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+         FROM walk GROUP BY 1 ORDER BY 1""",
+
+    // same jaccard-graph edges as x_bfs_hops, weighted by gram-set
+    // union size; min accumulated weight within 3 hops from seeds 0-4.
+    "x_sssp" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS g
+           FROM documents WHERE doc_id < 150),
+         docs AS (SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM d),
+         jp AS (
+           SELECT id_a, id_b, na + nb - inter AS w FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na,
+               b.ng AS nb, COUNT(*) AS inter
+             FROM docs a JOIN docs b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+         e AS (SELECT id_a AS src, id_b AS dst, w FROM jp
+               UNION ALL SELECT id_b, id_a, w FROM jp),
+         walk(node, hops, dist) AS (
+           SELECT doc_id, 0, CAST(0 AS BIGINT) FROM documents
+           WHERE doc_id < 5
+           UNION ALL
+           SELECT e.dst, walk.hops + 1, walk.dist + e.w
+           FROM walk JOIN e ON walk.node = e.src
+           WHERE walk.hops < 3)
+         SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
          FROM walk GROUP BY 1 ORDER BY 1""",
 
     // blocked on the same 8-bit sign bucket the Spark operator uses:

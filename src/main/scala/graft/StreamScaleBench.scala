@@ -136,7 +136,7 @@ object StreamScaleBench {
   private def tmpDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(tag).toString
 
-  /** Run all five sinks at one factor. `dataDir` is the (replica)
+  /** Run all six sinks at one factor. `dataDir` is the (replica)
     * table directory. Returns sink → metrics, insertion-ordered. */
   def runFactor(spark: SparkSession, baseDir: String, dataDir: String,
                 factor: Int
@@ -219,6 +219,29 @@ object StreamScaleBench {
           checkpointDir = tmpDir("ssb_tbl_ck"))
       }
     }
+    // live segmented IVF vector index (state = the on-disk index).
+    // Seeded with just the 16 centroid vectors (the model is fixed at
+    // init); the stream then replays the whole embeddings replica, so
+    // those 16 ids land twice — a 16-row contract blemish that is
+    // irrelevant to throughput and keeps the replayed volume exactly
+    // the table.
+    locally {
+      val embDir = ensureStreamSlices(spark, baseDir, dataDir, factor,
+        "embeddings", "vec_id")
+      val embSchema = spark.read
+        .parquet(s"$dataDir/embeddings.parquet").schema
+      val embRows = spark.read.parquet(s"$dataDir/embeddings.parquet").count()
+      val dir = tmpDir("ssb_ivf")
+      graft.ext.Similarity.initIvfIndex(
+        spark.read.parquet(s"$dataDir/embeddings.parquet")
+          .filter(col("vec_id") < 16),
+        "vec_id", "embedding", centroidIds = 0L to 15L, indexDir = dir)
+      run("ivf_index", embRows, stateDir = Some(dir)) {
+        StreamOps.ivfIndexSink(fileStream(spark, embDir, embSchema),
+          "vec_id", "embedding", dir,
+          checkpointDir = tmpDir("ssb_ivf_ck"))
+      }
+    }
     out.toSeq
   }
 
@@ -299,7 +322,7 @@ object StreamScaleBench {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     // ERROR, not WARN: the streaming engine logs per-trigger advisories
-    // (AQE-disabled, job-group cancels) that at 10 batches x 5 sinks x
+    // (AQE-disabled, job-group cancels) that at 10 batches x 6 sinks x
     // 3 factors drown the SCALE lines
     spark.sparkContext.setLogLevel("ERROR")
     val results = run(spark, baseDir, factors)

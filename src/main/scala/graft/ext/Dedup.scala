@@ -681,6 +681,22 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
 
+  /** [[jaccardPairs]] keeping the integer evidence: (id_a, id_b, na,
+    * nb, inter, jaccard) — set sizes and intersection count alongside
+    * the score. The exact-integer columns let downstream operators
+    * derive engine-portable edge weights (e.g. the union size
+    * `na + nb - inter` as a shortest-path cost) with no float in the
+    * comparison path.
+    */
+  def jaccardPairsCounts(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, candidates: Column, minJaccard: Double,
+                         maxDf: Int = DefaultMaxBucket): DataFrame =
+    gramPairCounts(df.filter(candidates), idCol, textCol, n, maxDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+
   /** Exact containment `|A∩B| / min(|A|,|B|)` over distinct word n-grams
     * — the asymmetric partial-duplicate measure Jaccard misses: a short
     * document wholly embedded in a long one scores containment 1.0 but

@@ -172,6 +172,63 @@ object Graph {
     reached
   }
 
+  /** Bounded-hop WEIGHTED shortest-path distances (Bellman-Ford with
+    * frontier pruning) from a seed set over a directed edge list
+    * (`src`, `dst`, `w` — positive integer weights; feed both
+    * orientations for an undirected graph): [[bfsDistances]] upgraded
+    * from hop counts to path weights, the "cheapest similarity route
+    * within k hops" primitive behind curated-seed expansion ranked by
+    * accumulated distance rather than hop parity.
+    *
+    * Each round relaxes ONLY the frontier — nodes whose tentative
+    * distance improved last round — against the edges (join cost ∝
+    * frontier×degree, the distributed Bellman-Ford bound; a node whose
+    * distance did not change cannot supply a better relaxation than it
+    * already did the round it last improved). Per-round min-combine of
+    * candidates BEFORE the merge join keeps the dist-table update one
+    * aggregate; per-round `localCheckpoint` pins levels exactly like
+    * [[bfsDistances]] (dist/frontier are each referenced twice — the
+    * lazy plan would otherwise double per round).
+    *
+    * After round k, `dist(v)` = min weight over walks of ≤ k edges
+    * from any seed (induction: a value enters the table only via a
+    * real ≤k-edge walk, and any ≤k-edge walk's relaxations happen in
+    * rounds ≤ k because its prefixes' values are attained no later
+    * than their edge counts) — with positive weights that equals min
+    * over SIMPLE paths of ≤ k edges, the bounded-hop SSSP semantics a
+    * recursive-CTE oracle replays exactly. Exact longs throughout; no
+    * convergence detection needed, `maxHops` IS the contract.
+    *
+    * Output: (node, dist) for every node within `maxHops` edges of a
+    * seed; seeds themselves at dist 0.
+    */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val init = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(false)
+    var dist = init
+    var frontier = init
+    for (_ <- 1 to maxHops) {
+      val candidates = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"),
+          (col("dist") + col("w").cast("long")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = candidates
+        .join(dist.withColumnRenamed("dist", "__old"), Seq("node"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("node"), col("dist"))
+        .localCheckpoint(false)
+      dist = dist.unionByName(improved)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+      frontier = improved
+    }
+    dist
+  }
+
   /** Exact triangle count over an UNDIRECTED edge list (`a`, `b`; either
     * orientation, duplicates and self-loops tolerated — canonicalized
     * internally). Degree-ordered orientation: each edge is directed from

@@ -190,6 +190,61 @@ class GraphSpec extends SparkTestBase {
     assert(got == dist)
   }
 
+  private def wsym(triples: (Long, Long, Long)*) =
+    (triples ++ triples.map(t => (t._2, t._1, t._3)))
+      .toDF("src", "dst", "w")
+
+  private def sssp(edges: org.apache.spark.sql.DataFrame, seeds: Seq[Long],
+                   hops: Int) =
+    Graph.ssspBounded(edges, seeds.toDF("node"), hops)
+      .as[(Long, Long)].collect().toMap
+
+  test("ssspBounded: cheaper-but-longer route wins only once the hop " +
+    "budget admits it; a hop-1 discovery is improved by a later round") {
+    // 1→4 direct costs 50; the 3-hop detour 1-3-5-4 costs 3
+    val e = wsym((1L, 4L, 50L), (1L, 2L, 10L), (2L, 4L, 10L),
+      (1L, 3L, 1L), (3L, 5L, 1L), (5L, 4L, 1L))
+    assert(sssp(e, Seq(1L), 0) == Map(1L -> 0L))
+    assert(sssp(e, Seq(1L), 1) ==
+      Map(1L -> 0L, 4L -> 50L, 2L -> 10L, 3L -> 1L))
+    assert(sssp(e, Seq(1L), 2) ==
+      Map(1L -> 0L, 4L -> 20L, 2L -> 10L, 3L -> 1L, 5L -> 2L))
+    assert(sssp(e, Seq(1L), 3) ==
+      Map(1L -> 0L, 4L -> 3L, 2L -> 10L, 3L -> 1L, 5L -> 2L))
+  }
+
+  test("ssspBounded with unit weights == bfsDistances on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(40)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(p => p._1 != p._2)
+    val seeds = Seq(0L, 1L)
+    val hopDist = bfs(sym(pairs: _*), seeds, hops = 3)
+    val got = sssp(wsym(pairs.map(p => (p._1, p._2, 1L)): _*), seeds, 3)
+    assert(got == hopDist.view.mapValues(_.toLong).toMap)
+  }
+
+  test("ssspBounded == brute-force min over <=k-edge walks on a random " +
+    "weighted graph") {
+    val rnd = new scala.util.Random(23)
+    val triples = Seq.fill(30)((rnd.nextInt(10).toLong,
+        rnd.nextInt(10).toLong, 1L + rnd.nextInt(9)))
+      .filter(t => t._1 != t._2)
+    val adj = (triples ++ triples.map(t => (t._2, t._1, t._3)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val seeds = Seq(0L, 3L)
+    // reference: Bellman-Ford rounds in plain Scala (min over <=k edges)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (u, du) =>
+        adj.getOrElse(u, Seq.empty).map { case (v, w) => v -> (du + w) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .view.mapValues(_.map(_._2).min).toMap
+    }
+    assert(sssp(wsym(triples: _*), seeds, 3) == dist)
+  }
+
   private def lpa(edges: org.apache.spark.sql.DataFrame, rounds: Int) =
     Graph.labelPropagation(edges, rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
