@@ -3985,6 +3985,22 @@ object ExtQueries {
         .orderBy(col("vec_id"), col("rk"))
     }),
 
+    // k-NN label-noise audit over the same sign-band blocks as
+    // x_knn_graph: 5 nearest candidates vote with their labels; rows
+    // where a majority disagrees with the own label are the suspected
+    // mislabels. Exact integer votes; oracle replays blocks + vote.
+    "x_label_noise" -> ((s, dir) =>
+      Similarity.knnLabelDisagreement(T(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 5, maxId = 150L)),
+
+    // Source×source shingle-vocabulary overlap — the corpus-level
+    // cross-contamination matrix (x_decontaminate is the per-document
+    // view). Posting lists are ≤|sources| long, pair work ∝ grams ×
+    // C(|sources|,2), never corpus².
+    "x_source_overlap" -> ((s, dir) =>
+      graft.ext.TextAnalysis.sourceOverlap(T(s, dir, "documents"),
+        "source", "text")),
+
     "x_winsorize" -> ((s, dir) =>
       graft.agg.Robust.winsorizedStats(T(s, dir, "lineitem"),
           "l_returnflag", "l_extendedprice", 0.05, 0.95)
@@ -9293,6 +9309,64 @@ object ExtQueries {
             FROM sym)
           SELECT vec_id, CAST(rk AS INTEGER) AS rk, nb, cosine
           FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""",
+
+    // same candidate blocks as x_knn_graph, rk <= 5; labels joined on
+    // both endpoints, majority-disagreement filter in exact integers.
+    "x_label_noise" ->
+      s"""WITH e AS (SELECT vec_id, $qvec AS v
+                     FROM embeddings WHERE vec_id < 150),
+          bands AS (${signBandsSql(8, 6, "embeddings WHERE vec_id < 150")}),
+          ea AS (SELECT e.vec_id, v, tbl, bucket
+                 FROM e JOIN bands ON e.vec_id = bands.vec_id),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
+                            b.vec_id AS id_b, b.v AS vb
+            FROM ea a JOIN ea b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id),
+          pairs AS (
+            SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
+            FROM cand WHERE ${cosSql("va", "vb")} > -1.0),
+          sym AS (SELECT id_a AS vec_id, id_b AS nb, cosine FROM pairs
+                  UNION ALL SELECT id_b, id_a, cosine FROM pairs),
+          rk AS (
+            SELECT vec_id, nb,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cosine DESC, nb) AS rk
+            FROM sym),
+          lab AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 150),
+          agg AS (
+            SELECT r.vec_id, l.label AS own_label,
+              CAST(COUNT(*) AS BIGINT) AS n_nb,
+              CAST(SUM(CASE WHEN nl.label <> l.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disagree
+            FROM rk r
+            JOIN lab l ON r.vec_id = l.vec_id
+            JOIN lab nl ON r.nb = nl.vec_id
+            WHERE r.rk <= 5 GROUP BY 1, 2)
+          SELECT vec_id, own_label, n_nb, n_disagree FROM agg
+          WHERE n_disagree * 2 > n_nb ORDER BY vec_id""",
+
+    // per-source DISTINCT shingle vocabularies -> posting-list pair
+    // counts -> Jaccard; only overlapping pairs appear on both engines.
+    "x_source_overlap" ->
+      s"""WITH g AS (
+            SELECT DISTINCT source AS src, gram FROM (
+              SELECT source, unnest(list_distinct($shingleSql)) AS gram
+              FROM documents)),
+          s AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS ng
+                FROM g GROUP BY 1),
+          i AS (
+            SELECT a.src AS source_a, b.src AS source_b,
+              CAST(COUNT(*) AS BIGINT) AS inter
+            FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+            GROUP BY 1, 2)
+          SELECT source_a, source_b, sa.ng AS na, sb.ng AS nb, inter,
+            CAST(inter AS DOUBLE) / (sa.ng + sb.ng - inter) AS jaccard
+          FROM i
+          JOIN s sa ON i.source_a = sa.src
+          JOIN s sb ON i.source_b = sb.src
+          ORDER BY 1, 2""",
 
     "x_winsorize" ->
       """WITH b AS (

@@ -1001,6 +1001,56 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** k-NN label-noise audit (Wilson-editing / cleanlab-style neighbor
+    * vote): for each labelled vector, its k nearest LSH-candidate
+    * neighbors by exact quantized cosine vote with their labels; rows
+    * where a MAJORITY of neighbors disagree with the point's own label
+    * are the suspected mislabels — the embedding-space data-quality
+    * gate a labelled training corpus runs before fit.
+    *
+    * Neighborhoods come from [[nearDupPairs]]' sign-band candidates
+    * (bucketed, never O(n²) — the [[dbscan]]/knn-graph discipline), so
+    * the vote is over the RECALLED neighborhood; `n_nb` carries the
+    * actual vote count (≤ k) so a sparse neighborhood can't
+    * masquerade as a confident verdict. All counts exact longs; the
+    * majority test `2·n_disagree > n_nb` never touches a float.
+    *
+    * Output: (vec_id, own_label, n_nb, n_disagree) for the suspects
+    * only, ordered by id.
+    */
+  def knnLabelDisagreement(emb: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String, k: Int, maxId: Long,
+                           bits: Int = 6, tables: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cand = nearDupPairs(emb, idCol, vecCol, maxId, threshold = -1.0,
+        bits, tables)
+      // referenced by BOTH directions of the symmetric union — without
+      // the checkpoint the LSH candidate derivation would run twice
+      .localCheckpoint(false)
+    val sym = cand
+      .select(col("id_a").as("vec_id"), col("id_b").as("nb"), col("cosine"))
+      .unionByName(cand
+        .select(col("id_b").as("vec_id"), col("id_a").as("nb"),
+          col("cosine")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nb"))
+    val topk = sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val bounded = if (maxId > 0) emb.filter(col(idCol) < maxId) else emb
+    val own = bounded.select(col(idCol).as("vec_id"),
+      col(labelCol).as("own_label"))
+    val nbLab = bounded.select(col(idCol).as("nb"),
+      col(labelCol).as("nb_label"))
+    topk.join(own, Seq("vec_id")).join(nbLab, Seq("nb"))
+      .groupBy(col("vec_id"), col("own_label"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum(when(col("nb_label") =!= col("own_label"), 1L)
+          .otherwise(0L)).as("n_disagree"))
+      .filter(col("n_disagree") * 2 > col("n_nb"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Density clustering (DBSCAN, Ester et al. 1996) over the
     * LSH-blocked cosine neighbor graph: core points have ≥ `minPts`
     * neighbors at cosine ≥ `eps`, clusters are connected components of

@@ -175,6 +175,53 @@ object TextAnalysis {
     * transcendental idf is the only double (rounded by callers needing
     * cross-engine reproducibility).
     */
+  /** Source×source n-gram overlap matrix — the corpus-level
+    * cross-contamination audit: for every pair of sources, the Jaccard
+    * of their DISTINCT shingle vocabularies (3-gram shingles, the
+    * dedup family's gram semantics via [[Dedup.shinglesOf]]). High
+    * overlap between a train source and an eval source is the leakage
+    * signal the per-document `x_decontaminate` check inspects one doc
+    * at a time; this is the fleet-level view.
+    *
+    * Shape: per-source distinct gram rows (the dedup explode, then one
+    * `distinct` — dedup ACROSS documents of a source), sizes by one
+    * aggregate, then the [[Dedup.jaccardPairsCounts]] posting-list pair
+    * emission keyed on gram: each posting list holds at most
+    * |sources| entries, so pair work is ∝ distinct-grams ×
+    * C(|sources|, 2) — never corpus², and nothing here is all-pairs
+    * over documents. Counts exact longs; jaccard one IEEE division.
+    *
+    * Output: (source_a, source_b, na, nb, inter, jaccard), ordered.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+                    textCol: String): DataFrame = {
+    val grams = df.select(col(sourceCol).as("src"),
+        explode(Dedup.shinglesOf(tokens(col(textCol)))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("ng"))
+    val postings = grams.join(broadcast(sizes), Seq("src"))
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col("src"), col("ng"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    postings.select(explode(filter(
+        flatten(transform(col("srcs"), a => transform(col("srcs"), b =>
+          struct(a.getField("src").as("source_a"),
+            b.getField("src").as("source_b"),
+            a.getField("ng").as("na"), b.getField("ng").as("nb"))))),
+        p => p.getField("source_a") < p.getField("source_b"))).as("p"))
+      .select(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .groupBy(col("source_a"), col("source_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("inter"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n_docs"))
     // tf feeds dfreq AND the weighting join — one tokenize pass, not

@@ -137,6 +137,29 @@ class AnnRecallSpec extends SparkTestBase {
     assert(recall >= 0.1, f"blocking recall collapsed: $recall%.3f")
   }
 
+  test("knnLabelDisagreement: a planted mislabel inside a tight cluster " +
+    "is the ONLY suspect; relabeling it empties the report") {
+    import spark.implicits._
+    // all-positive coordinates put every vector in the same sign bucket
+    // of every table, so LSH candidates = all pairs and the neighbor
+    // vote is over the EXACT top-k
+    val u = Array.tabulate(64)(i => if (i == 0) 10f else 0.1f)
+    val v = Array.tabulate(64)(i => if (i == 1) 10f else 0.1f)
+    def corpus(labelOf3: Int) = Seq(
+      (0L, u, 0), (1L, u, 0), (2L, u, 0), (3L, u, labelOf3),
+      (4L, v, 1), (5L, v, 1), (6L, v, 1), (7L, v, 1)
+    ).toDF("vec_id", "embedding", "label")
+    val flagged = Similarity.knnLabelDisagreement(corpus(labelOf3 = 1),
+        "vec_id", "embedding", "label", k = 3, maxId = 0L)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(flagged == Seq((3L, 1, 3L, 3L)),
+      s"expected only the planted mislabel, got $flagged")
+    val clean = Similarity.knnLabelDisagreement(corpus(labelOf3 = 0),
+        "vec_id", "embedding", "label", k = 3, maxId = 0L)
+      .count()
+    assert(clean == 0L, "a consistent labelling must flag nothing")
+  }
+
   test("lloydStep recovers true cluster means from off-center seeds") {
     import spark.implicits._
     // two tight clusters around (0,0) and (10,10) in embedding space;

@@ -93,6 +93,20 @@ class ExtSpec extends SparkTestBase {
     assert(!j.contains((0L, 3L)))
   }
 
+  test("sourceOverlap: hand shingle sets, per-source dedup across docs, " +
+    "zero-overlap pairs absent") {
+    val df = Seq(
+      ("A", "w1 w2 w3 w4"),          // shingles {w1 w2 w3, w2 w3 w4}
+      ("A", "w1 w2 w3 w4"),          // same doc again — dedups inside A
+      ("B", "w2 w3 w4 w5"),          // {w2 w3 w4, w3 w4 w5} — inter 1 with A
+      ("C", "u1 u2 u3")              // {u1 u2 u3} — disjoint from both
+    ).toDF("source", "text")
+    val got = TextAnalysis.sourceOverlap(df, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L, 2L, 1L, 1.0 / 3.0)),
+      s"expected the single A-B row, got $got")
+  }
+
   test("quantized cosine: identical vectors = 1.0, orthogonal = 0.0") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
