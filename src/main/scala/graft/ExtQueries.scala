@@ -9347,25 +9347,39 @@ object ExtQueries {
           SELECT vec_id, own_label, n_nb, n_disagree FROM agg
           WHERE n_disagree * 2 > n_nb ORDER BY vec_id""",
 
-    // per-source DISTINCT shingle vocabularies -> posting-list pair
-    // counts -> Jaccard; only overlapping pairs appear on both engines.
+    // per-source DISTINCT 60-bit gram hashes -> per-gram source BITMASK
+    // (bit_or of 1 << sorted-source index) -> (mask, n) counts -> pair
+    // sums over set bits; the identical md5 gram hash on both engines
+    // makes any collision change both sides the same way.
     "x_source_overlap" ->
       s"""WITH g AS (
-            SELECT DISTINCT source AS src, gram FROM (
-              SELECT source, unnest(list_distinct($shingleSql)) AS gram
+            SELECT DISTINCT src,
+              ${graft.functions.Hashing.hash64Sql("gram", 71)} AS g
+            FROM (
+              SELECT source AS src,
+                unnest(list_distinct($shingleSql)) AS gram
               FROM documents)),
-          s AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS ng
-                FROM g GROUP BY 1),
-          i AS (
+          idx AS (
+            SELECT src, row_number() OVER (ORDER BY src) - 1 AS idx
+            FROM (SELECT DISTINCT src FROM g)),
+          m AS (
+            SELECT g.g, bit_or(CAST(1 AS BIGINT) << idx.idx) AS mask
+            FROM g JOIN idx ON g.src = idx.src GROUP BY 1),
+          mc AS (SELECT mask, COUNT(*) AS n FROM m GROUP BY 1),
+          p AS (
             SELECT a.src AS source_a, b.src AS source_b,
-              CAST(COUNT(*) AS BIGINT) AS inter
-            FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
-            GROUP BY 1, 2)
+              CAST(SUM(n) AS BIGINT) AS inter
+            FROM mc
+            JOIN idx a ON ((mask >> a.idx) & 1) = 1
+            JOIN idx b ON ((mask >> b.idx) & 1) = 1 AND a.src < b.src
+            GROUP BY 1, 2),
+          s AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS ng
+                FROM g GROUP BY 1)
           SELECT source_a, source_b, sa.ng AS na, sb.ng AS nb, inter,
             CAST(inter AS DOUBLE) / (sa.ng + sb.ng - inter) AS jaccard
-          FROM i
-          JOIN s sa ON i.source_a = sa.src
-          JOIN s sb ON i.source_b = sb.src
+          FROM p
+          JOIN s sa ON p.source_a = sa.src
+          JOIN s sb ON p.source_b = sb.src
           ORDER BY 1, 2""",
 
     "x_winsorize" ->
