@@ -3993,6 +3993,16 @@ object ExtQueries {
       Similarity.knnLabelDisagreement(T(s, dir, "embeddings"),
         "vec_id", "embedding", "label", k = 5, maxId = 150L)),
 
+    // k-center greedy coreset (farthest-point traversal) over the
+    // pinned embedding subset: 8 maximally-spread exemplars from seed
+    // 0, integer-exact quantized squared-L2 argmax, running min-dist
+    // folded per round against only the newest center. Oracle unrolls
+    // the identical 8 steps as chained 1-row CTEs.
+    "x_kcenter" -> ((s, dir) =>
+      Similarity.kCenterGreedy(
+        T(s, dir, "embeddings").filter(col("vec_id") < 150),
+        "vec_id", "embedding", k = 8, seedId = 0L)),
+
     // Source×source shingle-vocabulary overlap — the corpus-level
     // cross-contamination matrix (x_decontaminate is the per-document
     // view). Posting lists are ≤|sources| long, pair work ∝ grams ×
@@ -4321,6 +4331,43 @@ object ExtQueries {
         FROM pairs GROUP BY 1, 2 ORDER BY i, j"""
   private def cosSql(a: String, b: String) =
     s"list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))"
+
+  /** k-center greedy unrolled as chained 1-row CTEs: c_i = the argmax
+    * of the running min-dist d_{i-1}, d_i = d_{i-1} folded with the
+    * distance to c_i — the literal SQL replay of
+    * [[graft.ext.Similarity.kCenterGreedy]]'s incremental rounds.
+    * Squared L2 between quantized vectors is three integer-exact dot
+    * products on both engines.
+    */
+  private def kcenterOracle(k: Int): String = {
+    def sq(a: String, b: String) =
+      s"(list_dot_product($a,$a) - 2*list_dot_product($a,$b)" +
+        s" + list_dot_product($b,$b))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS (SELECT vec_id, $qvec AS q
+                       FROM embeddings WHERE vec_id < 150),
+          c1 AS (SELECT vec_id, q, CAST(0 AS DOUBLE) AS mind
+                 FROM pts WHERE vec_id = 0),
+          d1 AS (SELECT p.vec_id, p.q, ${sq("p.q", "c.q")} AS mind
+                 FROM pts p CROSS JOIN c1 c)""")
+    for (i <- 2 to k) {
+      val excl = (1 until i).map(j => s"SELECT vec_id FROM c$j")
+        .mkString(" UNION ALL ")
+      sb.append(s""",
+          c$i AS (SELECT vec_id, q, mind FROM d${i - 1}
+                  WHERE vec_id NOT IN ($excl)
+                  ORDER BY mind DESC, vec_id LIMIT 1)""")
+      if (i < k) sb.append(s""",
+          d$i AS (SELECT d.vec_id, d.q,
+                    LEAST(d.mind, ${sq("d.q", "c.q")}) AS mind
+                  FROM d${i - 1} d CROSS JOIN c$i c)""")
+    }
+    val sel = (1 to k).map(i =>
+      s"SELECT $i AS rk, vec_id, CAST(mind AS DOUBLE) AS mindist FROM c$i")
+      .mkString("\n          UNION ALL ")
+    sb.append(s"\n          $sel\n          ORDER BY rk").toString
+  }
 
   /** SimHash oracle: 32 per-bit signed sums, assembled programmatically
     * so Spark and SQL stay in lockstep on bit count/seed. `simhashCtes`
@@ -9309,6 +9356,9 @@ object ExtQueries {
             FROM sym)
           SELECT vec_id, CAST(rk AS INTEGER) AS rk, nb, cosine
           FROM rk WHERE rk <= 3 ORDER BY vec_id, rk""",
+
+    // unrolled farthest-point steps; see kcenterOracle.
+    "x_kcenter" -> kcenterOracle(8),
 
     // same candidate blocks as x_knn_graph, rk <= 5; labels joined on
     // both endpoints, majority-disagreement filter in exact integers.

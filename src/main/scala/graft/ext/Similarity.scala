@@ -1001,6 +1001,57 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** k-center greedy coreset (farthest-point traversal, Gonzalez 1985):
+    * pick a seed, then k−1 times pick the point FARTHEST from every
+    * chosen center (max over points of min squared-L2 distance to the
+    * center set, ties to the lower id) — the classic 2-approximation
+    * diversity selector behind "give me k maximally-spread exemplars"
+    * curation and k-means++-style seeding.
+    *
+    * Execution shape: the running `mind` column (distance to the
+    * NEAREST chosen center) is maintained incrementally — each round
+    * scores points against ONLY the newest center via [[sqDistQ]] and
+    * folds with `least`, so the total work is k scans of the corpus,
+    * not k·|centers|. The argmax is a 1-row bounded collect per round
+    * (the codebook convention) and the chosen vector rides the next
+    * plan as a LITERAL — no join, no crossJoin, nothing driver-sized
+    * beyond k rows. Distances are integer-exact quantized squared L2
+    * ([[sqDistQ]]), so argmax ties are engine-portable.
+    *
+    * Output: (rank 1..k, vec_id, mindist) — `mindist` is the point's
+    * distance to the previously-chosen set AT SELECTION TIME (the
+    * coreset radius curve; rank 1 = seed at 0.0).
+    */
+  def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, seedId: Long): DataFrame = {
+    import emb.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pts = emb.select(col(idCol).as("vec_id"),
+        quantize(col(vecCol)).as("v"))
+      .localCheckpoint(false)  // scanned once per round
+    def vecLit(v: Seq[Long]): Column = typedLit(v)
+    val seedVec = pts.filter(col("vec_id") === seedId)
+      .head().getSeq[Long](1).toSeq
+    var chosen = Vector((seedId, 0.0))
+    var scored = pts
+      .withColumn("mind", sqDistQ(col("v"), vecLit(seedVec)))
+      .localCheckpoint(false)
+    for (_ <- 2 to k) {
+      val ids = chosen.map(_._1)
+      val next = scored.filter(!col("vec_id").isin(ids: _*))
+        .orderBy(col("mind").desc, col("vec_id"))
+        .limit(1).head()
+      chosen :+= ((next.getLong(0), next.getDouble(2)))
+      val nv = next.getSeq[Long](1).toSeq
+      scored = scored
+        .withColumn("mind", least(col("mind"), sqDistQ(col("v"), vecLit(nv))))
+        .localCheckpoint(false)
+    }
+    chosen.zipWithIndex
+      .map { case ((id, d), i) => (i + 1, id, d) }
+      .toDF("rk", "vec_id", "mindist")
+  }
+
   /** k-NN label-noise audit (Wilson-editing / cleanlab-style neighbor
     * vote): for each labelled vector, its k nearest LSH-candidate
     * neighbors by exact quantized cosine vote with their labels; rows

@@ -137,6 +137,32 @@ class AnnRecallSpec extends SparkTestBase {
     assert(recall >= 0.1, f"blocking recall collapsed: $recall%.3f")
   }
 
+  test("kCenterGreedy: hand 1-D geometry picks the farthest point then " +
+    "the best-spread third; radius curve non-increasing on real data") {
+    import spark.implicits._
+    // dim-0 positions 0, 0.1, 1.0, 1.1, 5.0 -> quantized 0/100/1000/1100/5000
+    val pts = Seq(0.0f, 0.1f, 1.0f, 1.1f, 5.0f).zipWithIndex.map {
+      case (x, i) => (i.toLong, Array.tabulate(64)(d => if (d == 0) x else 0f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(pts, "vec_id", "embedding",
+        k = 3, seedId = 0L)
+      .as[(Int, Long, Double)].collect().toSeq
+    // from 0: farthest is 5000 (d=5000^2); then min-dists to {0,5000}
+    // are 1e4 / 1e6 / 1.21e6 -> id 3 wins
+    assert(got == Seq((1, 0L, 0.0), (2, 4L, 2.5e7), (3, 3L, 1.21e6)),
+      s"got $got")
+
+    val emb = graft.io.Tables.load(spark, sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 100)
+    val real = Similarity.kCenterGreedy(emb, "vec_id", "embedding",
+        k = 6, seedId = 0L)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(real.map(_._2).distinct.size == 6, "centers must be distinct")
+    val radii = real.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"coreset radius curve must be non-increasing, got $radii")
+  }
+
   test("knnLabelDisagreement: a planted mislabel inside a tight cluster " +
     "is the ONLY suspect; relabeling it empties the report") {
     import spark.implicits._
