@@ -1007,10 +1007,11 @@ object StreamOps {
     * (a conversion emits the moment its final stage ARRIVES, latency
     * zero), distinct from [[CusumProcessor]], whose numeric recurrence
     * is wrong under disorder and therefore buffers within the
-    * watermark at the cost of watermark-delay output latency. A
-    * time-ordered funnel wanting batch-`Behavior.funnel` parity under
-    * disorder would adopt that same buffer; the matching semantics
-    * here make arrival order a coherent, spec-pinned alternative.
+    * watermark at the cost of watermark-delay output latency.
+    * [[OrderedFunnelProcessor]] is this recurrence behind that buffer —
+    * pick it when batch-`Behavior.funnel` parity under disorder is the
+    * contract; the matching semantics here make arrival order a
+    * coherent, spec-pinned alternative (conversion latency zero).
     */
   class FunnelProcessor(steps: Seq[String], maxGapSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -1085,6 +1086,122 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor(steps, maxGapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** TIME-ORDERED streaming funnel — [[FunnelProcessor]]'s stage
+    * recurrence behind the [[CusumProcessor]] buffer-within-watermark
+    * release: events are held until the watermark is strictly past
+    * them, then stepped through the cursor in (time, type) order, so
+    * the stream equals the time-ordered batch funnel for ANY arrival
+    * order the watermark covers — a late-arriving EARLIER stage
+    * retro-inserts and can complete (or restart) a chain the
+    * arrival-order CEP variant would score differently. The price is
+    * the same as cusumStream's: a conversion emits only once the
+    * watermark passes its final stage (watermark-delay latency, vs the
+    * CEP variant's zero), and per-key state grows by the events inside
+    * the delay horizon.
+    *
+    * Use [[funnelStream]] when "the final stage ARRIVED" is the
+    * trigger semantics (CEP, latency zero); use this when parity with
+    * the batch funnel under disorder is the contract.
+    */
+  class OrderedFunnelProcessor(steps: Seq[String], maxGapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Conversion] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var cursor: ValueState[FunnelState] = _
+    @transient private var buf: ListState[Event] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cursor = getHandle.getValueState[FunnelState]("cursor",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+      buf = getHandle.getListState[Event]("buffer",
+        Encoders.product[Event], TTLConfig.NONE)
+    }
+
+    /** One wanted timer: the earliest pending event's release, else the
+      * surviving cursor's gap horizon (to drop abandoned state), else
+      * none — converged with the rearm discipline. */
+    private def rearm(pending: Seq[Event], skip: Long = -1L): Unit = {
+      val want: Option[Long] =
+        if (pending.nonEmpty) Some(pending.map(_.ts.getTime).min + 1)
+        else if (cursor.exists())
+          Some((cursor.get().stageSec + maxGapSec) * 1000 + 1)
+        else None
+      val have = getHandle.listTimers().map(_.asInstanceOf[Long]).toSet
+      have.filterNot(t => want.contains(t) || t == skip)
+        .foreach(getHandle.deleteTimer)
+      want.filterNot(have.contains).foreach(getHandle.registerTimer)
+    }
+
+    /** Release watermark-passed events in (time, type) order through
+      * the SAME cursor recurrence as [[FunnelProcessor]]. */
+    private def flush(user: Long, wm: Long,
+                      skipTimer: Long = -1L): Iterator[Conversion] = {
+      val (due, keep) = buf.get().toList.partition(_.ts.getTime < wm)
+      val out = List.newBuilder[Conversion]
+      due.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+        val sec = e.ts.getTime / 1000
+        val cur = if (cursor.exists()) Option(cursor.get()) else None
+        val next = cur match {
+          case Some(c) if e.event_type == steps(c.stage) &&
+              sec - c.stageSec <= maxGapSec =>
+            Some(FunnelState(c.stage + 1, sec, c.startSec))
+          case Some(c) if sec - c.stageSec <= maxGapSec => Some(c)
+          case _ if e.event_type == steps.head =>
+            Some(FunnelState(1, sec, sec))
+          case other => other
+        }
+        next match {
+          case Some(c) if c.stage == steps.length =>
+            out += Conversion(user, c.startSec, sec, steps.length)
+            cursor.clear()
+          case Some(c) => cursor.update(c)
+          case None => ()
+        }
+      }
+      // an abandoned cursor whose gap horizon the watermark has passed
+      // can never advance again (every future release is later than
+      // stageSec + gap) — drop it so state stays bounded by live chains
+      if (keep.isEmpty && cursor.exists() &&
+          (cursor.get().stageSec + maxGapSec) * 1000 < wm)
+        cursor.clear()
+      buf.clear()
+      if (keep.nonEmpty) buf.put(keep.toArray)
+      rearm(keep, skip = skipTimer)
+      out.result().iterator
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Conversion] = {
+      rows.foreach(buf.appendValue)
+      flush(user, tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Conversion] =
+      flush(user, tv.getCurrentWatermarkInMs(),
+        skipTimer = info.getExpiryTimeInMs())
+  }
+
+  /** [[OrderedFunnelProcessor]] over a watermarked stream —
+    * batch-funnel parity under disorder; output delayed by the
+    * watermark (drive it forward to drain the tail).
+    */
+  def funnelStreamOrdered(events: Dataset[Event], steps: Seq[String],
+                          maxGapSec: Long = 86400,
+                          watermarkDelay: String = "10 seconds"
+                         ): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new OrderedFunnelProcessor(steps, maxGapSec),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -799,6 +799,67 @@ class StreamSpec extends SparkTestBase {
     }
   }
 
+  test("funnelStreamOrdered: WATERMARK-BOUNDED DISORDER — a final stage " +
+    "that ARRIVES first converts once the earlier stages retro-insert " +
+    "(batch-funnel parity), where the CEP variant records nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val steps = Seq("view", "click", "purchase")
+    // user 1: purchase (minute 30) ARRIVES FIRST; view/click (minutes
+    // 10/20) arrive in the next batch — cross-batch disorder inside the
+    // watermark. user 2: the same chain fully in order, same batch.
+    val batch1 = Seq(Event(ts(30), 1L, "purchase", 1.0),
+      Event(ts(10), 2L, "view", 1.0), Event(ts(20), 2L, "click", 1.0),
+      Event(ts(30), 2L, "purchase", 1.0))
+    val batch2 = Seq(Event(ts(10), 1L, "view", 1.0),
+      Event(ts(20), 1L, "click", 1.0))
+    val drain = Seq(Event(ts(10000), 99L, "view", 1.0),
+      Event(ts(10001), 99L, "view", 1.0))
+    def run(name: String,
+            wire: org.apache.spark.sql.Dataset[Event] =>
+              org.apache.spark.sql.Dataset[Conversion]): Seq[Conversion] = {
+      val ck = java.nio.file.Files.createTempDirectory(s"fo_$name").toString
+      val mem = MemoryStream[Event]
+      val q = wire(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ck).start()
+      try {
+        mem.addData(batch1: _*); q.processAllAvailable()
+        mem.addData(batch2: _*); q.processAllAvailable()
+        drain.foreach { e => mem.addData(e); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).filter($"user_id" < 90L)
+        .as[Conversion].collect().toSeq.sortBy(_.user_id)
+    }
+    try {
+      val ordered = run("fo_ordered", ds => funnelStreamOrdered(ds, steps,
+        maxGapSec = 900, watermarkDelay = "7200 seconds"))
+      // time order retro-inserts user 1's chain: BOTH users convert,
+      // identically — exactly the time-ordered batch funnel's answer
+      assert(ordered == Seq(
+        Conversion(1L, ts(10).getTime / 1000, ts(30).getTime / 1000, 3),
+        Conversion(2L, ts(10).getTime / 1000, ts(30).getTime / 1000, 3)),
+        ordered.toString)
+      // the CEP variant on the SAME arrival order: user 1's purchase
+      // arrived before its view/click, so only in-order user 2 converts
+      val cep = run("fo_cep", ds => funnelStream(ds, steps,
+        maxGapSec = 900, watermarkDelay = "7200 seconds"))
+      assert(cep == Seq(
+        Conversion(2L, ts(10).getTime / 1000, ts(30).getTime / 1000, 3)),
+        cep.toString)
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming URL dedup: canonical-equal variants collapse across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
