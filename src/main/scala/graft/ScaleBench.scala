@@ -222,6 +222,25 @@ object ScaleBench {
         record("bm25_topk", factor, s, n)
       }
       locally {
+        // bitmask contamination matrix: replicas salt tokens, so the
+        // distinct-gram table grows ∝ F while the source set (and so
+        // the mask cardinality + pair output) stays fixed — the op's
+        // claimed shape is "cost ∝ gram scan, never grams × pairs".
+        // The operator localCheckpoints its gram table internally, so
+        // each run builds a FRESH plan end-to-end (timeDf would only
+        // re-count the cached mask side).
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = graft.ext.TextAnalysis
+            .sourceOverlap(docs, "source", "text").count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        once() // warm (codegen + shuffle machinery)
+        val timed = (1 to runs).map(_ => once()).sortBy(_._1)
+        val (s, n) = timed(runs / 2)
+        record("source_overlap", factor, s, n)
+      }
+      locally {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_scale_idx").toString
         try {
