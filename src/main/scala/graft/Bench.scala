@@ -79,6 +79,13 @@ object Bench {
     // steady-state engine execution — one scheduler/GC hiccup can no
     // longer double the suite total (round 1 recorded a 22.4 s phantom
     // for a 0.23 s query from an n=1 sample).
+    // Known protocol property: a query whose operator localCheckpoints
+    // an intermediate internally (sssp/kcenter/bfs/dsir/bm25/
+    // source_overlap/...) materializes it during the warm run, so the
+    // timed medians measure the post-checkpoint tail — the right
+    // REGRESSION metric for the suite, but not the operator's fresh
+    // end-to-end cost. ScaleBench's fresh-build protocol covers that
+    // (PERF.md round-11: the source_overlap 0.9-vs-5.8 s lesson).
     // Failures report as -1 per-query but are excluded from the total.
     // Between queries: drop any caches an operator registered (the dedup
     // pipeline persists its candidate-pair list for its own three-way
