@@ -1036,11 +1036,15 @@ object Similarity {
     var scored = pts
       .withColumn("mind", sqDistQ(col("v"), vecLit(seedVec)))
       .localCheckpoint(false)
-    for (_ <- 2 to k) {
+    for (i <- 2 to k) {
       val ids = chosen.map(_._1)
-      val next = scored.filter(!col("vec_id").isin(ids: _*))
+      val rest = scored.filter(!col("vec_id").isin(ids: _*))
         .orderBy(col("mind").desc, col("vec_id"))
-        .limit(1).head()
+        .limit(1).collect()
+      require(rest.nonEmpty,
+        s"kCenterGreedy: corpus exhausted at center $i of $k — " +
+          s"fewer than $k distinct ids")
+      val next = rest.head
       chosen :+= ((next.getLong(0), next.getDouble(2)))
       val nv = next.getSeq[Long](1).toSeq
       scored = scored
