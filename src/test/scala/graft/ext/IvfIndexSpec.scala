@@ -132,4 +132,40 @@ class IvfIndexSpec extends SparkTestBase {
     assert(Similarity.ivfTopKSegmented(queries, "vec_id", "embedding",
       dir, k = 10, nprobe = 2).collect().toSeq == before)
   }
+
+  test("fsckIvfIndex classifies ok / historical / orphan / missing " +
+    "segments (planted faults — the text-index fsck applied to vectors)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_fsck").toString
+    Similarity.initIvfIndex(emb.filter(col("vec_id") < 250), "vec_id",
+      "embedding", centroidIds = 10L to 17L, indexDir = dir)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), "vec_id",
+      "embedding", dir)
+    def statusOf(): Map[Long, (String, Int)] =
+      Similarity.fsckIvfIndex(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // healthy two-segment index (the vector index has ONE table)
+    assert(statusOf() == Map(0L -> ("ok", 1), 1L -> ("ok", 1)))
+
+    // compaction supersedes 0,1 -> historical; merged is the active ok
+    val merged = Similarity.compactIvfIndex(spark, dir)
+    assert(statusOf() == Map(0L -> ("historical", 1),
+      1L -> ("historical", 1), merged -> ("ok", 1)))
+
+    // planted orphan: a segment tree no version ever committed
+    assert(new java.io.File(s"$dir/vectors.parquet/seg=99").mkdirs())
+    assert(statusOf()(99L) == ("orphan", 1))
+
+    // planted corruption: delete the ACTIVE segment's only tree
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(s"$dir/vectors.parquet/seg=$merged"))
+    assert(statusOf()(merged) == ("missing", 0))
+
+    // vacuum reclaims historical trees AND the orphan; the report
+    // shrinks to the one corrupted active segment
+    Similarity.vacuumIvfIndex(spark, dir, keepVersions = 1)
+    assert(statusOf() == Map(merged -> ("missing", 0)))
+  }
 }
