@@ -46,7 +46,15 @@ object Profile {
         // the round-11 sf0.1 oracle sweep).
         (if (isNum) sum(col(c).cast(DecimalType(18, 6)) *
             col(c).cast(DecimalType(18, 6))).cast("double")
-         else lit(null).cast("double")).as(s"${c}__sumsq")
+         else lit(null).cast("double")).as(s"${c}__sumsq"),
+        // domain guard for the DECIMAL(18,6) cast above: |x| >= 1e12
+        // nulls under non-ANSI cast and sum() would silently SKIP the
+        // row — a wrong stddev with no error (the Dsir.scoresFromCounts
+        // / Eval.emd1d silent-overflow class). max(|x|) costs nothing
+        // extra in the same single-pass agg and lets the reshape step
+        // raise_error instead.
+        (if (isNum) max(abs(col(c).cast("double")))
+         else lit(null).cast("double")).as(s"${c}__maxabs")
       )
     }
     val wide = df.agg(total.as("__n"), perCol: _*)
@@ -56,7 +64,24 @@ object Profile {
       val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
       val cnt = col(s"${c}__cnt")
       val s1 = col(s"${c}__sum")
-      val s2 = col(s"${c}__sumsq")
+      // fail-fast on the DECIMAL(18,6) domain: values at/near 1e12
+      // overflow the pre-square cast; under non-ANSI that nulls the
+      // term and sum() skips it — stddev would be silently wrong.
+      // Threshold 999999999999.5 is half a unit conservative (scale-6
+      // rounding can carry the last half-unit below 1e12 over the
+      // edge): a loud false positive in that sliver beats a silent
+      // wrong answer. Null maxabs (all-null column) is in-domain.
+      val maxabs = col(s"${c}__maxabs")
+      val s2 =
+        if (isNum)
+          when(maxabs.isNull || maxabs < 999999999999.5,
+            col(s"${c}__sumsq"))
+            .otherwise(raise_error(concat(
+              lit(s"profile: max(abs($c)) = "), maxabs.cast("string"),
+              lit(" exceeds the DECIMAL(18,6) domain (~1e12); stddev " +
+                "would silently skip overflowed rows")))
+              .cast("double"))
+        else col(s"${c}__sumsq")
       val mean = s1 / cnt
       // greatest() SKIPS nulls (it is not null-propagating), so the
       // non-numeric case must be gated statically or a null Σx² would

@@ -195,10 +195,22 @@ object Retrieval {
   def appendTextIndexAs(newDocs: DataFrame, idCol: String, textCol: String,
                         indexDir: String, nBuckets: Int, seg: Long): Unit = {
     val spark = newDocs.sparkSession
-    if (allSegmentsEver(spark, indexDir).contains(seg)) return
+    // one coherent snapshot of the version chain (see the IVF twin,
+    // [[graft.ext.Similarity.appendIvfIndexAs]]): ever-check, active
+    // set, and CAS base from one read — a concurrent appender makes
+    // commitVersionAfter fail loudly instead of silently dropping a
+    // segment from the active set.
+    val versions = graft.io.Segments.listVersions(spark, indexDir)
+    val base = versions.maxOption.getOrElse(-1L)
+    val ever = versions
+      .flatMap(v => graft.io.Segments.readVersion(spark, indexDir, v))
+    if (ever.contains(seg)) return
     writeSegment(newDocs, idCol, textCol, indexDir, nBuckets, seg)
-    commitVersion(spark, indexDir,
-      committedSegments(spark, indexDir) :+ seg)
+    val active =
+      if (base >= 0) graft.io.Segments.readVersion(spark, indexDir, base)
+      else Seq.empty[Long]
+    graft.io.Segments.commitVersionAfter(spark, indexDir, base,
+      active :+ seg)
   }
 
   /** OPTIMIZE for the index — the Lucene merge: fold the current

@@ -703,11 +703,24 @@ object Similarity {
   def appendIvfIndexAs(newVecs: DataFrame, idCol: String, vecCol: String,
                        indexDir: String, seg: Long): Unit = {
     val spark = newVecs.sparkSession
-    if (graft.io.Segments.allSegmentsEver(spark, indexDir).contains(seg))
-      return
+    // one coherent snapshot of the version chain: the ever-committed
+    // check, the active set, and the CAS base all come from the same
+    // read, so a concurrent appender in the window between this read
+    // and the commit makes commitVersionAfter fail loudly instead of
+    // silently dropping its segment (lost-update detection; the
+    // intended deployment stays single-writer-per-index — one
+    // streaming query owns an index).
+    val versions = graft.io.Segments.listVersions(spark, indexDir)
+    val base = versions.maxOption.getOrElse(-1L)
+    val ever = versions
+      .flatMap(v => graft.io.Segments.readVersion(spark, indexDir, v))
+    if (ever.contains(seg)) return
     writeIvfSegment(newVecs, idCol, vecCol, indexDir, seg)
-    graft.io.Segments.commitVersion(spark, indexDir,
-      graft.io.Segments.committedSegments(spark, indexDir) :+ seg)
+    val active =
+      if (base >= 0) graft.io.Segments.readVersion(spark, indexDir, base)
+      else Seq.empty[Long]
+    graft.io.Segments.commitVersionAfter(spark, indexDir, base,
+      active :+ seg)
   }
 
   /** Fold the committed segments into ONE (the Lucene merge), derived
@@ -731,7 +744,17 @@ object Similarity {
 
   /** Retention: keep the newest `keepVersions` versions, delete every
     * segment tree no retained version references. Returns deleted
-    * segment ids. */
+    * segment ids.
+    *
+    * Retention >= replay horizon (the [[graft.ext.Retrieval]]
+    * `vacuumTextIndex` contract, restated here because the failure is
+    * nastier on this index): after vacuum, [[appendIvfIndexAs]]'
+    * replay idempotence keys on the RETAINED version history only — a
+    * streaming-checkpoint replay OLDER than the retention window
+    * re-appends a compacted-away segment id, duplicating vector ids
+    * across segments and breaking [[ivfTopKSegmented]]'s
+    * disjoint-union exactness. Pair `keepVersions` with the stream's
+    * checkpoint horizon so a replay older than both cannot occur. */
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      indexDir: String, keepVersions: Int = 2): Seq[Long] = {
     val retained = graft.io.Segments.retainVersions(spark, indexDir,
@@ -1030,8 +1053,10 @@ object Similarity {
         quantize(col(vecCol)).as("v"))
       .localCheckpoint(false)  // scanned once per round
     def vecLit(v: Seq[Long]): Column = typedLit(v)
-    val seedVec = pts.filter(col("vec_id") === seedId)
-      .head().getSeq[Long](1).toSeq
+    val seedRows = pts.filter(col("vec_id") === seedId).limit(1).collect()
+    require(seedRows.nonEmpty,
+      s"kCenterGreedy: seed id $seedId not found in the corpus")
+    val seedVec = seedRows.head.getSeq[Long](1).toSeq
     var chosen = Vector((seedId, 0.0))
     var scored = pts
       .withColumn("mind", sqDistQ(col("v"), vecLit(seedVec)))

@@ -176,9 +176,13 @@ object TextAnalysis {
     * cross-engine reproducibility).
     */
   /** Source×source n-gram overlap matrix — the corpus-level
-    * cross-contamination audit: for every pair of sources, the Jaccard
-    * of their DISTINCT shingle vocabularies (3-gram shingles, the
-    * dedup family's gram semantics via [[Dedup.shinglesOf]]). High
+    * cross-contamination audit: for each pair of sources WITH at least
+    * one shared gram, the Jaccard of their DISTINCT shingle
+    * vocabularies (3-gram shingles, the dedup family's gram semantics
+    * via [[Dedup.shinglesOf]]). Zero-intersection pairs are ABSENT
+    * from the output (the inner pair-join never materializes them) —
+    * callers wanting the dense matrix outer-join against the source
+    * list and fill jaccard 0. High
     * overlap between a train source and an eval source is the leakage
     * signal the per-document `x_decontaminate` check inspects one doc
     * at a time; this is the fleet-level view.
@@ -189,7 +193,7 @@ object TextAnalysis {
     * longs instead of 3-gram strings ([[graft.functions.Hashing]] —
     * identical in DuckDB, so a collision changes both engines the same
     * way); each gram then folds to ONE source-BITMASK row (`bit_or` of
-    * `1 << source_index`, ≤ 64 sources by contract), and the mask
+    * `1 << source_index`, ≤ 63 sources by contract), and the mask
     * table aggregates to (mask, n) — everything past the two gram
     * aggregates is MASK-cardinality-sized, and a corpus that shares
     * its vocabulary across all sources produces a handful of mask
@@ -221,8 +225,14 @@ object TextAnalysis {
       .localCheckpoint(false)
     val srcNames = grams.select(col("src")).distinct()
       .collect().map(_.getString(0)).sorted
-    require(srcNames.length <= 64,
-      s"sourceOverlap bitmask holds <= 64 sources, got ${srcNames.length}")
+    // 63, not 64: bit index 63 is Long's sign bit — Spark's
+    // shiftleft(1, 63) wraps to Long.MinValue while an ANSI engine
+    // (the DuckDB oracle) raises on CAST(1 AS BIGINT) << 63, a
+    // cross-engine break right at the boundary. 63 sources keep the
+    // mask arithmetic in the non-negative Long domain on both.
+    require(srcNames.length <= 63,
+      s"sourceOverlap bitmask holds <= 63 sources (bit 63 is the " +
+        s"Long sign bit), got ${srcNames.length}")
     import scala.jdk.CollectionConverters._
     val idxDf = spark.createDataFrame(
       srcNames.zipWithIndex.map { case (s, i) =>
@@ -239,7 +249,7 @@ object TextAnalysis {
       .groupBy(col("mask")).agg(count(lit(1)).as("n"))
     val interIdx = maskCounts
       .withColumn("bits", expr(
-        "filter(sequence(0, 63), i -> (shiftright(mask, i) & 1) = 1)"))
+        "filter(sequence(0, 62), i -> (shiftright(mask, i) & 1) = 1)"))
       .select(col("n"), explode(col("bits")).as("ia"), col("bits"))
       .select(col("n"), col("ia"), explode(col("bits")).as("ib"))
       .filter(col("ia") < col("ib"))

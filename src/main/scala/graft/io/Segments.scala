@@ -61,14 +61,46 @@ object Segments {
 
   /** Write the next version marker naming `segs` as the new active
     * set; `create(p, false)` makes claiming a version number atomic.
-    * Returns the committed version number. */
+    * Returns the committed version number.
+    *
+    * Writer contract: a commit is a read-modify-write of the active
+    * segment set, so version claiming doubles as lost-update
+    * detection — the marker is created as `<version-read-at-base>+1`
+    * with overwrite=false, and a concurrent writer that claimed the
+    * same number first makes THIS call fail loudly
+    * (IllegalStateException) instead of silently dropping the other
+    * writer's segment from the active set. One winner per version;
+    * the loser re-reads and retries (its append is already
+    * idempotent: the segment data landed, only the marker is redone).
+    * Single-writer-per-index remains the intended deployment (one
+    * streaming query owns an index); the CAS makes a violation
+    * diagnosable rather than corrupting. */
   def commitVersion(spark: SparkSession, indexDir: String,
-                    segs: Seq[Long]): Long = {
+                    segs: Seq[Long]): Long =
+    commitVersionAfter(spark, indexDir,
+      listVersions(spark, indexDir).maxOption.getOrElse(-1L), segs)
+
+  /** CAS form of [[commitVersion]]: commit `segs` as exactly version
+    * `base + 1`, where `base` is the newest version the CALLER read
+    * when computing `segs`. Fails with IllegalStateException if
+    * another writer claimed `base + 1` first — the read-modify-write
+    * conflict that would otherwise silently drop a segment. */
+  def commitVersionAfter(spark: SparkSession, indexDir: String,
+                         base: Long, segs: Seq[Long]): Long = {
     val dir = versionsPath(indexDir)
     val fs = fsOf(spark, dir)
-    val next = listVersions(spark, indexDir).maxOption.getOrElse(-1L) + 1L
+    val next = base + 1L
     val marker = new org.apache.hadoop.fs.Path(dir, f"$next%020d")
-    val out = fs.create(marker, false) // atomic claim of this version
+    val out =
+      try fs.create(marker, false) // atomic claim of this version
+      catch {
+        case e: java.io.IOException if fs.exists(marker) =>
+          throw new IllegalStateException(
+            s"commitVersion: version $next under $indexDir was claimed " +
+              "by a concurrent writer after this writer read version " +
+              s"$base — committing would drop its segment set. Re-read " +
+              "the active set and retry (one winner per version).", e)
+      }
     try out.write(segs.distinct.sorted.mkString(",").getBytes("UTF-8"))
     finally out.close()
     next

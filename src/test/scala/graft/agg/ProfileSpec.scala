@@ -39,4 +39,28 @@ class ProfileSpec extends SparkTestBase {
     val h = Profile.histogram(d, "v", bins = 5).collect()
     assert(h.length == 1 && h.head.getInt(0) == 0 && h.head.getLong(3) == 7)
   }
+
+  test("profile fail-fast: |x| beyond the DECIMAL(18,6) sumsq domain " +
+    "raises instead of a silently wrong stddev") {
+    // an epoch-millis-sized double (~1.7e12) overflows the pre-square
+    // DECIMAL(18,6) cast; under non-ANSI that nulls the term and sum()
+    // SKIPS it — the guard must raise, never return a wrong stddev
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val d = Seq(1.7e12, 2.0, 3.0).toDF("ts")
+      val e = intercept[Exception] {
+        Profile.profile(d, Seq("ts")).collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("DECIMAL(18,6)")),
+        s"expected the domain-guard message, got: ${chain(e)}")
+      // in-domain data through the same guarded path still profiles
+      val ok = Profile.profile(Seq(1.0, 2.0).toDF("ts"), Seq("ts"))
+        .collect().head
+      assert(math.abs(ok.getDouble(7) - math.sqrt(0.5)) < 5e-7)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
 }

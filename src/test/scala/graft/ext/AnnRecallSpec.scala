@@ -163,6 +163,16 @@ class AnnRecallSpec extends SparkTestBase {
       s"coreset radius curve must be non-increasing, got $radii")
   }
 
+  test("kCenterGreedy: missing seed id fails fast with a named message") {
+    import spark.implicits._
+    val pts = Seq((0L, Array.fill(64)(1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(pts, "vec_id", "embedding",
+        k = 1, seedId = 99L)
+    }
+    assert(e.getMessage.contains("seed id 99 not found"), e.getMessage)
+  }
+
   test("knnLabelDisagreement: a planted mislabel inside a tight cluster " +
     "is the ONLY suspect; relabeling it empties the report") {
     import spark.implicits._

@@ -107,6 +107,21 @@ class ExtSpec extends SparkTestBase {
       s"expected the single A-B row, got $got")
   }
 
+  test("sourceOverlap: 63 sources is the boundary — 64 rejected " +
+    "(bit 63 is the Long sign bit), 63 computes the full pair set") {
+    def corpus(n: Int) =
+      (0 until n).map(i => (f"s$i%02d", "w1 w2 w3")).toDF("source", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.sourceOverlap(corpus(64), "source", "text").collect()
+    }
+    assert(e.getMessage.contains("<= 63"), e.getMessage)
+    // 63 sources sharing one gram: all 63*62/2 pairs, jaccard 1.0
+    val got = TextAnalysis.sourceOverlap(corpus(63), "source", "text")
+      .collect()
+    assert(got.length == 63 * 62 / 2)
+    assert(got.forall(r => r.getLong(4) == 1L && r.getDouble(5) == 1.0))
+  }
+
   test("quantized cosine: identical vectors = 1.0, orthogonal = 0.0") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
