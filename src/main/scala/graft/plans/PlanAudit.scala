@@ -55,8 +55,12 @@ object PlanAudit {
       n.reuses.flatMap(nodes.get).getOrElse(n)
   }
 
+  // the optional trailing `, Statistics(...)` appears on AQE QueryStage
+  // tree lines in EXECUTED plans (the streaming micro-batch capture);
+  // without it those nodes vanish from the tree and every child chain
+  // through them breaks
   private val TreeLine =
-    """^([ :+\-]*)\*?\s*([A-Za-z][^()]*?)\s*\((\d+)\)\s*$""".r
+    """^([ :+\-]*)\*?\s*([A-Za-z][^()]*?)\s*\((\d+)\)(?:,.*)?\s*$""".r
   private val DetailHeader = """^\((\d+)\)\s+(\S.*?)\s*$""".r
   private val FieldLine = """^([A-Za-z][A-Za-z ]*?)(?: \[\d+\])?: (.*)$""".r
 
@@ -140,9 +144,16 @@ object PlanAudit {
   }
 
   /** Audit one DataFrame's physical plan (triggers planning only). */
-  def audit(df: DataFrame): Report = {
-    val formatted = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  def audit(df: DataFrame): Report =
+    auditFormatted(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+
+  /** Audit an already-rendered formatted explain — the entry point for
+    * plans not reachable through a DataFrame handle: streaming
+    * micro-batch executions captured by a QueryExecutionListener and
+    * IncrementalExecutions pulled off a running StreamingQuery
+    * (StreamPlanAuditSpec). Classifiers identical to [[audit]]. */
+  def auditFormatted(formatted: String): Report = {
     val nodes = parse(formatted)
     Report(
       nodes,
@@ -194,7 +205,19 @@ object PlanAudit {
                  r.name.startsWith("Filter") ||
                  r.name.startsWith("Subquery") ||
                  r.name.startsWith("BroadcastExchange") ||
-                 r.name.startsWith("ColumnarToRow"))
+                 r.name.startsWith("ColumnarToRow") ||
+                 // AQE wrappers: pre-execution plans (the 281-query
+                 // batch gate) never carry these, but EXECUTED plans —
+                 // the streaming micro-batch executions
+                 // StreamPlanAuditSpec captures — wrap every exchange
+                 // in a QueryStage and shuffle reads in AQEShuffleRead;
+                 // all are row-preserving pass-throughs for this walk
+                 r.name.startsWith("BroadcastQueryStage") ||
+                 r.name.startsWith("ShuffleQueryStage") ||
+                 r.name.startsWith("ResultQueryStage") ||
+                 r.name.startsWith("TableCacheQueryStage") ||
+                 r.name.startsWith("AQEShuffleRead") ||
+                 r.name.startsWith("Exchange"))
           r.children.headOption.flatMap(report.nodes.get)
             .exists(descend(_, depth + 1))
         else false
@@ -202,6 +225,7 @@ object PlanAudit {
     }
     bnlj.children.flatMap(report.nodes.get)
       .exists(c => (c.name.startsWith("BroadcastExchange") ||
+        c.name.startsWith("BroadcastQueryStage") ||
         c.name.startsWith("ReusedExchange")) && descend(c, 0))
   }
 }
