@@ -1143,6 +1143,34 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL multi-frame video decode: each doc_id becomes an actual
+    // ANIMATED GIF (the one genuine multi-frame container the JDK
+    // decodes offline), frames full-size grayscale (≤256 colors →
+    // lossless palette; h ≥ 5 avoids the measured JDK h=4 palette
+    // quirk, the x_mm_imageio note). frameStats decodes EVERY stored
+    // frame through the JDK multi-frame reader AND cross-checks the
+    // frame count against the independent container block walk
+    // (gifFrameOffsets), so both the pixel path and the structure path
+    // sit on the oracle-checked path. One row per frame with exact
+    // per-frame pixel sums the oracle re-derives in closed form — this
+    // retires the byte-stride stub for the video mime.
+    "x_mm_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (id % 4 + 2).toInt
+          val w = (id % 9 + 4).toInt
+          val h = (id % 7 + 5).toInt
+          Multimodal.MediaRow(id, Multimodal.ImageIoCodec.GifMime,
+            Multimodal.ImageIoCodec.encodeGifAnimation(w, h, n,
+              k => i => ((id * 29 + k * 17 + (i / 3) * 13) % 256).toInt))
+        })
+      Multimodal.frameStats(media).toDF()
+        .select(col("media_id").as("doc_id"), col("frame_idx"),
+          col("width"), col("height"), col("pixel_sum"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Concatenated-P6 "video": frame count and sizes come from walking
     // the real headers (PpmCodec.frames), then cross-checked against the
     // oracle's closed-form header lengths.
@@ -6443,6 +6471,31 @@ object ExtQueries {
                 CAST(r.resized_sum AS BIGINT) AS resized_sum
          FROM fullsum f JOIN rsum r USING (doc_id)
          ORDER BY f.doc_id""",
+
+    // Per-frame pixel sums re-derived in closed form from the
+    // generator formula: frame k of doc d is the grayscale raster
+    // byte(i) = (d*29 + k*17 + (i//3)*13) % 256 over 3wh interleaved
+    // bytes (r=g=b, so the sum is 3× the per-pixel series).
+    "x_mm_gif_frames" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(doc_id % 4 + 2 AS BIGINT) AS n,
+                  CAST(doc_id % 9 + 4 AS INTEGER) AS width,
+                  CAST(doc_id % 7 + 5 AS INTEGER) AS height
+           FROM documents),
+         frames AS (
+           SELECT doc_id, width, height,
+                  unnest(range(0, n)) AS k
+           FROM dims),
+         px AS (
+           SELECT doc_id, width, height, k,
+                  unnest(range(0, CAST(width*height AS BIGINT))) AS p
+           FROM frames)
+         SELECT doc_id, CAST(k AS INTEGER) AS frame_idx, width, height,
+                CAST(SUM(3 * ((doc_id*29 + k*17 + p*13) % 256))
+                  AS BIGINT) AS pixel_sum
+         FROM px GROUP BY 1, 2, 3, 4
+         ORDER BY doc_id, frame_idx""",
 
     // Header length is 'P6\n' + w + ' ' + h + '\n' + '255\n' = 9 + the
     // dims' digit counts; each frame is header + 3wh raster bytes.

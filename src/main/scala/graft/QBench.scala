@@ -56,6 +56,11 @@ object QBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names =
       if (args.length > 2 && args(1) == "--top") topFromBench(args(2).toInt)
+      // --all: isolated medians for EVERY registered query (round-11
+      // verdict task #4) — one mechanical round-close pass so every
+      // regression argument is artifact-backed, not just the top-40
+      else if (args.length > 1 && args(1) == "--all")
+        SparkEntry.queries.keys.toSeq.sorted
       else if (args.length > 1) args.tail.toSeq
       else Seq("x_json_extract")
     val spark = SparkSession.builder().master("local[32]")

@@ -54,6 +54,16 @@ object ScaleBench {
         java.nio.file.Files.createSymbolicLink(link,
           java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
     }
+    replicateCorpus(spark, baseDir, dir, factor)
+    java.nio.file.Files.write(done, Array.emptyByteArray)
+    dir
+  }
+
+  /** The LLM-corpus tables (documents token-salted, embeddings/events
+    * id-strided), shared by [[ensureReplica]] and
+    * [[ensureOracleReplica]]. */
+  private def replicateCorpus(spark: SparkSession, baseDir: String,
+                              dir: String, factor: Int): Unit = {
     val r = spark.range(factor).toDF("__r")
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val docStride = 1L + docs.agg(max(col("doc_id"))).head().getLong(0)
@@ -82,6 +92,61 @@ object ScaleBench {
         col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** FK-consistent FULL-star replica for the ×F ORACLE sweep (round-11
+    * verdict task #2). [[ensureReplica]] symlinks the TPC-H tables
+    * (the batch scale bench only drives the corpus tables); the oracle
+    * sweep instead needs every FACT table ×F so the DuckDB compare
+    * exercises overflow/window/prefix-sum behavior at real 10×
+    * magnitudes. Keys stride COHERENTLY so join queries stay
+    * referentially intact across replicas: c_custkey with o_custkey,
+    * o_orderkey with l_orderkey, p_partkey with l_partkey, s_suppkey
+    * with l_suppkey. region/nation stay shared (grouping dims — their
+    * per-group counts grow ×F, which is the point). Value columns
+    * replicate verbatim: sums grow ×F, distributions are unchanged,
+    * so any cross-engine disagreement at ×F is a genuine
+    * magnitude-class defect, not a data-shape artifact.
+    */
+  def ensureOracleReplica(spark: SparkSession, baseDir: String,
+                          factor: Int): String = {
+    val base = java.nio.file.Paths.get(baseDir).getFileName.toString
+    val dir = s"/tmp/graft_scale/$base/oracle_x$factor"
+    val done = java.nio.file.Paths.get(dir, "_READY")
+    if (java.nio.file.Files.exists(done)) return dir
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    for (t <- Seq("region", "nation")) {
+      val link = java.nio.file.Paths.get(dir, s"$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
+    }
+    val r = spark.range(factor).toDF("__r")
+    def stride(table: String, key: String): Long =
+      1L + spark.read.parquet(s"$baseDir/$table.parquet")
+        .agg(max(col(key))).head().getLong(0)
+    val custS = stride("customer", "c_custkey")
+    val ordS = stride("orders", "o_orderkey")
+    val partS = stride("part", "p_partkey")
+    val suppS = stride("supplier", "s_suppkey")
+    def write(table: String, strided: Map[String, Long]): Unit = {
+      val src = spark.read.parquet(s"$baseDir/$table.parquet")
+      val cols = src.schema.fieldNames.map { c =>
+        strided.get(c) match {
+          case Some(s) => (col(c) + col("__r") * s).as(c)
+          case None => col(c)
+        }
+      }
+      src.crossJoin(r).select(cols.toSeq: _*).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    }
+    write("customer", Map("c_custkey" -> custS))
+    write("supplier", Map("s_suppkey" -> suppS))
+    write("part", Map("p_partkey" -> partS))
+    write("orders", Map("o_orderkey" -> ordS, "o_custkey" -> custS))
+    write("lineitem", Map("l_orderkey" -> ordS, "l_partkey" -> partS,
+      "l_suppkey" -> suppS))
+    replicateCorpus(spark, baseDir, dir, factor)
     java.nio.file.Files.write(done, Array.emptyByteArray)
     dir
   }
@@ -151,6 +216,13 @@ object ScaleBench {
   }
 
   /** Warm once (pays codegen), then median of `runs` timed counts. */
+  private def deleteTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   private def timeDf(df: DataFrame, runs: Int): (Double, Long) = {
     val rows = df.count()
     val ts = (1 to runs).map { _ =>
@@ -299,6 +371,103 @@ object ScaleBench {
           SparkEntry.queries("x_llm_pipeline2")(spark, dir), runs)
         record("llm_pipeline2", factor, s, n)
       }
+      locally {
+        // segment-store lifecycle (round-11 verdict task #5): the IVF
+        // index's full maintenance cycle — build on a fifth of the
+        // corpus, append the other four fifths as segments, search the
+        // 5-segment index, compact to one segment, search again,
+        // vacuum. Claims this measures: append ∝ ITS batch (each
+        // append indexes corpus/5 regardless of how big the index
+        // already is — the medians across the four appends should be
+        // flat within a factor and grow ∝ F across factors), compact
+        // ∝ total live rows, search bounded by probed (seg × cell)
+        // partitions, vacuum driver-side metadata + dead-tree deletes.
+        val lifeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_ivf_life").toString
+        try {
+          // centroid ids ≡ 0 (mod 5): all inside the init slice, and
+          // replica id-striding preserves id % 5 (stride 2000 ≡ 0)
+          val cents = (0L to 75L by 5L).toSeq
+          var t0 = System.nanoTime()
+          Similarity.initIvfIndex(emb.filter(col("vec_id") % 5 === 0),
+            "vec_id", "embedding", cents, lifeDir)
+          record("ivf_init_fifth", factor,
+            (System.nanoTime() - t0) / 1e9, -1L)
+          val appendSecs = (1 to 4).map { b =>
+            val t = System.nanoTime()
+            Similarity.appendIvfIndexAs(
+              emb.filter(col("vec_id") % 5 === b),
+              "vec_id", "embedding", lifeDir, seg = b.toLong)
+            (System.nanoTime() - t) / 1e9
+          }
+          record("ivf_append_med4", factor, appendSecs.sorted.apply(2), -1L)
+          val q = emb.filter(col("vec_id").isin(0L, 5L, 10L, 15L, 20L))
+          val (s5, n5) = timeDf(Similarity.ivfTopKSegmented(q, "vec_id",
+            "embedding", lifeDir, k = 10, nprobe = 2), runs)
+          record("ivf_search_5seg", factor, s5, n5)
+          t0 = System.nanoTime()
+          Similarity.compactIvfIndex(spark, lifeDir)
+          record("ivf_compact", factor, (System.nanoTime() - t0) / 1e9, -1L)
+          val (s1, n1) = timeDf(Similarity.ivfTopKSegmented(q, "vec_id",
+            "embedding", lifeDir, k = 10, nprobe = 2), runs)
+          record("ivf_search_compacted", factor, s1, n1)
+          t0 = System.nanoTime()
+          val deleted = Similarity.vacuumIvfIndex(spark, lifeDir,
+            keepVersions = 1)
+          record("ivf_vacuum", factor, (System.nanoTime() - t0) / 1e9,
+            deleted.size.toLong)
+        } finally deleteTree(lifeDir)
+      }
+      locally {
+        // text-index twin of the lifecycle cycle: build fifth, append
+        // four segments, compact, query. bm25_index_build above
+        // measures the one-shot build; this pins the MAINTENANCE
+        // claims (append ∝ batch, compact ∝ live postings).
+        val lifeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_ti_life").toString
+        try {
+          var t0 = System.nanoTime()
+          Retrieval.saveTextIndex(docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "text", lifeDir, nBuckets = 16)
+          record("text_init_fifth", factor,
+            (System.nanoTime() - t0) / 1e9, -1L)
+          val appendSecs = (1 to 4).map { b =>
+            val t = System.nanoTime()
+            Retrieval.appendTextIndexAs(docs.filter(col("doc_id") % 5 === b),
+              "doc_id", "text", lifeDir, nBuckets = 16, seg = b.toLong)
+            (System.nanoTime() - t) / 1e9
+          }
+          record("text_append_med4", factor, appendSecs.sorted.apply(2), -1L)
+          t0 = System.nanoTime()
+          Retrieval.compactTextIndex(spark, lifeDir)
+          record("text_compact", factor, (System.nanoTime() - t0) / 1e9, -1L)
+          val (sq, nq) = timeDf(Retrieval.bm25TopKIndexed(
+            docs.filter(col("doc_id").isin(0L, 1L, 2L, 3L, 4L)),
+            "doc_id", "text", lifeDir, k = 10), runs)
+          record("text_query_compacted", factor, sq, nq)
+          t0 = System.nanoTime()
+          val deleted = Retrieval.vacuumTextIndex(spark, lifeDir,
+            keepVersions = 1)
+          record("text_vacuum", factor, (System.nanoTime() - t0) / 1e9,
+            deleted.size.toLong)
+        } finally deleteTree(lifeDir)
+      }
+      locally {
+        // k-center coreset (round-11 verdict task #6): the claim is k
+        // bounded corpus scans — wall should grow ∝ F at fixed k.
+        // Internally checkpoints per round, so timing is FRESH-BUILD
+        // per run (the sourceOverlap protocol): repeated counts of one
+        // build would only re-read the last checkpoint.
+        def once(): Double = {
+          val t = System.nanoTime()
+          Similarity.kCenterGreedy(emb, "vec_id", "embedding", k = 8,
+            seedId = 0L).count()
+          (System.nanoTime() - t) / 1e9
+        }
+        once() // warm
+        val med = (1 to runs).map(_ => once()).sorted.apply(runs / 2)
+        record("kcenter_k8", factor, med, 8L)
+      }
       // events-table headliners (10M rows at ×100): windowed
       // sessionization, the 3-step funnel, and the adjacent-pair
       // Markov transitions — the behavioral family's contract is
@@ -326,6 +495,26 @@ object ScaleBench {
       }.mkString(",")}}"""
     }.mkString(",")
     writeScaleJson(batchBody = Some(body))
+    spark.stop()
+  }
+}
+
+/** Standalone oracle-replica builder:
+  * `runMain graft.OracleReplica [baseDir] [factor]` — materializes the
+  * FK-consistent ×F star ([[ScaleBench.ensureOracleReplica]]) and
+  * prints its directory, for the round-close ×F oracle sweep
+  * (Verify + tools/check.py against the replica dir).
+  */
+object OracleReplica {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = ScaleBench.ensureOracleReplica(spark, baseDir, factor)
+    println(s"ORACLE_REPLICA $dir")
     spark.stop()
   }
 }

@@ -136,8 +136,10 @@ object StreamScaleBench {
   private def tmpDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(tag).toString
 
-  /** Run all six sinks at one factor. `dataDir` is the (replica)
-    * table directory. Returns sink → metrics, insertion-ordered. */
+  /** Run all eleven sinks at one factor (the original six + the drift
+    * family + the per-key quantile state, round-11 verdict task #7).
+    * `dataDir` is the (replica) table directory. Returns
+    * sink → metrics, insertion-ordered. */
   def runFactor(spark: SparkSession, baseDir: String, dataDir: String,
                 factor: Int
                ): Seq[(String, SinkRun)] = {
@@ -240,6 +242,70 @@ object StreamScaleBench {
         StreamOps.ivfIndexSink(fileStream(spark, embDir, embSchema),
           "vec_id", "embedding", dir,
           checkpointDir = tmpDir("ssb_ivf_ck"))
+      }
+    }
+    // drift family (round-11 verdict task #7): per-batch cost must be
+    // ∝ the batch PLUS a FIXED reference term — the reference is
+    // always the sf-base table (never the replica), so across factors
+    // only the batch side grows; a flat per-batch latency curve at
+    // ×100 would mean the reference dominates, a ∝F curve means the
+    // batch side does (both are fine at 100 TB as long as neither is
+    // ∝ history — the state column, one appended row per batch, pins
+    // that). References are localCheckpoint()ed once (the sinks'
+    // documented keep-it-persisted contract: they re-aggregate the
+    // reference every micro-batch).
+    locally {
+      val refVals = spark.read.parquet(s"$baseDir/events.parquet")
+        .select(floor(col("value")).cast("long").as("v")).localCheckpoint()
+      val ksOut = tmpDir("ssb_ksd")
+      run("ks_drift", evRows, stateDir = Some(ksOut)) {
+        StreamOps.ksDriftSink(
+          fileStream(spark, evDir, evSchema)
+            .select(floor(col("value")).cast("long").as("v")),
+          "v", refVals, alarmAt = 0.3, outDir = ksOut,
+          checkpointDir = tmpDir("ssb_ksd_ck"))
+      }
+      val emdOut = tmpDir("ssb_emdd")
+      run("emd_drift", evRows, stateDir = Some(emdOut)) {
+        StreamOps.emdDriftSink(
+          fileStream(spark, evDir, evSchema)
+            .select(floor(col("value")).cast("long").as("v")),
+          "v", refVals, alarmAt = 1000.0, outDir = emdOut,
+          checkpointDir = tmpDir("ssb_emdd_ck"))
+      }
+      val psiOut = tmpDir("ssb_psid")
+      val refBins = spark.read.parquet(s"$baseDir/events.parquet")
+        .select(floor(col("value") / 10).cast("long").as("bin"))
+        .localCheckpoint()
+      run("psi_drift", evRows, stateDir = Some(psiOut)) {
+        StreamOps.driftSink(
+          fileStream(spark, evDir, evSchema)
+            .select(floor(col("value") / 10).cast("long").as("bin")),
+          col("bin"), refBins, col("bin"), alarmAt = 0.2,
+          outDir = psiOut, checkpointDir = tmpDir("ssb_psid_ck"))
+      }
+      val chiOut = tmpDir("ssb_chid")
+      val refCat = spark.read.parquet(s"$baseDir/events.parquet")
+        .select(col("event_type").as("cat")).localCheckpoint()
+      run("chi2_drift", evRows, stateDir = Some(chiOut)) {
+        StreamOps.chi2DriftSink(
+          fileStream(spark, evDir, evSchema)
+            .select(col("event_type").as("cat")),
+          "cat", refCat, "cat", alarmAt = 9.21, outDir = chiOut,
+          checkpointDir = tmpDir("ssb_chid_ck"))
+      }
+    }
+    // per-key sketch-state sinks: state ∝ |keys| (event types), not
+    // history — the state column must stay flat across factors while
+    // rows/s grows
+    locally {
+      val qsTbl = tmpDir("ssb_qst")
+      run("quantile_state", evRows, stateDir = Some(qsTbl)) {
+        StreamOps.quantileStateSink(
+          fileStream(spark, evDir, evSchema)
+            .select(col("event_type").as("g"), col("value").as("v")),
+          Seq("g"), "v", tablePath = qsTbl,
+          checkpointDir = tmpDir("ssb_qst_ck"))
       }
     }
     out.toSeq

@@ -49,6 +49,11 @@ object Multimodal {
 
   case class Frame(media_id: Long, frame_idx: Int, offset_bytes: Long)
 
+  /** One DECODED frame of a multi-frame container: real dims + exact
+    * pixel sum (the video-decode surface [[frameStats]] emits). */
+  case class FrameStat(media_id: Long, frame_idx: Int, width: Int,
+                       height: Int, pixel_sum: Long)
+
   case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
                        bits_per_sample: Int, n_samples: Long)
 
@@ -645,6 +650,15 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       require(img != null,
         "ImageIO could not decode payload (unknown or corrupt container)")
+      val (w, h, rgb) = toFlatRgb(img)
+      (w, h, img.getColorModel.getNumColorComponents, rgb)
+    }
+
+    /** `getRGB` bulk pull → flat interleaved RGB (the [[RgbOps]]
+      * raster form) — shared by the single-image and the multi-frame
+      * decode paths. */
+    private def toFlatRgb(img: java.awt.image.BufferedImage)
+        : (Int, Int, Array[Byte]) = {
       val w = img.getWidth; val h = img.getHeight
       val px = img.getRGB(0, 0, w, h, null, 0, w)
       val rgb = new Array[Byte](3 * w * h)
@@ -656,7 +670,112 @@ object Multimodal {
         rgb(3 * i + 2) = (p & 0xff).toByte
         i += 1
       }
-      (w, h, img.getColorModel.getNumColorComponents, rgb)
+      (w, h, rgb)
+    }
+
+    /** Encode a multi-frame ANIMATED GIF — frame k's flat-RGB byte `i`
+      * is `pixelOf(k)(i) & 0xff`, every frame the full `width×height`
+      * raster. Pure JDK: the bundled GIF writer's `writeToSequence`
+      * stores each frame whole (no inter-frame delta optimization), so
+      * [[gifFrames]] reads back exactly the rasters given, under the
+      * same lossless conditions as [[encode]] (≤256 distinct colors
+      * per frame; the measured h=4 palette quirk applies per frame). */
+    def encodeGifAnimation(width: Int, height: Int, nFrames: Int,
+                           pixelOf: Int => Int => Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var k = 0
+        while (k < nFrames) {
+          val pixel = pixelOf(k)
+          val img = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val base = 3 * (y * width + x)
+              img.setRGB(x, y, ((pixel(base) & 0xff) << 16) |
+                ((pixel(base + 1) & 0xff) << 8) | (pixel(base + 2) & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          k += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      out.toByteArray
+    }
+
+    /** Decode EVERY stored frame of a GIF (animated or single) — the
+      * real multi-frame container read the byte-stride stub stood in
+      * for. Returns `(w, h, flat RGB)` per frame, in stored order.
+      * Frames come back AS STORED (this engine writes full frames;
+      * externally-optimized GIFs with sub-rectangle deltas are
+      * returned un-composited — per-frame disposal compositing is out
+      * of scope and documented here rather than faked). */
+    def gifFrames(b: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        (0 until n).map(i => toFlatRgb(reader.read(i)))
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+
+    /** Byte offset of every image descriptor (0x2C block) in a GIF
+      * container — REAL structure walking (header, logical screen
+      * descriptor, color tables, extension sub-block chains), no pixel
+      * decode: the [[PpmCodec.frames]] offsets-from-parsing discipline
+      * for this container. Cross-checks [[gifFrames]]' count through
+      * an independent path. */
+    def gifFrameOffsets(b: Array[Byte]): Seq[Long] = {
+      require(b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F',
+        "not a GIF payload")
+      var off = 6
+      val packed = b(off + 4) & 0xff
+      off += 7
+      if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 7) + 1))
+      val found = scala.collection.mutable.ArrayBuffer[Long]()
+      var done = false
+      while (!done && off < b.length) {
+        (b(off) & 0xff) match {
+          case 0x3b => done = true // trailer
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            off += 2
+            while ((b(off) & 0xff) != 0) off += 1 + (b(off) & 0xff)
+            off += 1
+          case 0x2c => // image descriptor
+            found += off.toLong
+            val lp = b(off + 9) & 0xff
+            off += 10
+            if ((lp & 0x80) != 0) off += 3 * (1 << ((lp & 7) + 1))
+            off += 1 // LZW minimum code size
+            while ((b(off) & 0xff) != 0) off += 1 + (b(off) & 0xff)
+            off += 1
+          case x => throw new IllegalArgumentException(
+            f"unknown GIF block 0x$x%02x at offset $off")
+        }
+      }
+      found.toSeq
     }
 
     def decodeImage(r: MediaRow): ImageMeta = {
@@ -901,14 +1020,64 @@ object Multimodal {
   }
 
   /** Frame sampling. PPM "videos" (concatenated frames) are walked by
-    * real header parsing and `stride` is ignored; other payloads use the
-    * stub's byte-stride stand-in.
+    * real header parsing, GIF animations by the real container block
+    * walk ([[ImageIoCodec.gifFrameOffsets]] — each offset is an actual
+    * image-descriptor position); for both, `stride` is ignored. Only
+    * payloads with no real multi-frame reader in this container (FLAC,
+    * ffmpeg-class video) fall back to the stub's byte-stride stand-in.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       if (r.mime == PpmCodec.Mime) PpmCodec.frames(r)
+      else if (r.mime == ImageIoCodec.GifMime)
+        ImageIoCodec.gifFrameOffsets(r.content).iterator.zipWithIndex
+          .map { case (off, idx) => Frame(r.media_id, idx, off) }
       else StubCodec.sampleFrames(r, stride)
+    })
+  }
+
+  /** Per-frame DECODE of multi-frame containers — the video-decode
+    * surface: one row per stored frame with real dims and the exact
+    * RGB pixel sum. GIF goes through the JDK multi-frame reader with
+    * the frame count cross-checked against the independent container
+    * block walk (a reader/structure disagreement fails loudly instead
+    * of under-reporting frames); concatenated-P6 "videos" decode each
+    * frame straight out of the payload; single-frame real-codec images
+    * report one frame 0. Exotic mimes fail fast — a byte-stride stub
+    * has no pixels to sum, and faking them would poison dedup
+    * downstream. Partition-local, no shuffle.
+    */
+  def frameStats(media: Dataset[MediaRow]): Dataset[FrameStat] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      if (r.mime == ImageIoCodec.GifMime) {
+        val offs = ImageIoCodec.gifFrameOffsets(r.content)
+        val fs = ImageIoCodec.gifFrames(r.content)
+        require(fs.length == offs.length,
+          s"media ${r.media_id}: GIF reader decoded ${fs.length} frames " +
+            s"but the container walk found ${offs.length} image blocks")
+        fs.iterator.zipWithIndex.map { case ((w, h, rgb), i) =>
+          FrameStat(r.media_id, i, w, h, RgbOps.pixelSum(rgb, 0, w, h))
+        }
+      } else if (r.mime == PpmCodec.Mime) {
+        PpmCodec.frames(r).map { f =>
+          val (w, h, _, start) =
+            PpmCodec.parseHeader(r.content, f.offset_bytes.toInt)
+          FrameStat(r.media_id, f.frame_idx, w, h,
+            RgbOps.pixelSum(r.content, start, w, h))
+        }
+      } else if (r.mime == PngCodec.Mime) {
+        val d = PngCodec.decode(r.content)
+        Iterator.single(FrameStat(r.media_id, 0, d.width, d.height,
+          RgbOps.pixelSum(d.rgb, 0, d.width, d.height)))
+      } else if (ImageIoCodec.Mimes(r.mime)) {
+        val (w, h, _, rgb) = ImageIoCodec.decodeRgb(r.content)
+        Iterator.single(
+          FrameStat(r.media_id, 0, w, h, RgbOps.pixelSum(rgb, 0, w, h)))
+      } else throw new IllegalArgumentException(
+        s"frameStats: no real decoder for mime ${r.mime} — " +
+          "stub payloads have no pixels to sum")
     })
   }
 

@@ -447,4 +447,83 @@ class MultimodalSpec extends SparkTestBase {
     assert(e.getMessage.contains("could not decode"))
     intercept[IllegalArgumentException](ImageIoCodec.formatOf("image/tiff"))
   }
+
+  test("GIF animation: every stored frame round-trips losslessly; the " +
+    "container block walk and the reader agree on count and offsets") {
+    import Multimodal.ImageIoCodec
+    val (w, h, n) = (7, 6, 4)
+    def px(k: Int): Int => Int = i => (k * 17 + (i / 3) * 13) % 256
+    val gif = ImageIoCodec.encodeGifAnimation(w, h, n, px)
+    // real multi-frame decode: n frames, each bit-exact (grayscale
+    // <=256 colors -> lossless palette)
+    val frames = ImageIoCodec.gifFrames(gif)
+    assert(frames.length == n)
+    frames.zipWithIndex.foreach { case ((fw, fh, rgb), k) =>
+      assert(fw == w && fh == h, s"frame $k dims")
+      rgb.indices.foreach { i =>
+        assert((rgb(i) & 0xff) == px(k)(i), s"frame $k byte $i")
+      }
+    }
+    // independent structure walk: same count, ascending real offsets,
+    // each pointing at an actual image-descriptor byte (0x2C)
+    val offs = ImageIoCodec.gifFrameOffsets(gif)
+    assert(offs.length == n)
+    assert(offs == offs.sorted && offs.distinct.length == n)
+    offs.foreach(o => assert((gif(o.toInt) & 0xff) == 0x2c))
+    // a single-frame GIF through the same paths
+    val one = ImageIoCodec.encode(5, 5, i => (i * 7) % 256,
+      ImageIoCodec.GifMime)
+    assert(ImageIoCodec.gifFrames(one).length == 1)
+    assert(ImageIoCodec.gifFrameOffsets(one).length == 1)
+  }
+
+  test("sampleFrames routes GIF through the real block walk; " +
+    "frameStats sums every decoded frame and cross-checks the count") {
+    import Multimodal.ImageIoCodec
+    val (w, h, n) = (6, 5, 3)
+    def pxOf(id: Long)(k: Int): Int => Int =
+      i => ((id * 29 + k * 17 + (i / 3) * 13) % 256).toInt
+    val rows = Seq(1L, 2L).map(id => MediaRow(id, ImageIoCodec.GifMime,
+      ImageIoCodec.encodeGifAnimation(w, h, n, pxOf(id))))
+    val ds = spark.createDataset(rows)
+    // sampleFrames: n real frames per media, indices 0..n-1, offsets
+    // strictly ascending (stride argument ignored for GIF)
+    val fr = sampleFrames(ds, stride = 7).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(fr.keySet == Set(1L, 2L))
+    fr.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).toSeq == (0 until n))
+      val offs = fs.map(_.offset_bytes)
+      assert(offs.toSeq == offs.sorted.toSeq && offs.distinct.length == n)
+    }
+    // frameStats: per-frame exact sums == the generator closed form
+    val stats = frameStats(ds).collect()
+      .map(s => (s.media_id, s.frame_idx) -> s).toMap
+    assert(stats.size == 2 * n)
+    for (id <- Seq(1L, 2L); k <- 0 until n) {
+      val s = stats((id, k))
+      assert(s.width == w && s.height == h)
+      val expect = (0 until w * h).map(p =>
+        3L * ((id * 29 + k * 17 + p * 13) % 256)).sum
+      assert(s.pixel_sum == expect, s"media $id frame $k")
+    }
+    // PPM concatenated frames and single-frame codecs share the surface
+    val frame = PpmCodec.encode(3, 2, i => (i * 5) % 256)
+    val ppm = MediaRow(9L, PpmCodec.Mime, frame ++ frame)
+    val ppmStats = frameStats(spark.createDataset(Seq(ppm))).collect()
+      .sortBy(_.frame_idx)
+    assert(ppmStats.length == 2)
+    val oneSum = (0 until 18).map(i => (i * 5) % 256).sum.toLong
+    assert(ppmStats.forall(s =>
+      s.width == 3 && s.height == 2 && s.pixel_sum == oneSum))
+    // exotic mimes fail fast rather than faking pixel sums
+    val stub = MediaRow(8L, "video/mp4", Array.fill[Byte](16)(1))
+    val e = intercept[Exception] {
+      frameStats(spark.createDataset(Seq(stub))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("no real decoder")))
+  }
 }
