@@ -8294,8 +8294,8 @@ object ExtQueries {
                    ELSE 8 END AS w
             FROM r)
           SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
-                 CAST(SUM(CAST(w * o_totalprice AS DECIMAL(28,6)))
-                   AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS boot_mean
+                 ROUND(CAST(SUM(CAST(w * o_totalprice AS DECIMAL(28,6)))
+                   AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS boot_mean
           FROM w GROUP BY 1 ORDER BY 1"""
     },
 

@@ -454,7 +454,15 @@ object Sampling {
         sum((col("__w") * col(valCol)).cast(DecimalType(28, 6)))
           .cast("double").as("__ws"))
       .select(col("replicate"), col("n_eff"),
-        (col("__ws") / col("n_eff").cast("double")).as("boot_mean"))
+        // 6 dp: the weighted sum is EXACT decimal, but its cast to
+        // double is allowed to differ by an ULP between engines once
+        // the sum crosses 17 significant digits — which the round-12
+        // ×10 oracle sweep hit (16M-row replicate sums; 6 of 16
+        // replicate means differed in the last bit). Rounding the one
+        // IEEE output ends the low-bit lottery without touching the
+        // exact-sum arithmetic (the Profile.profile convention).
+        round(col("__ws") / col("n_eff").cast("double"), 6)
+          .as("boot_mean"))
   }
 
   /** Temporal train/test split with an EMBARGO gap (the time-series

@@ -399,6 +399,73 @@ class StreamPlanAuditSpec extends SparkTestBase {
       memL.addData(Event(ts(10), 1L, "purchase", 5.0))
       q.processAllAvailable()
     }
+    val memE = MemoryStream[Event]
+    auditRunning("enrichStream",
+      enrichStream(memE.toDF(),
+        Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier"),
+        "user_id", Seq("tier")), "append") { q =>
+      memE.addData(Event(ts(1), 1L, "a", 1.0))
+      q.processAllAvailable()
+    }
+  }
+
+  test("custom-state stream transforms (transformWithState): the " +
+    "micro-batch plan clears the audit (sessionizeTws, cusum, funnel, " +
+    "heavy hitters)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    def auditRunning(name: String,
+        df: org.apache.spark.sql.Dataset[_], mode: String)(
+        feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
+      val q = df.toDF().writeStream.format("memory")
+        .queryName(s"spa_tws_${name}_out").outputMode(mode).start()
+      try {
+        feed(q)
+        val p = lastExecFormatted(q)
+        val v = violations(p)
+        assert(v.isEmpty, s"$name: micro-batch plan violates the audit: $v\n$p")
+        info(s"$name: IncrementalExecution audited clean")
+      } finally q.stop()
+    }
+    try {
+      val memS = MemoryStream[Event]
+      auditRunning("sessionizeTws",
+        sessionizeTws(memS.toDS(), gapSec = 1800,
+          watermarkDelay = "0 seconds"), "append") { q =>
+        memS.addData(Event(ts(0), 1L, "a", 1.0), Event(ts(10), 1L, "a", 1.0))
+        q.processAllAvailable()
+      }
+      val memC = MemoryStream[Event]
+      auditRunning("cusumStream",
+        cusumStream(memC.toDS(), target = 10.0, slack = 1.0,
+          threshold = 5.0), "append") { q =>
+        memC.addData(Event(ts(1), 1L, "m", 12.0), Event(ts(2), 1L, "m", 14.0))
+        q.processAllAvailable()
+      }
+      val memF = MemoryStream[Event]
+      auditRunning("funnelStream",
+        funnelStream(memF.toDS(), Seq("view", "cart", "buy")),
+        "append") { q =>
+        memF.addData(Event(ts(1), 1L, "view", 0.0),
+          Event(ts(2), 1L, "cart", 0.0), Event(ts(3), 1L, "buy", 0.0))
+        q.processAllAvailable()
+      }
+      val memH = MemoryStream[String]
+      auditRunning("heavyHittersStream",
+        heavyHittersStream(memH.toDS(), k = 4), "update") { q =>
+        memH.addData("a", "a", "b", "a", "c")
+        q.processAllAvailable()
+      }
+    } finally prior match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   // ---------- planted-violation negatives ----------

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""check.py with a PER-QUERY DuckDB timeout, for replica-scale sweeps:
+some oracle replays are deliberately combinatorial (x_itemsets3's
+triple enumeration) and at xF data the ORACLE, not the engine, is the
+bottleneck. Every query ends PASS / FAIL / ORACLE_TIMEOUT(<secs>) so
+exclusions are mechanical, not hand-picked.
+
+Usage: python3 tools/check_timeout.py <sfDir> <verifyOutDir> [timeoutSec]
+"""
+import sys, os, json, glob
+import multiprocessing as mp
+
+
+def one(sf_dir, out_dir, name, sql, q):
+    import duckdb
+    import pandas as pd
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    con = duckdb.connect()
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            con.sql(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(by=list(df.columns), ignore_index=True,
+                              na_position="first", kind="mergesort")
+
+    rdir = f"{out_dir}/{name}"
+    if not os.path.isdir(rdir):
+        q.put(("FAIL", "no spark result dir"))
+        return
+    try:
+        spark_df = pd.concat([pd.read_parquet(f) for f in
+                              sorted(glob.glob(f"{rdir}/*.parquet"))],
+                             ignore_index=True)
+        duck_df = con.sql(sql).df()
+    except Exception as e:
+        q.put(("FAIL", str(e)[:200]))
+        return
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        q.put(("FAIL", f"columns {list(a.columns)} != {list(b.columns)}"))
+        return
+    if len(a) != len(b):
+        q.put(("FAIL", f"rows {len(a)} != {len(b)}"))
+        return
+    import pandas.testing as pt
+    try:
+        pt.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    except AssertionError as e:
+        q.put(("FAIL", f"values differ: {str(e)[:200]}"))
+        return
+    q.put(("PASS", f"{len(a)} rows"))
+
+
+def main(sf_dir, out_dir, timeout):
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_to = 0
+    for name, sql in sorted(oracle.items()):
+        q = mp.Queue()
+        p = mp.Process(target=one, args=(sf_dir, out_dir, name, sql, q))
+        p.start()
+        p.join(timeout)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            print(f"ORACLE_TIMEOUT {name} (>{timeout}s DuckDB replay)",
+                  flush=True)
+            n_to += 1
+            continue
+        status, msg = q.get() if not q.empty() else ("FAIL", "worker died")
+        print(f"{status} {name}: {msg}" if status == "FAIL"
+              else f"PASS {name} ({msg})", flush=True)
+        if status == "PASS":
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_to} oracle-timeout")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    to = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+    sys.exit(main(sys.argv[1], sys.argv[2], to))
