@@ -4042,6 +4042,11 @@ object ExtQueries {
     "x_winsorize" -> ((s, dir) =>
       graft.agg.Robust.winsorizedStats(T(s, dir, "lineitem"),
           "l_returnflag", "l_extendedprice", 0.05, 0.95)
+        // the exact-decimal sum compares as a fixed-scale STRING: at
+        // ×100 it exceeds double's 17 significant digits, and DuckDB's
+        // pandas bridge degrades wide decimals to float64 — the padded
+        // string form is exact on both engines at any magnitude
+        .withColumn("clipped_sum", col("clipped_sum").cast("string"))
         .orderBy(col("l_returnflag"))),
 
     // ---- join breadth: full outer ------------------------------------
@@ -7552,8 +7557,8 @@ object ExtQueries {
                AS n
            FROM j)
          SELECT c_mktsegment, MAX(n) AS n,
-           CAST(SUM((i * 2 - n - 1) * v) AS DOUBLE)
-             / CAST(MAX(n) * SUM(v) AS DOUBLE) AS gini
+           ROUND(CAST(SUM((i * 2 - n - 1) * v) AS DOUBLE)
+             / CAST(MAX(n) * SUM(v) AS DOUBLE), 9) AS gini
          FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "x_markov" ->
@@ -9499,11 +9504,12 @@ object ExtQueries {
                AS BIGINT) AS n_clipped_hi,
              MIN(blo) AS lo, MIN(bhi) AS hi,
              CAST(SUM(CAST(round(LEAST(GREATEST(l_extendedprice, blo), bhi),
-               6) AS DECIMAL(28,6))) AS DOUBLE) AS clipped_sum
+               6) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS clipped_sum
            FROM lineitem l JOIN b USING (l_returnflag)
            GROUP BY 1)
          SELECT l_returnflag, n_rows, n_clipped_lo, n_clipped_hi, lo, hi,
-           clipped_sum, clipped_sum / n_rows AS clipped_mean
+           CAST(clipped_sum AS VARCHAR) AS clipped_sum,
+           ROUND(CAST(clipped_sum AS DOUBLE) / n_rows, 6) AS clipped_mean
          FROM g ORDER BY 1""",
 
     "x_join_full" ->

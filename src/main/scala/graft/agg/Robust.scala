@@ -51,10 +51,17 @@ object Robust {
         sum(when(col(valCol) > col("hi"), 1L).otherwise(0L))
           .as("n_clipped_hi"),
         min(col("lo")).as("lo"), min(col("hi")).as("hi"),
-        sum(round(col("_clip"), 6).cast(DecimalType(28, 6))).cast("double")
+        // the sum STAYS exact decimal: at ×100 data it crosses 17
+        // significant digits, where a decimal→double cast is allowed
+        // to differ by an ULP between engines (caught by the round-12
+        // ×100 oracle sweep) — emitting the decimal keeps it exact at
+        // any scale; only the mean takes the one IEEE division, and
+        // 6 dp rounding ends its low-bit lottery (Profile convention)
+        sum(round(col("_clip"), 6).cast(DecimalType(28, 6)))
           .as("clipped_sum"))
       .withColumn("clipped_mean",
-        col("clipped_sum") / col("_nv").cast("double"))
+        round(col("clipped_sum").cast("double") /
+          col("_nv").cast("double"), 6))
       .drop("_nv")
   }
 
@@ -231,8 +238,13 @@ object Robust {
         sum((col("__i") * 2 - col("__n") - 1) * v).as("__num"),
         sum(v).as("__tot"))
       .select(col(groupCol), col("n"),
-        (col("__num").cast("double") /
-          (col("n") * col("__tot")).cast("double")).as("gini"))
+        // 9 dp: numerator and denominator are exact decimals, but at
+        // ×100 data they cross 17 significant digits and their double
+        // casts can differ by an ULP between engines (round-12 ×100
+        // sweep find) — rounding the one IEEE ratio (∈ [0,1]) ends
+        // the low-bit lottery at far-above-ULP precision
+        round(col("__num").cast("double") /
+          (col("n") * col("__tot")).cast("double"), 9).as("gini"))
   }
 
   /** Full Pearson correlation matrix of `cols` in ONE scan: a single

@@ -24,7 +24,9 @@ class RobustSpec extends SparkTestBase {
     val r = Robust.winsorizedStats(df, "k", "v", 0.0, 1.0).collect()(0)
     assert(r.getAs[Long]("n_clipped_lo") == 0)
     assert(r.getAs[Long]("n_clipped_hi") == 0)
-    assert(r.getAs[Double]("clipped_sum") == 6.0)
+    // decimal output (exact at any scale — the ×100 sweep contract)
+    assert(r.getAs[java.math.BigDecimal]("clipped_sum")
+      .doubleValue == 6.0)
   }
 
   test("winsorizedStats null contract: mean over non-null count only") {
