@@ -3676,19 +3676,29 @@ object ExtQueries {
     // ---- co-occurrence mining ----------------------------------------
 
     // Market-basket pair support+lift: parts co-ordered within an order.
-    // maxBucket guard off for the exact oracle (orders are ~4 lines).
+    // maxBasket = 64 is a REAL bound, not the disabled guard: order
+    // line counts are generator-bounded (measured max distinct parts
+    // per order: 11/13/17 at sf0.001/0.01/0.1; replicas preserve
+    // basket sizes), so 64 provably filters nothing at every tested
+    // scale — oracle parity holds — while capping the quadratic
+    // per-basket emission at C(64,2) pairs if the data ever drifts.
+    // A drifted megabasket then diverges LOUDLY in the correctness
+    // gate instead of silently exploding the pair space; BehaviorSpec
+    // plants one and pins the guard tripping, plus a ≤32 headroom
+    // tripwire on the real data.
     "x_copurchase" -> ((s, dir) =>
       Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-          maxBasket = 0)
+          maxBasket = 64)
         .orderBy(col("pair_support").desc, col("item_a"), col("item_b"))
         .limit(40)),
 
     // Item-item cosine over basket co-occurrence (neighborhood
     // collaborative filtering): pair/√(sa·sb) on pairSupport's grouped
     // pair machinery; 1-count noise pairs pruned at the pair aggregate.
+    // Same measured-headroom maxBasket = 64 as x_copurchase.
     "x_item_cosine" -> ((s, dir) =>
       Basket.itemCosine(T(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-          maxBasket = 0, minPairSupport = 2)
+          maxBasket = 64, minPairSupport = 2)
         .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
         .limit(40)),
 
@@ -4470,6 +4480,13 @@ object ExtQueries {
 
   /** Shared CTE chain: shingles → base hash → 8 sigs → 4 bands → distinct
     * candidate pairs. Constants shared with [[Dedup.minhashSigTable]].
+    * sigs/bands/cand are MATERIALIZED: downstream graph oracles
+    * (labelProp / modularity) reference `cand` through `edges` several
+    * times, and DuckDB's default CTE inlining re-derives this whole
+    * minhash prefix per reference — the same blowup [[louvainOracle]]
+    * documents (x_modularity at the x10 replica: >120 s inlined,
+    * 2.5 s materialized, identical result). Hints only; semantics
+    * unchanged.
     */
   private def minhashCtes: String = {
     val sigs = (0 until 8).map(j =>
@@ -4482,9 +4499,9 @@ object ExtQueries {
         base AS (
           SELECT doc_id, ${Hashing.hash64Sql("s", 0)} % 2147483648 AS h
           FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
-        sigs AS (SELECT doc_id, $sigs FROM base GROUP BY doc_id),
-        bands AS ($bandsUnion),
-        cand AS (
+        sigs AS MATERIALIZED (SELECT doc_id, $sigs FROM base GROUP BY doc_id),
+        bands AS MATERIALIZED ($bandsUnion),
+        cand AS MATERIALIZED (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_hash = b.band_hash
@@ -4527,7 +4544,7 @@ object ExtQueries {
     */
   private def labelPropOracle: String =
     s"""WITH $minhashCtes,
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT id_a AS src, id_b AS dst FROM cand
           UNION ALL SELECT id_b, id_a FROM cand),
         l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
@@ -4552,19 +4569,19 @@ object ExtQueries {
     */
   private def modularityOracle: String =
     s"""WITH $minhashCtes,
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT id_a AS src, id_b AS dst FROM cand
           UNION ALL SELECT id_b, id_a FROM cand),
         l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
         n1 AS (SELECT e.src, l.label, COUNT(*) AS c
                FROM edges e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
-        l1 AS (SELECT src AS node, label FROM (
+        l1 AS MATERIALIZED (SELECT src AS node, label FROM (
                  SELECT src, label, row_number() OVER (
                    PARTITION BY src ORDER BY c DESC, label) AS rn
                  FROM n1) WHERE rn = 1),
         n2 AS (SELECT e.src, l.label, COUNT(*) AS c
                FROM edges e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
-        l2 AS (SELECT src AS node, label FROM (
+        l2 AS MATERIALIZED (SELECT src AS node, label FROM (
                  SELECT src, label, row_number() OVER (
                    PARTITION BY src ORDER BY c DESC, label) AS rn
                  FROM n2) WHERE rn = 1),
@@ -7038,20 +7055,25 @@ object ExtQueries {
          FROM g""",
 
     "x_kcore" -> {
+      // Every eN is referenced three times by the next peel round (the
+      // k-table GROUP BY plus both IN subqueries); without MATERIALIZED
+      // DuckDB inlines each reference, re-deriving the whole pairs
+      // self-join 3^rounds times — the x10 replica sweep measured
+      // >120 s inlined vs 4.4 s materialized, identical rows.
       def peel(ePrev: String, kTbl: String, eNext: String) =
         s"""$kTbl AS (SELECT src FROM $ePrev GROUP BY src
               HAVING COUNT(*) >= 3),
-            $eNext AS (
+            $eNext AS MATERIALIZED (
               SELECT $ePrev.src, $ePrev.dst FROM $ePrev
               WHERE src IN (SELECT src FROM $kTbl)
                 AND dst IN (SELECT src FROM $kTbl))"""
-      s"""WITH bi AS (
+      s"""WITH bi AS MATERIALIZED (
             SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-          pairs AS (
+          pairs AS MATERIALIZED (
             SELECT a.i AS u, b.i AS v
             FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-          e0 AS (SELECT u AS src, v AS dst FROM pairs
+          e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
                  UNION ALL SELECT v, u FROM pairs),
           ${peel("e0", "k1", "e1")},
           ${peel("e1", "k2", "e2")},
@@ -9208,7 +9230,7 @@ object ExtQueries {
     },
 
     "x_itemsets3" ->
-      """WITH bi AS (
+      """WITH bi AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
          SELECT a.i AS item_a, c.i AS item_b, d.i AS item_c,
            COUNT(*) AS support
@@ -9650,9 +9672,13 @@ object ExtQueries {
     },
 
     // CUSUM as a recursive CTE: same left-associated IEEE arithmetic in
-    // the same series order, greatest(0, ·) == max(0, ·).
+    // the same series order, greatest(0, ·) == max(0, ·). daily/idx are
+    // MATERIALIZED: the recursive member references idx every iteration,
+    // and without the hint DuckDB re-derived the full orders aggregation
+    // per day-step (~2000 scans of the fact table — >180 s at the x100
+    // replica vs 2.7 s materialized, identical rows).
     "x_cusum" ->
-      """WITH RECURSIVE daily AS (
+      """WITH RECURSIVE daily AS MATERIALIZED (
            SELECT o_orderstatus AS status,
              CAST(epoch(date_trunc('second', CAST(o_orderdate AS TIMESTAMP)))
                AS BIGINT) // 86400 AS day,
@@ -9662,7 +9688,7 @@ object ExtQueries {
            SELECT status,
              CAST(SUM(total_dec) AS DOUBLE) / COUNT(*) AS target
            FROM daily GROUP BY 1),
-         idx AS (
+         idx AS MATERIALIZED (
            SELECT d.status, CAST(d.total_dec AS DOUBLE) AS revenue,
              d.day, s.target, s.target * 0.0625 AS slack,
              s.target * 0.5 AS h,

@@ -25,6 +25,13 @@ object Robust {
     * Null contract: nulls in `valCol` are excluded from the percentile
     * bounds, the clip counts, and the clipped sum/mean (the mean
     * divides by the non-null count); `n_rows` still counts every row.
+    *
+    * SCHEMA CHANGE (round 12): `clipped_sum` is now DECIMAL(28,6), not
+    * double — the ×100 oracle sweep showed the old decimal→double cast
+    * drifting by an ULP once the sum crosses 17 significant digits.
+    * Callers that read it as DoubleType must update (in-repo callers
+    * and the x_winsorize oracle now read it as decimal/string);
+    * `clipped_mean` stays a 6dp-rounded double.
     */
   def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
                       pLo: Double, pHi: Double): DataFrame = {

@@ -750,31 +750,43 @@ object Multimodal {
     def gifFrameOffsets(b: Array[Byte]): Seq[Long] = {
       require(b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F',
         "not a GIF payload")
+      // every read goes through this bounds-checked accessor so a
+      // truncated or corrupt payload surfaces as the codec's named
+      // IllegalArgumentException contract (like 'unknown GIF block' /
+      // 'not a GIF payload'), never a raw ArrayIndexOutOfBounds from
+      // unchecked b(off) indexing mid-walk
+      def at(i: Int): Int = {
+        if (i < 0 || i >= b.length) throw new IllegalArgumentException(
+          s"truncated GIF payload at offset $i (payload ${b.length} bytes)")
+        b(i) & 0xff
+      }
       var off = 6
-      val packed = b(off + 4) & 0xff
+      val packed = at(off + 4)
       off += 7
       if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 7) + 1))
       val found = scala.collection.mutable.ArrayBuffer[Long]()
       var done = false
       while (!done && off < b.length) {
-        (b(off) & 0xff) match {
+        at(off) match {
           case 0x3b => done = true // trailer
           case 0x21 => // extension: introducer + label, then sub-blocks
             off += 2
-            while ((b(off) & 0xff) != 0) off += 1 + (b(off) & 0xff)
+            while (at(off) != 0) off += 1 + at(off)
             off += 1
           case 0x2c => // image descriptor
             found += off.toLong
-            val lp = b(off + 9) & 0xff
+            val lp = at(off + 9)
             off += 10
             if ((lp & 0x80) != 0) off += 3 * (1 << ((lp & 7) + 1))
             off += 1 // LZW minimum code size
-            while ((b(off) & 0xff) != 0) off += 1 + (b(off) & 0xff)
+            while (at(off) != 0) off += 1 + at(off)
             off += 1
           case x => throw new IllegalArgumentException(
             f"unknown GIF block 0x$x%02x at offset $off")
         }
       }
+      if (!done) throw new IllegalArgumentException(
+        s"truncated GIF payload: no trailer (0x3b) before byte ${b.length}")
       found.toSeq
     }
 

@@ -84,23 +84,48 @@ object Segments {
     * `base + 1`, where `base` is the newest version the CALLER read
     * when computing `segs`. Fails with IllegalStateException if
     * another writer claimed `base + 1` first — the read-modify-write
-    * conflict that would otherwise silently drop a segment. */
+    * conflict that would otherwise silently drop a segment.
+    *
+    * Atomicity of the claim is filesystem-dependent, so the claim path
+    * forks: on HDFS and object stores `create(p, overwrite=false)` is
+    * an atomic namespace operation and is used directly; on Hadoop's
+    * local filesystems (Raw/ChecksumLocalFileSystem) that call is
+    * check-then-act (an exists() probe, then a plain open) — two truly
+    * concurrent writers could both "succeed", the second silently
+    * truncating the winner's marker, which is exactly the lost update
+    * this CAS exists to catch. There the claim is taken with NIO
+    * `Files.createFile` (O_CREAT|O_EXCL — atomic at the kernel), and
+    * only the claim winner opens the stream. */
   def commitVersionAfter(spark: SparkSession, indexDir: String,
                          base: Long, segs: Seq[Long]): Long = {
     val dir = versionsPath(indexDir)
     val fs = fsOf(spark, dir)
     val next = base + 1L
     val marker = new org.apache.hadoop.fs.Path(dir, f"$next%020d")
-    val out =
-      try fs.create(marker, false) // atomic claim of this version
-      catch {
-        case e: java.io.IOException if fs.exists(marker) =>
-          throw new IllegalStateException(
-            s"commitVersion: version $next under $indexDir was claimed " +
-              "by a concurrent writer after this writer read version " +
-              s"$base — committing would drop its segment set. Re-read " +
-              "the active set and retry (one winner per version).", e)
-      }
+    def conflict(e: Throwable) = new IllegalStateException(
+      s"commitVersion: version $next under $indexDir was claimed " +
+        "by a concurrent writer after this writer read version " +
+        s"$base — committing would drop its segment set. Re-read " +
+        "the active set and retry (one winner per version).", e)
+    val out = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        fs.mkdirs(dir) // createFile needs the parent; create() made it
+        val local = java.nio.file.Paths.get(
+          fs.makeQualified(marker).toUri.getPath)
+        try java.nio.file.Files.createFile(local) // atomic O_EXCL claim
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw conflict(e)
+        }
+        fs.create(marker, true) // we own the claim; fill in content
+      case _ =>
+        try fs.create(marker, false) // atomic claim on HDFS/object FS
+        catch {
+          case e: java.io.IOException if fs.exists(marker) =>
+            throw conflict(e)
+        }
+    }
     try out.write(segs.distinct.sorted.mkString(",").getBytes("UTF-8"))
     finally out.close()
     next

@@ -82,6 +82,50 @@ class BehaviorSpec extends SparkTestBase {
       p(0).getLong(2) == 1L)
   }
 
+  test("x_copurchase guard config: a planted megabasket trips " +
+    "maxBasket=64 while every real basket passes through untouched") {
+    // the x_copurchase / x_item_cosine configs run pairSupport with
+    // maxBasket = 64 on the claim that order line counts are
+    // generator-bounded (measured max distinct parts per order:
+    // 11/13/17 at sf0.001/0.01/0.1). Two halves to pin:
+    //  (a) the claim holds with headroom — no lineitem basket exceeds
+    //      HALF the guard, so the guard provably filters nothing and
+    //      oracle parity holds (and a slow drift toward the bound
+    //      trips THIS test before the gate could silently diverge);
+    //  (b) the guard actually trips — drifted data with a megabasket
+    //      contributes NO pairs instead of exploding C(b,2).
+    val li = graft.io.Tables.load(spark, sf, "lineitem")
+    val maxBasketSize = li
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxBasketSize <= 32L,
+      s"basket-size headroom gone: a basket has $maxBasketSize items " +
+        "— revisit the x_copurchase maxBasket=64 bound before the " +
+        "correctness gate diverges")
+    val guarded = Basket.pairSupport(li, "l_orderkey", "l_partkey",
+      maxBasket = 64).orderBy("item_a", "item_b").collect().toSeq
+    val unguarded = Basket.pairSupport(li, "l_orderkey", "l_partkey",
+      maxBasket = 0).orderBy("item_a", "item_b").collect().toSeq
+    assert(guarded == unguarded,
+      "maxBasket=64 must be a no-op on generator-bounded baskets")
+
+    // (b) plant a 100-item megabasket beside normal baskets: its
+    // C(100,2) pair space must vanish, real baskets' pairs survive
+    val planted = li.select(col("l_orderkey").as("b"),
+        col("l_partkey").as("i"))
+      .unionByName(spark.range(100)
+        .select(lit(-1L).as("b"), (col("id") + 1000000L).as("i")))
+    val got = Basket.pairSupport(planted, "b", "i", maxBasket = 64)
+      .orderBy("item_a", "item_b").collect().toSeq
+    assert(got == unguarded,
+      "planted megabasket must contribute zero pairs under the guard")
+    val exploded = Basket.pairSupport(planted, "b", "i", maxBasket = 0)
+      .count()
+    assert(exploded == unguarded.size + (100L * 99 / 2),
+      "sanity: with the guard off the megabasket emits all C(100,2) pairs")
+  }
+
   test("weightedPrioritySample: deterministic, partitioning-invariant, " +
     "favors heavy rows") {
     val rows = (1 to 400).map(i => (i.toLong, if (i <= 40) 1000L else 1L))

@@ -477,6 +477,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(ImageIoCodec.gifFrameOffsets(one).length == 1)
   }
 
+  test("gifFrameOffsets: truncated and trailer-less payloads fail with " +
+    "the codec's named contract, never a raw index error") {
+    import Multimodal.ImageIoCodec
+    val gif = ImageIoCodec.encodeGifAnimation(7, 6, 3,
+      k => i => (k * 17 + i * 13) % 256)
+    // sanity: the intact payload walks clean
+    assert(ImageIoCodec.gifFrameOffsets(gif).length == 3)
+    // cut mid-structure at many points: every failure must be the
+    // codec's IllegalArgumentException (truncated / unknown block),
+    // never ArrayIndexOutOfBoundsException from unchecked indexing
+    for (cut <- Seq(14, 20, 40, gif.length / 2, gif.length - 1)) {
+      val e = intercept[IllegalArgumentException] {
+        ImageIoCodec.gifFrameOffsets(gif.take(cut))
+      }
+      assert(e.getMessage.contains("truncated GIF payload") ||
+        e.getMessage.contains("unknown GIF block"),
+        s"cut=$cut: ${e.getMessage}")
+    }
+    // flipping the trailer off the end is also truncation, not silence
+    val noTrailer = gif.dropRight(1)
+    val e = intercept[IllegalArgumentException] {
+      ImageIoCodec.gifFrameOffsets(noTrailer)
+    }
+    assert(e.getMessage.contains("truncated GIF payload"), e.getMessage)
+  }
+
   test("sampleFrames routes GIF through the real block walk; " +
     "frameStats sums every decoded frame and cross-checks the count") {
     import Multimodal.ImageIoCodec

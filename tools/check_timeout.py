@@ -6,8 +6,15 @@ bottleneck. Every query ends PASS / FAIL / ORACLE_TIMEOUT(<secs>) so
 exclusions are mechanical, not hand-picked.
 
 Usage: python3 tools/check_timeout.py <sfDir> <verifyOutDir> [timeoutSec]
+         [expectedTimeoutsCsv]
+
+Exit codes: 0 = every compared query passed AND the only timeouts (if
+any) are in the expected allowlist; 1 = any FAIL; 2 = nothing passed
+(all-timeout / empty sweep — a hung-oracle regression must not read as
+green) or an unexpected ORACLE_TIMEOUT outside the allowlist.
 """
 import sys, os, json, glob
+import queue as queue_mod
 import multiprocessing as mp
 
 
@@ -17,6 +24,10 @@ def one(sf_dir, out_dir, name, sql, q):
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
     con = duckdb.connect()
+    # Shared-VM discipline: cap DuckDB's intra-query parallelism so a
+    # sweep can run beside a Spark dump without starving it.
+    if os.environ.get("DUCKDB_THREADS"):
+        con.sql(f"SET threads TO {int(os.environ['DUCKDB_THREADS'])}")
     for t in tables:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
@@ -58,9 +69,10 @@ def one(sf_dir, out_dir, name, sql, q):
     q.put(("PASS", f"{len(a)} rows"))
 
 
-def main(sf_dir, out_dir, timeout):
+def main(sf_dir, out_dir, timeout, expected_to=()):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = n_to = 0
+    n_pass = n_fail = 0
+    timed_out = []
     for name, sql in sorted(oracle.items()):
         q = mp.Queue()
         p = mp.Process(target=one, args=(sf_dir, out_dir, name, sql, q))
@@ -71,19 +83,35 @@ def main(sf_dir, out_dir, timeout):
             p.join()
             print(f"ORACLE_TIMEOUT {name} (>{timeout}s DuckDB replay)",
                   flush=True)
-            n_to += 1
+            timed_out.append(name)
             continue
-        status, msg = q.get() if not q.empty() else ("FAIL", "worker died")
+        # q.get with its own timeout: Queue.empty() can transiently be
+        # True right after the child exits (feeder-thread flush race),
+        # which would turn a genuine PASS into a spurious 'worker died'.
+        try:
+            status, msg = q.get(timeout=5)
+        except queue_mod.Empty:
+            status, msg = "FAIL", "worker died (no result on queue)"
         print(f"{status} {name}: {msg}" if status == "FAIL"
               else f"PASS {name} ({msg})", flush=True)
         if status == "PASS":
             n_pass += 1
         else:
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_to} oracle-timeout")
-    return 1 if n_fail else 0
+    unexpected = [n for n in timed_out if n not in expected_to]
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(timed_out)} "
+          f"oracle-timeout ({len(unexpected)} outside allowlist)")
+    if n_fail:
+        return 1
+    # An all-timeout (or empty) sweep compared nothing — that is not
+    # green; neither is a previously-fast oracle newly hanging.
+    if n_pass == 0 or unexpected:
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
     to = int(sys.argv[3]) if len(sys.argv) > 3 else 120
-    sys.exit(main(sys.argv[1], sys.argv[2], to))
+    allow = tuple(a for a in sys.argv[4].split(",") if a) \
+        if len(sys.argv) > 4 else ()
+    sys.exit(main(sys.argv[1], sys.argv[2], to, allow))
