@@ -3769,10 +3769,20 @@ object ExtQueries {
     // runs over |values|, the value-pair relation broadcasts back, and
     // no identical-string candidate is ever enumerated (measured
     // 4.7 s → sub-second; the row-level form re-verified each value
-    // pair n_a·n_b times)
+    // pair n_a·n_b times).
+    // p_partkey < 2000 is the replica-stable id bound (the
+    // x_sorted_neighborhood convention): with only 64 distinct names,
+    // the EXPANDED id-pair relation is quadratic in ids-per-name, so
+    // an unbounded probe set at the ×F oracle replica (ids stride,
+    // values replicate verbatim) inflates the OUTPUT by F² — the ×100
+    // sweep measured ~19 B pre-limit rows, hours on both engines. The
+    // bound keeps the query constant-cost at any replication factor
+    // (strided replicas never qualify) without touching the
+    // operator's own cost model (∝ matches).
     "x_editdist_join" -> ((s, dir) =>
       EditDistJoin.segmentJoinDistinct(
-          T(s, dir, "part").filter(col("p_size") <= 10),
+          T(s, dir, "part")
+            .filter(col("p_size") <= 10 && col("p_partkey") < 2000),
           "p_partkey", "p_name", maxDist = 2, minDist = 1)
         .orderBy(col("dist"), col("id_a"), col("id_b"))
         .limit(100)),
@@ -9284,6 +9294,7 @@ object ExtQueries {
            ON a.p_partkey < b.p_partkey
           AND abs(length(a.p_name) - length(b.p_name)) <= 2
          WHERE a.p_size <= 10 AND b.p_size <= 10
+           AND a.p_partkey < 2000 AND b.p_partkey < 2000
            AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
          ORDER BY dist, id_a, id_b LIMIT 100""",
 
