@@ -41,11 +41,48 @@ def one(sf_dir, out_dir, name, sql, q):
         return df.sort_values(by=list(df.columns), ignore_index=True,
                               na_position="first", kind="mergesort")
 
+    def compare_big(rdir):
+        """Multiset compare entirely inside DuckDB for results too big
+        to materialize+mergesort in pandas (the x100 replica's 100M+
+        row dumps): same checks (row count, column-name set, exact
+        values) via count + sum/xor of per-row hashes over the
+        name-sorted columns, spark side cast to the oracle's types
+        (the pandas path is check_dtype=False too). Order-independent
+        by construction, so no sort at all; collision odds of the
+        64-bit (sum, xor, count) triple are negligible."""
+        con.sql(f"CREATE OR REPLACE TEMP TABLE __duck AS {sql}")
+        con.sql("CREATE OR REPLACE TEMP VIEW __spark AS "
+                f"SELECT * FROM read_parquet('{rdir}/*.parquet')")
+        dtypes = {r[0]: r[1] for r in con.sql("DESCRIBE __duck").fetchall()}
+        scols = [r[0] for r in con.sql("DESCRIBE __spark").fetchall()]
+        if sorted(dtypes) != sorted(scols):
+            return ("FAIL", f"columns {sorted(scols)} != {sorted(dtypes)}")
+        cols = sorted(dtypes)
+        def fp(table, cast):
+            row = ", ".join(
+                (f'CAST("{c}" AS {dtypes[c]})' if cast else f'"{c}"')
+                for c in cols)
+            return con.sql(
+                f"SELECT COUNT(*), SUM(hash(ROW({row}))), "
+                f"bit_xor(hash(ROW({row}))) FROM {table}").fetchone()
+        d, s = fp("__duck", False), fp("__spark", True)
+        if d[0] != s[0]:
+            return ("FAIL", f"rows {s[0]} != {d[0]}")
+        if d != s:
+            return ("FAIL", f"values differ: multiset fingerprints "
+                            f"{s[1:]} != {d[1:]} over {d[0]} rows")
+        return ("PASS", f"{d[0]} rows, hash-fingerprint compare")
+
     rdir = f"{out_dir}/{name}"
     if not os.path.isdir(rdir):
         q.put(("FAIL", "no spark result dir"))
         return
     try:
+        n_spark = con.sql("SELECT COUNT(*) FROM "
+                          f"read_parquet('{rdir}/*.parquet')").fetchone()[0]
+        if n_spark > 20_000_000:
+            q.put(compare_big(rdir))
+            return
         spark_df = pd.concat([pd.read_parquet(f) for f in
                               sorted(glob.glob(f"{rdir}/*.parquet"))],
                              ignore_index=True)
