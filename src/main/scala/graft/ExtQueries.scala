@@ -9614,15 +9614,19 @@ object ExtQueries {
     // Holt recurrence as a recursive CTE walking each status series in
     // rn order — the same IEEE ops in the same order as the Spark fold,
     // so level/trend/fit hash-match bit-exactly.
+    // daily/idx MATERIALIZED for the same reason as x_cusum: the
+    // recursive member joins idx every day-step, and inlined it
+    // re-runs the full orders aggregation per step (~2000 scans of
+    // the fact table at the x100 replica).
     "x_holt_smooth" ->
-      """WITH RECURSIVE daily AS (
+      """WITH RECURSIVE daily AS MATERIALIZED (
            SELECT o_orderstatus AS status,
              CAST(epoch(date_trunc('second', CAST(o_orderdate AS TIMESTAMP)))
                AS BIGINT) // 86400 AS day,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS revenue
            FROM orders GROUP BY 1, 2),
-         idx AS (
+         idx AS MATERIALIZED (
            SELECT status, day, revenue,
              CAST(row_number() OVER (PARTITION BY status ORDER BY day)
                AS BIGINT) AS rn
@@ -9650,14 +9654,16 @@ object ExtQueries {
       val si = "r.s[CAST((i.rn - 1) % 7 AS INTEGER) + 1]"
       val lvl = s"0.5 * (i.revenue - $si) + 0.5 * (r.level + r.trend)"
       val ssn = s"0.25 * (i.revenue - ($lvl)) + 0.75 * $si"
-      s"""WITH RECURSIVE daily AS (
+      // daily/idx MATERIALIZED: same per-iteration re-derivation fix
+      // as x_cusum / x_holt_smooth.
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
             SELECT o_orderstatus AS status,
               CAST(epoch(date_trunc('second', CAST(o_orderdate AS TIMESTAMP)))
                 AS BIGINT) // 86400 AS day,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                 AS revenue
             FROM orders GROUP BY 1, 2),
-          idx AS (
+          idx AS MATERIALIZED (
             SELECT status, day, revenue,
               CAST(row_number() OVER (PARTITION BY status ORDER BY day)
                 AS BIGINT) AS rn
