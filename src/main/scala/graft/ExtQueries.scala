@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Dsir, Eval, Events, Multimodal, Pca, Retrieval, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ext.{Basket, Behavior, Bpe, Classifier, Dedup, Dsir, Eval, Events, Multimodal, Pca, Retrieval, Sampling, Similarity, SuffixArray, TextAnalysis, Urls}
 import graft.ops.{EditDistJoin, Quality}
 import graft.functions.Hashing
 
@@ -2789,6 +2789,42 @@ object ExtQueries {
           T(s, dir, "documents").filter(col("doc_id") < 200),
           "doc_id", "text", n = 8, minDocs = 2)
         .orderBy(col("span"))),
+
+    // Distributed suffix array over the corpus token stream — prefix
+    // doubling (O(log maxDocLen) rounds of linear shuffles; ranks via
+    // range-partitioned sort + zipWithIndex, never a single-partition
+    // window, never a materialized-suffix sort). sa_rank = global
+    // lexicographic position with (doc_id, pos) tie-break.
+    "x_suffix_array" -> ((s, dir) =>
+      SuffixArray.build(
+          T(s, dir, "documents").filter(col("doc_id") < 1000),
+          "doc_id", "text")
+        .orderBy(col("sa_rank"))),
+
+    // LCP scan over the suffix array: verbatim repeated spans of ANY
+    // length >= 5 tokens in one pass — the Lee-et-al substring dedup,
+    // where duplicateSpans must fix a window size n up front.
+    "x_sa_repeats" -> ((s, dir) =>
+      SuffixArray.repeatedSpans(
+          T(s, dir, "documents").filter(col("doc_id") < 400),
+          "doc_id", "text", minLcp = 5)
+        .orderBy(col("sa_rank"))),
+
+    // Longest verbatim repeated token span in the corpus (bounded
+    // TakeOrdered readout of the LCP table, unique sa_rank tie-break).
+    "x_sa_longest" -> ((s, dir) =>
+      SuffixArray.longestRepeat(
+          T(s, dir, "documents").filter(col("doc_id") < 150),
+          "doc_id", "text")),
+
+    // Per-document duplicated-token fraction (the Lee-et-al substring
+    // dedup decision metric): tokens covered by any >= 5-token verbatim
+    // repeat, via SA-neighbor LCP max + per-doc interval union.
+    "x_sa_dupfrac" -> ((s, dir) =>
+      SuffixArray.duplicatedTokenStats(
+          T(s, dir, "documents").filter(col("doc_id") < 400),
+          "doc_id", "text", minLcp = 5)
+        .orderBy(col("doc_id"))),
 
     // Benchmark decontamination: docs sharing any verbatim 8-gram with
     // a stand-in eval set (every 97th doc) — broadcast-semi-join prune,
@@ -8805,6 +8841,120 @@ object ExtQueries {
            SELECT span, doc_id, COUNT(*) AS occ FROM spans GROUP BY 1, 2)
          SELECT span, COUNT(*) AS n_docs, CAST(SUM(occ) AS BIGINT) AS n_occ
          FROM per_doc GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
+
+    // Space-joined string order == token-sequence order here: the
+    // separator 0x20 sorts below every corpus character (single-spaced
+    // lowercase alnum text), so the naive ORDER BY suffix string is the
+    // same total order the engine's per-token prefix doubling produces.
+    "x_suffix_array" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS l
+           FROM documents WHERE doc_id < 1000),
+         sfx AS (
+           SELECT doc_id, i - 1 AS pos, l[i:] AS s
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(l))) AS i) g)
+         SELECT row_number() OVER (
+                  ORDER BY array_to_string(s, ' '), doc_id, pos) - 1
+                  AS sa_rank,
+                doc_id, CAST(pos AS BIGINT) AS pos
+         FROM sfx ORDER BY sa_rank""",
+
+    "x_sa_repeats" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS l
+           FROM documents WHERE doc_id < 400),
+         sfx AS (
+           SELECT doc_id, i - 1 AS pos, l[i:] AS s
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(l))) AS i) g),
+         ord AS (
+           SELECT doc_id, pos, s,
+             row_number() OVER (
+               ORDER BY array_to_string(s, ' '), doc_id, pos) - 1 AS sa_rank
+           FROM sfx),
+         adj AS (
+           SELECT a.sa_rank, a.doc_id, a.pos, a.s AS sa,
+             coalesce(nullif(list_position(
+               list_transform(
+                 generate_series(1, least(len(a.s), len(b.s))),
+                 k -> a.s[k] = b.s[k]), false), 0) - 1,
+               least(len(a.s), len(b.s))) AS lcp
+           FROM ord a JOIN ord b ON b.sa_rank = a.sa_rank + 1)
+         SELECT sa_rank, doc_id, CAST(pos AS BIGINT) AS pos,
+                CAST(lcp AS BIGINT) AS lcp,
+                array_to_string(sa[1:lcp], ' ') AS span
+         FROM adj WHERE lcp >= 5 ORDER BY sa_rank""",
+
+    "x_sa_longest" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS l
+           FROM documents WHERE doc_id < 150),
+         sfx AS (
+           SELECT doc_id, i - 1 AS pos, l[i:] AS s
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(l))) AS i) g),
+         ord AS (
+           SELECT doc_id, pos, s,
+             row_number() OVER (
+               ORDER BY array_to_string(s, ' '), doc_id, pos) - 1 AS sa_rank
+           FROM sfx),
+         adj AS (
+           SELECT a.sa_rank, a.doc_id, a.pos, a.s AS sa,
+             coalesce(nullif(list_position(
+               list_transform(
+                 generate_series(1, least(len(a.s), len(b.s))),
+                 k -> a.s[k] = b.s[k]), false), 0) - 1,
+               least(len(a.s), len(b.s))) AS lcp
+           FROM ord a JOIN ord b ON b.sa_rank = a.sa_rank + 1)
+         SELECT sa_rank, doc_id, CAST(pos AS BIGINT) AS pos,
+                CAST(lcp AS BIGINT) AS lcp,
+                array_to_string(sa[1:lcp], ' ') AS span
+         FROM adj WHERE lcp >= 1 ORDER BY lcp DESC, sa_rank LIMIT 1""",
+
+    "x_sa_dupfrac" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, string_split(lower(text), ' ') AS l
+           FROM documents WHERE doc_id < 400),
+         sfx AS (
+           SELECT doc_id, i - 1 AS pos, l[i:] AS s
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(l))) AS i) g),
+         ord AS MATERIALIZED (
+           SELECT doc_id, pos, s,
+             row_number() OVER (
+               ORDER BY array_to_string(s, ' '), doc_id, pos) - 1 AS sa_rank
+           FROM sfx),
+         lcp AS MATERIALIZED (
+           SELECT a.sa_rank,
+             coalesce(nullif(list_position(
+               list_transform(
+                 generate_series(1, least(len(a.s), len(b.s))),
+                 k -> a.s[k] = b.s[k]), false), 0) - 1,
+               least(len(a.s), len(b.s))) AS lcp
+           FROM ord a JOIN ord b ON b.sa_rank = a.sa_rank + 1),
+         rep AS (
+           SELECT o.doc_id, o.pos,
+             greatest(coalesce(ln.lcp, 0), coalesce(lp.lcp, 0)) AS rep
+           FROM ord o
+           LEFT JOIN lcp ln ON ln.sa_rank = o.sa_rank
+           LEFT JOIN lcp lp ON lp.sa_rank = o.sa_rank - 1),
+         ints AS (
+           SELECT doc_id, pos, pos + rep AS e FROM rep WHERE rep >= 5),
+         cov AS (
+           SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           FROM ints),
+         agg AS (
+           SELECT doc_id,
+             CAST(SUM(greatest(0, e - greatest(pos, coalesce(pe, pos))))
+               AS BIGINT) AS dup
+           FROM cov GROUP BY 1)
+         SELECT t.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+           coalesce(dup, 0) AS dup_tokens,
+           round(CAST(coalesce(dup, 0) AS DOUBLE) / len(l), 6) AS dup_frac
+         FROM toks t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
 
     "x_decontaminate" ->
       """WITH corpus AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Dsir, Graph, Retrieval, Similarity}
+import graft.ext.{Dedup, Dsir, Graph, Retrieval, Similarity, SuffixArray}
 
 /** Scale-evidence bench: replicate `documents` / `embeddings` /
   * `events` 10× and 100× (the BASELINE.md RefBench replica method) and
@@ -370,6 +370,28 @@ object ScaleBench {
         val (s, n) = timeDf(
           SparkEntry.queries("x_llm_pipeline2")(spark, dir), runs)
         record("llm_pipeline2", factor, s, n)
+      }
+      locally {
+        // distributed suffix array (prefix doubling): a 2000-doc
+        // window PER REPLICA (workload ∝ F — the full synthetic
+        // corpus is duplicate-dense, so unbounded growth would
+        // measure duplicate-run pathology, not the builder). Claims
+        // this measures: build ∝ corpus tokens × rounds, rounds =
+        // log2(maxDocLen / prefixWidth) CONSTANT across factors
+        // (doc length doesn't grow with corpus size) — the curve
+        // should be ~linear in F. Fresh-build protocol (the builder
+        // checkpoints internally, so timeDf would only re-count).
+        def saOnce(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = SuffixArray.build(
+            docs.filter(col("doc_id") % lit(docStride) < 2000),
+            "doc_id", "text").count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        saOnce() // warm (codegen + shuffle machinery)
+        val timed = (1 to runs).map(_ => saOnce()).sortBy(_._1)
+        val (s, n) = timed(runs / 2)
+        record("suffix_array_build", factor, s, n)
       }
       locally {
         // segment-store lifecycle (round-11 verdict task #5): the IVF
