@@ -140,21 +140,14 @@ object SuffixArray {
   }
 
   /** Token-level LCP of two token arrays: the count of leading
-    * pairwise-equal tokens. `zip_with` pads the shorter array with
-    * nulls; the null-safe compare makes a pad unequal to any token, so
-    * the prefix stops at the shorter length — all inside codegen'd
-    * higher-order functions, no UDF.
+    * pairwise-equal tokens, stopping at the shorter length — the
+    * native [[org.apache.spark.sql.graft.TokenLcpExpr]] (one codegen'd
+    * loop, early break at the first mismatch; the interpreted
+    * zip_with+aggregate HOF form it replaced always walked
+    * min(|a|,|b|) and allocated a boolean array per pair).
     */
-  def lcpLen(a: Column, b: Column): Column = {
-    val eqs = zip_with(a, b, (x, y) => x <=> y)
-    aggregate(eqs,
-      struct(lit(true).as("go"), lit(0L).as("n")),
-      (acc, e) => struct(
-        (acc.getField("go") && e).as("go"),
-        when(acc.getField("go") && e, acc.getField("n") + 1L)
-          .otherwise(acc.getField("n")).as("n")),
-      acc => acc.getField("n"))
-  }
+  def lcpLen(a: Column, b: Column): Column =
+    graft.functions.native_fns.token_lcp(a, b)
 
   /** The LCP array beside the suffix array: (sa_rank, idCol, pos,
     * __sfx, lcp) — one row per suffix, `lcp` the longest common prefix

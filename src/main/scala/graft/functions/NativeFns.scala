@@ -55,6 +55,14 @@ object native_fns {
   def jaro_winkler(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.JaroWinklerExpr.jaro_winkler(a, b)
 
+  /** Longest common prefix (in elements) of two string arrays — the
+    * suffix-array LCP kernel: one codegen'd loop with an early break
+    * at the first mismatch, vs the interpreted zip_with+aggregate HOF
+    * pair that always walks min(|a|,|b|).
+    */
+  def token_lcp(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.TokenLcpExpr.token_lcp(a, b)
+
   /** Equi-depth bucket id `#{bounds <= value}` via a codegen'd binary
     * search over an ascending bounds array — the bucket-assignment
     * kernel of the two-phase rank machinery (O(log |bounds|) probes vs
