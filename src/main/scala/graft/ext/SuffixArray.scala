@@ -44,6 +44,23 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object SuffixArray {
 
+  /** Reuse barrier for the builder's large intermediates: a
+    * materialized columnar cache (compressed batches, a fraction of
+    * deserialized row blocks for token-array payloads) whose LINEAGE
+    * STAYS INTACT — an evicted or lost block recomputes. The first cut
+    * used `localCheckpoint` here like the repo's smaller operators and
+    * the ×100 scale cell (10.8M suffixes in one JVM) found the
+    * documented localCheckpoint caveat the hard way: truncated lineage
+    * plus the context cleaner collecting the now-unreachable parent
+    * shuffle = FetchFailed with no recompute path, a dead job. Callers
+    * unpersist each barrier as soon as its successor is materialized.
+    */
+  private def barrier(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   /** Attach a 0-based global rank (dense over rows, so callers wanting
     * key-dense ranks pass DISTINCT rows) by a range-partitioned sort +
     * `zipWithIndex` — per-partition offsets, no single-partition
@@ -85,33 +102,32 @@ object SuffixArray {
     // one row per suffix: (id, pos, first-W-token slice); repartition
     // spreads the per-doc explode across the cluster even when the
     // source is a handful of input files
-    // checkpointed: the slice explode is the single most expensive
+    // barriered: the slice explode is the single most expensive
     // narrow stage (O(tokens × W) array building) and three consumers
     // read it (the distinct-keys rank samples + sorts it, then the
-    // rank join) — without the checkpoint it recomputes per consumer
-    val pref = df.repartition(col(idCol))
+    // rank join) — without the barrier it recomputes per consumer
+    val pref = barrier(df.repartition(col(idCol))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         posexplode(transform(col("__toks"),
           (_, i) => slice(col("__toks"), i + 1, lit(prefixWidth)))))
       .withColumnRenamed("col", "__pref")
-      .withColumnRenamed("pos", "__pos")
-      .localCheckpoint()
+      .withColumnRenamed("pos", "__pos"))
     val maxLen = df
       .agg(max(size(TextAnalysis.tokens(col(textCol))))).head() match {
         case Row(null)   => 1L
         case Row(n: Int) => n.toLong
       }
     // round 0: dense rank of the W-token prefix slices
-    val keys0 = rankBySort(
-      pref.select(col("__pref")).distinct(), Seq(col("__pref")), "__r")
-      .localCheckpoint()
-    var posRank = pref.join(keys0, "__pref")
-      .select(col(idCol), col("__pos"), col("__r").as("__rank"))
-      .localCheckpoint()
+    val keys0 = barrier(rankBySort(
+      pref.select(col("__pref")).distinct(), Seq(col("__pref")), "__r"))
+    var posRank = barrier(pref.join(keys0, "__pref")
+      .select(col(idCol), col("__pos"), col("__r").as("__rank")))
     val nPos = posRank.count()
-    var h = prefixWidth.toLong
     var distinctRanks = keys0.count()
+    pref.unpersist()
+    keys0.unpersist()
+    var h = prefixWidth.toLong
     while (h < maxLen && distinctRanks < nPos) {
       // rank 2^j ahead, -1 past the doc end (the shorter suffix is a
       // strict prefix of the longer → sorts first; -1 < every rank)
@@ -120,23 +136,29 @@ object SuffixArray {
       val paired = posRank.join(shifted, Seq(idCol, "__pos"), "left")
         .select(col(idCol), col("__pos"), col("__rank").as("__r1"),
           coalesce(col("__rnext"), lit(-1L)).as("__r2"))
-      val keys = rankBySort(
+      val keys = barrier(rankBySort(
         paired.select(col("__r1"), col("__r2")).distinct(),
-        Seq(col("__r1"), col("__r2")), "__nr")
-        .localCheckpoint()
+        Seq(col("__r1"), col("__r2")), "__nr"))
       distinctRanks = keys.count()
-      posRank = paired.join(keys, Seq("__r1", "__r2"))
-        .select(col(idCol), col("__pos"), col("__nr").as("__rank"))
-        .localCheckpoint()
+      val next = barrier(paired.join(keys, Seq("__r1", "__r2"))
+        .select(col(idCol), col("__pos"), col("__nr").as("__rank")))
+      posRank.unpersist()
+      keys.unpersist()
+      posRank = next
       h *= 2L
     }
     // the array is an INDEX — materialize it (like the IVF/text segment
     // stores) so every consumer (LCP scan, repeated readouts) starts
-    // from the built structure instead of replaying the final sort
-    rankBySort(posRank, Seq(col("__rank"), col(idCol), col("__pos")),
-        "sa_rank")
+    // from the built structure instead of replaying the final sort;
+    // small fixed-width rows, so the localCheckpoint caveat (see
+    // [[barrier]]) doesn't bite here and lineage truncation keeps
+    // repeated consumer plans flat
+    val sa = rankBySort(posRank,
+        Seq(col("__rank"), col(idCol), col("__pos")), "sa_rank")
       .select(col("sa_rank"), col(idCol), col("__pos").cast("long").as("pos"))
       .localCheckpoint()
+    posRank.unpersist()
+    sa
   }
 
   /** Token-level LCP of two token arrays: the count of leading
