@@ -53,6 +53,42 @@ object Bench {
     sb.toString
   }
 
+  /** Machine-load snapshot (1/5-min loadavg + concurrent `java`
+    * process count) — stamped into every bench artifact so the
+    * in-suite-vs-isolated era arbitration is mechanical instead of
+    * prose (round-13 verdict task #2: the r12→r13 21% uniform drift
+    * could only be ATTRIBUTED to a busy machine, not proven, because
+    * no artifact recorded what else was running). -1 on non-/proc
+    * platforms.
+    */
+  def loadMeta(): (Double, Double, Int) = {
+    val (l1, l5) = try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).split("\\s+")
+      (s(0).toDouble, s(1).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+    val nJava = try {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+      try st.iterator().asScala.count { p =>
+        p.getFileName.toString.forall(_.isDigit) && {
+          try new String(java.nio.file.Files.readAllBytes(
+            p.resolve("comm")),
+            java.nio.charset.StandardCharsets.UTF_8).trim == "java"
+          catch { case _: Throwable => false }
+        }
+      } finally st.close()
+    } catch { case _: Throwable => -1 }
+    (l1, l5, nJava)
+  }
+
+  def loadMetaJson(): String = {
+    val (l1, l5, nj) = loadMeta()
+    s"""{"loadavg1":$l1,"loadavg5":$l5,"n_java":$nj,""" +
+      s""""epoch_sec":${System.currentTimeMillis / 1000}}"""
+  }
+
   private def writeFile(path: String, content: String): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -154,6 +190,9 @@ object Bench {
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // era stamp BEFORE any Spark work: what else was running when this
+    // bench started (the end stamp then shows the run's own load)
+    val loadStart = loadMetaJson()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -209,7 +248,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":$loadStart,"load_end":${loadMetaJson()}}"""
     // Full map to disk twice: the stable working file AND a
     // round-stamped artifact that survives round close in git —
     // round-over-round attribution reads BENCH_full_r{N}.json instead

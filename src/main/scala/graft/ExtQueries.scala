@@ -432,7 +432,7 @@ object ExtQueries {
     "x_triangles" -> ((s, dir) =>
       graft.ext.Graph.triangleCount(
         Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey",
-            "l_partkey", maxBasket = 0)
+            "l_partkey")
           .filter(col("pair_support") >= 2)
           .select(col("item_a").as("a"), col("item_b").as("b")))),
 
@@ -485,7 +485,7 @@ object ExtQueries {
     // repeatedly-co-bought backbone degree alone can't isolate.
     "x_kcore" -> ((s, dir) => {
       val pairs = Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey",
-          "l_partkey", maxBasket = 0)
+          "l_partkey")
         .filter(col("pair_support") >= 2)
         .select(col("item_a").as("src"), col("item_b").as("dst"))
       val sym = pairs.unionByName(
@@ -531,7 +531,7 @@ object ExtQueries {
     "x_clustering_coef" -> ((s, dir) =>
       graft.ext.Graph.clusteringCoefficients(
           Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey",
-              "l_partkey", maxBasket = 0)
+              "l_partkey")
             .filter(col("pair_support") >= 2)
             .select(col("item_a").as("a"), col("item_b").as("b")))
         .orderBy(col("node"))),
@@ -2826,6 +2826,26 @@ object ExtQueries {
           "doc_id", "text", minLcp = 5)
         .orderBy(col("doc_id"))),
 
+    // The same decision metric over the FULL corpus — no doc_id subset
+    // (round-13 verdict task: the other SA queries bound their slice so
+    // DuckDB's O(n·L) suffix-string replay stays feasible; the dupfrac
+    // readout is small enough per doc that the full table replays).
+    "x_sa_dupfrac_full" -> ((s, dir) =>
+      SuffixArray.duplicatedTokenStats(
+          T(s, dir, "documents"), "doc_id", "text", minLcp = 5)
+        .orderBy(col("doc_id"))),
+
+    // The Lee-et-al ACTION step (corpus surgery): drop docs at >= 50%
+    // duplicated tokens, excise the covered spans from the rest and
+    // reassemble — one row per doc with the decision and the surviving
+    // text. Integer-exact drop gate (dup*100 >= 50*n), horizon-bounded
+    // O(n·minLcp) interval scan, per-doc window coverage decision.
+    "x_sa_dedup" -> ((s, dir) =>
+      SuffixArray.substringDedup(
+          T(s, dir, "documents").filter(col("doc_id") < 400),
+          "doc_id", "text", minLcp = 5, dropPercent = 50)
+        .orderBy(col("doc_id"))),
+
     // Benchmark decontamination: docs sharing any verbatim 8-gram with
     // a stand-in eval set (every 97th doc) — broadcast-semi-join prune,
     // hits-only aggregate. (4-grams: sized to this corpus's tiny
@@ -3139,7 +3159,7 @@ object ExtQueries {
     // shared lift — the rule-mining readout over pairSupport's counts.
     "x_basket_rules" -> ((s, dir) => {
       val pairs = Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey",
-          "l_partkey", maxBasket = 0)
+          "l_partkey")
         .filter(col("pair_support") >= 3)
       val fwd = pairs.select(col("item_a").as("antecedent"),
         col("item_b").as("consequent"), col("pair_support"),
@@ -3712,29 +3732,22 @@ object ExtQueries {
     // ---- co-occurrence mining ----------------------------------------
 
     // Market-basket pair support+lift: parts co-ordered within an order.
-    // maxBasket = 64 is a REAL bound, not the disabled guard: order
-    // line counts are generator-bounded (measured max distinct parts
-    // per order: 11/13/17 at sf0.001/0.01/0.1; replicas preserve
-    // basket sizes), so 64 provably filters nothing at every tested
-    // scale — oracle parity holds — while capping the quadratic
-    // per-basket emission at C(64,2) pairs if the data ever drifts.
-    // A drifted megabasket then diverges LOUDLY in the correctness
-    // gate instead of silently exploding the pair space; BehaviorSpec
-    // plants one and pins the guard tripping, plus a ≤32 headroom
-    // tripwire on the real data.
+    // The default maxBasket = 64 skew guard applies at EVERY Basket
+    // call site in this registry (measured-headroom rationale in the
+    // Basket scaladoc: generator-bounded basket sizes 11/13/17, so 64
+    // provably filters nothing — oracle parity holds — while capping
+    // the quadratic/cubic per-basket emission against data drift).
     "x_copurchase" -> ((s, dir) =>
-      Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-          maxBasket = 64)
+      Basket.pairSupport(T(s, dir, "lineitem"), "l_orderkey", "l_partkey")
         .orderBy(col("pair_support").desc, col("item_a"), col("item_b"))
         .limit(40)),
 
     // Item-item cosine over basket co-occurrence (neighborhood
     // collaborative filtering): pair/√(sa·sb) on pairSupport's grouped
     // pair machinery; 1-count noise pairs pruned at the pair aggregate.
-    // Same measured-headroom maxBasket = 64 as x_copurchase.
     "x_item_cosine" -> ((s, dir) =>
       Basket.itemCosine(T(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-          maxBasket = 64, minPairSupport = 2)
+          minPairSupport = 2)
         .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
         .limit(40)),
 
@@ -3751,7 +3764,7 @@ object ExtQueries {
       val train = li.filter(!isTest)
       val test = li.filter(isTest)
       val sims = Basket.itemCosine(train, "b", "i",
-          maxBasket = 0, minPairSupport = 2)
+          minPairSupport = 2)
         .select(col("item_a"), col("item_b"), col("cosine"))
         .localCheckpoint(false) // both symmetric directions below
       val sym = sims.unionByName(sims.select(col("item_b").as("item_a"),
@@ -3787,7 +3800,7 @@ object ExtQueries {
     // from the sorted basket array, support-pruned at the aggregate.
     "x_itemsets3" -> ((s, dir) =>
       Basket.tripleSupport(T(s, dir, "lineitem"), "l_orderkey",
-          "l_partkey", maxBasket = 0, minSupport = 2)
+          "l_partkey", minSupport = 2)
         .orderBy(col("support").desc, col("item_a"), col("item_b"),
           col("item_c"))
         .limit(30)),
@@ -8955,6 +8968,125 @@ object ExtQueries {
            coalesce(dup, 0) AS dup_tokens,
            round(CAST(coalesce(dup, 0) AS DOUBLE) / len(l), 6) AS dup_frac
          FROM toks t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
+
+    "x_sa_dupfrac_full" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, string_split(lower(text), ' ') AS l
+           FROM documents),
+         sfx AS (
+           SELECT doc_id, i - 1 AS pos, l[i:] AS s
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(l))) AS i) g),
+         ord AS MATERIALIZED (
+           SELECT doc_id, pos, s,
+             row_number() OVER (
+               ORDER BY array_to_string(s, ' '), doc_id, pos) - 1 AS sa_rank
+           FROM sfx),
+         lcp AS MATERIALIZED (
+           SELECT a.sa_rank,
+             coalesce(nullif(list_position(
+               list_transform(
+                 generate_series(1, least(len(a.s), len(b.s))),
+                 k -> a.s[k] = b.s[k]), false), 0) - 1,
+               least(len(a.s), len(b.s))) AS lcp
+           FROM ord a JOIN ord b ON b.sa_rank = a.sa_rank + 1),
+         rep AS (
+           SELECT o.doc_id, o.pos,
+             greatest(coalesce(ln.lcp, 0), coalesce(lp.lcp, 0)) AS rep
+           FROM ord o
+           LEFT JOIN lcp ln ON ln.sa_rank = o.sa_rank
+           LEFT JOIN lcp lp ON lp.sa_rank = o.sa_rank - 1),
+         ints AS (
+           SELECT doc_id, pos, pos + rep AS e FROM rep WHERE rep >= 5),
+         cov AS (
+           SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           FROM ints),
+         agg AS (
+           SELECT doc_id,
+             CAST(SUM(greatest(0, e - greatest(pos, coalesce(pe, pos))))
+               AS BIGINT) AS dup
+           FROM cov GROUP BY 1)
+         SELECT t.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+           coalesce(dup, 0) AS dup_tokens,
+           round(CAST(coalesce(dup, 0) AS DOUBLE) / len(l), 6) AS dup_frac
+         FROM toks t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
+
+    // The oracle derives coverage from UNCAPPED repeat intervals
+    // (pos + true rep) while the engine runs the horizon-bounded
+    // O(n·minLcp) scan (intervals capped at minLcp) — an exact match
+    // here is the strongest cross-check of the horizon-invariance
+    // argument in SuffixArray.repeatCoverIntervals.
+    "x_sa_dedup" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, string_split(lower(text), ' ') AS l
+           FROM documents WHERE doc_id < 400),
+         sfx AS (
+           SELECT doc_id, i - 1 AS pos, l[i:] AS s
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(l))) AS i) g),
+         ord AS MATERIALIZED (
+           SELECT doc_id, pos, s,
+             row_number() OVER (
+               ORDER BY array_to_string(s, ' '), doc_id, pos) - 1 AS sa_rank
+           FROM sfx),
+         lcp AS MATERIALIZED (
+           SELECT a.sa_rank,
+             coalesce(nullif(list_position(
+               list_transform(
+                 generate_series(1, least(len(a.s), len(b.s))),
+                 k -> a.s[k] = b.s[k]), false), 0) - 1,
+               least(len(a.s), len(b.s))) AS lcp
+           FROM ord a JOIN ord b ON b.sa_rank = a.sa_rank + 1),
+         rep AS (
+           SELECT o.doc_id, o.pos,
+             greatest(coalesce(ln.lcp, 0), coalesce(lp.lcp, 0)) AS rep
+           FROM ord o
+           LEFT JOIN lcp ln ON ln.sa_rank = o.sa_rank
+           LEFT JOIN lcp lp ON lp.sa_rank = o.sa_rank - 1),
+         ints AS MATERIALIZED (
+           SELECT doc_id, pos, pos + rep AS e FROM rep WHERE rep >= 5),
+         cov AS (
+           SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+           FROM ints),
+         agg AS (
+           SELECT doc_id,
+             CAST(SUM(greatest(0, e - greatest(pos, coalesce(pe, pos))))
+               AS BIGINT) AS dup
+           FROM cov GROUP BY 1),
+         tok2 AS (
+           SELECT doc_id, i - 1 AS tpos, l[i] AS tok
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(l))) AS i) g),
+         kept AS (
+           SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+             string_agg(t.tok, ' ' ORDER BY t.tpos) AS text_kept
+           FROM tok2 t
+           WHERE NOT EXISTS (
+             SELECT 1 FROM ints v
+             WHERE v.doc_id = t.doc_id
+               AND v.pos <= t.tpos AND t.tpos < v.e)
+           GROUP BY 1),
+         base AS (
+           SELECT t.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             coalesce(dup, 0) AS dup_tokens,
+             round(CAST(coalesce(dup, 0) AS DOUBLE) / len(l), 6) AS dup_frac
+           FROM toks t LEFT JOIN agg USING (doc_id))
+         SELECT b.doc_id, b.n_tokens, b.dup_tokens, b.dup_frac,
+           CASE WHEN b.dup_tokens * 100 >= 50 * b.n_tokens THEN 'drop'
+                WHEN b.dup_tokens > 0 THEN 'trim'
+                ELSE 'keep' END AS action,
+           CASE WHEN b.dup_tokens * 100 >= 50 * b.n_tokens
+                THEN CAST(0 AS BIGINT)
+                ELSE coalesce(k.kept_tokens, 0) END AS kept_tokens,
+           CASE WHEN b.dup_tokens * 100 >= 50 * b.n_tokens THEN NULL
+                ELSE k.text_kept END AS text_deduped
+         FROM base b LEFT JOIN kept k USING (doc_id)
+         ORDER BY b.doc_id""",
 
     "x_decontaminate" ->
       """WITH corpus AS (

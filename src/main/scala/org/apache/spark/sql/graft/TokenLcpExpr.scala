@@ -22,8 +22,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * boolean array per row, walks TWO interpreted higher-order
   * evaluators, and cannot break early — it always pays min(|a|,|b|)
   * even when the prefix diverges at token 0 (the common case in an LCP
-  * scan, where most neighbors share nothing). Contract: elements are
-  * non-null (tokenizer output); null ARRAYS propagate null.
+  * scan, where most neighbors share nothing). Null handling: null
+  * ARRAYS propagate null; a null ELEMENT on EITHER side ends the
+  * prefix there (counts as a mismatch, symmetrically — null is never
+  * equal to anything, including another null). The tokenizer never
+  * produces null elements, but the public facade
+  * `graft.functions.native_fns.token_lcp` accepts arbitrary
+  * `array<string>` columns (e.g. `transform` outputs), where a wrong-
+  * side NPE would kill the task instead of returning an answer.
   */
 case class TokenLcpExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -38,7 +44,8 @@ case class TokenLcpExpr(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var i = 0
-    while (i < n && x.getUTF8String(i).equals(y.getUTF8String(i))) i += 1
+    while (i < n && !x.isNullAt(i) && !y.isNullAt(i) &&
+        x.getUTF8String(i).equals(y.getUTF8String(i))) i += 1
     i.toLong
   }
 
@@ -49,7 +56,8 @@ case class TokenLcpExpr(left: Expression, right: Expression)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $i = 0;
-         |while ($i < $n && $a.getUTF8String($i).equals($b.getUTF8String($i))) {
+         |while ($i < $n && !$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |    $a.getUTF8String($i).equals($b.getUTF8String($i))) {
          |  $i++;
          |}
          |${ev.value} = (long) $i;

@@ -126,6 +126,33 @@ class BehaviorSpec extends SparkTestBase {
       "sanity: with the guard off the megabasket emits all C(100,2) pairs")
   }
 
+  test("tripleSupport default guard: a planted megabasket contributes " +
+    "zero triples (cubic emission capped) and is a no-op on real data") {
+    // maxBasket = 64 is now the Basket-wide DEFAULT (no call site in
+    // the registry disables it); tripleSupport's C(b,3) emission is
+    // CUBIC per basket, so the guard matters even more than for pairs
+    // — a 100-item megabasket is 161,700 triples unguarded.
+    val li = graft.io.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+    val unguarded = Basket.tripleSupport(li, "b", "i",
+        maxBasket = 0, minSupport = 1)
+      .orderBy("item_a", "item_b", "item_c").collect().toSeq
+    val defaulted = Basket.tripleSupport(li, "b", "i", minSupport = 1)
+      .orderBy("item_a", "item_b", "item_c").collect().toSeq
+    assert(defaulted == unguarded,
+      "default maxBasket=64 must be a no-op on generator-bounded baskets")
+    val planted = li.unionByName(spark.range(100)
+      .select(lit(-1L).as("b"), (col("id") + 1000000L).as("i")))
+    val got = Basket.tripleSupport(planted, "b", "i", minSupport = 1)
+      .orderBy("item_a", "item_b", "item_c").collect().toSeq
+    assert(got == unguarded,
+      "planted megabasket must contribute zero triples under the guard")
+    val exploded = Basket.tripleSupport(planted, "b", "i",
+      maxBasket = 0, minSupport = 1).count()
+    assert(exploded == unguarded.size + (100L * 99 * 98 / 6),
+      "sanity: with the guard off the megabasket emits all C(100,3) triples")
+  }
+
   test("weightedPrioritySample: deterministic, partitioning-invariant, " +
     "favors heavy rows") {
     val rows = (1 to 400).map(i => (i.toLong, if (i <= 40) 1000L else 1L))

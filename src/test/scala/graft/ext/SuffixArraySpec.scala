@@ -205,6 +205,181 @@ class SuffixArraySpec extends SparkTestBase {
     assert(got.head._3 == 10L) // whole of doc 1 covered, counted once
   }
 
+  test("duplicatedTokenStats is horizon-invariant: a repeat far longer " +
+    "than minLcp is covered exactly (capped intervals chain)") {
+    // The engine caps every interval at minLcp tokens; the brute-force
+    // reference uses TRUE repeat lengths. A 20-token shared block at
+    // minLcp = 4 only matches if capped intervals chain across the
+    // whole block — the proof in repeatCoverIntervals, pinned here.
+    val block = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha $block omega",
+      2L -> s"$block zeta",
+      3L -> "clean doc with no repeats at all")
+    val got = SuffixArray
+      .duplicatedTokenStats(docs.toDF("doc_id", "text"), "doc_id", "text",
+        minLcp = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == naiveDupStats(docs, minLcp = 4))
+    assert(got(0)._3 == 20L && got(1)._3 == 20L && got(2)._3 == 0L)
+  }
+
+  /** Brute-force substringDedup reference: true-rep intervals → per-doc
+    * covered position set → drop gate on exact integers → kept tokens
+    * in order.
+    */
+  private def naiveDedup(docs: Seq[(Long, String)], minLcp: Int,
+                         dropPercent: Int)
+      : Seq[(Long, Long, Long, Double, String, Long, Option[String])] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ", -1).toSeq }
+    val sfx = for { (id, l) <- toks; p <- l.indices } yield (id, p, l.drop(p))
+    def cp(a: Seq[String], b: Seq[String]) =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    toks.map { case (id, l) =>
+      val covered = l.indices.flatMap { p =>
+        val rep = sfx.collect {
+          case (i2, p2, s2) if (i2, p2) != ((id, p)) => cp(l.drop(p), s2)
+        }.maxOption.getOrElse(0)
+        if (rep >= minLcp) (p until math.min(l.size, p + rep)) else Nil
+      }.toSet
+      val dup = covered.size.toLong
+      val n = l.size.toLong
+      val frac = BigDecimal(dup.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val drop = dup * 100 >= dropPercent * n
+      val keptIdx = l.indices.filterNot(covered)
+      val action = if (drop) "drop" else if (dup > 0) "trim" else "keep"
+      val keptN = if (drop) 0L else keptIdx.size.toLong
+      val text = if (drop || keptIdx.isEmpty) None
+                 else Some(keptIdx.map(l).mkString(" "))
+      (id, n, dup, frac, action, keptN, text)
+    }
+  }
+
+  test("substringDedup matches the brute-force surgery on planted " +
+    "drop/trim/keep docs") {
+    val docs = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "x y a b c d e f q r s t zz",  // 6 of 13 covered -> trim
+      3L -> "a b c d e f g h i j",         // exact dup -> frac 1.0 -> drop
+      4L -> "pp qq rr ss tt uu vv ww",     // clean -> keep
+      5L -> "k k k k k k k k k k k k")     // self-repeat -> drop
+    val got = SuffixArray
+      .substringDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        minLcp = 4, dropPercent = 50)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4), r.getLong(5), Option(r.getString(6))))
+      .toSeq
+    assert(got == naiveDedup(docs, minLcp = 4, dropPercent = 50))
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(3L)._5 == "drop" && byId(3L)._7.isEmpty)
+    assert(byId(4L)._5 == "keep" &&
+      byId(4L)._7.contains("pp qq rr ss tt uu vv ww"))
+    assert(byId(2L)._5 == "trim")
+  }
+
+  test("substringDedup invariants: kept_tokens == n_tokens - dup_tokens " +
+    "for survivors, and excised text re-tokenizes to the kept positions " +
+    "exactly (real corpus slice)") {
+    // doc_id < 500 = the full sf0.001 corpus: the smallest slice where
+    // all three actions occur (measured: 443 keep / 12 trim / 45 drop)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 500).select("doc_id", "text")
+    val got = SuffixArray
+      .substringDedup(docs, "doc_id", "text", minLcp = 5, dropPercent = 50)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, dup, action, keptN) = (r.getLong(1), r.getLong(2),
+        r.getString(4), r.getLong(5))
+      if (action == "drop") {
+        assert(keptN == 0L && r.isNullAt(6))
+      } else {
+        assert(keptN == n - dup,
+          s"doc ${r.getLong(0)}: kept $keptN != $n - $dup")
+        val text = Option(r.getString(6))
+        assert(text.map(_.split(" ", -1).length.toLong).getOrElse(0L)
+          == keptN)
+      }
+      if (action == "keep") assert(dup == 0L)
+      if (action == "trim") assert(dup > 0L && dup * 100 < 50 * n)
+    }
+    // the surgery acts on this corpus: the synthetic slice is
+    // duplicate-dense, so all three actions must occur
+    assert(got.map(_.getString(4)).toSet == Set("drop", "trim", "keep"))
+  }
+
+  test("autoPrefixWidth: quarter-median, clamped to [4, 32], " +
+    "power of two") {
+    assert(SuffixArray.autoPrefixWidth(1) == 4)
+    assert(SuffixArray.autoPrefixWidth(16) == 4)
+    assert(SuffixArray.autoPrefixWidth(17) == 8)
+    assert(SuffixArray.autoPrefixWidth(55) == 16)   // the measured corpus
+    assert(SuffixArray.autoPrefixWidth(100) == 32)
+    assert(SuffixArray.autoPrefixWidth(100000) == 32)
+    (1L to 300L).foreach { n =>
+      val w = SuffixArray.autoPrefixWidth(n)
+      assert(w >= 4 && w <= 32 && Integer.bitCount(w) == 1)
+    }
+  }
+
+  test("buildStats pins the doubling-round count: 0 rounds when the " +
+    "prefix width covers every doc, ceil(log2(L/W)) on duplicate-dense " +
+    "docs, early termination once ranks separate") {
+    // (a) every doc shorter than W: round 0 fully sorts, 0 rounds
+    val short = Seq(1L -> "a b c", 2L -> "c b a", 3L -> "b b")
+      .toDF("doc_id", "text")
+    val b0 = SuffixArray.buildStats(short, "doc_id", "text",
+      prefixWidth = 8)
+    assert(b0.rounds == 0 && b0.prefixWidth == 8)
+    assert(b0.sa.count() == b0.nSuffixes)
+    b0.sa.unpersist()
+
+    // (b) two IDENTICAL 64-token docs: ties persist until h >= maxLen,
+    // so rounds = ceil(log2(64 / 4)) = 4 at W = 4 (h: 4,8,16,32 — the
+    // h=64 round is cut by the h < maxLen bound, ties broken by id)
+    val t64 = (1 to 64).map(i => s"t$i").mkString(" ")
+    val dup = Seq(1L -> t64, 2L -> t64).toDF("doc_id", "text")
+    val b1 = SuffixArray.buildStats(dup, "doc_id", "text", prefixWidth = 4)
+    assert(b1.rounds == 4, s"rounds = ${b1.rounds}")
+    assert(b1.maxDocLen == 64L && b1.nSuffixes == 128L)
+    // correctness at the forced-deep config too
+    assert(b1.sa.orderBy("sa_rank").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      naiveSa(Seq(1L -> t64, 2L -> t64)))
+    b1.sa.unpersist()
+
+    // (c) unique tokens everywhere: every rank separates in round 0
+    // even though maxLen >> W — early termination, 0 rounds
+    val uniq = Seq(
+      1L -> (1 to 40).map(i => s"u$i").mkString(" "),
+      2L -> (41 to 80).map(i => s"u$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val b2 = SuffixArray.buildStats(uniq, "doc_id", "text", prefixWidth = 4)
+    assert(b2.rounds == 0 && b2.distinctRanks == b2.nSuffixes)
+    b2.sa.unpersist()
+
+    // (d) the auto width on the real corpus slice resolves to the
+    // measured-corpus value (p50 ~ 55 tokens -> 16) and matches the
+    // explicit-width build exactly
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+    val auto = SuffixArray.buildStats(docs, "doc_id", "text")
+    assert(auto.prefixWidth == 16, s"auto width = ${auto.prefixWidth}")
+    val autoRows = auto.sa.orderBy("sa_rank").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    auto.sa.unpersist()
+    val explicit = SuffixArray.build(docs, "doc_id", "text",
+      prefixWidth = 16)
+    assert(autoRows == explicit.orderBy("sa_rank").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    explicit.unpersist()
+  }
+
   test("longestRepeat returns the max-lcp span with rank tie-break") {
     val docs = Seq(
       1L -> "p q r s t u v",

@@ -54,6 +54,29 @@ class TokenLcpSpec extends SparkTestBase {
     assert(rows(2).isNullAt(0) && rows(3).isNullAt(0))
   }
 
+  test("null ELEMENTS end the prefix symmetrically (no NPE) on both " +
+    "eval paths") {
+    // left-null, right-null, and null-vs-null must all count as a
+    // mismatch at that position — never a task-killing NPE, never a
+    // null==null match. Codegen path (column inputs):
+    val rows = Seq(
+      (Seq[String]("a", null, "c"), Seq[String]("a", "b", "c")),  // 1
+      (Seq[String]("a", "b", "c"), Seq[String]("a", null, "c")),  // 1
+      (Seq[String]("a", null, "c"), Seq[String]("a", null, "c")), // 1
+      (Seq[String](null), Seq[String](null)))                     // 0
+      .toDF("a", "b")
+      .select(native_fns.token_lcp(col("a"), col("b")).as("lcp"))
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 1L, 1L, 0L))
+    // interpreted path (literals constant-fold through eval):
+    val lit1 = spark.range(1).select(
+      native_fns.token_lcp(
+        array(lit("x"), lit(null).cast("string"), lit("z")),
+        array(lit("x"), lit("y"), lit("z"))).as("lcp"))
+      .head().getLong(0)
+    assert(lit1 == 1L)
+  }
+
   test("interpreted eval path agrees (literal inputs constant-fold)") {
     val one = spark.range(1).select(
       native_fns.token_lcp(

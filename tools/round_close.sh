@@ -27,9 +27,22 @@ lines = pat.findall(log)
 if not lines:
     sys.exit("no ScalaTest summary found in log — did the suite run?")
 block_body = "\n".join("    " + l for l in lines[-6:])
+# stamp the worktree state the gate ran against, so a block captured
+# before later commits is SELF-EVIDENTLY stale (round-13 What's-wrong
+# #4: the pasted 583/74 summary predated two commits) — re-run this
+# script after the round's final commit and the stamp proves currency
+import subprocess
+try:
+    head = subprocess.check_output(
+        ["git", "log", "-1", "--format=%h %cI"], text=True).strip()
+    dirty = subprocess.check_output(
+        ["git", "status", "--porcelain"], text=True).strip()
+    stamp = f"at commit {head}" + (" + uncommitted changes" if dirty else "")
+except Exception:
+    stamp = "git state unavailable"
 BEGIN, END = "<!-- AUTO-TEST BEGIN -->", "<!-- AUTO-TEST END -->"
 block = (f"{BEGIN}\n### Round-close test gate — verbatim ScalaTest "
-         f"summary (auto-pasted by tools/round_close.sh)\n\n"
+         f"summary (auto-pasted by tools/round_close.sh, {stamp})\n\n"
          f"{block_body}\n{END}")
 perf = open("PERF.md").read()
 i = perf.find(BEGIN)
