@@ -117,6 +117,27 @@ object SuffixArray {
     p
   }
 
+  /** Rebase a persisted barrier onto its own cached RDD, replacing the
+    * Catalyst plan with one LogicalRDD node. Catalyst plans are TREES
+    * (no subtree sharing): in the doubling loop each round's plan
+    * embeds the previous round's TWICE (the rank self-join), so with
+    * lineage-intact barriers alone the driver-side plan grows
+    * 2^rounds nodes — invisible at this corpus's 3 rounds, fatal at
+    * the long-doc bench's 8-11 rounds (measured: the driver spent
+    * 15+ min inside AQE plan-string generation and OOM'd before
+    * round 5). The cached RDD's dependency DAG shares nodes, so the
+    * recompute path stays LINEAR in rounds and a lost or evicted
+    * block still recomputes (the property [[barrier]] exists for;
+    * `localCheckpoint` would lose it). Cost: the LogicalRDD hides the
+    * barrier's hash partitioning from EnsureRequirements, so each
+    * round pays its equi-join shuffles explicitly instead of reusing
+    * the parent's exchange — a constant factor on the round's
+    * already-linear shuffle bill, paid to keep driver planning O(1)
+    * per round.
+    */
+  private def cutPlan(p: DataFrame): DataFrame =
+    p.sparkSession.createDataFrame(p.rdd, p.schema)
+
   /** Attach a 0-based global rank (dense over rows, so callers wanting
     * key-dense ranks pass DISTINCT rows) by a range-partitioned sort +
     * `zipWithIndex` — per-partition offsets, no single-partition
@@ -193,21 +214,26 @@ object SuffixArray {
     // narrow stage (O(tokens × W) array building) and three consumers
     // read it (the distinct-keys rank samples + sorts it, then the
     // rank join) — without the barrier it recomputes per consumer
-    val pref = barrier(df.repartition(col(idCol))
+    val prefP = barrier(df.repartition(col(idCol))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         posexplode(transform(col("__toks"),
           (_, i) => slice(col("__toks"), i + 1, lit(width)))))
       .withColumnRenamed("col", "__pref")
       .withColumnRenamed("pos", "__pos"))
+    val pref = cutPlan(prefP)
     // round 0: dense rank of the W-token prefix slices
     val keys0 = barrier(rankBySort(
       pref.select(col("__pref")).distinct(), Seq(col("__pref")), "__r"))
-    var posRank = barrier(pref.join(keys0, "__pref")
+    // each round's working set is held as (persisted handle, plan-cut
+    // view): the view keeps every downstream plan constant-size (see
+    // [[cutPlan]]); the handle is what unpersist releases
+    var posRankP = barrier(pref.join(keys0, "__pref")
       .select(col(idCol), col("__pos"), col("__r").as("__rank")))
-    val nPos = posRank.count()
+    var posRank = cutPlan(posRankP)
+    val nPos = posRankP.count()
     var distinctRanks = keys0.count()
-    pref.unpersist()
+    prefP.unpersist()
     keys0.unpersist()
     var h = width.toLong
     var rounds = 0
@@ -225,9 +251,10 @@ object SuffixArray {
       distinctRanks = keys.count()
       val next = barrier(paired.join(keys, Seq("__r1", "__r2"))
         .select(col(idCol), col("__pos"), col("__nr").as("__rank")))
-      posRank.unpersist()
+      posRankP.unpersist()
       keys.unpersist()
-      posRank = next
+      posRankP = next
+      posRank = cutPlan(next)
       h *= 2L
       rounds += 1
     }
@@ -235,7 +262,7 @@ object SuffixArray {
         Seq(col("__rank"), col(idCol), col("__pos")), "sa_rank")
       .select(col("sa_rank"), col(idCol),
         col("__pos").cast("long").as("pos")))
-    posRank.unpersist()
+    posRankP.unpersist()
     SaBuild(sa, width, rounds, maxLen, nPos, distinctRanks)
   }
 

@@ -151,12 +151,14 @@ def main(sf_dir, out_dir, timeout, expected_to=()):
               else f"{st} {name}: {msg}", flush=True)
     # Arbitration pass (round-13 verdict task #4): a worker that died
     # to an ENVIRONMENT ceiling (address-space/mmap exhaustion under a
-    # concurrent sweep, OOM-killed child) is not a value mismatch —
-    # re-run each FAIL once, serially, in a fresh process. A genuine
-    # mismatch fails identically on the re-run; only then does it
-    # count. The re-run verdict REPLACES the first so the final tally
-    # line alone proves the sweep (no prose trailer needed).
-    for name in [n for n, st in sorted(status.items()) if st == "FAIL"]:
+    # concurrent sweep, OOM-killed child) is not a value mismatch, and
+    # a timeout under machine contention is not a slow oracle — re-run
+    # each FAIL and ORACLE_TIMEOUT once, serially, in a fresh process.
+    # A genuine mismatch fails identically on the re-run; only then
+    # does it count. The re-run verdict REPLACES the first so the
+    # final tally line alone proves the sweep (no prose trailer).
+    for name in [n for n, st in sorted(status.items())
+                 if st in ("FAIL", "ORACLE_TIMEOUT")]:
         st, msg = run_one(sf_dir, out_dir, name, oracle[name], timeout)
         status[name] = st
         print(f"RERUN {name}: {st} ({msg})", flush=True)
