@@ -83,18 +83,20 @@ object SuffixArray {
     * sort key per suffix row through ONE range-partitioned sort (short
     * suffixes pay only their own length — the slice stops at the doc
     * end), and starting at h = W saves log2(W) doubling rounds, each
-    * ~3 linear shuffles of 3-long-column rows (~70 B/row ≈ 10 tokens
-    * of key bytes). W ≈ p50/4 keeps the round-0 key at a quarter of
-    * the typical document — at the measured corpus (p50 ≈ 55 tokens)
-    * that lands on 16, the width the round-13 sweeps verified; the
-    * floor 4 stops short-doc corpora paying 16-token keys for rounds
-    * they never run, and the cap 32 stops book-length corpora paying
-    * linearly in key bytes for rounds that are only logarithmic in
-    * wall (scale_bench's rounds-vs-width table backs the cap
-    * empirically).
+    * ~3 linear shuffles. W ≈ p50/2 makes round 0 fully order the back
+    * half of every typical document's suffixes, and the measured ×1
+    * rounds-vs-width table (scale_bench `sa_build_w4..w32`: 36.5 /
+    * 26.6 / 22.5 / 15.7 s at w = 4/8/16/32, rounds 5/4/3/2 on the
+    * p50 ≈ 55 corpus) shows each halved round count beating the added
+    * key bytes all the way out to the cap — wider keys are nearly
+    * free on short docs precisely because the slice truncates at the
+    * doc end. The floor 4 keeps tiny-doc corpora from paying width
+    * they can't use; the cap 32 stops book-length corpora paying
+    * LINEAR key bytes for rounds that are only LOGARITHMIC in wall
+    * (the long-doc bench runs at the cap).
     */
   def autoPrefixWidth(p50DocLen: Long): Int = {
-    val target = math.max(1L, (p50DocLen + 3) / 4)
+    val target = math.max(1L, (p50DocLen + 1) / 2)
     var w = 4
     while (w < 32 && w < target) w *= 2
     w

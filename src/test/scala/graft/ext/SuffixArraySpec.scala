@@ -313,13 +313,13 @@ class SuffixArraySpec extends SparkTestBase {
     assert(got.map(_.getString(4)).toSet == Set("drop", "trim", "keep"))
   }
 
-  test("autoPrefixWidth: quarter-median, clamped to [4, 32], " +
+  test("autoPrefixWidth: half-median, clamped to [4, 32], " +
     "power of two") {
     assert(SuffixArray.autoPrefixWidth(1) == 4)
-    assert(SuffixArray.autoPrefixWidth(16) == 4)
-    assert(SuffixArray.autoPrefixWidth(17) == 8)
-    assert(SuffixArray.autoPrefixWidth(55) == 16)   // the measured corpus
-    assert(SuffixArray.autoPrefixWidth(100) == 32)
+    assert(SuffixArray.autoPrefixWidth(8) == 4)
+    assert(SuffixArray.autoPrefixWidth(9) == 8)
+    assert(SuffixArray.autoPrefixWidth(17) == 16)
+    assert(SuffixArray.autoPrefixWidth(55) == 32)   // the measured corpus
     assert(SuffixArray.autoPrefixWidth(100000) == 32)
     (1L to 300L).foreach { n =>
       val w = SuffixArray.autoPrefixWidth(n)
@@ -364,17 +364,17 @@ class SuffixArraySpec extends SparkTestBase {
     b2.sa.unpersist()
 
     // (d) the auto width on the real corpus slice resolves to the
-    // measured-corpus value (p50 ~ 55 tokens -> 16) and matches the
+    // measured-corpus value (p50 ~ 55-59 tokens -> 32) and matches the
     // explicit-width build exactly
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") < 40).select("doc_id", "text")
     val auto = SuffixArray.buildStats(docs, "doc_id", "text")
-    assert(auto.prefixWidth == 16, s"auto width = ${auto.prefixWidth}")
+    assert(auto.prefixWidth == 32, s"auto width = ${auto.prefixWidth}")
     val autoRows = auto.sa.orderBy("sa_rank").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     auto.sa.unpersist()
     val explicit = SuffixArray.build(docs, "doc_id", "text",
-      prefixWidth = 16)
+      prefixWidth = 32)
     assert(autoRows == explicit.orderBy("sa_rank").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
     explicit.unpersist()
