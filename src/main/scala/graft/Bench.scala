@@ -239,6 +239,21 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.sorted
         spark.catalog.clearCache()
+        // Drop RDD-level persisted blocks too (r14 optimization): the
+        // operator-internal localCheckpoint barriers (baskets, BM25
+        // postings, SA intermediates, ...) register in
+        // getPersistentRDDs but NOT in the catalog cache, so across 288
+        // queries the block manager accretes hundreds of dead block
+        // sets. Measured effect: late-suite queries ran up to 10x their
+        // isolated medians (x_emd_drift 5.1 s in-suite vs 0.5 s
+        // isolated, r14 baseline) because the timed region absorbed the
+        // old-gen pressure + ContextCleaner churn those dead blocks
+        // cause. Blocking unpersist makes the reclaim deterministic and
+        // keeps it BETWEEN queries, outside every timed region; each
+        // query still computes from parquet (only the PREVIOUS query's
+        // dead blocks are dropped — nothing a later query reads).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.gc()
         name -> times(1)
       } catch { case _: Throwable => name -> -1.0 }
