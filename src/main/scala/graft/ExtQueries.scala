@@ -3777,12 +3777,13 @@ object ExtQueries {
         .localCheckpoint(false) // both rec directions below
       val testPairs = test.groupBy(col("b"))
         .agg(sort_array(collect_set(col("i"))).as("items"))
-        .select(explode(flatten(transform(col("items"), (x, j) =>
-          transform(
-            slice(col("items"), j + lit(2),
-              greatest(size(col("items")) - j - 1, lit(0))),
-            y => struct(x.as("a"), y.as("c")))))).as("p"))
-        .select(col("p.a"), col("p.c")).distinct()
+        // codegen'd pair emission (the Basket.pairSupport shape)
+        .select(col("items"), posexplode(col("items")).as(Seq("j", "a")))
+        .select(col("a"),
+          explode(slice(col("items"), col("j") + lit(2),
+            greatest(size(col("items")) - col("j") - 1, lit(0))))
+            .as("c"))
+        .distinct()
         .localCheckpoint(false) // the hits semi-join AND the count
       val hits = testPairs
         .join(recs.select(col("item_a").as("a"), col("item_b").as("c"))

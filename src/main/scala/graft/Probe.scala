@@ -30,8 +30,9 @@ object Probe {
       val df = SparkEntry.queries(n)(spark, sfDir)
       df.count(); df.count()
       case class Row(id: Int, name: String, tasks: Int, wallMs: Long,
-                     runMs: Long, cpuMs: Long, inB: Long, srB: Long,
-                     swB: Long, rows: Long)
+                     runMs: Long, cpuMs: Long, gcMs: Long, spillB: Long,
+                     fetchMs: Long, swMs: Long,
+                     inB: Long, srB: Long, swB: Long, rows: Long)
       val done = mutable.ArrayBuffer[Row]()
       val listener = new SparkListener {
         override def onStageCompleted(
@@ -42,6 +43,9 @@ object Probe {
             (for {a <- si.completionTime; b <- si.submissionTime}
               yield a - b).getOrElse(-1L),
             m.executorRunTime, m.executorCpuTime / 1000000L,
+            m.jvmGCTime, m.memoryBytesSpilled + m.diskBytesSpilled,
+            m.shuffleReadMetrics.fetchWaitTime,
+            m.shuffleWriteMetrics.writeTime / 1000000L,
             m.inputMetrics.bytesRead, m.shuffleReadMetrics.totalBytesRead,
             m.shuffleWriteMetrics.bytesWritten,
             m.outputMetrics.recordsWritten)
@@ -54,12 +58,13 @@ object Probe {
       spark.sparkContext.removeSparkListener(listener)
       println(f"\nPROBE $n timed=$el%.3f s  (${done.size} stages)")
       println(f"${"stage"}%5s ${"tasks"}%5s ${"wall_ms"}%8s " +
-        f"${"run_ms"}%8s ${"cpu_ms"}%8s ${"input"}%10s ${"shRead"}%10s " +
-        f"${"shWrite"}%10s  name")
+        f"${"run_ms"}%8s ${"cpu_ms"}%8s ${"gc_ms"}%6s ${"spill"}%8s " +
+        f"${"fetch"}%6s ${"swMs"}%5s ${"input"}%10s ${"shRead"}%10s " +
+        f"${"shWrite"}%10s")
       done.sortBy(-_.wallMs).foreach { r =>
         println(f"${r.id}%5d ${r.tasks}%5d ${r.wallMs}%8d ${r.runMs}%8d " +
-          f"${r.cpuMs}%8d ${r.inB}%10d ${r.srB}%10d ${r.swB}%10d  " +
-          r.name)
+          f"${r.cpuMs}%8d ${r.gcMs}%6d ${r.spillB}%8d ${r.fetchMs}%6d " +
+          f"${r.swMs}%5d ${r.inB}%10d ${r.srB}%10d ${r.swB}%10d")
       }
     }
     spark.stop()

@@ -51,15 +51,20 @@ object Basket {
     val baskets =
       (if (maxBasket > 0) grouped.filter(size(col("items")) <= maxBasket)
        else grouped).localCheckpoint(false)
-    // sorted array -> nested transform emits each pair once with
-    // item_a < item_b by construction (indexes j < k)
+    // sorted array -> each pair emitted once with item_a < item_b by
+    // construction (indexes j < k). Two chained codegen'd Generates
+    // (posexplode anchors item_a, explode of the tail slice emits
+    // item_b) — the previous nested transform/slice tower was
+    // interpreted (higher-order functions are CodegenFallback) and
+    // built an array-of-array-of-struct per basket before the flatten:
+    // measured 2.4 s CPU for the emission stage at sf0.1 vs ~0.6 s for
+    // this shape (r14). Per-basket fan-out is the same C(b,2).
     val pairs = baskets
-      .select(explode(flatten(transform(col("items"), (x, j) =>
-        transform(
-          slice(col("items"), j + lit(2),
-            greatest(size(col("items")) - j - 1, lit(0))),
-          y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
-      .select(col("p.item_a"), col("p.item_b"))
+      .select(col("items"), posexplode(col("items")).as(Seq("j", "item_a")))
+      .select(col("item_a"),
+        explode(slice(col("items"), col("j") + lit(2),
+          greatest(size(col("items")) - col("j") - 1, lit(0))))
+          .as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("pair_support"))
     val support = baskets.select(explode(col("items")).as("i"))
@@ -123,14 +128,15 @@ object Basket {
     // referenced by the pair emission AND the third-item explode —
     // barrier so the collect_set aggregation runs once
     val baskets = filtered.localCheckpoint(false)
+    // codegen'd pair emission — same two-Generate shape as
+    // [[pairSupport]], with the basket key carried through
     val pairs = baskets
-      .select(col("b"),
-        explode(flatten(transform(col("items"), (x, j) =>
-          transform(
-            slice(col("items"), j + lit(2),
-              greatest(size(col("items")) - j - 1, lit(0))),
-            y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
-      .select(col("b"), col("p.item_a"), col("p.item_b"))
+      .select(col("b"), col("items"),
+        posexplode(col("items")).as(Seq("j", "item_a")))
+      .select(col("b"), col("item_a"),
+        explode(slice(col("items"), col("j") + lit(2),
+          greatest(size(col("items")) - col("j") - 1, lit(0))))
+          .as("item_b"))
     // distinct column name on the right side: both join inputs descend
     // from the same checkpointed plan, and same-name Dataset columns in
     // a self-join resolve ambiguously (Spark warns "trivially true")

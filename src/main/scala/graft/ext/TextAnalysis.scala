@@ -513,15 +513,21 @@ object TextAnalysis {
   def skipgramPairs(df: DataFrame, textCol: String,
                     window: Int = 2): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
+    // Two chained codegen'd Generates (posexplode + explode of the
+    // w-anchored slice) replace the per-offset zip_with/slice tower:
+    // higher-order functions are CodegenFallback (interpreted per row),
+    // and the tower built window× struct arrays per document before the
+    // flatten — measured 0.53 s single-stage for x_skipgram at sf0.1 vs
+    // 0.2 s for this shape (r14). Whole-stage codegen pipelines both
+    // loops over the SAME array reference — per-token fan-out is still
+    // exactly `window` (w, c) rows and the only exchange is still the
+    // map-side-combined count group-by, so the 100 TB contract is
+    // unchanged.
     val toks = df.select(tokens(col(textCol)).as("t"))
-    val shifted = (1 to window).map { k =>
-      zip_with(
-        slice(col("t"), lit(1), greatest(size(col("t")) - k, lit(0))),
-        slice(col("t"), lit(k + 1), greatest(size(col("t")) - k, lit(0))),
-        (a, b) => struct(a.as("w"), b.as("c")))
-    }
-    toks.select(explode(flatten(array(shifted: _*))).as("p"))
-      .select(col("p.w").as("w"), col("p.c").as("c"))
+    toks
+      .select(col("t"), posexplode(col("t")).as(Seq("i", "w")))
+      .select(col("w"),
+        explode(slice(col("t"), col("i") + lit(2), lit(window))).as("c"))
       .filter(col("w") =!= "" && col("c") =!= "")
       .groupBy(col("w"), col("c"))
       .agg(count(lit(1)).as("n_pairs"))
