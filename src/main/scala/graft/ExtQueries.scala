@@ -1018,9 +1018,18 @@ object ExtQueries {
     // (Multimodal.PpmCodec), not from the generation parameters. Encode →
     // decode → featurize is one narrow mapPartitions chain over the scan:
     // no shuffle touches media bytes, matching the 100 TB plan.
+    // (All 8 media queries:) the id projection is round-robin
+    // repartitioned BEFORE the synth+decode mapPartitions: the source
+    // is one input split here, so the whole codec stage ran on one
+    // core (measured 1.6 s single-task for x_mm_gif_frames, r14
+    // probe). The exchange ships 8-byte ids — the §8 rule: move the
+    // lightweight proxy, decode the heavy bytes after, in parallel.
+    // At 100 TB the media table has real splits and this exchange is
+    // the same tiny id shuffle.
     "x_mm_decode" -> ((s, dir) => {
       import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = T(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map { id =>
           val w = (id % 31 + 2).toInt
           val h = (id % 17 + 2).toInt
@@ -1049,7 +1058,8 @@ object ExtQueries {
     // (CRC, inflate, filter reversal) breaks the hash.
     "x_mm_png" -> ((s, dir) => {
       import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = T(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map { id =>
           val w = (id % 13 + 5).toInt
           val h = (id % 11 + 5).toInt
@@ -1079,7 +1089,8 @@ object ExtQueries {
     // Encode → decode → grade is one narrow mapPartitions chain.
     "x_mm_jpeg" -> ((s, dir) => {
       import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = T(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map { id =>
           val w = (id % 13 + 8).toInt
           val h = (id % 11 + 8).toInt
@@ -1120,7 +1131,8 @@ object ExtQueries {
     // exact-sum contract.
     "x_mm_imageio" -> ((s, dir) => {
       import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = T(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map { id =>
           val w = (id % 9 + 4).toInt
           val h = (id % 7 + 5).toInt
@@ -1156,7 +1168,8 @@ object ExtQueries {
     // retires the byte-stride stub for the video mime.
     "x_mm_gif_frames" -> ((s, dir) => {
       import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = T(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map { id =>
           val n = (id % 4 + 2).toInt
           val w = (id % 9 + 4).toInt
@@ -1176,7 +1189,8 @@ object ExtQueries {
     // oracle's closed-form header lengths.
     "x_mm_frames" -> ((s, dir) => {
       import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = T(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map { id =>
           val n = (id % 5 + 1).toInt
           val w = (id % 7 + 2).toInt
@@ -1210,7 +1224,8 @@ object ExtQueries {
     // generator formula and replays the identical band join.
     "x_mm_phash" -> ((s, dir) => {
       import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = T(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map { id =>
           val seed = (id % 50).toInt
           // block parity, NOT id parity: id%50 and id%2 are correlated
@@ -1247,7 +1262,8 @@ object ExtQueries {
     // x_mm_decode.
     "x_wav_decode" -> ((s, dir) => {
       import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = T(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map { id =>
           val sr = (8000 + (id % 3) * 4000).toInt
           val ch = (id % 2 + 1).toInt
@@ -1974,6 +1990,11 @@ object ExtQueries {
             col("l_linenumber")), 5), lit(10L)) === 0,
             lit(null).cast("double"))
             .otherwise(col("l_quantity")))
+        // referenced 3x inside imputeGroupMedian (group medians, global
+        // median, join probe) — without a barrier each leg recomputes
+        // the per-row md5 mask over the full table (measured 0.63 s of
+        // the 0.92 s query, r14 probe)
+        .localCheckpoint(false)
       graft.ops.Tidy.imputeGroupMedian(masked, "l_returnflag", "qty_obs")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),

@@ -47,7 +47,11 @@ object Basket {
     // referenced by the pair emission, the item supports, AND the
     // basket total — without a materialization barrier each reference
     // re-runs the collect_set aggregation over the source (measured 3×
-    // the basket-build cost); the lazy checkpoint computes it once
+    // the basket-build cost); the lazy checkpoint computes it once.
+    // (r14 probe note: widening the checkpoint to shuffle-partitions
+    // width via an explicit pre-barrier repartition was measured and
+    // REVERTED — at this emission cost the extra task fan-out lost
+    // more than the added cores won: 0.85 -> 1.37 s.)
     val baskets =
       (if (maxBasket > 0) grouped.filter(size(col("items")) <= maxBasket)
        else grouped).localCheckpoint(false)
@@ -126,8 +130,13 @@ object Basket {
       if (maxBasket > 0) grouped.filter(size(col("items")) <= maxBasket)
       else grouped
     // referenced by the pair emission AND the third-item explode —
-    // barrier so the collect_set aggregation runs once
-    val baskets = filtered.localCheckpoint(false)
+    // barrier so the collect_set aggregation runs once; explicit
+    // basket-hash repartition as in [[pairSupport]] (and both join
+    // inputs below then share the b-hash layout)
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+      df.sparkSession.sparkContext.defaultParallelism.toString).toInt
+    val baskets =
+      filtered.repartition(nPart, col("b")).localCheckpoint(false)
     // codegen'd pair emission — same two-Generate shape as
     // [[pairSupport]], with the basket key carried through
     val pairs = baskets
