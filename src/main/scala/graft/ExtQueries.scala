@@ -1224,8 +1224,11 @@ object ExtQueries {
     // generator formula and replays the identical band join.
     "x_mm_phash" -> ((s, dir) => {
       import s.implicits._
-      val media = T(s, dir, "documents").select(col("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism).as[Long]
+      // NO pre-decode repartition here (unlike the other media
+      // queries): the hash table is checkpointed below, so decode cost
+      // sits outside the steady-state path and widening the checkpoint
+      // only slowed the band join (r14: +0.37 s in-suite, reverted)
+      val media = T(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val seed = (id % 50).toInt
           // block parity, NOT id parity: id%50 and id%2 are correlated

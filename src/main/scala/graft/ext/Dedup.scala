@@ -138,6 +138,10 @@ object Dedup {
   def minhashSigTable(df: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
     require(k <= MinhashA.size, s"at most ${MinhashA.size} permutations")
+    // (r14: spreading the md5-per-shingle work with a pre-tokenize
+    // round-robin repartition was measured and REVERTED — 0.65 ->
+    // 0.94 s isolated; at this corpus size the exchange + task fan-out
+    // costs more than the single-split scan it relieves.)
     val base = shingleRows(df, idCol, textCol)
       .select(col(idCol),
         (Hashing.hash64(col("shingle"), 0) % Two31).as("h"))

@@ -55,22 +55,16 @@ object Retrieval {
     // Document length and the query term lists are deliberately NOT
     // derived from it: both are row-local projections of the source
     // (dl = token count, qterms = distinct tokens of the query rows).
-    // The explicit token-hash repartition before the barrier sets the
-    // checkpointed RDD's partition count — AQE coalesces the ~0.5 MB
-    // postings shuffle to ONE partition, and since an RDD's layout is
-    // frozen at materialization, the candidate-scoring join then
-    // streamed every posting row on one core per action (measured
-    // 0.43 s of each BM25 consumer's run, r14 probe). shuffle.partitions
-    // is the canonical scale knob (cpus locally, cluster-sized in
-    // production); hash-by-token is deterministic and narrow.
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-      df.sparkSession.sparkContext.defaultParallelism.toString).toInt
+    // (r14 note: widening the checkpointed postings to
+    // shuffle-partitions width via an explicit pre-barrier repartition
+    // was measured and REVERTED — isolated medians improved ~0.2 s but
+    // the in-suite cost TRIPLED, the same more-tasks-lose pattern as
+    // the suite-wide AQE-floor experiment.)
     val tf = df
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("token"))
       .groupBy(col("id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .repartition(nPart, col("token"))
       .localCheckpoint(false)
 
     // dl also feeds two consumers (the 1-row stats aggregate and the
