@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector for the single-JVM batch workload: the r14
+  // optimization round measured the full 288-query bench at 53-55 s
+  // under ParallelGC vs 63-75 s under default G1 (same tree, idle
+  // machine, two runs each) — G1's concurrent cycle + region
+  // management tax every timed region in this allocation-churn-heavy
+  // local harness. Deployment JVMs (cluster executors) set their own
+  // GC via spark.executor.extraJavaOptions; this only governs the
+  // local/driver JVM and is env-overridable.
+  sys.env.getOrElse("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
 )

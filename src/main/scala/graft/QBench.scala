@@ -86,6 +86,13 @@ object QBench {
       }.sorted
       medians(n) = BigDecimal(ts(1)).setScale(4,
         BigDecimal.RoundingMode.HALF_UP).toDouble
+      // same between-query hygiene as Bench (r14): drop the previous
+      // query's checkpoint blocks so a multi-query (esp. --all) run
+      // doesn't accrete dead block sets into later timed regions
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       println(f"QBENCH $n build=$build%.3f warm=$warm%.3f median=${ts(1)}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     // stamp the era's machine load beside the medians (flat numeric
